@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational query surface (scan → filter → join → aggregate → top-k).
+  *
+  * The reference itself has no joins/aggregations beyond unions
+  * (SURVEY.md §2 "no joins ... exist in the reference"), but the engine
+  * inherits the full Spark SQL relational algebra; these queries pin that
+  * surface against the DuckDB oracle and double as the benchmark's
+  * headline scan/join/agg workload.
+  *
+  * Scale notes (100 TB design point): dimension sides (region, nation,
+  * supplier, customer) are explicitly `broadcast()` so the big fact scan
+  * never shuffles for them; aggregates are partial (map-side combine)
+  * by construction; all double aggregates are rounded identically on
+  * both engines so segment-tree vs fold summation order can't flip the
+  * hash compare.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-shaped pricing summary: full scan, group-by on two low-card
+    // keys — partial aggregation makes this shuffle ~12 rows at any scale.
+    "q1_pricing" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax"))), 4).as("sum_charge"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 6).as("avg_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // TPC-H Q3-shaped: selective dim filter → two joins → agg → top-k.
+    // customer is the small side → broadcast; top-k ordered on the
+    // rounded measure + unique key so the limit is deterministic.
+    "q3_revenue_topk" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      li.join(broadcast(ord.join(broadcast(cust),
+          ord("o_custkey") === cust("c_custkey"))), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5-shaped: five-way join, every dimension broadcast, one
+    // shuffle total (the final group-by on nation name).
+    "q5_nation_revenue" -> ((s, dir) => {
+      val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = t(s, dir, "nation")
+      val cust = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(ord), li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey")
+          && cust("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+          count(lit(1)).as("n_lineitems"))
+    }),
+
+    // Grouping-sets/rollup surface (free from Spark SQL; SURVEY.md §2).
+    "agg_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 4).as("sum_qty"),
+          count(lit(1)).as("n"))
+    }),
+
+    // Event-stream daily aggregate (time-bucketed analytics on `events`).
+    "agg_events_daily" -> ((s, dir) => {
+      EventBars.events(s, dir)
+        .groupBy(col("event_type"), to_date(timestamp_micros(col("t"))).as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("sum_value"),
+          round(avg(col("value")), 6).as("avg_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // Semi/anti-join surface: customers with and without open orders.
+    "join_semi_anti" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val open = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      val withOpen = cust.join(open, cust("c_custkey") === open("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("HAS_OPEN").as("status"))
+      val noOpen = cust.join(open, cust("c_custkey") === open("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("NO_OPEN").as("status"))
+      withOpen.unionByName(noOpen)
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 4) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 4) AS sum_charge,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_extendedprice), 6) AS avg_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_revenue_topk" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q5_nation_revenue" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_lineitems
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "agg_events_daily" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |  count(*) AS n_events,
+        |  round(sum(value), 4) AS sum_value,
+        |  round(avg(value), 6) AS avg_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY event_type, CAST(ts AS DATE)""".stripMargin,
+
+    "join_semi_anti" ->
+      """SELECT c_custkey, 'HAS_OPEN' AS status FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |UNION ALL
+        |SELECT c_custkey, 'NO_OPEN' AS status FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""".stripMargin)
+}
