@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.{Densify, Interpolate, Sessionize}
+import graft.ind.FrameIndicators
+
+/** F1/F2/F3 restructuring-chain queries (SURVEY.md §2) over the
+  * deterministic minute-grid bars derived from `events`
+  * ([[EventBars.minuteBars]]), each with a formula-identical DuckDB
+  * oracle. Gap units are micros here (engine pipeline uses ns — the
+  * transforms are unit-agnostic).
+  */
+object EtlQueries {
+
+  private val Step = EventBars.StepMicros
+  private val Gaps = Seq(Step, 2 * Step, 3 * Step)
+  private val FillCols = Seq("open", "high", "low", "close", "volume")
+
+  private def sessionized(s: SparkSession, dir: String): DataFrame =
+    Sessionize(EventBars.minuteBars(s, dir), "ticker", "ws", Gaps)
+
+  private def densified(s: SparkSession, dir: String): DataFrame =
+    Densify(sessionized(s, dir).drop("event_id"),
+      Seq("ticker", "island", "sub_ticker"), "ws", Step)
+
+  private def interpolated(s: SparkSession, dir: String): DataFrame =
+    Interpolate(densified(s, dir), Seq("ticker", "island"), "ws", FillCols)
+
+  private val sqlSession =
+    s"""${EventBars.sqlMinuteBars},
+       |${Sessionize.sqlStages("minute_bars", "ticker", "ws", Gaps)}""".stripMargin
+
+  private val sqlDense =
+    s"""$sqlSession,
+       |no_eid AS (SELECT * EXCLUDE (event_id) FROM sz_final),
+       |${Densify.sqlStages("no_eid", Seq("ticker", "island", "sub_ticker"), "ws", Step)}""".stripMargin
+
+  private val sqlInterp =
+    s"""$sqlDense,
+       |${Interpolate.sqlStages("dz_final", Seq("ticker", "island"), "ws", FillCols)}""".stripMargin
+
+  private def r6(c: String) = round(col(c), 6).as(c)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_sessionize" -> ((s, dir) =>
+      sessionized(s, dir).select(col("ticker"), col("ws"), col("island"),
+        col("sub_ticker"))),
+
+    "etl_densify" -> ((s, dir) =>
+      densified(s, dir).select(col("ticker"), col("island"), col("ws"),
+        col("close"), col("close").isNull.as("generated"))),
+
+    "etl_interpolate" -> ((s, dir) =>
+      interpolated(s, dir).select(col("ticker"), col("island"), col("ws"),
+        r6("close"), r6("volume"))),
+
+    // Flagship W-F pipeline: sessionize → densify → interpolate →
+    // frame indicators per sub_ticker → dropna (reference P4).
+    "pipeline_frame" -> ((s, dir) => {
+      val fi = FrameIndicators.addAll(interpolated(s, dir),
+        Seq("sub_ticker"), Seq("ws"))
+      val out = fi.select(col("sub_ticker").as("ticker"),
+        col("ws").as("window_start"), round(col("close"), 6).as("close_price"),
+        r6("rocp_1"), r6("rocp_2"), r6("rocp_3"), r6("rocp_4"), r6("rocp_5"),
+        r6("mfi"), r6("ultosc"), r6("aroonosc"), r6("ppo"), r6("sok"),
+        r6("sok_hist"))
+      out.na.drop()
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "etl_sessionize" ->
+      s"""WITH $sqlSession
+         |SELECT ticker, ws, island, sub_ticker FROM sz_final""".stripMargin,
+
+    "etl_densify" ->
+      s"""WITH $sqlDense
+         |SELECT ticker, island, ws, close, close IS NULL AS generated
+         |FROM dz_final""".stripMargin,
+
+    "etl_interpolate" ->
+      s"""WITH $sqlInterp
+         |SELECT ticker, island, ws, round(close, 6) AS close,
+         |  round(volume, 6) AS volume FROM ip_final""".stripMargin,
+
+    "pipeline_frame" ->
+      s"""WITH $sqlInterp,
+         |${FrameIndicators.sqlStages("ip_final", "sub_ticker", "ws")}
+         |SELECT sub_ticker AS ticker, ws AS window_start,
+         |  round(close, 6) AS close_price,
+         |  round(rocp_1, 6) AS rocp_1, round(rocp_2, 6) AS rocp_2,
+         |  round(rocp_3, 6) AS rocp_3, round(rocp_4, 6) AS rocp_4,
+         |  round(rocp_5, 6) AS rocp_5,
+         |  round(mfi, 6) AS mfi, round(ultosc, 6) AS ultosc,
+         |  round(aroonosc, 6) AS aroonosc, round(ppo, 6) AS ppo,
+         |  round(sok, 6) AS sok, round(sok_hist, 6) AS sok_hist
+         |FROM fi_final
+         |WHERE rocp_1 IS NOT NULL AND rocp_2 IS NOT NULL
+         |  AND rocp_3 IS NOT NULL AND rocp_4 IS NOT NULL
+         |  AND rocp_5 IS NOT NULL AND mfi IS NOT NULL AND ultosc IS NOT NULL
+         |  AND aroonosc IS NOT NULL AND ppo IS NOT NULL AND sok IS NOT NULL
+         |  AND sok_hist IS NOT NULL""".stripMargin)
+}

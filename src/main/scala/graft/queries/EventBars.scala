@@ -85,8 +85,8 @@ object EventBars {
        |  FROM bars),
        |minute_bars AS (
        |  SELECT ticker, event_id,
-       |    $GridBaseMicros + sum(extra + 1) OVER (PARTITION BY ticker ORDER BY t, event_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * $StepMicros AS ws,
+       |    $GridBaseMicros + CAST(sum(extra + 1) OVER (PARTITION BY ticker ORDER BY t, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) * $StepMicros AS ws,
        |    open, high, low, close, volume
        |  FROM slotted)""".stripMargin
 }
