@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.etl.{Densify, Interpolate, Sessionize}
-import graft.ind.FrameIndicators
+import graft.ind.{FrameIndicators, RecursiveIndicators}
 
 /** F1/F2/F3 restructuring-chain queries (SURVEY.md §2) over the
   * deterministic minute-grid bars derived from `events`
@@ -67,6 +67,23 @@ object EtlQueries {
         r6("mfi"), r6("ultosc"), r6("aroonosc"), r6("ppo"), r6("sok"),
         r6("sok_hist"))
       out.na.drop()
+    }),
+
+    // Faithful E2 (SURVEY.md §3): the reference's full 18-column
+    // indicator table — frame (Window) + recursive (flatMapGroups)
+    // families over the restructured series, warm-up dropped (P4).
+    "pipeline_full" -> ((s, dir) => {
+      val fi = FrameIndicators.addAll(interpolated(s, dir),
+        Seq("sub_ticker"), Seq("ws"))
+      val all = RecursiveIndicators.addAll(fi, Seq("sub_ticker"), Seq("ws"))
+      all.select(col("ws").as("window_start"),
+        round(col("close"), 6).as("close_price"),
+        r6("rocp_1"), r6("rocp_2"), r6("rocp_3"), r6("rocp_4"), r6("rocp_5"),
+        r6("rsi"), r6("mfi"), r6("ultosc"), r6("cmo"), r6("aroonosc"),
+        r6("macd_hist"), r6("ppo"), r6("sok"), r6("sok_hist"),
+        r6("adx"), r6("adx_hist"),
+        col("sub_ticker").as("ticker"))
+        .na.drop()
     }))
 
   val oracles: Map[String, String] = Map(
@@ -100,5 +117,31 @@ object EtlQueries {
          |  AND rocp_3 IS NOT NULL AND rocp_4 IS NOT NULL
          |  AND rocp_5 IS NOT NULL AND mfi IS NOT NULL AND ultosc IS NOT NULL
          |  AND aroonosc IS NOT NULL AND ppo IS NOT NULL AND sok IS NOT NULL
-         |  AND sok_hist IS NOT NULL""".stripMargin)
+         |  AND sok_hist IS NOT NULL""".stripMargin,
+
+    "pipeline_full" ->
+      s"""WITH RECURSIVE $sqlInterp,
+         |${FrameIndicators.sqlStages("ip_final", "sub_ticker", "ws")},
+         |${RecursiveIndicators.sqlStages("ip_final", Seq("sub_ticker"), Seq("ws"))}
+         |SELECT f.ws AS window_start, round(f.close, 6) AS close_price,
+         |  round(f.rocp_1, 6) AS rocp_1, round(f.rocp_2, 6) AS rocp_2,
+         |  round(f.rocp_3, 6) AS rocp_3, round(f.rocp_4, 6) AS rocp_4,
+         |  round(f.rocp_5, 6) AS rocp_5,
+         |  round(r.rsi, 6) AS rsi, round(f.mfi, 6) AS mfi,
+         |  round(f.ultosc, 6) AS ultosc, round(r.cmo, 6) AS cmo,
+         |  round(f.aroonosc, 6) AS aroonosc,
+         |  round(r.macd_hist, 6) AS macd_hist, round(f.ppo, 6) AS ppo,
+         |  round(f.sok, 6) AS sok, round(f.sok_hist, 6) AS sok_hist,
+         |  round(r.adx, 6) AS adx, round(r.adx_hist, 6) AS adx_hist,
+         |  f.sub_ticker AS ticker
+         |FROM fi_final f JOIN ri_final r
+         |  ON f.sub_ticker = r.sub_ticker AND f.ws = r.ws
+         |WHERE f.rocp_1 IS NOT NULL AND f.rocp_2 IS NOT NULL
+         |  AND f.rocp_3 IS NOT NULL AND f.rocp_4 IS NOT NULL
+         |  AND f.rocp_5 IS NOT NULL AND r.rsi IS NOT NULL
+         |  AND f.mfi IS NOT NULL AND f.ultosc IS NOT NULL
+         |  AND r.cmo IS NOT NULL AND f.aroonosc IS NOT NULL
+         |  AND r.macd_hist IS NOT NULL AND f.ppo IS NOT NULL
+         |  AND f.sok IS NOT NULL AND f.sok_hist IS NOT NULL
+         |  AND r.adx IS NOT NULL AND r.adx_hist IS NOT NULL""".stripMargin)
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ind.FrameIndicators
+import graft.ind.{FrameIndicators, RecursiveIndicators}
 
 /** Frame-based indicator queries (SURVEY.md §2 group W-F) over the
   * `events` stand-in series, each paired with a formula-identical DuckDB
@@ -42,7 +42,12 @@ object IndicatorQueries {
     "ind_ppo" -> ((s, dir) =>
       fi(s, dir).select(col("ticker"), col("t"), r6("ppo"))),
     "ind_stochf" -> ((s, dir) =>
-      fi(s, dir).select(col("ticker"), col("t"), r6("sok"), r6("sok_hist"))))
+      fi(s, dir).select(col("ticker"), col("t"), r6("sok"), r6("sok_hist"))),
+    // R1-R4 recursive kernels (Wilder/EMA) via one flatMapGroups scan.
+    "ind_recursive" -> ((s, dir) =>
+      RecursiveIndicators.addAll(EventBars.bars(s, dir), Part, Order)
+        .select(col("ticker"), col("t"), r6("rsi"), r6("cmo"),
+          r6("macd_hist"), r6("adx"), r6("adx_hist"))))
 
   val oracles: Map[String, String] = Map(
     "ind_rocp" -> sql("ticker, t, " +
@@ -53,5 +58,12 @@ object IndicatorQueries {
     "ind_aroonosc" -> sql("ticker, t, round(aroonosc, 6) AS aroonosc"),
     "ind_ppo" -> sql("ticker, t, round(ppo, 6) AS ppo"),
     "ind_stochf" -> sql(
-      "ticker, t, round(sok, 6) AS sok, round(sok_hist, 6) AS sok_hist"))
+      "ticker, t, round(sok, 6) AS sok, round(sok_hist, 6) AS sok_hist"),
+    "ind_recursive" ->
+      s"""WITH RECURSIVE bars AS (${EventBars.sqlBars}),
+         |${RecursiveIndicators.sqlStages("bars", Seq("ticker"), Seq("t", "event_id"))}
+         |SELECT ticker, t, round(rsi, 6) AS rsi, round(cmo, 6) AS cmo,
+         |  round(macd_hist, 6) AS macd_hist, round(adx, 6) AS adx,
+         |  round(adx_hist, 6) AS adx_hist
+         |FROM ri_final""".stripMargin)
 }
