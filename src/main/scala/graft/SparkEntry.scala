@@ -15,10 +15,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ IndicatorQueries.queries ++ EtlQueries.queries
+    RelationalQueries.queries ++ IndicatorQueries.queries ++
+      EtlQueries.queries ++ ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ IndicatorQueries.oracles ++ EtlQueries.oracles
+    RelationalQueries.oracles ++ IndicatorQueries.oracles ++
+      EtlQueries.oracles ++ ExtQueries.oracles
 }

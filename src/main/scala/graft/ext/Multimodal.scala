@@ -1,0 +1,64 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
+  * decoded/feature-extracted per partition (builder prompt: multimodal
+  * columns; image/audio libs aren't in this container so the codec is a
+  * STUB — the Spark-side plumbing (schema, batch iteration, partition
+  * streaming) is real and tested).
+  *
+  * Scale notes: payloads stay columnar until the decode projection;
+  * `mapPartitions` streams row batches (no per-group materialization),
+  * so executor memory is bounded by one payload at a time. At 100 TB the
+  * decode stage parallelizes per input split; feature rows are narrow so
+  * the downstream shuffle carries features, never raw media bytes.
+  */
+object Multimodal {
+
+  /** documents → a media table: payload = utf-8 bytes standing in for an
+    * encoded image/audio blob, with typed metadata alongside.
+    */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      lit("text/plain").as("kind"),
+      expr("encode(text, 'utf-8')").as("payload"),
+      struct(
+        expr("octet_length(encode(text, 'utf-8'))").as("n_bytes"),
+        col("lang").as("tag")).as("meta"))
+
+  private val featSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", LongType),
+    StructField("first_byte", LongType),
+    StructField("last_byte", LongType),
+    StructField("n_spaces", LongType)))
+
+  /** "Decode" each payload into fixed-width features.
+    *
+    * STUB decoder: a real implementation would hand `payload` to an
+    * image/audio codec here (e.g. JPEG decode → resize → embed); this
+    * deterministic byte-level fake keeps the contract — bytes in,
+    * fixed-schema feature row out — testable without native codecs.
+    */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("doc_id")
+    val plIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { it: Iterator[Row] =>
+      it.map { r =>
+        val id = r.getAs[Number](idIdx).longValue
+        val bytes = r.getAs[Array[Byte]](plIdx)
+        var spaces = 0L
+        var i = 0
+        while (i < bytes.length) { if (bytes(i) == 0x20) spaces += 1; i += 1 }
+        Row(id, bytes.length.toLong,
+          if (bytes.nonEmpty) (bytes(0) & 0xff).toLong else 0L,
+          if (bytes.nonEmpty) (bytes(bytes.length - 1) & 0xff).toLong else 0L,
+          spaces)
+      }
+    }(Encoders.row(featSchema))
+  }
+}

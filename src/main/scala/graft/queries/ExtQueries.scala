@@ -1,0 +1,292 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Multimodal, TextOps}
+
+/** Extended LLM-data-pipeline operators (builder prompt; SURVEY.md §7.4):
+  * text analysis, dedup family, embedding similarity, multimodal
+  * plumbing — each with a token-equivalent DuckDB oracle.
+  *
+  * Scale design (100 TB north star):
+  *  - text ops are per-row codegen'd HOF projections (no shuffle);
+  *  - dedup groupBys shuffle short hashes, not documents;
+  *  - MinHash-LSH banding turns O(n²) near-dup into an equi-join on
+  *    band keys (the classic shingle→minhash→band→bucket-join);
+  *  - brute-force cosine is the correctness baseline; the LSH-bucketed
+  *    ANN variant is the scale path (hyperplane sig equi-join);
+  *  - multimodal decode streams per-partition, no driver collection.
+  */
+object ExtQueries {
+
+  import TextOps._
+
+  private val NumHash = 12
+  private val Bands = 4
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  // ---- shared Spark expression fragments ----
+
+  private val whS = wordHashesSpark(toksSpark)
+  private val shS = shinglesSpark("wh")
+  private val mhS = minhashSpark("sh", NumHash)
+  private val bandsS = bandsSpark("mh", Bands, 3)
+  private val bkS = s"transform(sequence(0, ${Bands - 1}), j -> CAST(j AS BIGINT) * $P + element_at(bands, j + 1))"
+
+  private val whD = wordHashesDuck(toksDuck)
+  private val shD = shinglesDuck("wh")
+  private val mhD = minhashDuck("sh", NumHash)
+  private val bandsD = bandsDuck("mh", Bands, 3)
+  private val bkD = s"list_transform(generate_series(0, ${Bands - 1}), j -> j * $P + mbands[j + 1])"
+
+  /** Sequential-fold dot product — identical op order on both engines. */
+  private def dotS(a: String, b: String): String =
+    s"aggregate(transform(sequence(1, size($a)), i -> element_at($a, i) * element_at($b, i)), 0D, (x, y) -> x + y)"
+  private def dotD(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+
+  /** Deterministic hyperplane sign signature (8 planes, weights in -3..3). */
+  private val sigS =
+    "aggregate(transform(sequence(0, 7), j -> CASE WHEN " +
+      "aggregate(transform(sequence(1, size(v)), d -> element_at(v, d) * CAST(((j*131 + (d-1)*31) % 7) - 3 AS DOUBLE)), 0D, (x, y) -> x + y)" +
+      " >= 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (a, b) -> a + b)"
+  private val sigD =
+    "list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(0, 7), j -> CASE WHEN " +
+      "list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(v)), d -> v[d] * (((j*131 + (d-1)*31) % 7) - 3)::DOUBLE)), (x, y) -> x + y)" +
+      " >= 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END)), (a, b) -> a + b)"
+
+  // Simhash bit width.
+  private val SimBits = 16
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "text_stats" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("toks", expr(toksSpark))
+        .withColumn("n_tokens", expr("CAST(size(toks) AS BIGINT)"))
+        .withColumn("n_distinct", expr("CAST(size(array_distinct(toks)) AS BIGINT)"))
+        .withColumn("avg_len",
+          expr("aggregate(transform(toks, t -> CAST(length(t) AS DOUBLE)), 0D, (a, b) -> a + b) / CAST(size(toks) AS DOUBLE)"))
+        .withColumn("dr", expr("CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)"))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          expr("CAST(length(text) AS BIGINT)").as("n_chars_c"),
+          col("n_tokens"), col("n_distinct"),
+          round(col("avg_len"), 6).as("avg_len"),
+          round(col("dr"), 6).as("distinct_ratio"),
+          round(expr("least(1.0D, greatest(0.0D, 0.2D + 0.001D * CAST(length(text) AS DOUBLE) + 0.3D * dr - 0.05D * abs(avg_len - 5.0D)))"), 6).as("quality"))),
+
+    "text_langid" -> ((s, dir) => {
+      val base = docs(s, dir).withColumn("toks", expr(toksSpark))
+      val scored = LangMarkers.foldLeft(base) { case (d, (name, ms)) =>
+        d.withColumn(s"s_$name", expr(s"CAST(${langScoreSpark("toks", ms)} AS BIGINT)"))
+      }
+      scored.select(col("doc_id").cast("long").as("doc_id"),
+        col("s_determiner"), col("s_relational"), col("s_scan"),
+        expr("CASE WHEN s_determiner >= s_relational AND s_determiner >= s_scan THEN 'determiner' " +
+          "WHEN s_relational >= s_scan THEN 'relational' ELSE 'scan' END").as("pred"))
+    }),
+
+    "text_fingerprint" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("toks", expr(toksSpark))
+        .withColumn("wh", expr(whS))
+        .withColumn("sh", expr(shS))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          expr(fingerprintSpark("wh")).as("fingerprint"),
+          expr("CAST(size(sh) AS BIGINT)").as("n_shingles"))),
+
+    "dedup_exact" -> ((s, dir) =>
+      docs(s, dir)
+        .select(expr("md5(encode(text, 'utf-8'))").as("h"), col("doc_id").cast("long").as("doc_id"))
+        .groupBy("h")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical"))),
+
+    "dedup_simhash" -> ((s, dir) => {
+      val ex = docs(s, dir)
+        .withColumn("toks", expr(toksSpark))
+        .withColumn("wh", expr(whS))
+        .select(col("doc_id").cast("long").as("doc_id"), explode(col("wh")).as("h"))
+      val sums = (0 until SimBits).map(b =>
+        sum(expr(s"CASE WHEN (shiftright(h, $b) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s$b"))
+      val bits = (0 until SimBits).map(b =>
+        expr(s"CASE WHEN s$b >= 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
+      ex.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+        .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+    }),
+
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .withColumn("toks", expr(toksSpark))
+        .withColumn("wh", expr(whS))
+        .withColumn("sh", expr(shS))
+        .filter(expr("size(sh) > 0"))
+        .withColumn("mh", expr(mhS))
+        .withColumn("bands", expr(bandsS))
+        .select(col("doc_id").cast("long").as("doc_id"), col("sh"), col("mh"),
+          explode(expr(bkS)).as("bk"))
+      base.as("x").join(base.as("y"),
+          col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          round(expr(s"CAST(size(filter(sequence(1, $NumHash), i -> element_at(x.mh, i) = element_at(y.mh, i))) AS DOUBLE) / $NumHash.0D"), 6).as("est_sim"),
+          round(expr("CAST(size(array_intersect(array_distinct(x.sh), array_distinct(y.sh))) AS DOUBLE) / CAST(size(array_union(array_distinct(x.sh), array_distinct(y.sh))) AS DOUBLE)"), 6).as("jaccard"))
+        .dropDuplicates("a", "b")
+    }),
+
+    "emb_neardup" -> ((s, dir) => {
+      val e = emb(s, dir)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+        .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
+      e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
+        .withColumn("sim", expr(s"${dotS("x.v", "y.v")} / (x.nrm * y.nrm)"))
+        .filter(col("sim") > 0.3)
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+          round(col("sim"), 6).as("sim"))
+    }),
+
+    "sim_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+        .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
+      val q = e.filter(col("vec_id") % 10 === 0)
+      q.as("x").join(e.as("y"), col("x.vec_id") =!= col("y.vec_id"))
+        .withColumn("sim", expr(s"${dotS("x.v", "y.v")} / (x.nrm * y.nrm)"))
+        .withColumn("rank", expr(
+          "CAST(row_number() OVER (PARTITION BY x.vec_id ORDER BY sim DESC, y.vec_id) AS BIGINT)"))
+        .filter(col("rank") <= 5)
+        .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("n_id"),
+          col("rank"), round(col("sim"), 6).as("sim"))
+    }),
+
+    "sim_ann_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+        .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
+        .withColumn("sig", expr(sigS))
+      e.as("x").join(e.as("y"),
+          col("x.sig") === col("y.sig") && col("x.vec_id") =!= col("y.vec_id"))
+        .withColumn("sim", expr(s"${dotS("x.v", "y.v")} / (x.nrm * y.nrm)"))
+        .withColumn("rank", expr(
+          "CAST(row_number() OVER (PARTITION BY x.vec_id ORDER BY sim DESC, y.vec_id) AS BIGINT)"))
+        .filter(col("rank") <= 3)
+        .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("n_id"),
+          col("rank"), round(col("sim"), 6).as("sim"))
+    }),
+
+    "mm_decode" -> ((s, dir) =>
+      Multimodal.decodeFeatures(Multimodal.mediaTable(docs(s, dir)))))
+
+  // ---- DuckDB oracles ----
+
+  private val docToks =
+    s"dt AS (SELECT doc_id::BIGINT AS doc_id, text, $toksDuck AS toks FROM documents)"
+
+  private val docHashes =
+    s"""$docToks,
+       |dh AS (SELECT *, $whD AS wh FROM dt),
+       |ds AS (SELECT *, $shD AS sh FROM dh)""".stripMargin
+
+  private val embBase =
+    s"""eb AS (SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |en AS (SELECT *, sqrt(${dotD("v", "v")}) AS nrm FROM eb)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+
+    "text_stats" ->
+      s"""WITH $docToks,
+         |t2 AS (SELECT doc_id, text, toks,
+         |  len(toks)::BIGINT AS n_tokens,
+         |  len(list_distinct(toks))::BIGINT AS n_distinct,
+         |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(toks, t -> length(t)::DOUBLE)), (a, b) -> a + b) / len(toks)::DOUBLE AS avg_len
+         |  FROM dt),
+         |t3 AS (SELECT *, n_distinct::DOUBLE / n_tokens::DOUBLE AS dr FROM t2)
+         |SELECT doc_id, length(text)::BIGINT AS n_chars_c, n_tokens, n_distinct,
+         |  round(avg_len, 6) AS avg_len, round(dr, 6) AS distinct_ratio,
+         |  round(least(1.0, greatest(0.0, 0.2 + 0.001 * length(text)::DOUBLE + 0.3 * dr - 0.05 * abs(avg_len - 5.0))), 6) AS quality
+         |FROM t3""".stripMargin,
+
+    "text_langid" ->
+      s"""WITH $docToks,
+         |t2 AS (SELECT doc_id,
+         |  ${LangMarkers.map { case (n, ms) => s"${langScoreDuck("toks", ms)}::BIGINT AS s_$n" }.mkString(",\n  ")}
+         |  FROM dt)
+         |SELECT doc_id, s_determiner, s_relational, s_scan,
+         |  CASE WHEN s_determiner >= s_relational AND s_determiner >= s_scan THEN 'determiner'
+         |    WHEN s_relational >= s_scan THEN 'relational' ELSE 'scan' END AS pred
+         |FROM t2""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""WITH $docHashes
+         |SELECT doc_id, ${fingerprintDuck("wh")} AS fingerprint,
+         |  len(sh)::BIGINT AS n_shingles
+         |FROM ds""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS h, count(*)::BIGINT AS n_docs,
+        |  min(doc_id::BIGINT) AS canonical
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH $docToks,
+         |dh AS (SELECT doc_id, $whD AS wh FROM dt),
+         |ex AS (SELECT doc_id, unnest(wh) AS h FROM dh),
+         |sm AS (SELECT doc_id,
+         |  ${(0 until SimBits).map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n  ")}
+         |  FROM ex GROUP BY doc_id)
+         |SELECT doc_id,
+         |  (${(0 until SimBits).map(b => s"(CASE WHEN s$b >= 0 THEN ${1L << b}::BIGINT ELSE 0::BIGINT END)").mkString(" + ")}) AS simhash
+         |FROM sm""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""WITH $docHashes,
+         |df AS (SELECT * FROM ds WHERE len(sh) > 0),
+         |dm AS (SELECT *, $mhD AS mh FROM df),
+         |db AS (SELECT *, $bandsD AS mbands FROM dm),
+         |dk AS (SELECT doc_id, sh, mh, unnest($bkD) AS bk FROM db)
+         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |  round(len(list_filter(generate_series(1, $NumHash), i -> x.mh[i] = y.mh[i]))::DOUBLE / $NumHash.0, 6) AS est_sim,
+         |  round(len(list_distinct(list_intersect(list_distinct(x.sh), list_distinct(y.sh))))::DOUBLE
+         |      / len(list_distinct(list_concat(list_distinct(x.sh), list_distinct(y.sh))))::DOUBLE, 6) AS jaccard
+         |FROM dk x JOIN dk y ON x.bk = y.bk AND x.doc_id < y.doc_id""".stripMargin,
+
+    "emb_neardup" ->
+      s"""WITH $embBase
+         |SELECT x.vec_id AS a, y.vec_id AS b,
+         |  round(${dotD("x.v", "y.v")} / (x.nrm * y.nrm), 6) AS sim
+         |FROM en x JOIN en y ON x.vec_id < y.vec_id
+         |WHERE ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) > 0.3""".stripMargin,
+
+    "sim_topk" ->
+      s"""WITH $embBase,
+         |qs AS (SELECT * FROM en WHERE vec_id % 10 = 0),
+         |sims AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
+         |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+         |  FROM qs x JOIN en y ON x.vec_id <> y.vec_id),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)::BIGINT AS rank FROM sims)
+         |SELECT q_id, n_id, rank, round(sim, 6) AS sim FROM rk WHERE rank <= 5""".stripMargin,
+
+    "sim_ann_lsh" ->
+      s"""WITH $embBase,
+         |es AS (SELECT *, $sigD AS sig FROM en),
+         |sims AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
+         |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+         |  FROM es x JOIN es y ON x.sig = y.sig AND x.vec_id <> y.vec_id),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)::BIGINT AS rank FROM sims)
+         |SELECT q_id, n_id, rank, round(sim, 6) AS sim FROM rk WHERE rank <= 3""".stripMargin,
+
+    "mm_decode" ->
+      """SELECT doc_id::BIGINT AS doc_id,
+        |  octet_length(text::BLOB)::BIGINT AS n_bytes,
+        |  unicode(substr(text, 1, 1))::BIGINT AS first_byte,
+        |  unicode(substr(text, length(text), 1))::BIGINT AS last_byte,
+        |  (length(text) - length(replace(text, ' ', '')))::BIGINT AS n_spaces
+        |FROM documents""".stripMargin)
+}
