@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Multimodal, TextOps}
+
+/** Extended-operator specs: text hashing determinism, simhash range,
+  * LSH candidate soundness, multimodal stub decode.
+  */
+class OpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("fingerprint: known fold value, deterministic across runs") {
+    val fp = spark.sql(
+      s"""SELECT ${TextOps.fingerprintSpark(TextOps.wordHashesSpark(TextOps.toksSpark))} AS fp
+         |FROM (SELECT 'ab ba' AS text)""".stripMargin)
+      .collect()(0).getLong(0)
+    // wordHashes('ab ba') = [132932, 133062]; fold base 31:
+    assert(fp == 132932L * 31 + 133062L)
+  }
+
+  test("shingles: n tokens yield n-2 3-gram shingles; short docs none") {
+    val row = spark.sql(
+      s"""SELECT size(${TextOps.shinglesSpark("wh")}) AS n5, size(wh) AS nw
+         |FROM (SELECT ${TextOps.wordHashesSpark(TextOps.toksSpark)} AS wh
+         |      FROM (SELECT 'a b c d e' AS text))""".stripMargin).collect()(0)
+    assert(row.getInt(0) == 3 && row.getInt(1) == 5)
+    val short = spark.sql(
+      s"""SELECT size(${TextOps.shinglesSpark("wh")}) AS n
+         |FROM (SELECT ${TextOps.wordHashesSpark(TextOps.toksSpark)} AS wh
+         |      FROM (SELECT 'a b' AS text))""".stripMargin).collect()(0)
+    assert(short.getInt(0) == 0)
+  }
+
+  test("simhash stays within its 16-bit range") {
+    val out = graft.queries.ExtQueries.queries("dedup_simhash")(spark, sf)
+    val bad = out.filter(col("simhash") < 0 || col("simhash") > 65535).count()
+    assert(bad == 0)
+  }
+
+  test("minhash-LSH candidates are sound: est_sim and jaccard in [0,1]") {
+    val out = graft.queries.ExtQueries.queries("dedup_minhash_lsh")(spark, sf)
+      .collect()
+    out.foreach { r =>
+      val est = r.getAs[Double]("est_sim"); val j = r.getAs[Double]("jaccard")
+      assert(est >= 0 && est <= 1 && j >= 0 && j <= 1)
+      assert(r.getAs[Long]("a") < r.getAs[Long]("b"))
+    }
+  }
+
+  test("top-k similarity: exactly k ranked neighbors per query, ordered") {
+    val rows = graft.queries.ExtQueries.queries("sim_topk")(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to rs.length))
+      val sims = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("multimodal stub decode: byte-level features from a known payload") {
+    val media = Multimodal.mediaTable(
+      spark.sql("SELECT 7L AS doc_id, 'ab c' AS text, 'en' AS lang"))
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val r = Multimodal.decodeFeatures(media).collect()(0)
+    assert(r.getLong(0) == 7L)     // doc_id
+    assert(r.getLong(1) == 4L)     // n_bytes
+    assert(r.getLong(2) == 'a'.toLong)
+    assert(r.getLong(3) == 'c'.toLong)
+    assert(r.getLong(4) == 1L)     // spaces
+  }
+
+  test("exact dedup partitions the corpus: group sizes sum to doc count") {
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    val grouped = graft.queries.ExtQueries.queries("dedup_exact")(spark, sf)
+      .agg(sum("n_docs")).collect()(0).getLong(0)
+    assert(grouped == total)
+  }
+}
