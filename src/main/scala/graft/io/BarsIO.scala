@@ -1,0 +1,65 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Schemas
+
+/** Sources and sinks (SURVEY.md §2 S1-S5).
+  *
+  * The reference hand-builds `{base}/{interval}/{yyyy}/{mm}/{date}
+  * .parquet.gzip` paths (utils.py:61-73) and probes them with
+  * os.path.isfile; here the same layout is a Hive-partitioned dataset
+  * `interval=/yr=/mo=/ds=` so Catalyst prunes partitions from literal
+  * filters instead of the driver juggling file names — at 100 TB this is
+  * what makes per-day/per-interval reads O(1 partition), not O(listing).
+  */
+object BarsIO {
+
+  /** S1: S&P member-list CSV scan + the two appended ETF literals
+    * (get_spy_tickers, data_download_yahoo.py:20-24). */
+  def tickerList(spark: SparkSession, csvPath: String): DataFrame = {
+    val syms = spark.read.option("header", "true").csv(csvPath)
+      .select(col("Symbol").as("ticker"))
+    val extra = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row("SPY"), org.apache.spark.sql.Row("VOO")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ticker",
+          org.apache.spark.sql.types.StringType))))
+    syms.unionByName(extra)
+  }
+
+  /** S3: read raw bars with the fixed 8-column schema enforced by
+    * projection (data_download_yahoo.py:42-51). */
+  def readBars(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select(
+      Schemas.rawBars.fieldNames.map(col).toIndexedSeq: _*)
+
+  /** S4: partitioned gzip parquet sink. `ds` is the %Y-%m-%d date string
+    * the reference embeds in the file name (utils.py:61-73); yr/mo are
+    * derived exactly like its path builder (utils.py:67). */
+  def writePartitioned(df: DataFrame, base: String, interval: String,
+      ds: String): Unit = {
+    val parts = ds.split("-")
+    df.withColumn("interval", lit(interval))
+      .withColumn("yr", lit(parts(0)))
+      .withColumn("mo", lit(parts(1)))
+      .withColumn("ds", lit(ds))
+      .write.mode(SaveMode.Overwrite)
+      // replace only the partitions being written — without this,
+      // Overwrite+partitionBy truncates every previously written day
+      .option("partitionOverwriteMode", "dynamic")
+      .option("compression", "gzip")
+      .partitionBy("interval", "yr", "mo", "ds")
+      .parquet(base)
+  }
+
+  /** Read back one day partition; literal equality filters prune to a
+    * single Hive partition (replaces os.path.isfile probing, S5). */
+  def readDay(spark: SparkSession, base: String, interval: String,
+      ds: String): DataFrame =
+    spark.read.parquet(base)
+      .filter(col("interval") === interval && col("ds") === ds)
+      .drop("interval", "yr", "mo", "ds")
+}

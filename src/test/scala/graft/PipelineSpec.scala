@@ -1,0 +1,94 @@
+package graft
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.etl.{MarketCalendar, Validate}
+import graft.ind.IndicatorPipeline
+import graft.io.BarsIO
+import graft.model.Schemas
+
+/** E2-faithful pipeline over raw ns-domain bars (SURVEY.md §5.4):
+  * market-hours boundaries, island trim, warm-up dropna, output schema;
+  * plus partitioned sink roundtrip and P10 validations.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private val date = LocalDate.of(2024, 3, 5) // EST (pre-DST): open = 14:30 UTC
+  private val (openNs, closeNs) = MarketCalendar.marketOpenCloseNanos(date)
+  private val minNs = 60L * 1000000000L
+
+  /** 40 consecutive market minutes + pre/at-close/post rows + a 2-row
+    * tail island after a 5-minute break. */
+  private def rawDay() = {
+    val inMarket = (0 until 40).map(i => bar("AAPL", openNs + i * minNs, 100.0 + i))
+    val tail = Seq(bar("AAPL", openNs + 46 * minNs, 90.0),
+      bar("AAPL", openNs + 47 * minNs, 91.0))
+    val excluded = Seq(
+      bar("AAPL", openNs - 5 * minNs, 1.0),   // pre-market
+      bar("AAPL", closeNs, 2.0),              // at close bound (exclusive)
+      bar("AAPL", closeNs + minNs, 3.0),      // post-market
+      bar(null, openNs + minNs, 4.0))         // null ticker (P5)
+    spark.createDataFrame(
+      java.util.Arrays.asList((inMarket ++ tail ++ excluded): _*), Schemas.rawBars)
+  }
+
+  private def bar(t: String, ws: Long, px: Double): Row =
+    Row(t, 1000.0, px, px, px + 0.5, px - 0.5, px, ws)
+
+  test("market-hours filter: [09:30, 16:30) ET, close bound exclusive") {
+    val out = IndicatorPipeline.run(rawDay(), date)
+    val ws = out.collect().map(_.getLong(0))
+    assert(ws.forall(w => w >= openNs && w < closeNs))
+  }
+
+  test("full run: 18-col schema, warm-up trimmed, sub-ticker naming") {
+    val out = IndicatorPipeline.run(rawDay(), date)
+    assert(out.columns.toSeq == Schemas.indicatorColumns)
+    val rows = out.collect()
+    // island 0 = 40 rows; macd_hist (longest lookback 33) leaves 40-33 = 7.
+    // tail island (2 rows) is all-warm-up → fully dropped by P4.
+    assert(rows.length == 7)
+    assert(rows.forall(_.getString(18) == "AAPL-0"))
+    val first = rows.map(_.getLong(0)).min
+    assert(first == openNs + 33 * minNs)
+    // monotone close ⇒ rsi pinned at 1.0 (scaled)
+    assert(rows.forall(_.getDouble(7) == 1.0))
+  }
+
+  test("skipNa=false keeps warm-up rows and the short island") {
+    val out = IndicatorPipeline.run(rawDay(), date,
+      graft.model.IndicatorConfig(skipNa = false))
+    // 40 + 2 observed (no grid gaps inside islands)
+    assert(out.count() == 42)
+    assert(out.filter(out("ticker") === "AAPL-1").count() == 2)
+  }
+
+  test("partitioned sink roundtrip prunes to one day partition") {
+    val dir = java.nio.file.Files.createTempDirectory("barsio").toString
+    BarsIO.writePartitioned(rawDay(), dir, "1m", "2024-03-05")
+    BarsIO.writePartitioned(rawDay().withColumn("volume",
+      org.apache.spark.sql.functions.lit(9.0)), dir, "1m", "2024-03-06")
+    val back = BarsIO.readDay(spark, dir, "1m", "2024-03-05")
+    assert(back.columns.sorted.toSeq == Schemas.rawBars.fieldNames.sorted.toSeq)
+    assert(back.count() == rawDay().count())
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), "day filter must prune partitions")
+  }
+
+  test("P10 validations: 19-digit check real, 60s increments post-densify") {
+    val bad = Validate.badTimestampDigits(
+      rawDay().withColumn("window_start",
+        org.apache.spark.sql.functions.lit(123L)), "window_start")
+    assert(bad.count() == rawDay().count())
+    assert(Validate.report(rawDay(), "window_start") == 0)
+    val out = IndicatorPipeline.run(rawDay(), date,
+      graft.model.IndicatorConfig(skipNa = false))
+    // per sub-ticker the grid must be exactly 60s-stepped
+    val incr = Validate.badIncrements(out, Seq("ticker"), "window_start",
+      60L * 1000000000L)
+    assert(incr.count() == 0)
+  }
+}
