@@ -1,0 +1,169 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native implementations of the hot text-hashing primitives.
+  *
+  * The HOF formulations in [[graft.ext.TextOps]] are semantically
+  * identical (and remain the DuckDB oracle mirrors), but Spark evaluates
+  * HOF lambdas interpreted with per-element closure overhead — on a
+  * corpus-wide dedup pass the char-level fold dominated the runtime by
+  * ~50×. These evaluate as tight JVM loops over the same arithmetic
+  * (base-131 / base-31 polynomial mod 1e9+7, identical fold order), so
+  * results are bit-identical to the HOF path and the oracle.
+  */
+object TextHashExpressions {
+  final val P = 1000000007L
+}
+
+/** ARRAY<STRING> tokens → ARRAY<BIGINT> per-word polynomial hashes
+  * (seed 7, base 131 over code points). */
+case class WordHashes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import TextHashExpressions.P
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_word_hashes expects ARRAY<STRING>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i).toString
+      var h = 7L
+      var k = 0
+      while (k < s.length) {
+        val cp = s.codePointAt(k)
+        h = (h * 131 + cp) % P
+        k += Character.charCount(cp)
+      }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordHashes = copy(c)
+  override def prettyName: String = "graft_word_hashes"
+}
+
+/** ARRAY<BIGINT> word hashes → ARRAY<BIGINT> 3-gram shingle hashes. */
+case class ShingleHashes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import TextHashExpressions.P
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles expects ARRAY<BIGINT>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val wh = input.asInstanceOf[ArrayData]
+    val n = wh.numElements()
+    val m = math.max(0, n - 2)
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      out(i) = (((wh.getLong(i) * 131 + wh.getLong(i + 1)) % P) * 131 +
+        wh.getLong(i + 2)) % P
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(c)
+  override def prettyName: String = "graft_shingles"
+}
+
+/** ARRAY<BIGINT> shingle hashes → ARRAY<BIGINT> MinHash signature with
+  * `numHash` permutations h_j(x) = ((2j+1)x + 7919j + 1) mod P.
+  * Empty input → all-null signature (mirrors array_min of empty). */
+case class MinHashSig(child: Expression, numHash: Int)
+    extends UnaryExpression with CodegenFallback {
+  import TextHashExpressions.P
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash expects ARRAY<BIGINT>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val sh = input.asInstanceOf[ArrayData]
+    val n = sh.numElements()
+    if (n == 0) return new GenericArrayData(Array.fill[Any](numHash)(null))
+    val out = new Array[Long](numHash)
+    var j = 0
+    while (j < numHash) {
+      val a = 2L * j + 1
+      val b = 7919L * j + 1
+      var mn = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val v = (a * sh.getLong(i) + b) % P
+        if (v < mn) mn = v
+        i += 1
+      }
+      out(j) = mn
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+  override def prettyName: String = "graft_minhash"
+}
+
+/** ARRAY<DOUBLE> vector → BIGINT hyperplane-sign signature over `planes`
+  * deterministic pseudo-random hyperplanes w(j,d) = ((j*131 + d*31) % 7) - 3
+  * (d 0-based). Same summation order as the HOF/oracle formulation. */
+case class HyperplaneSig(child: Expression, planes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_hplane_sig expects ARRAY<DOUBLE>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var sig = 0L
+    var j = 0
+    while (j < planes) {
+      var s = 0.0
+      var d = 0
+      while (d < n) {
+        s += v.getDouble(d) * (((j * 131 + d * 31) % 7) - 3).toDouble
+        d += 1
+      }
+      if (s >= 0) sig += (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneSig =
+    copy(child = c)
+  override def prettyName: String = "graft_hplane_sig"
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Multimodal, TextOps}
+import graft.functions.GraftFunctions
 
 /** Extended LLM-data-pipeline operators (builder prompt; SURVEY.md §7.4):
   * text analysis, dedup family, embedding similarity, multimodal
@@ -25,17 +26,24 @@ object ExtQueries {
   private val NumHash = 12
   private val Bands = 4
 
-  private def docs(s: SparkSession, dir: String): DataFrame =
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
     s.read.parquet(s"$dir/documents.parquet")
+  }
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
     s.read.parquet(s"$dir/embeddings.parquet")
+  }
 
   // ---- shared Spark expression fragments ----
+  // Native graft_* expressions (tight JVM loops) replace the HOF
+  // formulations on the Spark side; TextOps' HOF strings remain the
+  // DuckDB oracle mirrors. Fold order is identical → bit-equal.
 
-  private val whS = wordHashesSpark(toksSpark)
-  private val shS = shinglesSpark("wh")
-  private val mhS = minhashSpark("sh", NumHash)
+  private val whS = s"graft_word_hashes($toksSpark)"
+  private val shS = "graft_shingles(wh)"
+  private val mhS = s"graft_minhash(sh, $NumHash)"
   private val bandsS = bandsSpark("mh", Bands, 3)
   private val bkS = s"transform(sequence(0, ${Bands - 1}), j -> CAST(j AS BIGINT) * $P + element_at(bands, j + 1))"
 
@@ -45,17 +53,15 @@ object ExtQueries {
   private val bandsD = bandsDuck("mh", Bands, 3)
   private val bkD = s"list_transform(generate_series(0, ${Bands - 1}), j -> j * $P + mbands[j + 1])"
 
-  /** Sequential-fold dot product — identical op order on both engines. */
-  private def dotS(a: String, b: String): String =
-    s"aggregate(transform(sequence(1, size($a)), i -> element_at($a, i) * element_at($b, i)), 0D, (x, y) -> x + y)"
+  /** Sequential-fold dot product — identical op order on both engines.
+    * Spark side is the native codegen'd [[graft.functions.DotProduct]]
+    * (same left-to-right summation as the DuckDB list_reduce fold). */
+  private def dotS(a: String, b: String): String = s"graft_dot($a, $b)"
   private def dotD(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])), (x, y) -> x + y)"
 
   /** Deterministic hyperplane sign signature (8 planes, weights in -3..3). */
-  private val sigS =
-    "aggregate(transform(sequence(0, 7), j -> CASE WHEN " +
-      "aggregate(transform(sequence(1, size(v)), d -> element_at(v, d) * CAST(((j*131 + (d-1)*31) % 7) - 3 AS DOUBLE)), 0D, (x, y) -> x + y)" +
-      " >= 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (a, b) -> a + b)"
+  private val sigS = "graft_hplane_sig(v, 8)"
   private val sigD =
     "list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(0, 7), j -> CASE WHEN " +
       "list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(v)), d -> v[d] * (((j*131 + (d-1)*31) % 7) - 3)::DOUBLE)), (x, y) -> x + y)" +
@@ -130,12 +136,22 @@ object ExtQueries {
         .withColumn("bands", expr(bandsS))
         .select(col("doc_id").cast("long").as("doc_id"), col("sh"), col("mh"),
           explode(expr(bkS)).as("bk"))
-      base.as("x").join(base.as("y"),
+      // shuffle-hash join on the band key: both sides are the identical
+      // subplan, so Catalyst reuses one exchange (the expensive text
+      // hashing runs once, not once per side as broadcast would).
+      // Candidate pairs are deduped BEFORE the heavy per-pair array
+      // expressions so jaccard/est run once per unique pair, not once
+      // per colliding band.
+      val cand = base.as("x").hint("shuffle_hash")
+        .join(base.as("y").hint("shuffle_hash"),
           col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          round(expr(s"CAST(size(filter(sequence(1, $NumHash), i -> element_at(x.mh, i) = element_at(y.mh, i))) AS DOUBLE) / $NumHash.0D"), 6).as("est_sim"),
-          round(expr("CAST(size(array_intersect(array_distinct(x.sh), array_distinct(y.sh))) AS DOUBLE) / CAST(size(array_union(array_distinct(x.sh), array_distinct(y.sh))) AS DOUBLE)"), 6).as("jaccard"))
+          col("x.mh").as("mha"), col("y.mh").as("mhb"),
+          col("x.sh").as("sha"), col("y.sh").as("shb"))
         .dropDuplicates("a", "b")
+      cand.select(col("a"), col("b"),
+        round(expr(s"CAST(size(filter(sequence(1, $NumHash), i -> element_at(mha, i) = element_at(mhb, i))) AS DOUBLE) / $NumHash.0D"), 6).as("est_sim"),
+        round(expr("CAST(size(array_intersect(array_distinct(sha), array_distinct(shb))) AS DOUBLE) / CAST(size(array_union(array_distinct(sha), array_distinct(shb))) AS DOUBLE)"), 6).as("jaccard"))
     }),
 
     "emb_neardup" -> ((s, dir) => {
