@@ -1,6 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** F2 — time-grid densification ("add_missing_timestamps",
@@ -25,12 +26,28 @@ object Densify {
       keyCols: Seq[String],
       tsCol: String,
       stepUnits: Long): DataFrame = {
-    val keys = keyCols.map(col)
-    val grid = df.groupBy(keys: _*)
-      .agg(min(col(tsCol)).as("_mn"), max(col(tsCol)).as("_mx"))
-      .select(keys :+ explode(sequence(col("_mn"), col("_mx"),
-        lit(stepUnits))).as(tsCol): _*)
-    grid.join(df, keyCols :+ tsCol, "left")
+    // Single-pass formulation: each row carries the filler timestamps of
+    // the gap PRECEDING it (lag window), packed as structs next to the
+    // row itself and exploded once. Equivalent to the min→max grid LEFT
+    // JOIN (both island endpoints are observed rows), but the plan is
+    // one Window + one Generate over ONE upstream subtree — the join
+    // form materializes the entire upstream twice (grid side + fact
+    // side), which at 100 TB doubles the most expensive stages.
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(tsCol)
+    val dataCols = df.columns.filterNot(c => keyCols.contains(c) || c == tsCol)
+    val selfStruct = struct(
+      col(tsCol).as("_ts") +: dataCols.map(c => col(c).as(c)): _*)
+    val prev = lag(col(tsCol), 1).over(w)
+    val fillTs = when(prev.isNotNull && (col(tsCol) - prev) > stepUnits,
+      sequence(prev + stepUnits, col(tsCol) - stepUnits, lit(stepUnits)))
+      .otherwise(array().cast(s"array<${df.schema(tsCol).dataType.sql}>"))
+    val fillStructs = transform(fillTs, t => struct(
+      t.as("_ts") +: dataCols.map(c =>
+        lit(null).cast(df.schema(c).dataType).as(c)): _*))
+    df.withColumn("_all", concat(fillStructs, array(selfStruct)))
+      .select(keyCols.map(col) :+ explode(col("_all")).as("_r"): _*)
+      .select(keyCols.map(col) ++
+        (col("_r._ts").as(tsCol) +: dataCols.map(c => col(s"_r.$c"))): _*)
   }
 
   /** DuckDB CTE chain mirroring [[apply]]; exposes `dz_final`. */

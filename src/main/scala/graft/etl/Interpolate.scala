@@ -24,23 +24,32 @@ object Interpolate {
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(tsCol)
     val back = w.rowsBetween(Window.unboundedPreceding, 0)
     val fwd = w.rowsBetween(0, Window.unboundedFollowing)
+    // All auxiliary window columns in ONE select so CollapseWindow merges
+    // them into exactly two Window nodes (one per frame direction) over
+    // one sort — a per-column withColumn fold interleaves Projects and
+    // yields 4×|fillCols| window passes instead.
     val withIdx = df.withColumn("_idx", row_number().over(w))
-    val filled = fillCols.foldLeft(withIdx) { (d, c) =>
-      d.withColumn(s"_pv_$c", last(col(c), ignoreNulls = true).over(back))
-        .withColumn(s"_pi_$c",
-          last(when(col(c).isNotNull, col("_idx")), ignoreNulls = true).over(back))
-        .withColumn(s"_nv_$c", first(col(c), ignoreNulls = true).over(fwd))
-        .withColumn(s"_ni_$c",
-          first(when(col(c).isNotNull, col("_idx")), ignoreNulls = true).over(fwd))
-        .withColumn(c, coalesce(
+    val aux = fillCols.flatMap { c =>
+      Seq(
+        last(col(c), ignoreNulls = true).over(back).as(s"_pv_$c"),
+        last(when(col(c).isNotNull, col("_idx")), ignoreNulls = true)
+          .over(back).as(s"_pi_$c"),
+        first(col(c), ignoreNulls = true).over(fwd).as(s"_nv_$c"),
+        first(when(col(c).isNotNull, col("_idx")), ignoreNulls = true)
+          .over(fwd).as(s"_ni_$c"))
+    }
+    val staged = withIdx.select(col("*") +: aux: _*)
+    val out = df.columns.map {
+      case c if fillCols.contains(c) =>
+        coalesce(
           col(c),
           col(s"_pv_$c") + (col(s"_nv_$c") - col(s"_pv_$c"))
             * ((col("_idx") - col(s"_pi_$c")).cast("double")
               / (col(s"_ni_$c") - col(s"_pi_$c")).cast("double")),
-          col(s"_pv_$c"), col(s"_nv_$c")))
+          col(s"_pv_$c"), col(s"_nv_$c")).as(c)
+      case c => col(c)
     }
-    filled.drop("_idx" +: fillCols.flatMap(c =>
-      Seq(s"_pv_$c", s"_pi_$c", s"_nv_$c", s"_ni_$c")): _*)
+    staged.select(out.toIndexedSeq: _*)
   }
 
   /** DuckDB CTE chain mirroring [[apply]]; exposes `ip_final`. */

@@ -50,8 +50,9 @@ object IndicatorPipeline {
       Seq(cfg.volumeColumn, "open", cfg.closeUnadjColumn, cfg.highColumn,
         cfg.lowColumn, cfg.closeColumn))                                   // F3
 
+    // (ticker, island) ≡ sub_ticker: reuses Interpolate's exchange
     val framed = FrameIndicators.addAll(filled,
-      Seq("sub_ticker"), Seq(cfg.timeColumn), price = cfg.closeColumn, cfg = cfg)
+      Seq("ticker", "island"), Seq(cfg.timeColumn), price = cfg.closeColumn, cfg = cfg)
     val all = RecursiveIndicators.addAll(framed,
       Seq("sub_ticker"), Seq(cfg.timeColumn), price = cfg.closeColumn,
       high = cfg.highColumn, low = cfg.lowColumn,

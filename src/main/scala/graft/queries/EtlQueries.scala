@@ -59,8 +59,10 @@ object EtlQueries {
     // Flagship W-F pipeline: sessionize → densify → interpolate →
     // frame indicators per sub_ticker → dropna (reference P4).
     "pipeline_frame" -> ((s, dir) => {
+      // partition on (ticker, island) ≡ sub_ticker so the frame windows
+      // reuse the exchange Interpolate already created (no new shuffle)
       val fi = FrameIndicators.addAll(interpolated(s, dir),
-        Seq("sub_ticker"), Seq("ws"))
+        Seq("ticker", "island"), Seq("ws"))
       val out = fi.select(col("sub_ticker").as("ticker"),
         col("ws").as("window_start"), round(col("close"), 6).as("close_price"),
         r6("rocp_1"), r6("rocp_2"), r6("rocp_3"), r6("rocp_4"), r6("rocp_5"),
@@ -74,7 +76,7 @@ object EtlQueries {
     // families over the restructured series, warm-up dropped (P4).
     "pipeline_full" -> ((s, dir) => {
       val fi = FrameIndicators.addAll(interpolated(s, dir),
-        Seq("sub_ticker"), Seq("ws"))
+        Seq("ticker", "island"), Seq("ws"))
       val all = RecursiveIndicators.addAll(fi, Seq("sub_ticker"), Seq("ws"))
       all.select(col("ws").as("window_start"),
         round(col("close"), 6).as("close_price"),
