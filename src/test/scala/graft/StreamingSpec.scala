@@ -1,0 +1,90 @@
+package graft
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.etl.MarketCalendar
+import graft.ind.IndicatorPipeline
+import graft.model.Schemas
+import graft.streaming.{RawBarEvent, StreamingPipeline}
+
+/** Streaming assembly + batch-parity (SURVEY.md §7.5): complete
+  * ticker-days emit exactly once after the watermark passes market close
+  * + slack; the streamed indicator output is bit-identical to the batch
+  * pipeline on the same bars; late/straggler handling via event time.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private val day1 = LocalDate.of(2024, 3, 5)
+  private val openNs = MarketCalendar.marketOpenCloseNanos(day1)._1
+  private val minNs = 60L * 1000000000L
+
+  private def bar(ws: Long, px: Double, t: String = "AAPL") =
+    RawBarEvent(t, 1000.0, px, px, px + 0.5, px - 0.5, px, ws)
+
+  private def day1Bars: Seq[RawBarEvent] =
+    (0 until 40).map(i => bar(openNs + i * minNs, 100.0 + i))
+
+  /** An event far enough ahead to push the watermark past day1's
+    * close+slack (next day, late evening ET). */
+  private def pusher(daysAhead: Int): RawBarEvent = {
+    val d = day1.plusDays(daysAhead)
+    bar(MarketCalendar.epochNanos(d, java.time.LocalTime.of(23, 0)), 1.0, "ZZZ")
+  }
+
+  test("assembleDays emits a ticker-day once, after watermark passes close+slack") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[RawBarEvent]
+    val q = StreamingPipeline.assembleDays(stream.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("days_out").start()
+    try {
+      stream.addData(day1Bars)        // batch 1: buffers, sets timeout
+      q.processAllAvailable()
+      assert(spark.table("days_out").where($"ticker" === "AAPL").count() == 0,
+        "must not emit before watermark passes")
+      stream.addData(pusher(1))       // batch 2: advances watermark
+      q.processAllAvailable()
+      stream.addData(pusher(2))       // batch 3: timeout fires
+      q.processAllAvailable()
+      val got = spark.table("days_out").where($"ticker" === "AAPL")
+        .as[graft.streaming.DayBars].collect()
+      assert(got.length == 1)
+      assert(got(0).ds == "2024-03-05")
+      assert(got(0).bars.length == 40)
+      assert(got(0).bars.map(_.window_start).toSeq == day1Bars.map(_.window_start))
+    } finally q.stop()
+  }
+
+  test("streaming output is bit-identical to the batch pipeline") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[RawBarEvent]
+    val results = scala.collection.concurrent.TrieMap[String, Array[Row]]()
+    val q = StreamingPipeline.run(stream.toDS()) { (ds, df) =>
+      results(ds) = df.collect()
+    }
+    try {
+      stream.addData(day1Bars)
+      q.processAllAvailable()
+      stream.addData(pusher(1))
+      q.processAllAvailable()
+      stream.addData(pusher(2))
+      q.processAllAvailable()
+      assert(results.contains("2024-03-05"))
+      val streamed = results("2024-03-05").map(_.toString).sorted
+      val static = spark.createDataFrame(
+        java.util.Arrays.asList(day1Bars.map(b => Row(b.ticker, b.volume,
+          b.open, b.close, b.high, b.low, b.adj_close, b.window_start)): _*),
+        Schemas.rawBars)
+      val batch = IndicatorPipeline.run(static, day1).collect()
+        .map(_.toString).sorted
+      assert(streamed.toSeq == batch.toSeq)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+}
