@@ -47,7 +47,30 @@ object IndicatorQueries {
     "ind_recursive" -> ((s, dir) =>
       RecursiveIndicators.addAll(EventBars.bars(s, dir), Part, Order)
         .select(col("ticker"), col("t"), r6("rsi"), r6("cmo"),
-          r6("macd_hist"), r6("adx"), r6("adx_hist"))))
+          r6("macd_hist"), r6("adx"), r6("adx_hist"))),
+
+    // W8 CCI — dead code in the reference (_get_cci is never called,
+    // indicators.py:372-384) but part of its operator inventory.
+    // meandev needs every frame element against the CURRENT row's SMA,
+    // so the frame is materialized (collect_list) and folded per row.
+    "ind_cci" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("ticker").orderBy("t", "event_id")
+        .rowsBetween(-13, 0)
+      EventBars.bars(s, dir)
+        .withColumn("tp", (col("high") + col("low") + col("close")) / lit(3.0))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("ticker").orderBy("t", "event_id")))
+        .withColumn("sma", avg("tp").over(w))
+        .withColumn("tps", collect_list("tp").over(w))
+        .withColumn("meandev",
+          expr("aggregate(tps, 0D, (a, x) -> a + abs(x - sma)) / 14.0D"))
+        .select(col("ticker"), col("t"),
+          round(when(col("rn") >= 14,
+            when(col("meandev") =!= 0.0,
+              (col("tp") - col("sma")) / (lit(0.015) * col("meandev")))
+              .otherwise(lit(0.0))), 6).as("cci"))
+    }))
 
   val oracles: Map[String, String] = Map(
     "ind_rocp" -> sql("ticker, t, " +
@@ -65,5 +88,29 @@ object IndicatorQueries {
          |SELECT ticker, t, round(rsi, 6) AS rsi, round(cmo, 6) AS cmo,
          |  round(macd_hist, 6) AS macd_hist, round(adx, 6) AS adx,
          |  round(adx_hist, 6) AS adx_hist
-         |FROM ri_final""".stripMargin)
+         |FROM ri_final""".stripMargin,
+
+    "ind_cci" ->
+      s"""WITH bars AS (${EventBars.sqlBars}),
+         |c1 AS (
+         |  SELECT ticker, t, event_id, (high + low + close) / 3.0 AS tp
+         |  FROM bars),
+         |c2 AS (
+         |  SELECT ticker, t,
+         |    row_number() OVER (PARTITION BY ticker ORDER BY t, event_id) AS rn,
+         |    tp,
+         |    avg(tp) OVER (PARTITION BY ticker ORDER BY t, event_id
+         |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS sma,
+         |    list(tp) OVER (PARTITION BY ticker ORDER BY t, event_id
+         |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS tps
+         |  FROM c1),
+         |c3 AS (
+         |  SELECT *, list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(tps, x -> abs(x - sma))), (a, b) -> a + b) / 14.0 AS meandev
+         |  FROM c2)
+         |SELECT ticker, t,
+         |  round(CASE WHEN rn >= 14 THEN
+         |    CASE WHEN meandev <> 0 THEN (tp - sma) / (0.015 * meandev)
+         |      ELSE 0.0 END END, 6) AS cci
+         |FROM c3""".stripMargin)
 }

@@ -104,7 +104,21 @@ object RelationalQueries {
       val noOpen = cust.join(open, cust("c_custkey") === open("o_custkey"), "left_anti")
         .select(col("c_custkey"), lit("NO_OPEN").as("status"))
       withOpen.unionByName(noOpen)
-    }))
+    }),
+
+    // G1: distinct key extraction (data_indicators.py:48).
+    "rel_distinct" -> ((s, dir) =>
+      EventBars.events(s, dir)
+        .select(col("user_id").cast("string").as("ticker")).distinct()),
+
+    // G5: wide→long unpivot (the yfinance MultiIndex flattening,
+    // data_download_yahoo.py:27-64) via codegen'd stack().
+    "rel_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem").selectExpr("l_orderkey", "l_linenumber",
+        "stack(4, 'quantity', round(l_quantity, 6), " +
+          "'extendedprice', round(l_extendedprice, 6), " +
+          "'discount', round(l_discount, 6), " +
+          "'tax', round(l_tax, 6)) AS (measure, value)")))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing" ->
@@ -169,5 +183,18 @@ object RelationalQueries {
         |UNION ALL
         |SELECT c_custkey, 'NO_OPEN' AS status FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
-        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""".stripMargin)
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""".stripMargin,
+
+    "rel_distinct" ->
+      "SELECT DISTINCT CAST(user_id AS VARCHAR) AS ticker FROM events",
+
+    "rel_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+        |  round(l_quantity, 6) AS value FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'extendedprice',
+        |  round(l_extendedprice, 6) FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'discount',
+        |  round(l_discount, 6) FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'tax',
+        |  round(l_tax, 6) FROM lineitem""".stripMargin)
 }
