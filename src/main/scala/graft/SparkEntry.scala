@@ -8,10 +8,11 @@ import graft.queries._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The faithful E2 pipeline: sessionize → densify → interpolate →
+    * frame + recursive indicators → 18-column feature table. */
   def entry(spark: SparkSession): DataFrame =
-    IndicatorQueries.queries("ind_rocp")(spark, "/root/testdata/sf0.001")
-      .filter(col("rocp_1").isNotNull)
+    EtlQueries.queries("pipeline_full")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -82,6 +82,9 @@ object ExtQueries {
         .withColumn("dr", expr("CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)"))
         .select(col("doc_id").cast("long").as("doc_id"),
           expr("CAST(length(text) AS BIGINT)").as("n_chars_c"),
+          // BPE-ish subword count: letter runs, digit runs, single marks
+          expr("CAST(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT)")
+            .as("n_tokens_bpe"),
           col("n_tokens"), col("n_distinct"),
           round(col("avg_len"), 6).as("avg_len"),
           round(col("dr"), 6).as("distinct_ratio"),
@@ -224,7 +227,9 @@ object ExtQueries {
          |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(toks, t -> length(t)::DOUBLE)), (a, b) -> a + b) / len(toks)::DOUBLE AS avg_len
          |  FROM dt),
          |t3 AS (SELECT *, n_distinct::DOUBLE / n_tokens::DOUBLE AS dr FROM t2)
-         |SELECT doc_id, length(text)::BIGINT AS n_chars_c, n_tokens, n_distinct,
+         |SELECT doc_id, length(text)::BIGINT AS n_chars_c,
+         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS n_tokens_bpe,
+         |  n_tokens, n_distinct,
          |  round(avg_len, 6) AS avg_len, round(dr, 6) AS distinct_ratio,
          |  round(least(1.0, greatest(0.0, 0.2 + 0.001 * length(text)::DOUBLE + 0.3 * dr - 0.05 * abs(avg_len - 5.0))), 6) AS quality
          |FROM t3""".stripMargin,
