@@ -101,5 +101,7 @@ object GraftFunctions {
       cs => MinHashSig(cs(0), litInt(cs(1), "graft_minhash")))
     add("graft_hplane_sig", classOf[HyperplaneSig],
       cs => HyperplaneSig(cs(0), litInt(cs(1), "graft_hplane_sig")))
+    add("graft_rsi_w", classOf[RsiWindow], cs => RsiWindow(cs(0)))
+    add("graft_cmo_w", classOf[CmoWindow], cs => CmoWindow(cs(0)))
   }
 }

@@ -49,6 +49,19 @@ object IndicatorQueries {
         .select(col("ticker"), col("t"), r6("rsi"), r6("cmo"),
           r6("macd_hist"), r6("adx"), r6("adx_hist"))),
 
+    // R1/R2 via the custom AggregateWindowFunction path (SURVEY §2
+    // "alternative: stays in SQL engine"): Wilder state as declarative
+    // aggregate expressions inside the Window operator — same values as
+    // the flatMapGroups scan, no groupByKey exchange.
+    "ind_rsi_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.GraftFunctions.register(s)
+      val w = Window.partitionBy("ticker").orderBy("t", "event_id")
+      EventBars.bars(s, dir).select(col("ticker"), col("t"),
+        round(expr("graft_rsi_w(close)").over(w), 6).as("rsi"),
+        round(expr("graft_cmo_w(close)").over(w), 6).as("cmo"))
+    }),
+
     // W8 CCI — dead code in the reference (_get_cci is never called,
     // indicators.py:372-384) but part of its operator inventory.
     // meandev needs every frame element against the CURRENT row's SMA,
@@ -88,6 +101,12 @@ object IndicatorQueries {
          |SELECT ticker, t, round(rsi, 6) AS rsi, round(cmo, 6) AS cmo,
          |  round(macd_hist, 6) AS macd_hist, round(adx, 6) AS adx,
          |  round(adx_hist, 6) AS adx_hist
+         |FROM ri_final""".stripMargin,
+
+    "ind_rsi_window" ->
+      s"""WITH RECURSIVE bars AS (${EventBars.sqlBars}),
+         |${RecursiveIndicators.sqlStages("bars", Seq("ticker"), Seq("t", "event_id"))}
+         |SELECT ticker, t, round(rsi, 6) AS rsi, round(cmo, 6) AS cmo
          |FROM ri_final""".stripMargin,
 
     "ind_cci" ->
