@@ -103,5 +103,11 @@ object GraftFunctions {
       cs => HyperplaneSig(cs(0), litInt(cs(1), "graft_hplane_sig")))
     add("graft_rsi_w", classOf[RsiWindow], cs => RsiWindow(cs(0)))
     add("graft_cmo_w", classOf[CmoWindow], cs => CmoWindow(cs(0)))
+    add("graft_macd_hist_w", classOf[MacdHistWindow],
+      cs => MacdHistWindow(cs(0)))
+    add("graft_adx_w", classOf[AdxWindow],
+      cs => AdxWindow(cs(0), cs(1), cs(2)))
+    add("graft_adx_hist_w", classOf[AdxHistWindow],
+      cs => AdxHistWindow(cs(0), cs(1), cs(2)))
   }
 }

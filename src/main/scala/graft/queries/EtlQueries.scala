@@ -71,6 +71,30 @@ object EtlQueries {
       out.na.drop()
     }),
 
+    // Fully in-engine flagship: every indicator (frame AND recursive)
+    // as Window expressions over ONE exchange — the recursive family via
+    // the custom AggregateWindowFunctions. Same oracle as pipeline_full.
+    "pipeline_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.GraftFunctions.register(s)
+      val fi = FrameIndicators.addAll(interpolated(s, dir),
+        Seq("ticker", "island"), Seq("ws"))
+      val w = Window.partitionBy("ticker", "island").orderBy("ws")
+      fi.select(col("ws").as("window_start"),
+        round(col("close"), 6).as("close_price"),
+        r6("rocp_1"), r6("rocp_2"), r6("rocp_3"), r6("rocp_4"), r6("rocp_5"),
+        round(expr("graft_rsi_w(close)").over(w), 6).as("rsi"),
+        r6("mfi"), r6("ultosc"),
+        round(expr("graft_cmo_w(close)").over(w), 6).as("cmo"),
+        r6("aroonosc"),
+        round(expr("graft_macd_hist_w(close)").over(w), 6).as("macd_hist"),
+        r6("ppo"), r6("sok"), r6("sok_hist"),
+        round(expr("graft_adx_w(high, low, close)").over(w), 6).as("adx"),
+        round(expr("graft_adx_hist_w(high, low, close)").over(w), 6).as("adx_hist"),
+        col("sub_ticker").as("ticker"))
+        .na.drop()
+    }),
+
     // Faithful E2 (SURVEY.md §3): the reference's full 18-column
     // indicator table — frame (Window) + recursive (flatMapGroups)
     // families over the restructured series, warm-up dropped (P4).
@@ -121,7 +145,10 @@ object EtlQueries {
          |  AND aroonosc IS NOT NULL AND ppo IS NOT NULL AND sok IS NOT NULL
          |  AND sok_hist IS NOT NULL""".stripMargin,
 
-    "pipeline_full" ->
+    "pipeline_window" -> pipelineFullOracle,
+    "pipeline_full" -> pipelineFullOracle)
+
+  private lazy val pipelineFullOracle: String =
       s"""WITH RECURSIVE $sqlInterp,
          |${FrameIndicators.sqlStages("ip_final", "sub_ticker", "ws")},
          |${RecursiveIndicators.sqlStages("ip_final", Seq("sub_ticker"), Seq("ws"))}
@@ -145,5 +172,5 @@ object EtlQueries {
          |  AND r.cmo IS NOT NULL AND f.aroonosc IS NOT NULL
          |  AND r.macd_hist IS NOT NULL AND f.ppo IS NOT NULL
          |  AND f.sok IS NOT NULL AND f.sok_hist IS NOT NULL
-         |  AND r.adx IS NOT NULL AND r.adx_hist IS NOT NULL""".stripMargin)
+         |  AND r.adx IS NOT NULL AND r.adx_hist IS NOT NULL""".stripMargin
 }

@@ -49,17 +49,20 @@ object IndicatorQueries {
         .select(col("ticker"), col("t"), r6("rsi"), r6("cmo"),
           r6("macd_hist"), r6("adx"), r6("adx_hist"))),
 
-    // R1/R2 via the custom AggregateWindowFunction path (SURVEY §2
-    // "alternative: stays in SQL engine"): Wilder state as declarative
-    // aggregate expressions inside the Window operator — same values as
-    // the flatMapGroups scan, no groupByKey exchange.
-    "ind_rsi_window" -> ((s, dir) => {
+    // R1-R4 via the custom AggregateWindowFunction path (SURVEY §2
+    // "alternative: stays in SQL engine"): Wilder/EMA/ADX state as
+    // declarative aggregate expressions inside the Window operator —
+    // same values as the flatMapGroups scan, no groupByKey exchange.
+    "ind_recursive_window" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       graft.functions.GraftFunctions.register(s)
       val w = Window.partitionBy("ticker").orderBy("t", "event_id")
       EventBars.bars(s, dir).select(col("ticker"), col("t"),
         round(expr("graft_rsi_w(close)").over(w), 6).as("rsi"),
-        round(expr("graft_cmo_w(close)").over(w), 6).as("cmo"))
+        round(expr("graft_cmo_w(close)").over(w), 6).as("cmo"),
+        round(expr("graft_macd_hist_w(close)").over(w), 6).as("macd_hist"),
+        round(expr("graft_adx_w(high, low, close)").over(w), 6).as("adx"),
+        round(expr("graft_adx_hist_w(high, low, close)").over(w), 6).as("adx_hist"))
     }),
 
     // W8 CCI — dead code in the reference (_get_cci is never called,
@@ -103,10 +106,12 @@ object IndicatorQueries {
          |  round(adx_hist, 6) AS adx_hist
          |FROM ri_final""".stripMargin,
 
-    "ind_rsi_window" ->
+    "ind_recursive_window" ->
       s"""WITH RECURSIVE bars AS (${EventBars.sqlBars}),
          |${RecursiveIndicators.sqlStages("bars", Seq("ticker"), Seq("t", "event_id"))}
-         |SELECT ticker, t, round(rsi, 6) AS rsi, round(cmo, 6) AS cmo
+         |SELECT ticker, t, round(rsi, 6) AS rsi, round(cmo, 6) AS cmo,
+         |  round(macd_hist, 6) AS macd_hist, round(adx, 6) AS adx,
+         |  round(adx_hist, 6) AS adx_hist
          |FROM ri_final""".stripMargin,
 
     "ind_cci" ->
