@@ -28,8 +28,20 @@ object Sessionize {
       df: DataFrame,
       tickerCol: String,
       tsCol: String,
+      allowedGaps: Seq[Long]): DataFrame =
+    apply(df, Seq(tickerCol), tickerCol, tsCol, allowedGaps)
+
+  /** Composite-key variant: series identity = `partCols` (e.g.
+    * (ticker, ds) for multi-day runs); `nameCol` feeds the sub-ticker
+    * label exactly like the per-day reference runs do. */
+  def apply(
+      df: DataFrame,
+      partCols: Seq[String],
+      nameCol: String,
+      tsCol: String,
       allowedGaps: Seq[Long]): DataFrame = {
-    val w = Window.partitionBy(tickerCol).orderBy(tsCol)
+    val parts = partCols.map(col)
+    val w = Window.partitionBy(parts: _*).orderBy(tsCol)
     val cum = w.rowsBetween(Window.unboundedPreceding, 0)
     val staged = df
       .withColumn("_gap", col(tsCol) - lag(col(tsCol), 1).over(w))
@@ -39,12 +51,12 @@ object Sessionize {
           .otherwise(lit(1L)))
       .withColumn("_isl_raw", sum("_brk").over(cum))
       .withColumn("_isl_n",
-        count(lit(1)).over(Window.partitionBy(col(tickerCol), col("_isl_raw"))))
+        count(lit(1)).over(Window.partitionBy(parts :+ col("_isl_raw"): _*)))
       .filter(col("_isl_n") >= 2)
       .withColumn("island",
-        (dense_rank().over(Window.partitionBy(tickerCol).orderBy("_isl_raw")) - 1)
+        (dense_rank().over(Window.partitionBy(parts: _*).orderBy("_isl_raw")) - 1)
           .cast("long"))
-      .withColumn("sub_ticker", concat(col(tickerCol), lit("-"), col("island")))
+      .withColumn("sub_ticker", concat(col(nameCol), lit("-"), col("island")))
     staged.drop("_gap", "_brk", "_isl_raw", "_isl_n")
   }
 

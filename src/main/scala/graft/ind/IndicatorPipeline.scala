@@ -70,4 +70,75 @@ object IndicatorPipeline {
     require(projected.columns.toSeq == Schemas.indicatorColumns)
     if (cfg.skipNa) projected.na.drop() else projected                    // P4
   }
+
+  /** Multi-day variant — the 100 TB shape: N trading days in ONE job.
+    *
+    * Replaces the reference's one-process-per-day Airflow fan-out
+    * (airflow_dag.py:26, max_active_runs=8) with a single plan: per-day
+    * market bounds are broadcast-joined (no per-day driver loop), series
+    * identity is (ticker, ds), and the recursive indicators run as the
+    * custom window aggregates so the whole range is ONE exchange on
+    * hash(ticker, ds). Output carries `ds` for a date-partitioned sink
+    * (partition pruning on read — BarsIO layout).
+    */
+  def runRange(raw: DataFrame, dates: Seq[LocalDate],
+      cfg: IndicatorConfig = IndicatorConfig()): DataFrame = {
+    val spark = raw.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val gapsNs = cfg.allowedGapsSec.map(_ * 1000000000L)
+    val stepNs = cfg.gridStepSec * 1000000000L
+    val ts = cfg.timeColumn
+
+    val bounds = spark.createDataFrame(
+      java.util.Arrays.asList(dates.map { d =>
+        val (o, c) = MarketCalendar.marketOpenCloseNanos(d)
+        org.apache.spark.sql.Row(d.toString, o, c)
+      }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ds",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_mst",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_met",
+          org.apache.spark.sql.types.LongType))))
+
+    val filtered = raw
+      .filter(col(ts).isNotNull && col("ticker").isNotNull)
+      .withColumn("ds", date_format(from_utc_timestamp(
+        timestamp_seconds(col(ts) / lit(1000000000d)),
+        MarketCalendar.Eastern.getId), "yyyy-MM-dd"))
+      .join(broadcast(bounds), Seq("ds"))              // prunes unrequested days
+      .filter(col(ts) >= col("_mst") && col(ts) < col("_met"))
+      .drop("_mst", "_met")
+      .withColumn(cfg.volumeColumn, col(cfg.volumeColumn).cast("double"))
+
+    val keys = Seq("ticker", "ds")
+    val sessioned = Sessionize(filtered, keys, "ticker", ts, gapsNs)
+    val densified = Densify(sessioned,
+      keys ++ Seq("island", "sub_ticker"), ts, stepNs)
+    val filled = Interpolate(densified, keys :+ "island", ts,
+      Seq(cfg.volumeColumn, "open", cfg.closeUnadjColumn, cfg.highColumn,
+        cfg.lowColumn, cfg.closeColumn))
+    val framed = FrameIndicators.addAll(filled,
+      keys :+ "island", Seq(ts), price = cfg.closeColumn, cfg = cfg)
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ticker", "ds", "island").orderBy(ts)
+    val p = col(cfg.closeColumn)
+    val projected = framed.select(
+      col(ts).as("window_start"), p.as("close_price"),
+      col("rocp_1"), col("rocp_2"), col("rocp_3"), col("rocp_4"), col("rocp_5"),
+      expr(s"graft_rsi_w(${cfg.closeColumn})").over(w).as("rsi"),
+      col("mfi"), col("ultosc"),
+      expr(s"graft_cmo_w(${cfg.closeColumn})").over(w).as("cmo"),
+      col("aroonosc"),
+      expr(s"graft_macd_hist_w(${cfg.closeColumn})").over(w).as("macd_hist"),
+      col("ppo"), col("sok"), col("sok_hist"),
+      expr(s"graft_adx_w(${cfg.highColumn}, ${cfg.lowColumn}, ${cfg.closeUnadjColumn})")
+        .over(w).as("adx"),
+      expr(s"graft_adx_hist_w(${cfg.highColumn}, ${cfg.lowColumn}, ${cfg.closeUnadjColumn})")
+        .over(w).as("adx_hist"),
+      col("sub_ticker").as("ticker"), col("ds"))
+    if (cfg.skipNa) projected.na.drop() else projected
+  }
 }

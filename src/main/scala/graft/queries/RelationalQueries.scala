@@ -118,7 +118,30 @@ object RelationalQueries {
         "stack(4, 'quantity', round(l_quantity, 6), " +
           "'extendedprice', round(l_extendedprice, 6), " +
           "'discount', round(l_discount, 6), " +
-          "'tax', round(l_tax, 6)) AS (measure, value)")))
+          "'tax', round(l_tax, 6)) AS (measure, value)")),
+
+    // Skew pattern: two-phase salted aggregation. Phase 1 spreads a hot
+    // low-cardinality key over 16 salt buckets (map-side partials land
+    // on 16 reducers instead of 1); phase 2 folds the partials. Result
+    // is identical to a plain groupBy — that's the oracle.
+    "agg_salted" -> ((s, dir) => {
+      val phase1 = EventBars.events(s, dir)
+        .withColumn("_salt", pmod(col("event_id"), lit(16)))
+        .groupBy(col("event_type"), col("_salt"))
+        .agg(count(lit(1)).as("pn"), sum(col("value")).as("psum"))
+      phase1.groupBy("event_type")
+        .agg(sum("pn").as("n_events"),
+          round(sum("psum"), 4).as("sum_value"))
+    }),
+
+    // Ranking-window surface: top-3 events per type by value.
+    "agg_topk_per_group" -> ((s, dir) =>
+      EventBars.events(s, dir)
+        .withColumn("rnk", expr(
+          "CAST(row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS BIGINT)"))
+        .filter(col("rnk") <= 3)
+        .select(col("event_type"), col("event_id"), col("rnk"),
+          round(col("value"), 6).as("value"))))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing" ->
@@ -196,5 +219,18 @@ object RelationalQueries {
         |UNION ALL SELECT l_orderkey, l_linenumber, 'discount',
         |  round(l_discount, 6) FROM lineitem
         |UNION ALL SELECT l_orderkey, l_linenumber, 'tax',
-        |  round(l_tax, 6) FROM lineitem""".stripMargin)
+        |  round(l_tax, 6) FROM lineitem""".stripMargin,
+
+    "agg_salted" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "agg_topk_per_group" ->
+      """WITH r AS (SELECT event_type, event_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id)::BIGINT AS rnk,
+        |    round(value, 6) AS value
+        |  FROM events)
+        |SELECT event_type, event_id, rnk, value FROM r WHERE rnk <= 3""".stripMargin)
 }

@@ -22,7 +22,7 @@ class PipelineSpec extends SparkSpec {
 
   /** 40 consecutive market minutes + pre/at-close/post rows + a 2-row
     * tail island after a 5-minute break. */
-  private def rawDay() = {
+  private def rawRows(): Seq[Row] = {
     val inMarket = (0 until 40).map(i => bar("AAPL", openNs + i * minNs, 100.0 + i))
     val tail = Seq(bar("AAPL", openNs + 46 * minNs, 90.0),
       bar("AAPL", openNs + 47 * minNs, 91.0))
@@ -31,9 +31,11 @@ class PipelineSpec extends SparkSpec {
       bar("AAPL", closeNs, 2.0),              // at close bound (exclusive)
       bar("AAPL", closeNs + minNs, 3.0),      // post-market
       bar(null, openNs + minNs, 4.0))         // null ticker (P5)
-    spark.createDataFrame(
-      java.util.Arrays.asList((inMarket ++ tail ++ excluded): _*), Schemas.rawBars)
+    inMarket ++ tail ++ excluded
   }
+
+  private def rawDay() = spark.createDataFrame(
+    java.util.Arrays.asList(rawRows(): _*), Schemas.rawBars)
 
   private def bar(t: String, ws: Long, px: Double): Row =
     Row(t, 1000.0, px, px, px + 0.5, px - 0.5, px, ws)
@@ -76,6 +78,24 @@ class PipelineSpec extends SparkSpec {
     assert(back.count() == rawDay().count())
     val plan = back.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"), "day filter must prune partitions")
+  }
+
+  test("runRange over N days == union of per-day runs") {
+    val day2 = date.plusDays(1)
+    val open2 = MarketCalendar.marketOpenCloseNanos(day2)._1
+    val d2Rows = (0 until 38).map(i => bar("MSFT", open2 + i * minNs, 50.0 + i * 0.5))
+    val both = spark.createDataFrame(
+      java.util.Arrays.asList((rawRows() ++ d2Rows): _*), Schemas.rawBars)
+    val ranged = IndicatorPipeline.runRange(both, Seq(date, day2))
+      .drop("ds").collect().map(_.toString).sorted
+    val d1 = spark.createDataFrame(
+      java.util.Arrays.asList(rawRows(): _*), Schemas.rawBars)
+    val d2 = spark.createDataFrame(
+      java.util.Arrays.asList(d2Rows: _*), Schemas.rawBars)
+    val perDay = (IndicatorPipeline.run(d1, date).collect() ++
+      IndicatorPipeline.run(d2, day2).collect()).map(_.toString).sorted
+    assert(ranged.toSeq == perDay.toSeq)
+    assert(ranged.nonEmpty)
   }
 
   test("P10 validations: 19-digit check real, 60s increments post-densify") {
