@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.etl.{Densify, Interpolate, Sessionize}
+import graft.ind.{FrameIndicators, RecursiveIndicators}
+
+/** Property-based invariants (SURVEY.md §5.2): island structure, the
+  * exact-60s-grid post-condition the reference meant to enforce, scaled
+  * indicator bounds, and monotone-series identities — over generated
+  * gap patterns and prices.
+  */
+object EngineProps extends Properties("engine") {
+
+  // Spark-backed properties are expensive; cap cases.
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = SparkSpec.session
+  private val Step = 60L
+  private val Allowed = Seq(60L, 120L, 180L)
+
+  private val schema = StructType(Seq(
+    StructField("ticker", StringType),
+    StructField("ws", LongType),
+    StructField("close", DoubleType)))
+
+  /** Per-ticker series: random inter-bar gaps from a mixed pool (legal
+    * and island-breaking), random-ish prices. */
+  private val seriesGen: Gen[Seq[(String, Long, Double)]] = for {
+    n <- Gen.choose(5, 60)
+    gaps <- Gen.listOfN(n, Gen.oneOf(60L, 60L, 60L, 120L, 180L, 240L, 600L))
+    p0 <- Gen.choose(50.0, 150.0)
+  } yield {
+    var t = 0L
+    gaps.zipWithIndex.map { case (g, i) =>
+      t += g
+      ("T", t, p0 + math.sin(i * 0.9) * 5 + (i % 5))
+    }
+  }
+
+  private def df(rows: Seq[(String, Long, Double)]) =
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r._1, r._2, r._3)): _*), schema)
+
+  property("sessionize: islands have >=2 rows and only allowed internal gaps") =
+    Prop.forAll(seriesGen) { rows =>
+      val out = Sessionize(df(rows), "ticker", "ws", Allowed)
+        .select("island", "ws").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+      val byIsland = out.groupBy(_._1).values
+      byIsland.forall(_.length >= 2) &&
+        byIsland.forall { g =>
+          g.map(_._2).sorted.sliding(2).filter(_.length == 2)
+            .forall(p => Allowed.contains(p(1) - p(0)))
+        }
+    }
+
+  property("densify: every within-island diff is exactly one step") =
+    Prop.forAll(seriesGen) { rows =>
+      val sz = Sessionize(df(rows), "ticker", "ws", Allowed)
+      val dz = Densify(sz, Seq("ticker", "island", "sub_ticker"), "ws", Step)
+        .select("island", "ws").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      dz.groupBy(_._1).values.forall { g =>
+        g.map(_._2).sorted.sliding(2).filter(_.length == 2)
+          .forall(p => p(1) - p(0) == Step)
+      }
+    }
+
+  property("interpolate leaves no nulls in fill columns") =
+    Prop.forAll(seriesGen) { rows =>
+      val sz = Sessionize(df(rows), "ticker", "ws", Allowed)
+      val dz = Densify(sz, Seq("ticker", "island", "sub_ticker"), "ws", Step)
+      val ip = Interpolate(dz, Seq("ticker", "island"), "ws", Seq("close"))
+      ip.filter(ip("close").isNull).count() == 0
+    }
+
+  property("frame indicator bounds: mfi,sok,ultosc in [0,1]; osc hists in [-1,1]") =
+    Prop.forAll(seriesGen) { rows =>
+      val d0 = df(rows)
+      val base = d0
+        .withColumn("high", d0("close") + 1.0)
+        .withColumn("low", d0("close") - 1.0)
+        .withColumn("volume", org.apache.spark.sql.functions.lit(100.0))
+      val fi = FrameIndicators.addAll(base, Seq("ticker"), Seq("ws"))
+        .select("mfi", "ultosc", "sok", "sok_hist", "aroonosc").collect()
+      fi.forall { r =>
+        def ok01(i: Int) = r.isNullAt(i) || (r.getDouble(i) >= 0 && r.getDouble(i) <= 1)
+        def ok11(i: Int) = r.isNullAt(i) || (r.getDouble(i) >= -1 && r.getDouble(i) <= 1)
+        ok01(0) && ok01(1) && ok01(2) && ok11(3) && ok11(4)
+      }
+    }
+
+  property("monotone rise pins rsi=1, aroonosc=+1 (pure scan)") =
+    Prop.forAll(Gen.choose(40, 200)) { n =>
+      val price = Array.tabulate(n)(i => 100.0 + i)
+      val out = RecursiveIndicators.scan(price, price.map(_ + 1), price.map(_ - 1), price)
+      (30 until n).forall(i => out(i)(0).asInstanceOf[Double] == 1.0)
+    }
+}
