@@ -203,6 +203,23 @@ object ExtQueries {
     "mm_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(Multimodal.mediaTable(docs(s, dir)))),
 
+    // Embedding near-dup at scale: same-bucket candidates only (the
+    // brute-force emb_neardup is the correctness baseline; this is the
+    // shape that survives 100 TB — an equi-join on the 8-bit signature).
+    "emb_neardup_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+        .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
+        .withColumn("sig", expr(sigS))
+      e.as("x").join(e.as("y"),
+          col("x.sig") === col("y.sig") && col("x.vec_id") < col("y.vec_id"))
+        .withColumn("sim", expr(s"${dotS("x.v", "y.v")} / (x.nrm * y.nrm)"))
+        .filter(col("sim") > 0.3)
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+          round(col("sim"), 6).as("sim"))
+    }),
+
     // IVF-style ANN: deterministic coarse quantizer (centroids = the 16
     // lowest vec_ids), cells assigned by max cosine; queries probe their
     // own cell. The scale path: the big pairwise join becomes an
@@ -330,6 +347,14 @@ object ExtQueries {
          |  FROM es x JOIN es y ON x.sig = y.sig AND x.vec_id <> y.vec_id),
          |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)::BIGINT AS rank FROM sims)
          |SELECT q_id, n_id, rank, round(sim, 6) AS sim FROM rk WHERE rank <= 3""".stripMargin,
+
+    "emb_neardup_lsh" ->
+      s"""WITH $embBase,
+         |es AS (SELECT *, $sigD AS sig FROM en)
+         |SELECT x.vec_id AS a, y.vec_id AS b,
+         |  round(${dotD("x.v", "y.v")} / (x.nrm * y.nrm), 6) AS sim
+         |FROM es x JOIN es y ON x.sig = y.sig AND x.vec_id < y.vec_id
+         |WHERE ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) > 0.3""".stripMargin,
 
     "sim_ivf" ->
       s"""WITH $embBase,
