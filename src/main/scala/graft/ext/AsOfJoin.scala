@@ -1,0 +1,59 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** AS-OF join — attach to each left row the latest right-side values at
+  * or before its timestamp, per key (the canonical market-data join:
+  * trade → prevailing quote). Spark has no native ASOF; the idiomatic
+  * composition is the union + running `last(ignoreNulls)` window:
+  * tag sides, union, sort (ts, side) with right rows first on ties so
+  * equal timestamps match inclusively, forward-fill the right values,
+  * keep left rows.
+  *
+  * Scale: ONE shuffle on the key (both inputs union before the
+  * exchange) and one sort — strictly cheaper than the range-join
+  * fallback (`l JOIN r ON key AND r.ts <= l.ts` + max-per-row), which
+  * explodes candidate pairs. State per key is a single running value.
+  */
+object AsOfJoin {
+
+  /** @param left      probe side (all columns preserved)
+    * @param right     build side: keyCols ++ tsCol ++ valCols projection
+    * @param keyCols   equi-join keys
+    * @param tsCol     ordering column (same name both sides)
+    * @param valCols   right-side value columns to attach (null when no
+    *                  right row is at-or-before the left row)
+    */
+  def apply(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valCols: Seq[String]): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    val lTagged = left
+      .withColumn("_side", lit(1))
+      .select(col("*") +: valCols.map(c =>
+        lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+    val rTagged = right.select(
+      keyCols.map(col) ++ Seq(col(tsCol), lit(0).as("_side")) ++
+        valCols.map(c => col(c).as(s"_r_$c")): _*)
+    // align schemas: right side lacks the left-only columns
+    val rAligned = leftCols.filterNot(c =>
+      keyCols.contains(c) || c == tsCol).foldLeft(rTagged) { (d, c) =>
+      d.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select(lTagged.columns.map(col).toIndexedSeq: _*)
+
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = lTagged.unionByName(rAligned)
+      .select(col("*") +: valCols.map(c =>
+        last(col(s"_r_$c"), ignoreNulls = true).over(w).as(c + "_asof")): _*)
+    filled.filter(col("_side") === 1)
+      .select(leftCols.map(col) ++ valCols.map(c => col(c + "_asof")): _*)
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Multimodal, TextOps}
+import graft.ext.{AsOfJoin, Multimodal, TextOps}
 import graft.functions.GraftFunctions
 
 /** Extended LLM-data-pipeline operators (builder prompt; SURVEY.md §7.4):
@@ -203,6 +203,44 @@ object ExtQueries {
     "mm_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(Multimodal.mediaTable(docs(s, dir)))),
 
+    // AS-OF join: each click gets the latest at-or-before purchase value
+    // per user (union + forward-fill window — one shuffle, no range
+    // explosion). Oracle is DuckDB's native ASOF LEFT JOIN.
+    "asof_join" -> ((s, dir) => {
+      val ev = EventBars.events(s, dir)
+        .select(col("user_id").cast("long").as("user_id"), col("t"),
+          col("event_type"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("t"), round(col("value"), 6).as("click_value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("t"), col("value").as("purchase_value"))
+      AsOfJoin(clicks, purchases, Seq("user_id"), "t", Seq("purchase_value"))
+        .select(col("user_id"), col("t"), col("click_value"),
+          round(col("purchase_value_asof"), 6).as("purchase_value"))
+    }),
+
+    // KMV (k-minimum-values) distinct sketch — a deterministic sketch
+    // both engines compute identically: est = (k-1)·P / h_(k), exact
+    // fallback when the group has fewer than k distinct hashes.
+    "sketch_kmv" -> ((s, dir) => {
+      val k = 64
+      val h = s"(user_id * 2654435761L) % ${P}L"
+      val hashes = EventBars.events(s, dir)
+        .select(col("event_type"), expr(h).as("h")).distinct()
+      val exact = hashes.groupBy("event_type")
+        .agg(count(lit(1)).as("n_exact"))
+      val kth = hashes
+        .withColumn("rn", expr(
+          "row_number() OVER (PARTITION BY event_type ORDER BY h)"))
+        .filter(col("rn") === k)
+        .select(col("event_type"), col("h").as("hk"))
+      exact.join(kth, Seq("event_type"), "left")
+        .select(col("event_type"), col("n_exact"),
+          round(when(col("hk").isNotNull,
+            lit((k - 1).toDouble) * lit(P.toDouble) / col("hk").cast("double"))
+            .otherwise(col("n_exact").cast("double")), 4).as("est_distinct"))
+    }),
+
     // Embedding near-dup at scale: same-bucket candidates only (the
     // brute-force emb_neardup is the correctness baseline; this is the
     // shape that survives 100 TB — an equi-join on the 8-bit signature).
@@ -370,6 +408,34 @@ object ExtQueries {
          |  FROM qs x JOIN assigned y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
          |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)::BIGINT AS rank FROM sims)
          |SELECT q_id, n_id, rank, round(sim, 6) AS sim FROM rk WHERE rank <= 3""".stripMargin,
+
+    "asof_join" ->
+      """WITH ev AS (SELECT user_id::BIGINT AS user_id, epoch_us(ts) AS t,
+        |    event_type, value FROM events),
+        |clicks AS (SELECT user_id, t, round(value, 6) AS click_value
+        |  FROM ev WHERE event_type = 'click'),
+        |purchases AS (SELECT user_id, t, value AS purchase_value
+        |  FROM ev WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.t, c.click_value,
+        |  round(p.purchase_value, 6) AS purchase_value
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.t >= p.t""".stripMargin,
+
+    "sketch_kmv" ->
+      s"""WITH hashes AS (
+         |  SELECT DISTINCT event_type, (user_id * 2654435761) % $P AS h
+         |  FROM events),
+         |exact AS (SELECT event_type, count(*)::BIGINT AS n_exact
+         |  FROM hashes GROUP BY 1),
+         |ranked AS (SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |  FROM hashes),
+         |kth AS (SELECT event_type, h AS hk FROM ranked WHERE rn = 64)
+         |SELECT e.event_type, e.n_exact,
+         |  round(CASE WHEN k.hk IS NOT NULL
+         |    THEN 63.0 * ${P}.0 / k.hk::DOUBLE
+         |    ELSE e.n_exact::DOUBLE END, 4) AS est_distinct
+         |FROM exact e LEFT JOIN kth k ON e.event_type = k.event_type""".stripMargin,
 
     "mm_decode" ->
       """SELECT doc_id::BIGINT AS doc_id,

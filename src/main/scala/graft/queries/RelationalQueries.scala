@@ -134,6 +134,16 @@ object RelationalQueries {
           round(sum("psum"), 4).as("sum_value"))
     }),
 
+    // Exact interpolated quantiles (both engines: linear interpolation
+    // over the sorted values — Spark `percentile` ≡ DuckDB quantile_cont).
+    "agg_quantiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))),
+
     // Ranking-window surface: top-3 events per type by value.
     "agg_topk_per_group" -> ((s, dir) =>
       EventBars.events(s, dir)
@@ -225,6 +235,13 @@ object RelationalQueries {
       """SELECT event_type, count(*) AS n_events,
         |  round(sum(value), 4) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "agg_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "agg_topk_per_group" ->
       """WITH r AS (SELECT event_type, event_id,
