@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.ext.AsOfJoin
+
+/** AS-OF join edge semantics: inclusive ties, no-prior-right nulls,
+  * per-key isolation, latest-wins. */
+class AsOfJoinSpec extends SparkSpec {
+
+  private val lSchema = StructType(Seq(
+    StructField("k", StringType), StructField("t", LongType),
+    StructField("lv", DoubleType)))
+  private val rSchema = StructType(Seq(
+    StructField("k", StringType), StructField("t", LongType),
+    StructField("rv", DoubleType)))
+
+  test("inclusive tie, latest-wins, null before first right, key isolation") {
+    val left = spark.createDataFrame(java.util.Arrays.asList(
+      Row("a", 5L, 1.0),   // before any right → null
+      Row("a", 10L, 2.0),  // tie with right@10 → inclusive match
+      Row("a", 25L, 3.0),  // after rights@10,20 → 20 wins
+      Row("b", 25L, 4.0)), // other key: only b-rights visible
+      lSchema)
+    val right = spark.createDataFrame(java.util.Arrays.asList(
+      Row("a", 10L, 100.0), Row("a", 20L, 200.0), Row("b", 24L, 300.0)),
+      rSchema)
+    val out = AsOfJoin(left, right, Seq("k"), "t", Seq("rv"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(3)) null else r.getDouble(3))).sortBy(x => (x._1, x._2))
+    assert(out.toSeq == Seq(
+      ("a", 5L, null), ("a", 10L, 100.0), ("a", 25L, 200.0),
+      ("b", 25L, 300.0)))
+  }
+
+  test("preserves left row count and columns") {
+    val left = spark.createDataFrame(java.util.Arrays.asList(
+      (1 to 50).map(i => Row("k", i.toLong, i.toDouble)): _*), lSchema)
+    val right = spark.createDataFrame(java.util.Arrays.asList(
+      Row("k", 10L, 1.0)), rSchema)
+    val out = AsOfJoin(left, right, Seq("k"), "t", Seq("rv"))
+    assert(out.count() == 50)
+    assert(out.columns.toSeq == Seq("k", "t", "lv", "rv_asof"))
+    assert(out.filter(out("rv_asof").isNull).count() == 9) // t=1..9
+  }
+}
