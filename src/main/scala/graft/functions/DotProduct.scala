@@ -109,5 +109,9 @@ object GraftFunctions {
       cs => AdxWindow(cs(0), cs(1), cs(2)))
     add("graft_adx_hist_w", classOf[AdxHistWindow],
       cs => AdxHistWindow(cs(0), cs(1), cs(2)))
+    add("graft_wilder_w", classOf[WilderPairWindow],
+      cs => WilderPairWindow(cs(0)))
+    add("graft_adx_pair_w", classOf[AdxPairWindow],
+      cs => AdxPairWindow(cs(0), cs(1), cs(2)))
   }
 }

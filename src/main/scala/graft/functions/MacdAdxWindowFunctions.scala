@@ -166,3 +166,21 @@ case class AdxHistWindow(high: Expression, low: Expression, close: Expression)
       newChildren: IndexedSeq[Expression]): AdxHistWindow =
     copy(high = newChildren(0), low = newChildren(1), close = newChildren(2))
 }
+
+/** Both ADX outputs from ONE state evaluation: struct(adx, adx_hist). */
+case class AdxPairWindow(high: Expression, low: Expression, close: Expression)
+    extends AdxWindowBase {
+  override def dataType: DataType = StructType(Seq(
+    StructField("adx", DoubleType), StructField("adx_hist", DoubleType)))
+  override def prettyName: String = "graft_adx_pair_w"
+  override val evaluateExpression: Expression =
+    CreateNamedStruct(Seq(
+      Literal("adx"),
+      If(GreaterThanOrEqual(rn, Literal(28L)), Divide(adxraw, d(100.0)), nullD),
+      Literal("adx_hist"),
+      If(GreaterThanOrEqual(rn, Literal(15L)),
+        Divide(Subtract(pdiOf(sPDM), pdiOf(sMDM)), d(100.0)), nullD)))
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): AdxPairWindow =
+    copy(high = newChildren(0), low = newChildren(1), close = newChildren(2))
+}

@@ -103,3 +103,21 @@ case class CmoWindow(price: Expression, period: Int = 14)
       newChildren: IndexedSeq[Expression]): CmoWindow =
     copy(price = newChildren(0))
 }
+
+/** Both Wilder outputs from ONE state evaluation:
+  * struct(rsi, cmo) — RSI and CMO share the gain/loss averages, so
+  * evaluating them as separate window functions runs the state machine
+  * twice; this emits both from one pass. */
+case class WilderPairWindow(price: Expression, period: Int = 14)
+    extends WilderWindowFunction {
+  override def dataType: DataType = StructType(Seq(
+    StructField("rsi", DoubleType), StructField("cmo", DoubleType)))
+  override val evaluateExpression: Expression =
+    CreateNamedStruct(Seq(
+      Literal("rsi"), scaledOutput(avgg),
+      Literal("cmo"), scaledOutput(Subtract(avgg, avgl))))
+  override def prettyName: String = "graft_wilder_w"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): WilderPairWindow =
+    copy(price = newChildren(0))
+}

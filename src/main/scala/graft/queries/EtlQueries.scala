@@ -80,18 +80,21 @@ object EtlQueries {
       val fi = FrameIndicators.addAll(interpolated(s, dir),
         Seq("ticker", "island"), Seq("ws"))
       val w = Window.partitionBy("ticker", "island").orderBy("ws")
-      fi.select(col("ws").as("window_start"),
-        round(col("close"), 6).as("close_price"),
-        r6("rocp_1"), r6("rocp_2"), r6("rocp_3"), r6("rocp_4"), r6("rocp_5"),
-        round(expr("graft_rsi_w(close)").over(w), 6).as("rsi"),
-        r6("mfi"), r6("ultosc"),
-        round(expr("graft_cmo_w(close)").over(w), 6).as("cmo"),
-        r6("aroonosc"),
-        round(expr("graft_macd_hist_w(close)").over(w), 6).as("macd_hist"),
-        r6("ppo"), r6("sok"), r6("sok_hist"),
-        round(expr("graft_adx_w(high, low, close)").over(w), 6).as("adx"),
-        round(expr("graft_adx_hist_w(high, low, close)").over(w), 6).as("adx_hist"),
-        col("sub_ticker").as("ticker"))
+      // pair functions: one state evaluation for rsi+cmo and adx+hist
+      fi.withColumn("_wp", expr("graft_wilder_w(close)").over(w))
+        .withColumn("_ap", expr("graft_adx_pair_w(high, low, close)").over(w))
+        .select(col("ws").as("window_start"),
+          round(col("close"), 6).as("close_price"),
+          r6("rocp_1"), r6("rocp_2"), r6("rocp_3"), r6("rocp_4"), r6("rocp_5"),
+          round(col("_wp.rsi"), 6).as("rsi"),
+          r6("mfi"), r6("ultosc"),
+          round(col("_wp.cmo"), 6).as("cmo"),
+          r6("aroonosc"),
+          round(expr("graft_macd_hist_w(close)").over(w), 6).as("macd_hist"),
+          r6("ppo"), r6("sok"), r6("sok_hist"),
+          round(col("_ap.adx"), 6).as("adx"),
+          round(col("_ap.adx_hist"), 6).as("adx_hist"),
+          col("sub_ticker").as("ticker"))
         .na.drop()
     }),
 

@@ -144,6 +144,17 @@ object RelationalQueries {
           round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
           round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))),
 
+    // ISO week-of-year (the reference's dead get_week_year helper,
+    // utils.py:110-121): weekly event rollup on ISO (year, week).
+    "agg_isoweek" -> ((s, dir) =>
+      EventBars.events(s, dir)
+        .select(expr("CAST(extract(yearofweek FROM timestamp_micros(t)) AS BIGINT)").as("iso_year"),
+          weekofyear(timestamp_micros(col("t"))).cast("long").as("iso_week"),
+          col("value"))
+        .groupBy("iso_year", "iso_week")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("sum_value"))),
+
     // Ranking-window surface: top-3 events per type by value.
     "agg_topk_per_group" -> ((s, dir) =>
       EventBars.events(s, dir)
@@ -242,6 +253,11 @@ object RelationalQueries {
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "agg_isoweek" ->
+      """SELECT isoyear(ts)::BIGINT AS iso_year, week(ts)::BIGINT AS iso_week,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "agg_topk_per_group" ->
       """WITH r AS (SELECT event_type, event_id,

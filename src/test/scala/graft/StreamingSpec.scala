@@ -60,6 +60,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("tumbling-window aggregation finalizes on watermark and drops late rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    def ts(min: Int) = new java.sql.Timestamp(1709650800000L + min * 60000L)
+    val agg = stream.toDS().toDF("ts", "k", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"), $"k")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("win_out").start()
+    try {
+      stream.addData(Seq((ts(0), "a", 1.0), (ts(2), "a", 2.0), (ts(7), "a", 4.0)))
+      q.processAllAvailable()
+      assert(spark.table("win_out").count() == 0) // nothing finalized yet
+      stream.addData(Seq((ts(30), "a", 8.0)))     // watermark → minute 20
+      q.processAllAvailable()
+      stream.addData(Seq((ts(1), "a", 99.0)))     // LATE: behind watermark → dropped
+      q.processAllAvailable()
+      stream.addData(Seq((ts(45), "a", 16.0)))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .selectExpr("window.start", "n", "s").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1)
+      // first window [0,5): 2 rows sum 3 (late 99 NOT included); [5,10): 1 row
+      assert(rows.take(2).toSeq == Seq(
+        (ts(0).getTime, 2L, 3.0), (ts(5).getTime, 1L, 4.0)))
+    } finally q.stop()
+  }
+
   test("streaming output is bit-identical to the batch pipeline") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
