@@ -37,6 +37,56 @@ object Multimodal {
     StructField("last_byte", LongType),
     StructField("n_spaces", LongType)))
 
+  private val thumbSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("thumb", BinaryType),
+    StructField("thumb_bytes", LongType),
+    StructField("first_byte", LongType)))
+
+  /** "Resize": downsample the payload by keeping every `stride`-th byte
+    * (STUB for image resize — the 1:1 binary→binary transform shape,
+    * streamed per partition). */
+  def resize(media: DataFrame, stride: Int): DataFrame = {
+    val idIdx = media.schema.fieldIndex("doc_id")
+    val plIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { it: Iterator[Row] =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](plIdx)
+        val out = new Array[Byte]((bytes.length + stride - 1) / stride)
+        var i = 0
+        while (i < out.length) { out(i) = bytes(i * stride); i += 1 }
+        Row(r.getAs[Number](idIdx).longValue, out, out.length.toLong,
+          if (out.nonEmpty) (out(0) & 0xff).toLong else 0L)
+      }
+    }(Encoders.row(thumbSchema))
+  }
+
+  private val frameSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", LongType),
+    StructField("frame_bytes", LongType),
+    StructField("frame_first", LongType)))
+
+  /** "Frame-sample": split the payload into fixed-size frames and emit
+    * one row per frame (STUB for video frame extraction — the 1:N
+    * binary→rows generator shape). */
+  def frameSample(media: DataFrame, frameSize: Int): DataFrame = {
+    val idIdx = media.schema.fieldIndex("doc_id")
+    val plIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { it: Iterator[Row] =>
+      it.flatMap { r =>
+        val id = r.getAs[Number](idIdx).longValue
+        val bytes = r.getAs[Array[Byte]](plIdx)
+        val n = (bytes.length + frameSize - 1) / frameSize
+        (0 until n).iterator.map { f =>
+          val start = f * frameSize
+          val len = math.min(frameSize, bytes.length - start)
+          Row(id, f.toLong, len.toLong, (bytes(start) & 0xff).toLong)
+        }
+      }
+    }(Encoders.row(frameSchema))
+  }
+
   /** "Decode" each payload into fixed-width features.
     *
     * STUB decoder: a real implementation would hand `payload` to an

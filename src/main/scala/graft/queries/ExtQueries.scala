@@ -206,6 +206,15 @@ object ExtQueries {
     // AS-OF join: each click gets the latest at-or-before purchase value
     // per user (union + forward-fill window — one shuffle, no range
     // explosion). Oracle is DuckDB's native ASOF LEFT JOIN.
+    // Resize stub: every-4th-byte thumbnail (1:1 binary transform).
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.resize(Multimodal.mediaTable(docs(s, dir)), 4)
+        .select(col("doc_id"), col("thumb_bytes"), col("first_byte"))),
+
+    // Frame-sample stub: 64-byte frames, one row each (1:N generator).
+    "mm_frames" -> ((s, dir) =>
+      Multimodal.frameSample(Multimodal.mediaTable(docs(s, dir)), 64)),
+
     "asof_join" -> ((s, dir) => {
       val ev = EventBars.events(s, dir)
         .select(col("user_id").cast("long").as("user_id"), col("t"),
@@ -408,6 +417,22 @@ object ExtQueries {
          |  FROM qs x JOIN assigned y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
          |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)::BIGINT AS rank FROM sims)
          |SELECT q_id, n_id, rank, round(sim, 6) AS sim FROM rk WHERE rank <= 3""".stripMargin,
+
+    "mm_resize" ->
+      """SELECT doc_id::BIGINT AS doc_id,
+        |  ((octet_length(text::BLOB) + 3) // 4)::BIGINT AS thumb_bytes,
+        |  unicode(substr(text, 1, 1))::BIGINT AS first_byte
+        |FROM documents""".stripMargin,
+
+    "mm_frames" ->
+      """WITH d AS (SELECT doc_id::BIGINT AS doc_id, text,
+        |    octet_length(text::BLOB) AS n FROM documents),
+        |f AS (SELECT doc_id, text, n,
+        |    unnest(generate_series(0, (n + 63) // 64 - 1)) AS frame_idx FROM d)
+        |SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+        |  least(64, n - frame_idx * 64)::BIGINT AS frame_bytes,
+        |  unicode(substr(text, (frame_idx * 64 + 1)::INT, 1))::BIGINT AS frame_first
+        |FROM f""".stripMargin,
 
     "asof_join" ->
       """WITH ev AS (SELECT user_id::BIGINT AS user_id, epoch_us(ts) AS t,

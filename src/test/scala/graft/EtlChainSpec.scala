@@ -65,6 +65,23 @@ class EtlChainSpec extends SparkSpec {
       Seq(10.0, 10.0, 12.0, 14.0, 16.0, 16.0))
   }
 
+  test("skewed key: one giant ticker among tiny ones stays correct") {
+    // 1 ticker with 20k consecutive bars + 50 tickers with 10 each
+    val giant = (0 until 20000).map(i => ("G", i * 60L, 100.0 + (i % 37)))
+    val small = (1 to 50).flatMap(t =>
+      (0 until 10).map(i => (s"s$t", i * 60L, 50.0 + i)))
+    val df = bars((giant ++ small).map { case (t, ws, v) =>
+      (t, ws, java.lang.Double.valueOf(v))
+    })
+    val out = Sessionize(df, "ticker", "ws", Seq(60L, 120L, 180L))
+    assert(out.count() == 20000 + 500) // no gaps → single island each
+    assert(out.filter(out("ticker") === "G").count() == 20000)
+    val ip = Interpolate(
+      Densify(out, Seq("ticker", "island", "sub_ticker"), "ws", 60L),
+      Seq("ticker", "island"), "ws", Seq("close"))
+    assert(ip.count() == 20500)
+  }
+
   test("full pipeline emits the reference's exact 18-column schema") {
     val out = graft.queries.EtlQueries.queries("pipeline_full")(
       spark, "/root/testdata/sf0.001")
