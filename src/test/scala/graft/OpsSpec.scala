@@ -71,6 +71,24 @@ class OpsSpec extends SparkSpec {
     assert(r.getLong(4) == 1L)     // spaces
   }
 
+  test("graft_dot rejects non-array inputs with a typed error") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_dot(1.0, 2.0)").collect()
+    }
+    assert(e.getMessage.contains("graft_dot") ||
+      e.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
+  test("graft_minhash requires a literal int parameter") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_minhash(CAST(array(1,2) AS ARRAY<BIGINT>), id) " +
+        "FROM range(1)").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("literal"))
+  }
+
   test("exact dedup partitions the corpus: group sizes sum to doc count") {
     val total = spark.read.parquet(s"$sf/documents.parquet").count()
     val grouped = graft.queries.ExtQueries.queries("dedup_exact")(spark, sf)

@@ -66,6 +66,23 @@ class RecursiveScanSpec extends AnyFunSuite {
     assert(out(20)(idx("adx_hist")).asInstanceOf[Double] === 0.0)
   }
 
+  test("config-driven periods shift the warm-up boundary (reference config surface)") {
+    val cfg = graft.model.IndicatorConfig(rsiPeriod = 7, cmoPeriod = 7, adxPeriod = 10)
+    val c = series(i => 100.0 + math.sin(i * 0.7) * 3, 60)
+    val out = RecursiveIndicators.scan(c, c.map(_ + 1), c.map(_ - 1), c, cfg)
+    assert(out(6)(idx("rsi")) == null && out(7)(idx("rsi")) != null)   // p=7
+    assert(out(9)(idx("adx_hist")) == null && out(10)(idx("adx_hist")) != null) // q=10
+    assert(out(18)(idx("adx")) == null && out(19)(idx("adx")) != null) // 2q-1=19
+  }
+
+  test("mismatched rsi/cmo periods are rejected (shared Wilder state)") {
+    intercept[IllegalArgumentException] {
+      RecursiveIndicators.scan(Array(1.0, 2.0), Array(2.0, 3.0),
+        Array(0.0, 1.0), Array(1.0, 2.0),
+        graft.model.IndicatorConfig(rsiPeriod = 14, cmoPeriod = 9))
+    }
+  }
+
   test("wilder smoothing: rsi reacts to a single spike then decays") {
     val base = series(i => 100.0 + (i % 3) * 0.5, 80)
     base(40) = 120.0 // one large gain
