@@ -62,4 +62,16 @@ object BarsIO {
     spark.read.parquet(base)
       .filter(col("interval") === interval && col("ds") === ds)
       .drop("interval", "yr", "mo", "ds")
+
+  /** Bucketed catalog table: pre-hash the rows into `n` buckets on
+    * `bucketCol` at write time so later equi-joins/aggregations on that
+    * key are exchange-free (bucket-aware scan supplies the required
+    * distribution). At 100 TB this converts every recurring
+    * ticker-keyed join from a full shuffle into a local merge.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      n: Int): Unit =
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(n, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table) // managed table under spark.sql.warehouse.dir
 }

@@ -98,6 +98,21 @@ class PipelineSpec extends SparkSpec {
     assert(ranged.nonEmpty)
   }
 
+  test("bucketed tables join without any exchange") {
+    import org.apache.spark.sql.functions.lit
+    val a = rawDay().filter(org.apache.spark.sql.functions.col("ticker").isNotNull)
+    val b = a.withColumn("volume", lit(7.0))
+    BarsIO.writeBucketed(a, "bars_a", "ticker", 8)
+    BarsIO.writeBucketed(b, "bars_b", "ticker", 8)
+    val ta = spark.table("bars_a").select("ticker", "window_start", "close")
+    val tb = spark.table("bars_b").select("ticker", "volume").distinct()
+    val joined = ta.hint("merge").join(tb, Seq("ticker"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(joined.count() > 0)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n${plan.take(2000)}")
+  }
+
   test("P10 validations: 19-digit check real, 60s increments post-densify") {
     val bad = Validate.badTimestampDigits(
       rawDay().withColumn("window_start",
