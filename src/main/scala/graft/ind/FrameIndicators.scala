@@ -89,8 +89,13 @@ object FrameIndicators {
       .withColumn("sma_slow", avg(p).over(rb(-(cfg.ppoSlow - 1), 0)))
 
     // Stage 4: raw fastK (needed as input to the fastD rolling average).
+    // try_divide everywhere a divisor is data-dependent: Spark 4 ANSI
+    // mode errors on /0, while the reference (numpy/TA-Lib IEEE) and
+    // the DuckDB oracle (NULL on double /0) never do — try_divide's
+    // NULL matches the oracle exactly.
     val df4 = df3.withColumn("sok_raw",
-      when(col("rn") >= k5, (col("close") - col("ll")) / (col("hh") - col("ll"))))
+      when(col("rn") >= k5,
+        try_divide(col("close") - col("ll"), col("hh") - col("ll"))))
 
     // Stage 5: fastD + final guarded outputs. Guards reproduce TA-Lib
     // lookbacks: MFI=period, ULTOSC=period3, AROONOSC=period,
@@ -100,20 +105,21 @@ object FrameIndicators {
       .withColumn("sod", avg("sok_raw").over(rb(-(cfg.stochFastD - 1), 0)))
 
     val rocps = (1 until cfg.numPrevRocp).map { k =>
-      ((p - lag(p, k).over(w)) / lag(p, k).over(w)).as(s"rocp_$k")
+      try_divide(p - lag(p, k).over(w), lag(p, k).over(w)).as(s"rocp_$k")
     }
 
     df5.select(col("*") +: (rocps ++ Seq[Column](
       (p - lag(p, 10).over(w)).as("mom"),
       when(col("rn") >= mfiP + 1,
-        col("pos_sum") / (col("pos_sum") + col("neg_sum"))).as("mfi"),
+        try_divide(col("pos_sum"), col("pos_sum") + col("neg_sum"))).as("mfi"),
       when(col("rn") >= u3 + 1,
-        (lit(4.0) * (col("bp1") / col("tr1")) + lit(2.0) * (col("bp2") / col("tr2"))
-          + (col("bp3") / col("tr3"))) / lit(7.0)).as("ultosc"),
+        (lit(4.0) * try_divide(col("bp1"), col("tr1"))
+          + lit(2.0) * try_divide(col("bp2"), col("tr2"))
+          + try_divide(col("bp3"), col("tr3"))) / lit(7.0)).as("ultosc"),
       when(col("rn") >= ar + 1,
         (col("hi_rn") - col("lo_rn")) / lit(ar.toDouble)).as("aroonosc"),
       when(col("rn") >= cfg.ppoSlow,
-        (col("sma_fast") - col("sma_slow")) / col("sma_slow")).as("ppo"),
+        try_divide(col("sma_fast") - col("sma_slow"), col("sma_slow"))).as("ppo"),
       when(col("rn") >= sokFrom, col("sok_raw")).as("sok"),
       when(col("rn") >= sokFrom, col("sok_raw") - col("sod")).as("sok_hist"))): _*)
   }

@@ -70,8 +70,23 @@ object BarsIO {
     * ticker-keyed join from a full shuffle into a local merge.
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-      n: Int): Unit =
+      n: Int): Unit = {
+    // drop first: Overwrite alone can't reclaim a managed location left
+    // by a previous session (the in-memory catalog forgot the table but
+    // its warehouse directory persists)
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(
+      df.sparkSession.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), table)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
     df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(n, bucketCol).sortBy(bucketCol)
       .saveAsTable(table) // managed table under spark.sql.warehouse.dir
+  }
 }

@@ -41,7 +41,7 @@ object EtlQueries {
     s"""$sqlDense,
        |${Interpolate.sqlStages("dz_final", Seq("ticker", "island"), "ws", FillCols)}""".stripMargin
 
-  private def r6(c: String) = round(col(c), 6).as(c)
+  private def r6(c: String) = Rounding.r6(col(c)).as(c)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_sessionize" -> ((s, dir) =>
@@ -64,7 +64,7 @@ object EtlQueries {
       val fi = FrameIndicators.addAll(interpolated(s, dir),
         Seq("ticker", "island"), Seq("ws"))
       val out = fi.select(col("sub_ticker").as("ticker"),
-        col("ws").as("window_start"), round(col("close"), 6).as("close_price"),
+        col("ws").as("window_start"), Rounding.r6(col("close")).as("close_price"),
         r6("rocp_1"), r6("rocp_2"), r6("rocp_3"), r6("rocp_4"), r6("rocp_5"),
         r6("mfi"), r6("ultosc"), r6("aroonosc"), r6("ppo"), r6("sok"),
         r6("sok_hist"))
@@ -84,16 +84,16 @@ object EtlQueries {
       fi.withColumn("_wp", expr("graft_wilder_w(close)").over(w))
         .withColumn("_ap", expr("graft_adx_pair_w(high, low, close)").over(w))
         .select(col("ws").as("window_start"),
-          round(col("close"), 6).as("close_price"),
+          Rounding.r6(col("close")).as("close_price"),
           r6("rocp_1"), r6("rocp_2"), r6("rocp_3"), r6("rocp_4"), r6("rocp_5"),
-          round(col("_wp.rsi"), 6).as("rsi"),
+          Rounding.r6(col("_wp.rsi")).as("rsi"),
           r6("mfi"), r6("ultosc"),
-          round(col("_wp.cmo"), 6).as("cmo"),
+          Rounding.r6(col("_wp.cmo")).as("cmo"),
           r6("aroonosc"),
-          round(expr("graft_macd_hist_w(close)").over(w), 6).as("macd_hist"),
+          Rounding.r6(expr("graft_macd_hist_w(close)").over(w)).as("macd_hist"),
           r6("ppo"), r6("sok"), r6("sok_hist"),
-          round(col("_ap.adx"), 6).as("adx"),
-          round(col("_ap.adx_hist"), 6).as("adx_hist"),
+          Rounding.r6(col("_ap.adx")).as("adx"),
+          Rounding.r6(col("_ap.adx_hist")).as("adx_hist"),
           col("sub_ticker").as("ticker"))
         .na.drop()
     }),
@@ -106,7 +106,7 @@ object EtlQueries {
         Seq("ticker", "island"), Seq("ws"))
       val all = RecursiveIndicators.addAll(fi, Seq("sub_ticker"), Seq("ws"))
       all.select(col("ws").as("window_start"),
-        round(col("close"), 6).as("close_price"),
+        Rounding.r6(col("close")).as("close_price"),
         r6("rocp_1"), r6("rocp_2"), r6("rocp_3"), r6("rocp_4"), r6("rocp_5"),
         r6("rsi"), r6("mfi"), r6("ultosc"), r6("cmo"), r6("aroonosc"),
         r6("macd_hist"), r6("ppo"), r6("sok"), r6("sok_hist"),
@@ -127,20 +127,20 @@ object EtlQueries {
 
     "etl_interpolate" ->
       s"""WITH $sqlInterp
-         |SELECT ticker, island, ws, round(close, 6) AS close,
-         |  round(volume, 6) AS volume FROM ip_final""".stripMargin,
+         |SELECT ticker, island, ws, (round(close, 6) + 0.0) AS close,
+         |  (round(volume, 6) + 0.0) AS volume FROM ip_final""".stripMargin,
 
     "pipeline_frame" ->
       s"""WITH $sqlInterp,
          |${FrameIndicators.sqlStages("ip_final", "sub_ticker", "ws")}
          |SELECT sub_ticker AS ticker, ws AS window_start,
-         |  round(close, 6) AS close_price,
-         |  round(rocp_1, 6) AS rocp_1, round(rocp_2, 6) AS rocp_2,
-         |  round(rocp_3, 6) AS rocp_3, round(rocp_4, 6) AS rocp_4,
-         |  round(rocp_5, 6) AS rocp_5,
-         |  round(mfi, 6) AS mfi, round(ultosc, 6) AS ultosc,
-         |  round(aroonosc, 6) AS aroonosc, round(ppo, 6) AS ppo,
-         |  round(sok, 6) AS sok, round(sok_hist, 6) AS sok_hist
+         |  (round(close, 6) + 0.0) AS close_price,
+         |  (round(rocp_1, 6) + 0.0) AS rocp_1, (round(rocp_2, 6) + 0.0) AS rocp_2,
+         |  (round(rocp_3, 6) + 0.0) AS rocp_3, (round(rocp_4, 6) + 0.0) AS rocp_4,
+         |  (round(rocp_5, 6) + 0.0) AS rocp_5,
+         |  (round(mfi, 6) + 0.0) AS mfi, (round(ultosc, 6) + 0.0) AS ultosc,
+         |  (round(aroonosc, 6) + 0.0) AS aroonosc, (round(ppo, 6) + 0.0) AS ppo,
+         |  (round(sok, 6) + 0.0) AS sok, (round(sok_hist, 6) + 0.0) AS sok_hist
          |FROM fi_final
          |WHERE rocp_1 IS NOT NULL AND rocp_2 IS NOT NULL
          |  AND rocp_3 IS NOT NULL AND rocp_4 IS NOT NULL
@@ -155,16 +155,16 @@ object EtlQueries {
       s"""WITH RECURSIVE $sqlInterp,
          |${FrameIndicators.sqlStages("ip_final", "sub_ticker", "ws")},
          |${RecursiveIndicators.sqlStages("ip_final", Seq("sub_ticker"), Seq("ws"))}
-         |SELECT f.ws AS window_start, round(f.close, 6) AS close_price,
-         |  round(f.rocp_1, 6) AS rocp_1, round(f.rocp_2, 6) AS rocp_2,
-         |  round(f.rocp_3, 6) AS rocp_3, round(f.rocp_4, 6) AS rocp_4,
-         |  round(f.rocp_5, 6) AS rocp_5,
-         |  round(r.rsi, 6) AS rsi, round(f.mfi, 6) AS mfi,
-         |  round(f.ultosc, 6) AS ultosc, round(r.cmo, 6) AS cmo,
-         |  round(f.aroonosc, 6) AS aroonosc,
-         |  round(r.macd_hist, 6) AS macd_hist, round(f.ppo, 6) AS ppo,
-         |  round(f.sok, 6) AS sok, round(f.sok_hist, 6) AS sok_hist,
-         |  round(r.adx, 6) AS adx, round(r.adx_hist, 6) AS adx_hist,
+         |SELECT f.ws AS window_start, (round(f.close, 6) + 0.0) AS close_price,
+         |  (round(f.rocp_1, 6) + 0.0) AS rocp_1, (round(f.rocp_2, 6) + 0.0) AS rocp_2,
+         |  (round(f.rocp_3, 6) + 0.0) AS rocp_3, (round(f.rocp_4, 6) + 0.0) AS rocp_4,
+         |  (round(f.rocp_5, 6) + 0.0) AS rocp_5,
+         |  (round(r.rsi, 6) + 0.0) AS rsi, (round(f.mfi, 6) + 0.0) AS mfi,
+         |  (round(f.ultosc, 6) + 0.0) AS ultosc, (round(r.cmo, 6) + 0.0) AS cmo,
+         |  (round(f.aroonosc, 6) + 0.0) AS aroonosc,
+         |  (round(r.macd_hist, 6) + 0.0) AS macd_hist, (round(f.ppo, 6) + 0.0) AS ppo,
+         |  (round(f.sok, 6) + 0.0) AS sok, (round(f.sok_hist, 6) + 0.0) AS sok_hist,
+         |  (round(r.adx, 6) + 0.0) AS adx, (round(r.adx_hist, 6) + 0.0) AS adx_hist,
          |  f.sub_ticker AS ticker
          |FROM fi_final f JOIN ri_final r
          |  ON f.sub_ticker = r.sub_ticker AND f.ws = r.ws

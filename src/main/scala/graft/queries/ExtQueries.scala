@@ -78,17 +78,17 @@ object ExtQueries {
         .withColumn("n_tokens", expr("CAST(size(toks) AS BIGINT)"))
         .withColumn("n_distinct", expr("CAST(size(array_distinct(toks)) AS BIGINT)"))
         .withColumn("avg_len",
-          expr("aggregate(transform(toks, t -> CAST(length(t) AS DOUBLE)), 0D, (a, b) -> a + b) / CAST(size(toks) AS DOUBLE)"))
-        .withColumn("dr", expr("CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)"))
+          expr("try_divide(aggregate(transform(toks, t -> CAST(length(t) AS DOUBLE)), 0D, (a, b) -> a + b), CAST(size(toks) AS DOUBLE))"))
+        .withColumn("dr", expr("try_divide(CAST(n_distinct AS DOUBLE), CAST(n_tokens AS DOUBLE))"))
         .select(col("doc_id").cast("long").as("doc_id"),
           expr("CAST(length(text) AS BIGINT)").as("n_chars_c"),
           // BPE-ish subword count: letter runs, digit runs, single marks
           expr("CAST(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT)")
             .as("n_tokens_bpe"),
           col("n_tokens"), col("n_distinct"),
-          round(col("avg_len"), 6).as("avg_len"),
-          round(col("dr"), 6).as("distinct_ratio"),
-          round(expr("least(1.0D, greatest(0.0D, 0.2D + 0.001D * CAST(length(text) AS DOUBLE) + 0.3D * dr - 0.05D * abs(avg_len - 5.0D)))"), 6).as("quality"))),
+          Rounding.r6(col("avg_len")).as("avg_len"),
+          Rounding.r6(col("dr")).as("distinct_ratio"),
+          Rounding.r6(expr("least(1.0D, greatest(0.0D, 0.2D + 0.001D * CAST(length(text) AS DOUBLE) + 0.3D * dr - 0.05D * abs(avg_len - 5.0D)))")).as("quality"))),
 
     "text_langid" -> ((s, dir) => {
       val base = docs(s, dir).withColumn("toks", expr(toksSpark))
@@ -153,8 +153,8 @@ object ExtQueries {
           col("x.sh").as("sha"), col("y.sh").as("shb"))
         .dropDuplicates("a", "b")
       cand.select(col("a"), col("b"),
-        round(expr(s"CAST(size(filter(sequence(1, $NumHash), i -> element_at(mha, i) = element_at(mhb, i))) AS DOUBLE) / $NumHash.0D"), 6).as("est_sim"),
-        round(expr("CAST(size(array_intersect(array_distinct(sha), array_distinct(shb))) AS DOUBLE) / CAST(size(array_union(array_distinct(sha), array_distinct(shb))) AS DOUBLE)"), 6).as("jaccard"))
+        Rounding.r6(expr(s"CAST(size(filter(sequence(1, $NumHash), i -> element_at(mha, i) = element_at(mhb, i))) AS DOUBLE) / $NumHash.0D")).as("est_sim"),
+        Rounding.r6(expr("CAST(size(array_intersect(array_distinct(sha), array_distinct(shb))) AS DOUBLE) / CAST(size(array_union(array_distinct(sha), array_distinct(shb))) AS DOUBLE)")).as("jaccard"))
     }),
 
     "emb_neardup" -> ((s, dir) => {
@@ -163,10 +163,10 @@ object ExtQueries {
           expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
         .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
       e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
-        .withColumn("sim", expr(s"${dotS("x.v", "y.v")} / (x.nrm * y.nrm)"))
+        .withColumn("sim", expr(s"try_divide(${dotS("x.v", "y.v")}, x.nrm * y.nrm)"))
         .filter(col("sim") > 0.3)
         .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-          round(col("sim"), 6).as("sim"))
+          Rounding.r6(col("sim")).as("sim"))
     }),
 
     "sim_topk" -> ((s, dir) => {
@@ -176,12 +176,12 @@ object ExtQueries {
         .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
       val q = e.filter(col("vec_id") % 10 === 0)
       q.as("x").join(e.as("y"), col("x.vec_id") =!= col("y.vec_id"))
-        .withColumn("sim", expr(s"${dotS("x.v", "y.v")} / (x.nrm * y.nrm)"))
+        .withColumn("sim", expr(s"try_divide(${dotS("x.v", "y.v")}, x.nrm * y.nrm)"))
         .withColumn("rank", expr(
           "CAST(row_number() OVER (PARTITION BY x.vec_id ORDER BY sim DESC, y.vec_id) AS BIGINT)"))
         .filter(col("rank") <= 5)
         .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("n_id"),
-          col("rank"), round(col("sim"), 6).as("sim"))
+          col("rank"), Rounding.r6(col("sim")).as("sim"))
     }),
 
     "sim_ann_lsh" -> ((s, dir) => {
@@ -192,12 +192,12 @@ object ExtQueries {
         .withColumn("sig", expr(sigS))
       e.as("x").join(e.as("y"),
           col("x.sig") === col("y.sig") && col("x.vec_id") =!= col("y.vec_id"))
-        .withColumn("sim", expr(s"${dotS("x.v", "y.v")} / (x.nrm * y.nrm)"))
+        .withColumn("sim", expr(s"try_divide(${dotS("x.v", "y.v")}, x.nrm * y.nrm)"))
         .withColumn("rank", expr(
           "CAST(row_number() OVER (PARTITION BY x.vec_id ORDER BY sim DESC, y.vec_id) AS BIGINT)"))
         .filter(col("rank") <= 3)
         .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("n_id"),
-          col("rank"), round(col("sim"), 6).as("sim"))
+          col("rank"), Rounding.r6(col("sim")).as("sim"))
     }),
 
     "mm_decode" -> ((s, dir) =>
@@ -220,12 +220,12 @@ object ExtQueries {
         .select(col("user_id").cast("long").as("user_id"), col("t"),
           col("event_type"), col("value"))
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("t"), round(col("value"), 6).as("click_value"))
+        .select(col("user_id"), col("t"), Rounding.r6(col("value")).as("click_value"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("t"), col("value").as("purchase_value"))
       AsOfJoin(clicks, purchases, Seq("user_id"), "t", Seq("purchase_value"))
         .select(col("user_id"), col("t"), col("click_value"),
-          round(col("purchase_value_asof"), 6).as("purchase_value"))
+          Rounding.r6(col("purchase_value_asof")).as("purchase_value"))
     }),
 
     // KMV (k-minimum-values) distinct sketch — a deterministic sketch
@@ -245,9 +245,9 @@ object ExtQueries {
         .select(col("event_type"), col("h").as("hk"))
       exact.join(kth, Seq("event_type"), "left")
         .select(col("event_type"), col("n_exact"),
-          round(when(col("hk").isNotNull,
+          Rounding.r4(when(col("hk").isNotNull,
             lit((k - 1).toDouble) * lit(P.toDouble) / col("hk").cast("double"))
-            .otherwise(col("n_exact").cast("double")), 4).as("est_distinct"))
+            .otherwise(col("n_exact").cast("double"))).as("est_distinct"))
     }),
 
     // Embedding near-dup at scale: same-bucket candidates only (the
@@ -261,10 +261,10 @@ object ExtQueries {
         .withColumn("sig", expr(sigS))
       e.as("x").join(e.as("y"),
           col("x.sig") === col("y.sig") && col("x.vec_id") < col("y.vec_id"))
-        .withColumn("sim", expr(s"${dotS("x.v", "y.v")} / (x.nrm * y.nrm)"))
+        .withColumn("sim", expr(s"try_divide(${dotS("x.v", "y.v")}, x.nrm * y.nrm)"))
         .filter(col("sim") > 0.3)
         .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-          round(col("sim"), 6).as("sim"))
+          Rounding.r6(col("sim")).as("sim"))
     }),
 
     // IVF-style ANN: deterministic coarse quantizer (centroids = the 16
@@ -279,7 +279,7 @@ object ExtQueries {
       val cents = e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
       val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("csim", expr(s"${dotS("v", "cv")} / (nrm * cnrm)"))
+        .withColumn("csim", expr(s"try_divide(${dotS("v", "cv")}, nrm * cnrm)"))
         .withColumn("crank", expr(
           "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id)"))
         .filter(col("crank") === 1)
@@ -287,12 +287,12 @@ object ExtQueries {
       val qs = assigned.filter(col("vec_id") % 25 === 0)
       qs.as("x").join(assigned.as("y"),
           col("x.cell") === col("y.cell") && col("x.vec_id") =!= col("y.vec_id"))
-        .withColumn("sim", expr(s"${dotS("x.v", "y.v")} / (x.nrm * y.nrm)"))
+        .withColumn("sim", expr(s"try_divide(${dotS("x.v", "y.v")}, x.nrm * y.nrm)"))
         .withColumn("rank", expr(
           "CAST(row_number() OVER (PARTITION BY x.vec_id ORDER BY sim DESC, y.vec_id) AS BIGINT)"))
         .filter(col("rank") <= 3)
         .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("n_id"),
-          col("rank"), round(col("sim"), 6).as("sim"))
+          col("rank"), Rounding.r6(col("sim")).as("sim"))
     }))
 
   // ---- DuckDB oracles ----
@@ -322,8 +322,8 @@ object ExtQueries {
          |SELECT doc_id, length(text)::BIGINT AS n_chars_c,
          |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS n_tokens_bpe,
          |  n_tokens, n_distinct,
-         |  round(avg_len, 6) AS avg_len, round(dr, 6) AS distinct_ratio,
-         |  round(least(1.0, greatest(0.0, 0.2 + 0.001 * length(text)::DOUBLE + 0.3 * dr - 0.05 * abs(avg_len - 5.0))), 6) AS quality
+         |  (round(avg_len, 6) + 0.0) AS avg_len, (round(dr, 6) + 0.0) AS distinct_ratio,
+         |  (round(least(1.0, greatest(0.0, 0.2 + 0.001 * length(text)::DOUBLE + 0.3 * dr - 0.05 * abs(avg_len - 5.0))), 6) + 0.0) AS quality
          |FROM t3""".stripMargin,
 
     "text_langid" ->
@@ -365,15 +365,15 @@ object ExtQueries {
          |db AS (SELECT *, $bandsD AS mbands FROM dm),
          |dk AS (SELECT doc_id, sh, mh, unnest($bkD) AS bk FROM db)
          |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-         |  round(len(list_filter(generate_series(1, $NumHash), i -> x.mh[i] = y.mh[i]))::DOUBLE / $NumHash.0, 6) AS est_sim,
-         |  round(len(list_distinct(list_intersect(list_distinct(x.sh), list_distinct(y.sh))))::DOUBLE
-         |      / len(list_distinct(list_concat(list_distinct(x.sh), list_distinct(y.sh))))::DOUBLE, 6) AS jaccard
+         |  (round(len(list_filter(generate_series(1, $NumHash), i -> x.mh[i] = y.mh[i]))::DOUBLE / $NumHash.0, 6) + 0.0) AS est_sim,
+         |  (round(len(list_distinct(list_intersect(list_distinct(x.sh), list_distinct(y.sh))))::DOUBLE
+         |      / len(list_distinct(list_concat(list_distinct(x.sh), list_distinct(y.sh))))::DOUBLE, 6) + 0.0) AS jaccard
          |FROM dk x JOIN dk y ON x.bk = y.bk AND x.doc_id < y.doc_id""".stripMargin,
 
     "emb_neardup" ->
       s"""WITH $embBase
          |SELECT x.vec_id AS a, y.vec_id AS b,
-         |  round(${dotD("x.v", "y.v")} / (x.nrm * y.nrm), 6) AS sim
+         |  (round(${dotD("x.v", "y.v")} / (x.nrm * y.nrm), 6) + 0.0) AS sim
          |FROM en x JOIN en y ON x.vec_id < y.vec_id
          |WHERE ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) > 0.3""".stripMargin,
 
@@ -384,7 +384,7 @@ object ExtQueries {
          |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
          |  FROM qs x JOIN en y ON x.vec_id <> y.vec_id),
          |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)::BIGINT AS rank FROM sims)
-         |SELECT q_id, n_id, rank, round(sim, 6) AS sim FROM rk WHERE rank <= 5""".stripMargin,
+         |SELECT q_id, n_id, rank, (round(sim, 6) + 0.0) AS sim FROM rk WHERE rank <= 5""".stripMargin,
 
     "sim_ann_lsh" ->
       s"""WITH $embBase,
@@ -393,13 +393,13 @@ object ExtQueries {
          |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
          |  FROM es x JOIN es y ON x.sig = y.sig AND x.vec_id <> y.vec_id),
          |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)::BIGINT AS rank FROM sims)
-         |SELECT q_id, n_id, rank, round(sim, 6) AS sim FROM rk WHERE rank <= 3""".stripMargin,
+         |SELECT q_id, n_id, rank, (round(sim, 6) + 0.0) AS sim FROM rk WHERE rank <= 3""".stripMargin,
 
     "emb_neardup_lsh" ->
       s"""WITH $embBase,
          |es AS (SELECT *, $sigD AS sig FROM en)
          |SELECT x.vec_id AS a, y.vec_id AS b,
-         |  round(${dotD("x.v", "y.v")} / (x.nrm * y.nrm), 6) AS sim
+         |  (round(${dotD("x.v", "y.v")} / (x.nrm * y.nrm), 6) + 0.0) AS sim
          |FROM es x JOIN es y ON x.sig = y.sig AND x.vec_id < y.vec_id
          |WHERE ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) > 0.3""".stripMargin,
 
@@ -416,7 +416,7 @@ object ExtQueries {
          |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
          |  FROM qs x JOIN assigned y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
          |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)::BIGINT AS rank FROM sims)
-         |SELECT q_id, n_id, rank, round(sim, 6) AS sim FROM rk WHERE rank <= 3""".stripMargin,
+         |SELECT q_id, n_id, rank, (round(sim, 6) + 0.0) AS sim FROM rk WHERE rank <= 3""".stripMargin,
 
     "mm_resize" ->
       """SELECT doc_id::BIGINT AS doc_id,
@@ -437,12 +437,12 @@ object ExtQueries {
     "asof_join" ->
       """WITH ev AS (SELECT user_id::BIGINT AS user_id, epoch_us(ts) AS t,
         |    event_type, value FROM events),
-        |clicks AS (SELECT user_id, t, round(value, 6) AS click_value
+        |clicks AS (SELECT user_id, t, (round(value, 6) + 0.0) AS click_value
         |  FROM ev WHERE event_type = 'click'),
         |purchases AS (SELECT user_id, t, value AS purchase_value
         |  FROM ev WHERE event_type = 'purchase')
         |SELECT c.user_id, c.t, c.click_value,
-        |  round(p.purchase_value, 6) AS purchase_value
+        |  (round(p.purchase_value, 6) + 0.0) AS purchase_value
         |FROM clicks c ASOF LEFT JOIN purchases p
         |  ON c.user_id = p.user_id AND c.t >= p.t""".stripMargin,
 
@@ -457,9 +457,9 @@ object ExtQueries {
          |  FROM hashes),
          |kth AS (SELECT event_type, h AS hk FROM ranked WHERE rn = 64)
          |SELECT e.event_type, e.n_exact,
-         |  round(CASE WHEN k.hk IS NOT NULL
+         |  (round(CASE WHEN k.hk IS NOT NULL
          |    THEN 63.0 * ${P}.0 / k.hk::DOUBLE
-         |    ELSE e.n_exact::DOUBLE END, 4) AS est_distinct
+         |    ELSE e.n_exact::DOUBLE END, 4) + 0.0) AS est_distinct
          |FROM exact e LEFT JOIN kth k ON e.event_type = k.event_type""".stripMargin,
 
     "mm_decode" ->

@@ -25,7 +25,7 @@ object IndicatorQueries {
        |${FrameIndicators.sqlStages("bars", "ticker", "t, event_id")}
        |SELECT $select FROM fi_final""".stripMargin
 
-  private def r6(c: String) = round(col(c), 6).as(c)
+  private def r6(c: String) = Rounding.r6(col(c)).as(c)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ind_rocp" -> ((s, dir) =>
@@ -58,11 +58,11 @@ object IndicatorQueries {
       graft.functions.GraftFunctions.register(s)
       val w = Window.partitionBy("ticker").orderBy("t", "event_id")
       EventBars.bars(s, dir).select(col("ticker"), col("t"),
-        round(expr("graft_rsi_w(close)").over(w), 6).as("rsi"),
-        round(expr("graft_cmo_w(close)").over(w), 6).as("cmo"),
-        round(expr("graft_macd_hist_w(close)").over(w), 6).as("macd_hist"),
-        round(expr("graft_adx_w(high, low, close)").over(w), 6).as("adx"),
-        round(expr("graft_adx_hist_w(high, low, close)").over(w), 6).as("adx_hist"))
+        Rounding.r6(expr("graft_rsi_w(close)").over(w)).as("rsi"),
+        Rounding.r6(expr("graft_cmo_w(close)").over(w)).as("cmo"),
+        Rounding.r6(expr("graft_macd_hist_w(close)").over(w)).as("macd_hist"),
+        Rounding.r6(expr("graft_adx_w(high, low, close)").over(w)).as("adx"),
+        Rounding.r6(expr("graft_adx_hist_w(high, low, close)").over(w)).as("adx_hist"))
     }),
 
     // W8 CCI — dead code in the reference (_get_cci is never called,
@@ -82,36 +82,36 @@ object IndicatorQueries {
         .withColumn("meandev",
           expr("aggregate(tps, 0D, (a, x) -> a + abs(x - sma)) / 14.0D"))
         .select(col("ticker"), col("t"),
-          round(when(col("rn") >= 14,
+          Rounding.r6(when(col("rn") >= 14,
             when(col("meandev") =!= 0.0,
               (col("tp") - col("sma")) / (lit(0.015) * col("meandev")))
-              .otherwise(lit(0.0))), 6).as("cci"))
+              .otherwise(lit(0.0)))).as("cci"))
     }))
 
   val oracles: Map[String, String] = Map(
     "ind_rocp" -> sql("ticker, t, " +
-      (1 to 5).map(k => s"round(rocp_$k, 6) AS rocp_$k").mkString(", ")),
-    "ind_mom" -> sql("ticker, t, round(mom, 6) AS mom"),
-    "ind_mfi" -> sql("ticker, t, round(mfi, 6) AS mfi"),
-    "ind_ultosc" -> sql("ticker, t, round(ultosc, 6) AS ultosc"),
-    "ind_aroonosc" -> sql("ticker, t, round(aroonosc, 6) AS aroonosc"),
-    "ind_ppo" -> sql("ticker, t, round(ppo, 6) AS ppo"),
+      (1 to 5).map(k => s"(round(rocp_$k, 6) + 0.0) AS rocp_$k").mkString(", ")),
+    "ind_mom" -> sql("ticker, t, (round(mom, 6) + 0.0) AS mom"),
+    "ind_mfi" -> sql("ticker, t, (round(mfi, 6) + 0.0) AS mfi"),
+    "ind_ultosc" -> sql("ticker, t, (round(ultosc, 6) + 0.0) AS ultosc"),
+    "ind_aroonosc" -> sql("ticker, t, (round(aroonosc, 6) + 0.0) AS aroonosc"),
+    "ind_ppo" -> sql("ticker, t, (round(ppo, 6) + 0.0) AS ppo"),
     "ind_stochf" -> sql(
-      "ticker, t, round(sok, 6) AS sok, round(sok_hist, 6) AS sok_hist"),
+      "ticker, t, (round(sok, 6) + 0.0) AS sok, (round(sok_hist, 6) + 0.0) AS sok_hist"),
     "ind_recursive" ->
       s"""WITH RECURSIVE bars AS (${EventBars.sqlBars}),
          |${RecursiveIndicators.sqlStages("bars", Seq("ticker"), Seq("t", "event_id"))}
-         |SELECT ticker, t, round(rsi, 6) AS rsi, round(cmo, 6) AS cmo,
-         |  round(macd_hist, 6) AS macd_hist, round(adx, 6) AS adx,
-         |  round(adx_hist, 6) AS adx_hist
+         |SELECT ticker, t, (round(rsi, 6) + 0.0) AS rsi, (round(cmo, 6) + 0.0) AS cmo,
+         |  (round(macd_hist, 6) + 0.0) AS macd_hist, (round(adx, 6) + 0.0) AS adx,
+         |  (round(adx_hist, 6) + 0.0) AS adx_hist
          |FROM ri_final""".stripMargin,
 
     "ind_recursive_window" ->
       s"""WITH RECURSIVE bars AS (${EventBars.sqlBars}),
          |${RecursiveIndicators.sqlStages("bars", Seq("ticker"), Seq("t", "event_id"))}
-         |SELECT ticker, t, round(rsi, 6) AS rsi, round(cmo, 6) AS cmo,
-         |  round(macd_hist, 6) AS macd_hist, round(adx, 6) AS adx,
-         |  round(adx_hist, 6) AS adx_hist
+         |SELECT ticker, t, (round(rsi, 6) + 0.0) AS rsi, (round(cmo, 6) + 0.0) AS cmo,
+         |  (round(macd_hist, 6) + 0.0) AS macd_hist, (round(adx, 6) + 0.0) AS adx,
+         |  (round(adx_hist, 6) + 0.0) AS adx_hist
          |FROM ri_final""".stripMargin,
 
     "ind_cci" ->
@@ -133,8 +133,8 @@ object IndicatorQueries {
          |      list_transform(tps, x -> abs(x - sma))), (a, b) -> a + b) / 14.0 AS meandev
          |  FROM c2)
          |SELECT ticker, t,
-         |  round(CASE WHEN rn >= 14 THEN
+         |  (round(CASE WHEN rn >= 14 THEN
          |    CASE WHEN meandev <> 0 THEN (tp - sma) / (0.015 * meandev)
-         |      ELSE 0.0 END END, 6) AS cci
+         |      ELSE 0.0 END END, 6) + 0.0) AS cci
          |FROM c3""".stripMargin)
 }

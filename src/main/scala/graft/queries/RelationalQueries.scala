@@ -31,14 +31,14 @@ object RelationalQueries {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 4).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-            * (lit(1.0) + col("l_tax"))), 4).as("sum_charge"),
-          round(avg(col("l_quantity")), 6).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 6).as("avg_price"),
-          round(avg(col("l_discount")), 6).as("avg_disc"),
+          Rounding.r4(sum(col("l_quantity"))).as("sum_qty"),
+          Rounding.r4(sum(col("l_extendedprice"))).as("sum_base_price"),
+          Rounding.r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+          Rounding.r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax")))).as("sum_charge"),
+          Rounding.r6(avg(col("l_quantity"))).as("avg_qty"),
+          Rounding.r6(avg(col("l_extendedprice"))).as("avg_price"),
+          Rounding.r6(avg(col("l_discount"))).as("avg_disc"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -52,7 +52,7 @@ object RelationalQueries {
       li.join(broadcast(ord.join(broadcast(cust),
           ord("o_custkey") === cust("c_custkey"))), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+        .agg(Rounding.r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
@@ -73,7 +73,7 @@ object RelationalQueries {
         .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
         .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+        .agg(Rounding.r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
           count(lit(1)).as("n_lineitems"))
     }),
 
@@ -81,7 +81,7 @@ object RelationalQueries {
     "agg_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(round(sum(col("l_quantity")), 4).as("sum_qty"),
+        .agg(Rounding.r4(sum(col("l_quantity"))).as("sum_qty"),
           count(lit(1)).as("n"))
     }),
 
@@ -90,8 +90,8 @@ object RelationalQueries {
       EventBars.events(s, dir)
         .groupBy(col("event_type"), to_date(timestamp_micros(col("t"))).as("day"))
         .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value")), 4).as("sum_value"),
-          round(avg(col("value")), 6).as("avg_value"),
+          Rounding.r4(sum(col("value"))).as("sum_value"),
+          Rounding.r6(avg(col("value"))).as("avg_value"),
           countDistinct(col("user_id")).as("n_users"))
     }),
 
@@ -115,10 +115,10 @@ object RelationalQueries {
     // data_download_yahoo.py:27-64) via codegen'd stack().
     "rel_unpivot" -> ((s, dir) =>
       t(s, dir, "lineitem").selectExpr("l_orderkey", "l_linenumber",
-        "stack(4, 'quantity', round(l_quantity, 6), " +
-          "'extendedprice', round(l_extendedprice, 6), " +
-          "'discount', round(l_discount, 6), " +
-          "'tax', round(l_tax, 6)) AS (measure, value)")),
+        "stack(4, 'quantity', (round((l_quantity) * 1000000.0) / 1000000.0 + 0.0), " +
+          "'extendedprice', (round((l_extendedprice) * 1000000.0) / 1000000.0 + 0.0), " +
+          "'discount', (round((l_discount) * 1000000.0) / 1000000.0 + 0.0), " +
+          "'tax', (round((l_tax) * 1000000.0) / 1000000.0 + 0.0)) AS (measure, value)")),
 
     // Skew pattern: two-phase salted aggregation. Phase 1 spreads a hot
     // low-cardinality key over 16 salt buckets (map-side partials land
@@ -131,7 +131,7 @@ object RelationalQueries {
         .agg(count(lit(1)).as("pn"), sum(col("value")).as("psum"))
       phase1.groupBy("event_type")
         .agg(sum("pn").as("n_events"),
-          round(sum("psum"), 4).as("sum_value"))
+          Rounding.r4(sum("psum")).as("sum_value"))
     }),
 
     // Exact interpolated quantiles (both engines: linear interpolation
@@ -140,9 +140,9 @@ object RelationalQueries {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))),
+          Rounding.r4(expr("percentile(l_extendedprice, 0.25)")).as("p25"),
+          Rounding.r4(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
+          Rounding.r4(expr("percentile(l_extendedprice, 0.75)")).as("p75"))),
 
     // ISO week-of-year (the reference's dead get_week_year helper,
     // utils.py:110-121): weekly event rollup on ISO (year, week).
@@ -153,7 +153,7 @@ object RelationalQueries {
           col("value"))
         .groupBy("iso_year", "iso_week")
         .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value")), 4).as("sum_value"))),
+          Rounding.r4(sum(col("value"))).as("sum_value"))),
 
     // Ranking-window surface: top-3 events per type by value.
     "agg_topk_per_group" -> ((s, dir) =>
@@ -162,18 +162,18 @@ object RelationalQueries {
           "CAST(row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS BIGINT)"))
         .filter(col("rnk") <= 3)
         .select(col("event_type"), col("event_id"), col("rnk"),
-          round(col("value"), 6).as("value"))))
+          Rounding.r6(col("value")).as("value"))))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 4) AS sum_qty,
-        |  round(sum(l_extendedprice), 4) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 4) AS sum_charge,
-        |  round(avg(l_quantity), 6) AS avg_qty,
-        |  round(avg(l_extendedprice), 6) AS avg_price,
-        |  round(avg(l_discount), 6) AS avg_disc,
+        |  (round(sum(l_quantity), 4) + 0.0) AS sum_qty,
+        |  (round(sum(l_extendedprice), 4) + 0.0) AS sum_base_price,
+        |  (round(sum(l_extendedprice * (1.0 - l_discount)), 4) + 0.0) AS sum_disc_price,
+        |  (round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 4) + 0.0) AS sum_charge,
+        |  (round(avg(l_quantity), 6) + 0.0) AS avg_qty,
+        |  (round(avg(l_extendedprice), 6) + 0.0) AS avg_price,
+        |  (round(avg(l_discount), 6) + 0.0) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -181,7 +181,7 @@ object RelationalQueries {
 
     "q3_revenue_topk" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |  (round(sum(l_extendedprice * (1.0 - l_discount)), 4) + 0.0) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -194,7 +194,7 @@ object RelationalQueries {
 
     "q5_nation_revenue" ->
       """SELECT n_name,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |  (round(sum(l_extendedprice * (1.0 - l_discount)), 4) + 0.0) AS revenue,
         |  count(*) AS n_lineitems
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -207,15 +207,15 @@ object RelationalQueries {
 
     "agg_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+        |  (round(sum(l_quantity), 4) + 0.0) AS sum_qty, count(*) AS n
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "agg_events_daily" ->
       """SELECT event_type, CAST(ts AS DATE) AS day,
         |  count(*) AS n_events,
-        |  round(sum(value), 4) AS sum_value,
-        |  round(avg(value), 6) AS avg_value,
+        |  (round(sum(value), 4) + 0.0) AS sum_value,
+        |  (round(avg(value), 6) + 0.0) AS avg_value,
         |  count(DISTINCT user_id) AS n_users
         |FROM events
         |GROUP BY event_type, CAST(ts AS DATE)""".stripMargin,
@@ -234,36 +234,36 @@ object RelationalQueries {
 
     "rel_unpivot" ->
       """SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
-        |  round(l_quantity, 6) AS value FROM lineitem
+        |  (round(l_quantity, 6) + 0.0) AS value FROM lineitem
         |UNION ALL SELECT l_orderkey, l_linenumber, 'extendedprice',
-        |  round(l_extendedprice, 6) FROM lineitem
+        |  (round(l_extendedprice, 6) + 0.0) FROM lineitem
         |UNION ALL SELECT l_orderkey, l_linenumber, 'discount',
-        |  round(l_discount, 6) FROM lineitem
+        |  (round(l_discount, 6) + 0.0) FROM lineitem
         |UNION ALL SELECT l_orderkey, l_linenumber, 'tax',
-        |  round(l_tax, 6) FROM lineitem""".stripMargin,
+        |  (round(l_tax, 6) + 0.0) FROM lineitem""".stripMargin,
 
     "agg_salted" ->
       """SELECT event_type, count(*) AS n_events,
-        |  round(sum(value), 4) AS sum_value
+        |  (round(sum(value), 4) + 0.0) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
 
     "agg_quantiles" ->
       """SELECT l_returnflag,
-        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
-        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
-        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+        |  (round(quantile_cont(l_extendedprice, 0.25), 4) + 0.0) AS p25,
+        |  (round(quantile_cont(l_extendedprice, 0.5), 4) + 0.0) AS p50,
+        |  (round(quantile_cont(l_extendedprice, 0.75), 4) + 0.0) AS p75
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "agg_isoweek" ->
       """SELECT isoyear(ts)::BIGINT AS iso_year, week(ts)::BIGINT AS iso_week,
-        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |  count(*) AS n_events, (round(sum(value), 4) + 0.0) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "agg_topk_per_group" ->
       """WITH r AS (SELECT event_type, event_id,
         |    row_number() OVER (PARTITION BY event_type
         |      ORDER BY value DESC, event_id)::BIGINT AS rnk,
-        |    round(value, 6) AS value
+        |    (round(value, 6) + 0.0) AS value
         |  FROM events)
         |SELECT event_type, event_id, rnk, value FROM r WHERE rnk <= 3""".stripMargin)
 }
