@@ -77,11 +77,12 @@ object GraftFunctions {
   import org.apache.spark.sql.catalyst.expressions.Literal
   import org.apache.spark.sql.types.IntegerType
 
-  private def litInt(e: Expression, fn: String): Int = e match {
+  private[functions] def litIntParam(e: Expression, fn: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
       s"$fn expects a literal INT parameter, got $other")
   }
+  private def litInt(e: Expression, fn: String): Int = litIntParam(e, fn)
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

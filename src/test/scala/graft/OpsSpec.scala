@@ -71,6 +71,28 @@ class OpsSpec extends SparkSpec {
     assert(r.getLong(4) == 1L)     // spaces
   }
 
+  test("GraftExtensions registers all functions at session build time") {
+    import org.apache.spark.sql.SparkSession
+    val prior = spark // ensure shared context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]").config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "2")
+        .withExtensions(new graft.functions.GraftExtensions())
+        .getOrCreate()
+      val r = s2.sql(
+        "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, " +
+          "graft_word_hashes(array('ab')) AS wh").collect()(0)
+      assert(r.getDouble(0) == 11.0)
+      assert(r.getSeq[Long](1) == Seq(7L * 131 * 131 + 97 * 131 + 98))
+    } finally {
+      SparkSession.setDefaultSession(prior)
+      SparkSession.setActiveSession(prior)
+    }
+  }
+
   test("graft_dot rejects non-array inputs with a typed error") {
     graft.functions.GraftFunctions.register(spark)
     val e = intercept[Exception] {
