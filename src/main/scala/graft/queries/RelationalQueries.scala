@@ -144,6 +144,28 @@ object RelationalQueries {
           Rounding.r4(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
           Rounding.r4(expr("percentile(l_extendedprice, 0.75)")).as("p75"))),
 
+    // Spark's native session_window: per-user activity sessions with a
+    // 30-minute inactivity gap (the streaming-capable cousin of F1's
+    // gaps-and-islands; oracle = classic islands SQL).
+    "agg_sessions" -> ((s, dir) =>
+      EventBars.events(s, dir)
+        .withColumn("ts2", timestamp_micros(col("t")))
+        .groupBy(col("user_id").cast("long").as("user_id"),
+          session_window(col("ts2"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          Rounding.r4(sum(col("value"))).as("sum_value"))
+        .select(col("user_id"),
+          expr("CAST(unix_micros(session_window.start) AS BIGINT)").as("session_start"),
+          col("n_events"), col("sum_value"))),
+
+    // Long→wide pivot (inverse of rel_unpivot): event counts per type.
+    "rel_pivot" -> ((s, dir) =>
+      EventBars.events(s, dir)
+        .groupBy(col("user_id").cast("long").as("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
+
     // ISO week-of-year (the reference's dead get_week_year helper,
     // utils.py:110-121): weekly event rollup on ISO (year, week).
     "agg_isoweek" -> ((s, dir) =>
@@ -253,6 +275,27 @@ object RelationalQueries {
         |  (round(quantile_cont(l_extendedprice, 0.5), 4) + 0.0) AS p50,
         |  (round(quantile_cont(l_extendedprice, 0.75), 4) + 0.0) AS p75
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "agg_sessions" ->
+      """WITH e AS (SELECT user_id::BIGINT AS user_id, epoch_us(ts) AS t, value
+        |  FROM events),
+        |g AS (SELECT *, CASE WHEN t - lag(t) OVER w >= 1800000000 OR
+        |    lag(t) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |i AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g)
+        |SELECT user_id, min(t)::BIGINT AS session_start,
+        |  count(*) AS n_events, (round(sum(value), 4) + 0.0) AS sum_value
+        |FROM i GROUP BY user_id, sid""".stripMargin,
+
+    "rel_pivot" ->
+      """SELECT user_id::BIGINT AS user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'view') AS view,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'error') AS error
+        |FROM events GROUP BY 1""".stripMargin,
 
     "agg_isoweek" ->
       """SELECT isoyear(ts)::BIGINT AS iso_year, week(ts)::BIGINT AS iso_week,
