@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
+
+import graft.model.Schemas
+
+/** Source/sink format coverage beyond parquet: CSV (the reference's S1
+  * member-list format), JSON, and ORC roundtrips of the raw-bars schema
+  * with schema enforcement on read. */
+class IoFormatsSpec extends SparkSpec {
+
+  private def sample() = spark.createDataFrame(
+    java.util.Arrays.asList(
+      Row("AAPL", 10.0, 1.0, 2.0, 3.0, 0.5, 2.0, 1704067200000000000L),
+      Row("MSFT", 20.0, 4.0, 5.0, 6.0, 3.5, 5.0, 1704067260000000000L)),
+    Schemas.rawBars)
+
+  private def roundtrip(fmt: String): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory(s"fmt_$fmt").toString
+    sample().write.mode("overwrite").format(fmt)
+      .option("header", "true").save(dir)
+    val back = spark.read.format(fmt)
+      .option("header", "true")
+      .schema(Schemas.rawBars) // enforce types (CSV/JSON would infer)
+      .load(dir)
+      .select(Schemas.rawBars.fieldNames.map(col).toIndexedSeq: _*)
+    val a = sample().collect().map(_.toString).sorted.toSeq
+    val b = back.collect().map(_.toString).sorted.toSeq
+    assert(a == b, s"$fmt roundtrip mismatch")
+  }
+
+  test("csv roundtrip preserves the raw-bars schema")(roundtrip("csv"))
+  test("json roundtrip preserves the raw-bars schema")(roundtrip("json"))
+  test("orc roundtrip preserves the raw-bars schema")(roundtrip("orc"))
+
+  test("csv ticker list source appends the two ETF literals") {
+    val dir = java.nio.file.Files.createTempDirectory("tick").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/members.csv"),
+      "Symbol,Name\nAAPL,Apple\nMSFT,Microsoft\n")
+    val out = graft.io.BarsIO.tickerList(spark, s"$dir/members.csv")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(out == Seq("AAPL", "MSFT", "SPY", "VOO"))
+  }
+}
