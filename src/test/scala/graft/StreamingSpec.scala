@@ -92,6 +92,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact-dedup drops in-watermark duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(min: Int) = new java.sql.Timestamp(1709650800000L + min * 60000L)
+    val deduped = stream.toDS().toDF("ts", "doc")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("doc")
+    val q = deduped.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_out").start()
+    try {
+      stream.addData(Seq((ts(0), "a"), (ts(1), "a"), (ts(2), "b")))
+      q.processAllAvailable()
+      stream.addData(Seq((ts(3), "a"), (ts(4), "c")))
+      q.processAllAvailable()
+      val docs = spark.table("dedup_out").collect().map(_.getString(1)).sorted
+      assert(docs.toSeq == Seq("a", "b", "c")) // duplicate 'a's suppressed
+    } finally q.stop()
+  }
+
   test("streaming output is bit-identical to the batch pipeline") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
