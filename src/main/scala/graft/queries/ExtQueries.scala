@@ -110,6 +110,38 @@ object ExtQueries {
           expr(fingerprintSpark("wh")).as("fingerprint"),
           expr("CAST(size(sh) AS BIGINT)").as("n_shingles"))),
 
+    // Document chunking: overlapping token windows (size 32, stride 24)
+    // — the standard long-document split for training pipelines. Pure
+    // codegen'd HOF + explode; chunk count ≈ tokens/stride per doc.
+    "text_chunk" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("toks", expr(toksSpark))
+        .withColumn("chunk", explode(expr(
+          "transform(sequence(0, CAST(greatest(0, CAST(size(toks) AS BIGINT) - 9) AS INT) DIV 24), " +
+            "i -> struct(CAST(i AS BIGINT) AS chunk_idx, " +
+            "concat_ws(' ', slice(toks, i*24 + 1, 32)) AS chunk_text))")))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("chunk.chunk_idx").as("chunk_idx"),
+          col("chunk.chunk_text").as("chunk_text"),
+          expr("CAST(length(chunk.chunk_text) AS BIGINT)").as("chunk_chars"))),
+
+    // Scrub: redact digit runs and collapse whitespace (PII-scrub shape;
+    // same RE2-safe patterns on both engines).
+    "text_scrub" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+        expr("regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>'), '  +', ' ')")
+          .as("scrubbed"))),
+
+    // Corpus vocabulary: token document-frequency + total count, top 50.
+    "text_wordfreq" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), explode(expr(toksSpark)).as("tok"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("n_total"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n_total").desc, col("tok"))
+        .limit(50)),
+
     "dedup_exact" -> ((s, dir) =>
       docs(s, dir)
         .select(expr("md5(encode(text, 'utf-8'))").as("h"), col("doc_id").cast("long").as("doc_id"))
@@ -341,6 +373,31 @@ object ExtQueries {
          |SELECT doc_id, ${fingerprintDuck("wh")} AS fingerprint,
          |  len(sh)::BIGINT AS n_shingles
          |FROM ds""".stripMargin,
+
+    "text_chunk" ->
+      s"""WITH $docToks,
+         |ch AS (SELECT doc_id, unnest(list_transform(
+         |    generate_series(0, greatest(0, len(toks)::BIGINT - 9) // 24),
+         |    i -> struct_pack(chunk_idx := i,
+         |      chunk_text := array_to_string(toks[i*24 + 1 : i*24 + 32], ' ')))) AS chunk
+         |  FROM dt)
+         |SELECT doc_id, chunk.chunk_idx::BIGINT AS chunk_idx,
+         |  chunk.chunk_text AS chunk_text,
+         |  length(chunk.chunk_text)::BIGINT AS chunk_chars
+         |FROM ch""".stripMargin,
+
+    "text_scrub" ->
+      """SELECT doc_id::BIGINT AS doc_id,
+        |  regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'), '  +', ' ', 'g') AS scrubbed
+        |FROM documents""".stripMargin,
+
+    "text_wordfreq" ->
+      s"""WITH $docToks,
+         |ex AS (SELECT doc_id, unnest(toks) AS tok FROM dt)
+         |SELECT tok, count(*)::BIGINT AS n_total,
+         |  count(DISTINCT doc_id)::BIGINT AS n_docs
+         |FROM ex GROUP BY tok
+         |ORDER BY n_total DESC, tok LIMIT 50""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS h, count(*)::BIGINT AS n_docs,
