@@ -48,6 +48,9 @@ object StreamingPipeline {
     LocalDate.ofInstant(Instant.ofEpochSecond(windowStartNs / 1000000000L),
       MarketCalendar.Eastern).toString
 
+  private def closeNsOf(ds: String): Long =
+    MarketCalendar.marketOpenCloseNanos(LocalDate.parse(ds))._2
+
   /** Assemble complete (ticker, day) bar groups. Emits each group once,
     * when the watermark passes the day's market close + `slackMinutes`.
     */
@@ -79,13 +82,27 @@ object StreamingPipeline {
               RawBarEvent(t, v, o, c, h, l, ac, ws)
             }.toList
             state.update(incoming ::: state.getOption.getOrElse(Nil))
-            // fire once the watermark passes market close + slack
-            val (_, closeNs) =
-              MarketCalendar.marketOpenCloseNanos(LocalDate.parse(ds))
-            state.setTimeoutTimestamp(closeNs / 1000000L + slackMinutes * 60000L)
+            // fire once the watermark passes market close + slack; clamp
+            // to watermark+1 — an after-hours bar (not watermark-dropped)
+            // can arrive after the watermark already passed its day's
+            // close+slack, and setTimeoutTimestamp(ts <= watermark) throws
+            val target = closeNsOf(ds) / 1000000L + slackMinutes * 60000L
+            state.setTimeoutTimestamp(
+              math.max(target, state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }
       }
+  }
+
+  /** Fixed 8-column raw-bar frame (Schemas.rawBars order) from assembled
+    * days — distributed: never funnels bar data through the driver.
+    */
+  private def barsOf(days: Dataset[DayBars], ds: String): DataFrame = {
+    val spark = days.sparkSession
+    import spark.implicits._
+    days.filter(col("ds") === ds)
+      .flatMap(_.bars.toSeq)
+      .toDF(Schemas.rawBars.fieldNames.toIndexedSeq: _*)
   }
 
   /** Full streaming query: assembled days → batch IndicatorPipeline per
@@ -101,15 +118,19 @@ object StreamingPipeline {
     assembleDays(bars).writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[DayBars], _: Long) =>
-        val days = batch.collect() // bounded: completed ticker-days this batch
-        days.groupBy(_.ds).foreach { case (ds, groups) =>
-          val raw = spark.createDataFrame(
-            java.util.Arrays.asList(groups.flatMap(_.bars).map(b =>
-              org.apache.spark.sql.Row(b.ticker, b.volume, b.open, b.close,
-                b.high, b.low, b.adj_close, b.window_start)): _*),
-            Schemas.rawBars)
-          sink(ds, IndicatorPipeline.run(raw, LocalDate.parse(ds), cfg))
-        }
+        // Only completed-day STRINGS reach the driver (bounded metadata:
+        // one per trading day in the micro-batch). Bar data stays
+        // distributed — flatMap back to rows and run the batch pipeline
+        // on the executors, instead of collect()+createDataFrame.
+        val cached = batch.persist()
+        try {
+          val days = cached.select(col("ds")).distinct().as[String]
+            .collect().sorted
+          days.foreach { ds =>
+            sink(ds, IndicatorPipeline.run(
+              barsOf(cached, ds), LocalDate.parse(ds), cfg))
+          }
+        } finally { cached.unpersist(); () }
       }
       .start()
   }

@@ -60,6 +60,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("after-hours bar arriving past close+slack does not kill the query") {
+    // Regression: setTimeoutTimestamp(close+slack) with close+slack <=
+    // current watermark throws IllegalArgumentException. An after-hours
+    // bar (event-time AHEAD of the watermark but its day's close+slack
+    // BEHIND it) hits exactly that; the timeout must clamp to watermark+1.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[RawBarEvent]
+    val q = StreamingPipeline.assembleDays(stream.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ah_out").start()
+    try {
+      // batch 1: evening bar pushes the watermark past day1 close+slack
+      stream.addData(bar(
+        MarketCalendar.epochNanos(day1, java.time.LocalTime.of(22, 0)), 50.0))
+      q.processAllAvailable()
+      // batch 2: a later after-hours bar for the SAME day — its target
+      // timeout (16:35 ET) is now behind the watermark (~21:30 ET)
+      stream.addData(bar(
+        MarketCalendar.epochNanos(day1, java.time.LocalTime.of(23, 0)), 51.0))
+      q.processAllAvailable()          // must not throw
+      stream.addData(pusher(1))        // advance watermark → timeout fires
+      q.processAllAvailable()
+      stream.addData(pusher(2))
+      q.processAllAvailable()
+      // The first group may fire before the second bar arrives (its
+      // timeout predates the straggler), so the day can emit in up to
+      // two groups — what matters is the query SURVIVED and no bar was
+      // lost (pre-fix it died with IllegalArgumentException here).
+      assert(q.isActive && q.exception.isEmpty)
+      val got = spark.table("ah_out").where($"ticker" === "AAPL")
+        .as[graft.streaming.DayBars].collect()
+      assert(got.map(_.bars.length).sum == 2)
+      assert(got.forall(_.ds == "2024-03-05"))
+    } finally q.stop()
+  }
+
   test("tumbling-window aggregation finalizes on watermark and drops late rows") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
