@@ -70,6 +70,12 @@ object ExtQueries {
   // Simhash bit width.
   private val SimBits = 16
 
+  /** Block count for the exact all-pairs block-partitioned joins
+    * (emb_neardup / sim_topk): per-task work (n/B)^2, shuffle B·n.
+    * At 1000 executors raise B so B^2 ≈ task-slot count.
+    */
+  private val PairBlocks = 8
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "text_stats" -> ((s, dir) =>
@@ -189,25 +195,49 @@ object ExtQueries {
         Rounding.r6(expr("CAST(size(array_intersect(array_distinct(sha), array_distinct(shb))) AS DOUBLE) / CAST(size(array_union(array_distinct(sha), array_distinct(shb))) AS DOUBLE)")).as("jaccard"))
     }),
 
+    // Exact all-pairs near-dup as a BLOCK-PARTITIONED pair join: rows
+    // are bucketed into B blocks; the left side replicates each row to
+    // block-pair keys (b, *), the right side to (*, b), so every
+    // ordered pair meets in exactly ONE (bi, bj) group. The join is an
+    // EQUI-join on the block-pair key (shuffle-hash — never a
+    // BroadcastNestedLoopJoin): per-task work is bounded at (n/B)^2,
+    // shuffle is B·n rows/side, and the O(n^2) compute (inherent to
+    // exact all-pairs) is spread over B^2 independent tasks. At true
+    // scale prefer emb_neardup_lsh, which prunes candidates instead.
     "emb_neardup" -> ((s, dir) => {
       val e = emb(s, dir)
         .select(col("vec_id").cast("long").as("vec_id"),
           expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
         .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
-      e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
+      val x = e.withColumn("bi", expr(s"CAST(vec_id % $PairBlocks AS INT)"))
+        .withColumn("bj", explode(expr(s"sequence(0, ${PairBlocks - 1})")))
+      val y = e.withColumn("bj", expr(s"CAST(vec_id % $PairBlocks AS INT)"))
+        .withColumn("bi", explode(expr(s"sequence(0, ${PairBlocks - 1})")))
+      x.as("x").hint("shuffle_hash")
+        .join(y.as("y").hint("shuffle_hash"),
+          col("x.bi") === col("y.bi") && col("x.bj") === col("y.bj") &&
+            col("x.vec_id") < col("y.vec_id"))
         .withColumn("sim", expr(s"try_divide(${dotS("x.v", "y.v")}, x.nrm * y.nrm)"))
         .filter(col("sim") > 0.3)
         .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
           Rounding.r6(col("sim")).as("sim"))
     }),
 
+    // Exact top-k: same block-pair scheme, query side × full side.
     "sim_topk" -> ((s, dir) => {
       val e = emb(s, dir)
         .select(col("vec_id").cast("long").as("vec_id"),
           expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
         .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
       val q = e.filter(col("vec_id") % 10 === 0)
-      q.as("x").join(e.as("y"), col("x.vec_id") =!= col("y.vec_id"))
+        .withColumn("bi", expr(s"CAST(vec_id % $PairBlocks AS INT)"))
+        .withColumn("bj", explode(expr(s"sequence(0, ${PairBlocks - 1})")))
+      val y = e.withColumn("bj", expr(s"CAST(vec_id % $PairBlocks AS INT)"))
+        .withColumn("bi", explode(expr(s"sequence(0, ${PairBlocks - 1})")))
+      q.as("x").hint("shuffle_hash")
+        .join(y.as("y").hint("shuffle_hash"),
+          col("x.bi") === col("y.bi") && col("x.bj") === col("y.bj") &&
+            col("x.vec_id") =!= col("y.vec_id"))
         .withColumn("sim", expr(s"try_divide(${dotS("x.v", "y.v")}, x.nrm * y.nrm)"))
         .withColumn("rank", expr(
           "CAST(row_number() OVER (PARTITION BY x.vec_id ORDER BY sim DESC, y.vec_id) AS BIGINT)"))
