@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -15,27 +15,17 @@ import org.apache.spark.sql.types._
   * ~50×. These evaluate as tight JVM loops over the same arithmetic
   * (base-131 / base-31 polynomial mod 1e9+7, identical fold order), so
   * results are bit-identical to the HOF path and the oracle.
+  *
+  * The kernels live here as static methods so both `nullSafeEval` and
+  * the generated code call the SAME JIT-compiled loop: `doGenCode`
+  * emits a plain static call, which keeps the enclosing stage inside
+  * whole-stage codegen (no `CodegenFallback` interpreted-projection
+  * island around the hash work).
   */
 object TextHashExpressions {
   final val P = 1000000007L
-}
 
-/** ARRAY<STRING> tokens → ARRAY<BIGINT> per-word polynomial hashes
-  * (seed 7, base 131 over code points). */
-case class WordHashes(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  import TextHashExpressions.P
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"graft_word_hashes expects ARRAY<STRING>, got ${t.simpleString}")
-  }
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def wordHashes(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val out = new Array[Long](n)
     var i = 0
@@ -54,25 +44,7 @@ case class WordHashes(child: Expression)
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildInternal(c: Expression): WordHashes = copy(c)
-  override def prettyName: String = "graft_word_hashes"
-}
-
-/** ARRAY<BIGINT> word hashes → ARRAY<BIGINT> 3-gram shingle hashes. */
-case class ShingleHashes(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  import TextHashExpressions.P
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"graft_shingles expects ARRAY<BIGINT>, got ${t.simpleString}")
-  }
-
-  override def nullSafeEval(input: Any): Any = {
-    val wh = input.asInstanceOf[ArrayData]
+  def shingleHashes(wh: ArrayData): ArrayData = {
     val n = wh.numElements()
     val m = math.max(0, n - 2)
     val out = new Array[Long](m)
@@ -85,27 +57,7 @@ case class ShingleHashes(child: Expression)
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(c)
-  override def prettyName: String = "graft_shingles"
-}
-
-/** ARRAY<BIGINT> shingle hashes → ARRAY<BIGINT> MinHash signature with
-  * `numHash` permutations h_j(x) = ((2j+1)x + 7919j + 1) mod P.
-  * Empty input → all-null signature (mirrors array_min of empty). */
-case class MinHashSig(child: Expression, numHash: Int)
-    extends UnaryExpression with CodegenFallback {
-  import TextHashExpressions.P
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = true)
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"graft_minhash expects ARRAY<BIGINT>, got ${t.simpleString}")
-  }
-
-  override def nullSafeEval(input: Any): Any = {
-    val sh = input.asInstanceOf[ArrayData]
+  def minHashSig(sh: ArrayData, numHash: Int): ArrayData = {
     val n = sh.numElements()
     if (n == 0) return new GenericArrayData(Array.fill[Any](numHash)(null))
     val out = new Array[Long](numHash)
@@ -126,27 +78,7 @@ case class MinHashSig(child: Expression, numHash: Int)
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildInternal(c: Expression): MinHashSig =
-    copy(child = c)
-  override def prettyName: String = "graft_minhash"
-}
-
-/** ARRAY<DOUBLE> vector → BIGINT hyperplane-sign signature over `planes`
-  * deterministic pseudo-random hyperplanes w(j,d) = ((j*131 + d*31) % 7) - 3
-  * (d 0-based). Same summation order as the HOF/oracle formulation. */
-case class HyperplaneSig(child: Expression, planes: Int)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = LongType
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"graft_hplane_sig expects ARRAY<DOUBLE>, got ${t.simpleString}")
-  }
-
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  def hyperplaneSig(v: ArrayData, planes: Int): Long = {
     val n = v.numElements()
     var sig = 0L
     var j = 0
@@ -162,6 +94,97 @@ case class HyperplaneSig(child: Expression, planes: Int)
     }
     sig
   }
+}
+
+/** ARRAY<STRING> tokens → ARRAY<BIGINT> per-word polynomial hashes
+  * (seed 7, base 131 over code points). */
+case class WordHashes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_word_hashes expects ARRAY<STRING>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashExpressions.wordHashes(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashExpressions.wordHashes($c)")
+
+  override protected def withNewChildInternal(c: Expression): WordHashes = copy(c)
+  override def prettyName: String = "graft_word_hashes"
+}
+
+/** ARRAY<BIGINT> word hashes → ARRAY<BIGINT> 3-gram shingle hashes. */
+case class ShingleHashes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles expects ARRAY<BIGINT>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashExpressions.shingleHashes(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashExpressions.shingleHashes($c)")
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(c)
+  override def prettyName: String = "graft_shingles"
+}
+
+/** ARRAY<BIGINT> shingle hashes → ARRAY<BIGINT> MinHash signature with
+  * `numHash` permutations h_j(x) = ((2j+1)x + 7919j + 1) mod P.
+  * Empty input → all-null signature (mirrors array_min of empty). */
+case class MinHashSig(child: Expression, numHash: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash expects ARRAY<BIGINT>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashExpressions.minHashSig(input.asInstanceOf[ArrayData], numHash)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashExpressions.minHashSig($c, $numHash)")
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+  override def prettyName: String = "graft_minhash"
+}
+
+/** ARRAY<DOUBLE> vector → BIGINT hyperplane-sign signature over `planes`
+  * deterministic pseudo-random hyperplanes w(j,d) = ((j*131 + d*31) % 7) - 3
+  * (d 0-based). Same summation order as the HOF/oracle formulation. */
+case class HyperplaneSig(child: Expression, planes: Int) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_hplane_sig expects ARRAY<DOUBLE>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashExpressions.hyperplaneSig(input.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashExpressions.hyperplaneSig($c, $planes)")
 
   override protected def withNewChildInternal(c: Expression): HyperplaneSig =
     copy(child = c)
