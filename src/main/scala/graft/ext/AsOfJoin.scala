@@ -34,13 +34,20 @@ object AsOfJoin {
       valCols: Seq[String]): DataFrame = {
 
     val leftCols = left.columns.toSeq
+    // Forward-fill ONE struct of the whole right-row payload, not the
+    // value columns independently: the struct is non-null for every
+    // right row even when its fields are null, so a matched right row
+    // whose value IS null attaches null as-is (true as-of semantics)
+    // instead of last(ignoreNulls) skipping it and carrying an older
+    // non-null value forward.
+    val rStructType = org.apache.spark.sql.types.StructType(
+      valCols.map(c => right.schema(c).copy(name = c)))
     val lTagged = left
       .withColumn("_side", lit(1))
-      .select(col("*") +: valCols.map(c =>
-        lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+      .withColumn("_r", lit(null).cast(rStructType))
     val rTagged = right.select(
-      keyCols.map(col) ++ Seq(col(tsCol), lit(0).as("_side")) ++
-        valCols.map(c => col(c).as(s"_r_$c")): _*)
+      keyCols.map(col) ++ Seq(col(tsCol), lit(0).as("_side"),
+        struct(valCols.map(col): _*).as("_r")): _*)
     // align schemas: right side lacks the left-only columns
     val rAligned = leftCols.filterNot(c =>
       keyCols.contains(c) || c == tsCol).foldLeft(rTagged) { (d, c) =>
@@ -51,9 +58,9 @@ object AsOfJoin {
       .orderBy(col(tsCol).asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val filled = lTagged.unionByName(rAligned)
-      .select(col("*") +: valCols.map(c =>
-        last(col(s"_r_$c"), ignoreNulls = true).over(w).as(c + "_asof")): _*)
+      .withColumn("_rf", last(col("_r"), ignoreNulls = true).over(w))
     filled.filter(col("_side") === 1)
-      .select(leftCols.map(col) ++ valCols.map(c => col(c + "_asof")): _*)
+      .select(leftCols.map(col) ++
+        valCols.map(c => col("_rf")(c).as(c + "_asof")): _*)
   }
 }

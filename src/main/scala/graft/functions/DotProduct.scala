@@ -84,6 +84,23 @@ object GraftFunctions {
   }
   private def litInt(e: Expression, fn: String): Int = litIntParam(e, fn)
 
+  /** Fail on unexpected arity instead of silently dropping arguments —
+    * a caller passing a period to a fixed-kernel function (MACDFIX/ADX
+    * are fixed-constant by definition) must hear about it at analysis
+    * time, not get default behavior.
+    */
+  private def arity(name: String, ns: Int*)(
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    cs => {
+      require(ns.contains(cs.length),
+        s"$name expects ${ns.mkString(" or ")} argument(s), got ${cs.length}")
+      b(cs)
+    }
+
+  /** Wilder-family period: optional trailing literal INT, default 14. */
+  private def wilderPeriod(cs: Seq[Expression], name: String): Int =
+    if (cs.length > 1) litIntParam(cs(1), name) else 14
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
@@ -93,26 +110,33 @@ object GraftFunctions {
         reg.registerFunction(id, new ExpressionInfo(clazz.getName, name), b)
     }
     add("graft_dot", classOf[DotProduct],
-      cs => DotProduct(cs(0), cs(1)))
+      arity("graft_dot", 2)(cs => DotProduct(cs(0), cs(1))))
     add("graft_word_hashes", classOf[WordHashes],
-      cs => WordHashes(cs(0)))
+      arity("graft_word_hashes", 1)(cs => WordHashes(cs(0))))
     add("graft_shingles", classOf[ShingleHashes],
-      cs => ShingleHashes(cs(0)))
+      arity("graft_shingles", 1)(cs => ShingleHashes(cs(0))))
     add("graft_minhash", classOf[MinHashSig],
-      cs => MinHashSig(cs(0), litInt(cs(1), "graft_minhash")))
+      arity("graft_minhash", 2)(cs =>
+        MinHashSig(cs(0), litInt(cs(1), "graft_minhash"))))
     add("graft_hplane_sig", classOf[HyperplaneSig],
-      cs => HyperplaneSig(cs(0), litInt(cs(1), "graft_hplane_sig")))
-    add("graft_rsi_w", classOf[RsiWindow], cs => RsiWindow(cs(0)))
-    add("graft_cmo_w", classOf[CmoWindow], cs => CmoWindow(cs(0)))
+      arity("graft_hplane_sig", 2)(cs =>
+        HyperplaneSig(cs(0), litInt(cs(1), "graft_hplane_sig"))))
+    add("graft_rsi_w", classOf[RsiWindow],
+      arity("graft_rsi_w", 1, 2)(cs =>
+        RsiWindow(cs(0), wilderPeriod(cs, "graft_rsi_w"))))
+    add("graft_cmo_w", classOf[CmoWindow],
+      arity("graft_cmo_w", 1, 2)(cs =>
+        CmoWindow(cs(0), wilderPeriod(cs, "graft_cmo_w"))))
     add("graft_macd_hist_w", classOf[MacdHistWindow],
-      cs => MacdHistWindow(cs(0)))
+      arity("graft_macd_hist_w", 1)(cs => MacdHistWindow(cs(0))))
     add("graft_adx_w", classOf[AdxWindow],
-      cs => AdxWindow(cs(0), cs(1), cs(2)))
+      arity("graft_adx_w", 3)(cs => AdxWindow(cs(0), cs(1), cs(2))))
     add("graft_adx_hist_w", classOf[AdxHistWindow],
-      cs => AdxHistWindow(cs(0), cs(1), cs(2)))
+      arity("graft_adx_hist_w", 3)(cs => AdxHistWindow(cs(0), cs(1), cs(2))))
     add("graft_wilder_w", classOf[WilderPairWindow],
-      cs => WilderPairWindow(cs(0)))
+      arity("graft_wilder_w", 1, 2)(cs =>
+        WilderPairWindow(cs(0), wilderPeriod(cs, "graft_wilder_w"))))
     add("graft_adx_pair_w", classOf[AdxPairWindow],
-      cs => AdxPairWindow(cs(0), cs(1), cs(2)))
+      arity("graft_adx_pair_w", 3)(cs => AdxPairWindow(cs(0), cs(1), cs(2))))
   }
 }

@@ -41,22 +41,28 @@ object FrameIndicators {
     val w = Window.partitionBy(part.map(col): _*).orderBy(order.map(col): _*)
     def rb(a: Long, b: Long): WindowSpec = w.rowsBetween(a, b)
     val p = col(price)
+    // Source columns come from the config (a renamed-column input works
+    // end-to-end), not hardcoded names.
+    val cl = col(cfg.closeUnadjColumn)
+    val hi = col(cfg.highColumn)
+    val lo = col(cfg.lowColumn)
+    val vol = col(cfg.volumeColumn)
 
     // Stage 1: row number, lag-derived primitives.
     val df1 = df0
       .withColumn("rn", row_number().over(w))
-      .withColumn("prev_c", lag(col("close"), 1).over(w))
-      .withColumn("tp", (col("high") + col("low") + col("close")) / lit(3.0))
+      .withColumn("prev_c", lag(cl, 1).over(w))
+      .withColumn("tp", (hi + lo + cl) / lit(3.0))
 
     // Stage 2: per-row derived series (money flow, true range, buying pressure).
     val df2 = df1
       .withColumn("dtp", col("tp") - lag(col("tp"), 1).over(w))
-      .withColumn("mf", col("tp") * col("volume"))
+      .withColumn("mf", col("tp") * vol)
       .withColumn("bp",
-        when(col("prev_c").isNotNull, col("close") - least(col("low"), col("prev_c"))))
+        when(col("prev_c").isNotNull, cl - least(lo, col("prev_c"))))
       .withColumn("tr_",
         when(col("prev_c").isNotNull,
-          greatest(col("high"), col("prev_c")) - least(col("low"), col("prev_c"))))
+          greatest(hi, col("prev_c")) - least(lo, col("prev_c"))))
       .withColumn("pos_mf",
         when(col("dtp") > 0, col("mf")).when(col("dtp") <= 0, lit(0.0)))
       .withColumn("neg_mf",
@@ -80,11 +86,11 @@ object FrameIndicators {
       // TA-Lib ties keep the MOST RECENT extreme (>=/<= update rule), which
       // struct ordering reproduces: ties on value fall through to max rn.
       .withColumn("hi_rn",
-        max(struct(col("high").as("v"), col("rn").as("rn"))).over(rb(-ar, 0)).getField("rn"))
+        max(struct(hi.as("v"), col("rn").as("rn"))).over(rb(-ar, 0)).getField("rn"))
       .withColumn("lo_rn",
-        max(struct((-col("low")).as("v"), col("rn").as("rn"))).over(rb(-ar, 0)).getField("rn"))
-      .withColumn("hh", max("high").over(rb(-(k5 - 1), 0)))
-      .withColumn("ll", min("low").over(rb(-(k5 - 1), 0)))
+        max(struct((-lo).as("v"), col("rn").as("rn"))).over(rb(-ar, 0)).getField("rn"))
+      .withColumn("hh", max(hi).over(rb(-(k5 - 1), 0)))
+      .withColumn("ll", min(lo).over(rb(-(k5 - 1), 0)))
       .withColumn("sma_fast", avg(p).over(rb(-(cfg.ppoFast - 1), 0)))
       .withColumn("sma_slow", avg(p).over(rb(-(cfg.ppoSlow - 1), 0)))
 
@@ -95,7 +101,7 @@ object FrameIndicators {
     // NULL matches the oracle exactly.
     val df4 = df3.withColumn("sok_raw",
       when(col("rn") >= k5,
-        try_divide(col("close") - col("ll"), col("hh") - col("ll"))))
+        try_divide(cl - col("ll"), col("hh") - col("ll"))))
 
     // Stage 5: fastD + final guarded outputs. Guards reproduce TA-Lib
     // lookbacks: MFI=period, ULTOSC=period3, AROONOSC=period,
@@ -140,6 +146,10 @@ object FrameIndicators {
       cfg: IndicatorConfig = IndicatorConfig()): String = {
     val over = s"PARTITION BY $partBy ORDER BY $orderBy"
     def rb(k: Int) = s"OVER ($over ROWS BETWEEN ${k - 1} PRECEDING AND CURRENT ROW)"
+    val cl = cfg.closeUnadjColumn
+    val hiC = cfg.highColumn
+    val loC = cfg.lowColumn
+    val volC = cfg.volumeColumn
     val mfiP = cfg.mfiPeriod
     val (u1, u2, u3) = (cfg.ultoscPeriod1, cfg.ultoscPeriod2, cfg.ultoscPeriod3)
     val ar = cfg.aroonoscPeriod
@@ -152,16 +162,16 @@ object FrameIndicators {
     s"""fi_s1 AS (
        |  SELECT *,
        |    row_number() OVER ($over) AS rn,
-       |    lag(close, 1) OVER ($over) AS prev_c,
-       |    (high + low + close) / 3.0 AS tp
+       |    lag($cl, 1) OVER ($over) AS prev_c,
+       |    ($hiC + $loC + $cl) / 3.0 AS tp
        |  FROM $from),
        |fi_s2 AS (
        |  SELECT *,
        |    tp - lag(tp, 1) OVER ($over) AS dtp,
-       |    tp * volume AS mf,
-       |    CASE WHEN prev_c IS NOT NULL THEN close - least(low, prev_c) END AS bp,
+       |    tp * $volC AS mf,
+       |    CASE WHEN prev_c IS NOT NULL THEN $cl - least($loC, prev_c) END AS bp,
        |    CASE WHEN prev_c IS NOT NULL
-       |      THEN greatest(high, prev_c) - least(low, prev_c) END AS tr_
+       |      THEN greatest($hiC, prev_c) - least($loC, prev_c) END AS tr_
        |  FROM fi_s1),
        |fi_s2b AS (
        |  SELECT *,
@@ -175,14 +185,14 @@ object FrameIndicators {
        |    sum(bp) ${rb(u1)} AS bp1, sum(tr_) ${rb(u1)} AS tr1,
        |    sum(bp) ${rb(u2)} AS bp2, sum(tr_) ${rb(u2)} AS tr2,
        |    sum(bp) ${rb(u3)} AS bp3, sum(tr_) ${rb(u3)} AS tr3,
-       |    (max(struct_pack(v := high, rn := rn)) ${rb(ar + 1)}).rn AS hi_rn,
-       |    (max(struct_pack(v := -low, rn := rn)) ${rb(ar + 1)}).rn AS lo_rn,
-       |    max(high) ${rb(k5)} AS hh, min(low) ${rb(k5)} AS ll,
+       |    (max(struct_pack(v := $hiC, rn := rn)) ${rb(ar + 1)}).rn AS hi_rn,
+       |    (max(struct_pack(v := -$loC, rn := rn)) ${rb(ar + 1)}).rn AS lo_rn,
+       |    max($hiC) ${rb(k5)} AS hh, min($loC) ${rb(k5)} AS ll,
        |    avg($price) ${rb(cfg.ppoFast)} AS sma_fast,
        |    avg($price) ${rb(cfg.ppoSlow)} AS sma_slow
        |  FROM fi_s2b),
        |fi_s4 AS (
-       |  SELECT *, CASE WHEN rn >= $k5 THEN (close - ll) / (hh - ll) END AS sok_raw
+       |  SELECT *, CASE WHEN rn >= $k5 THEN ($cl - ll) / (hh - ll) END AS sok_raw
        |  FROM fi_s3),
        |fi_final AS (
        |  SELECT *,

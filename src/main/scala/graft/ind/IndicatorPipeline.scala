@@ -122,11 +122,22 @@ object IndicatorPipeline {
     val framed = FrameIndicators.addAll(filled,
       keys :+ "island", Seq(ts), price = cfg.closeColumn, cfg = cfg)
 
+    // The Wilder pair kernel threads its period; the MACD/ADX window
+    // kernels are fixed-constant (MACDFIX by definition, ADX at the
+    // reference's 14) — reject non-default configs loudly instead of
+    // silently diverging from the scan path, which honors them.
+    require(cfg.rsiPeriod == cfg.cmoPeriod,
+      "runRange's shared Wilder kernel needs rsiPeriod == cmoPeriod; " +
+        "use run() for split periods")
+    require(cfg.adxPeriod == 14,
+      "runRange's ADX window kernel is fixed at period 14; " +
+        "use run() for non-default adxPeriod")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("ticker", "ds", "island").orderBy(ts)
     val p = col(cfg.closeColumn)
     val projected = framed
-      .withColumn("_wp", expr(s"graft_wilder_w(${cfg.closeColumn})").over(w))
+      .withColumn("_wp",
+        expr(s"graft_wilder_w(${cfg.closeColumn}, ${cfg.rsiPeriod})").over(w))
       .withColumn("_ap", expr(s"graft_adx_pair_w(${cfg.highColumn}, " +
         s"${cfg.lowColumn}, ${cfg.closeUnadjColumn})").over(w))
       .select(

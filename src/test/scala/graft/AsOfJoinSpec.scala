@@ -34,6 +34,18 @@ class AsOfJoinSpec extends SparkSpec {
       ("b", 25L, 300.0)))
   }
 
+  test("a matched right row with NULL value attaches null, not an older value") {
+    // Regression: per-column last(ignoreNulls) skipped the null-valued
+    // right@20 and wrongly carried right@10's 100.0 forward.
+    val left = spark.createDataFrame(java.util.Arrays.asList(
+      Row("a", 25L, 1.0)), lSchema)
+    val right = spark.createDataFrame(java.util.Arrays.asList(
+      Row("a", 10L, 100.0), Row("a", 20L, null)), rSchema)
+    val out = AsOfJoin(left, right, Seq("k"), "t", Seq("rv")).collect()
+    assert(out.length == 1 && out(0).isNullAt(3),
+      s"expected null rv_asof from the null-valued match, got ${out(0)}")
+  }
+
   test("preserves left row count and columns") {
     val left = spark.createDataFrame(java.util.Arrays.asList(
       (1 to 50).map(i => Row("k", i.toLong, i.toDouble)): _*), lSchema)

@@ -60,6 +60,25 @@ class PipelineSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(7) == 1.0))
   }
 
+  test("renamed source columns via IndicatorConfig produce identical output") {
+    // Regression: FrameIndicators hardcoded close/high/low/volume, so a
+    // config with renamed columns was silently ignored.
+    val renamed = rawDay()
+      .withColumnRenamed("volume", "vol_x")
+      .withColumnRenamed("close", "px_close")
+      .withColumnRenamed("high", "px_high")
+      .withColumnRenamed("low", "px_low")
+      .withColumnRenamed("adj_close", "px_adj")
+    val cfg = graft.model.IndicatorConfig(
+      closeColumn = "px_adj", closeUnadjColumn = "px_close",
+      highColumn = "px_high", lowColumn = "px_low", volumeColumn = "vol_x")
+    val got = IndicatorPipeline.run(renamed, date, cfg)
+      .collect().map(_.toString).sorted
+    val want = IndicatorPipeline.run(rawDay(), date)
+      .collect().map(_.toString).sorted
+    assert(got.nonEmpty && got.toSeq == want.toSeq)
+  }
+
   test("skipNa=false keeps warm-up rows and the short island") {
     val out = IndicatorPipeline.run(rawDay(), date,
       graft.model.IndicatorConfig(skipNa = false))
