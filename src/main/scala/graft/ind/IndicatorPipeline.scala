@@ -136,21 +136,20 @@ object IndicatorPipeline {
       .partitionBy("ticker", "ds", "island").orderBy(ts)
     val p = col(cfg.closeColumn)
     val projected = framed
-      .withColumn("_wp",
-        expr(s"graft_wilder_w(${cfg.closeColumn}, ${cfg.rsiPeriod})").over(w))
-      .withColumn("_ap", expr(s"graft_adx_pair_w(${cfg.highColumn}, " +
-        s"${cfg.lowColumn}, ${cfg.closeUnadjColumn})").over(w))
+      .withColumn("_x", expr(s"graft_ind_w(${cfg.closeColumn}, " +
+        s"${cfg.highColumn}, ${cfg.lowColumn}, ${cfg.closeUnadjColumn}, " +
+        s"${cfg.rsiPeriod})").over(w))
       .select(
         col(ts).as("window_start"), p.as("close_price"),
         col("rocp_1"), col("rocp_2"), col("rocp_3"), col("rocp_4"), col("rocp_5"),
-        col("_wp.rsi").as("rsi"),
+        col("_x.rsi").as("rsi"),
         col("mfi"), col("ultosc"),
-        col("_wp.cmo").as("cmo"),
+        col("_x.cmo").as("cmo"),
         col("aroonosc"),
-        expr(s"graft_macd_hist_w(${cfg.closeColumn})").over(w).as("macd_hist"),
+        col("_x.macd_hist").as("macd_hist"),
         col("ppo"), col("sok"), col("sok_hist"),
-        col("_ap.adx").as("adx"),
-        col("_ap.adx_hist").as("adx_hist"),
+        col("_x.adx").as("adx"),
+        col("_x.adx_hist").as("adx_hist"),
         col("sub_ticker").as("ticker"), col("ds"))
     if (cfg.skipNa) projected.na.drop() else projected
   }

@@ -80,20 +80,21 @@ object EtlQueries {
       val fi = FrameIndicators.addAll(interpolated(s, dir),
         Seq("ticker", "island"), Seq("ws"))
       val w = Window.partitionBy("ticker", "island").orderBy("ws")
-      // pair functions: one state evaluation for rsi+cmo and adx+hist
-      fi.withColumn("_wp", expr("graft_wilder_w(close)").over(w))
-        .withColumn("_ap", expr("graft_adx_pair_w(high, low, close)").over(w))
+      // ONE fused state machine for all five recursive outputs — a
+      // single window-aggregate buffer instead of three.
+      fi.withColumn("_x",
+          expr("graft_ind_w(close, high, low, close)").over(w))
         .select(col("ws").as("window_start"),
           Rounding.r6(col("close")).as("close_price"),
           r6("rocp_1"), r6("rocp_2"), r6("rocp_3"), r6("rocp_4"), r6("rocp_5"),
-          Rounding.r6(col("_wp.rsi")).as("rsi"),
+          Rounding.r6(col("_x.rsi")).as("rsi"),
           r6("mfi"), r6("ultosc"),
-          Rounding.r6(col("_wp.cmo")).as("cmo"),
+          Rounding.r6(col("_x.cmo")).as("cmo"),
           r6("aroonosc"),
-          Rounding.r6(expr("graft_macd_hist_w(close)").over(w)).as("macd_hist"),
+          Rounding.r6(col("_x.macd_hist")).as("macd_hist"),
           r6("ppo"), r6("sok"), r6("sok_hist"),
-          Rounding.r6(col("_ap.adx")).as("adx"),
-          Rounding.r6(col("_ap.adx_hist")).as("adx_hist"),
+          Rounding.r6(col("_x.adx")).as("adx"),
+          Rounding.r6(col("_x.adx_hist")).as("adx_hist"),
           col("sub_ticker").as("ticker"))
         .na.drop()
     }),
