@@ -76,6 +76,12 @@ object ExtQueries {
     */
   private val PairBlocks = 8
 
+  /** LSH band buckets larger than this are dropped from candidate
+    * generation (mirrored in the DuckDB oracle). Bounds within-bucket
+    * pairing at MaxBandBucket^2 regardless of corpus skew.
+    */
+  private val MaxBandBucket = 64
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "text_stats" -> ((s, dir) =>
@@ -177,6 +183,16 @@ object ExtQueries {
         .withColumn("bands", expr(bandsS))
         .select(col("doc_id").cast("long").as("doc_id"), col("sh"), col("mh"),
           explode(expr(bkS)).as("bk"))
+        // Band-skew guard: a boilerplate-heavy corpus floods one band
+        // bucket and the within-bucket pairing degrades to quadratic in
+        // the flood size. Cap bucket membership — floods that large are
+        // exact-dup shaped and belong to dedup_exact's hash-groupBy,
+        // not pairwise LSH. The count window partitions on bk, the same
+        // key the candidate join shuffles on, so Catalyst reuses ONE
+        // exchange (no extra shuffle; verified in the plan).
+        .withColumn("_bn", expr("count(1) OVER (PARTITION BY bk)"))
+        .filter(col("_bn") <= MaxBandBucket)
+        .drop("_bn")
       // shuffle-hash join on the band key: both sides are the identical
       // subplan, so Catalyst reuses one exchange (the expensive text
       // hashing runs once, not once per side as broadcast would).
@@ -450,7 +466,9 @@ object ExtQueries {
          |df AS (SELECT * FROM ds WHERE len(sh) > 0),
          |dm AS (SELECT *, $mhD AS mh FROM df),
          |db AS (SELECT *, $bandsD AS mbands FROM dm),
-         |dk AS (SELECT doc_id, sh, mh, unnest($bkD) AS bk FROM db)
+         |dk0 AS (SELECT doc_id, sh, mh, unnest($bkD) AS bk FROM db),
+         |dkc AS (SELECT *, count(*) OVER (PARTITION BY bk) AS bucket_n FROM dk0),
+         |dk AS (SELECT doc_id, sh, mh, bk FROM dkc WHERE bucket_n <= $MaxBandBucket)
          |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
          |  (round(len(list_filter(generate_series(1, $NumHash), i -> x.mh[i] = y.mh[i]))::DOUBLE / $NumHash.0, 6) + 0.0) AS est_sim,
          |  (round(len(list_distinct(list_intersect(list_distinct(x.sh), list_distinct(y.sh))))::DOUBLE

@@ -49,6 +49,37 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("LSH band-skew guard: a boilerplate flood cannot blow up a bucket") {
+    // 400 near-identical boilerplate docs (one hot band bucket) + 30
+    // distinct pairs of near-dups. Without the bucket cap the flood
+    // alone yields ~80k candidate pairs; with it, flooded buckets are
+    // excluded and only the small-bucket candidates survive.
+    import spark.implicits._
+    val boiler = (0 until 400).map(i =>
+      (i.toLong, "terms of service apply to all users of this site " +
+        s"revision $i", "en", "web", 60L))
+    // exact duplicate pairs: identical minhash → guaranteed band match,
+    // so recall here is deterministic (this test exercises the bucket
+    // cap, not near-dup recall at marginal jaccard)
+    val pairs = (0 until 30).flatMap(i => Seq(
+      (1000L + 2 * i, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i", "en", "web", 60L),
+      (1001L + 2 * i, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i", "en", "web", 60L)))
+    val dir = java.nio.file.Files.createTempDirectory("skew").toString
+    (boiler ++ pairs).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val out = graft.queries.ExtQueries.queries("dedup_minhash_lsh")(spark, dir)
+    val rows = out.collect()
+    // bounded: no candidate involves the flooded boilerplate ids
+    assert(rows.nonEmpty && rows.length < 200,
+      s"candidate set not bounded: ${rows.length}")
+    assert(rows.forall(r => r.getAs[Long]("a") >= 1000L),
+      "flooded-bucket docs leaked into candidates")
+    // the real near-dup pairs are still found
+    val found = rows.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert((0 until 30).forall(i => found((1000L + 2 * i, 1001L + 2 * i))))
+  }
+
   test("top-k similarity: exactly k ranked neighbors per query, ordered") {
     val rows = graft.queries.ExtQueries.queries("sim_topk")(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))
