@@ -138,6 +138,8 @@ object GraftFunctions {
         WilderPairWindow(cs(0), wilderPeriod(cs, "graft_wilder_w"))))
     add("graft_adx_pair_w", classOf[AdxPairWindow],
       arity("graft_adx_pair_w", 3)(cs => AdxPairWindow(cs(0), cs(1), cs(2))))
+    add("graft_absdev_sum", classOf[AbsDevSum],
+      arity("graft_absdev_sum", 2)(cs => AbsDevSum(cs(0), cs(1))))
     add("graft_ind_w", classOf[IndicatorPackWindow],
       arity("graft_ind_w", 4, 5)(cs => IndicatorPackWindow(
         cs(0), cs(1), cs(2), cs(3),

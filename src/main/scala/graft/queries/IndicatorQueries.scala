@@ -68,9 +68,11 @@ object IndicatorQueries {
     // W8 CCI — dead code in the reference (_get_cci is never called,
     // indicators.py:372-384) but part of its operator inventory.
     // meandev needs every frame element against the CURRENT row's SMA,
-    // so the frame is materialized (collect_list) and folded per row.
+    // so the frame is materialized (collect_list); the fold itself is
+    // the native codegen'd graft_absdev_sum, not an interpreted HOF.
     "ind_cci" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      graft.functions.GraftFunctions.register(s)
       val w = Window.partitionBy("ticker").orderBy("t", "event_id")
         .rowsBetween(-13, 0)
       EventBars.bars(s, dir)
@@ -79,8 +81,7 @@ object IndicatorQueries {
           Window.partitionBy("ticker").orderBy("t", "event_id")))
         .withColumn("sma", avg("tp").over(w))
         .withColumn("tps", collect_list("tp").over(w))
-        .withColumn("meandev",
-          expr("aggregate(tps, 0D, (a, x) -> a + abs(x - sma)) / 14.0D"))
+        .withColumn("meandev", expr("graft_absdev_sum(tps, sma) / 14.0D"))
         .select(col("ticker"), col("t"),
           Rounding.r6(when(col("rn") >= 14,
             when(col("meandev") =!= 0.0,
