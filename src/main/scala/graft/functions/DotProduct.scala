@@ -140,6 +140,11 @@ object GraftFunctions {
       arity("graft_adx_pair_w", 3)(cs => AdxPairWindow(cs(0), cs(1), cs(2))))
     add("graft_absdev_sum", classOf[AbsDevSum],
       arity("graft_absdev_sum", 2)(cs => AbsDevSum(cs(0), cs(1))))
+    add("graft_simhash", classOf[SimHash],
+      arity("graft_simhash", 2)(cs =>
+        SimHash(cs(0), litInt(cs(1), "graft_simhash"))))
+    add("graft_minhash_est", classOf[MinHashEst],
+      arity("graft_minhash_est", 2)(cs => MinHashEst(cs(0), cs(1))))
     add("graft_ind_w", classOf[IndicatorPackWindow],
       arity("graft_ind_w", 4, 5)(cs => IndicatorPackWindow(
         cs(0), cs(1), cs(2), cs(3),

@@ -160,18 +160,18 @@ object ExtQueries {
         .groupBy("h")
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical"))),
 
-    "dedup_simhash" -> ((s, dir) => {
-      val ex = docs(s, dir)
+    // Pure projection — the majority-vote fold runs per row in the
+    // native graft_simhash expression, so there is no explode, no
+    // 16-sum groupBy, and NO shuffle at all. (The explode→groupBy
+    // formulation shuffled one row per token.) Docs with no tokens are
+    // excluded exactly like explode of an empty array excluded them.
+    "dedup_simhash" -> ((s, dir) =>
+      docs(s, dir)
         .withColumn("toks", expr(toksSpark))
         .withColumn("wh", expr(whS))
-        .select(col("doc_id").cast("long").as("doc_id"), explode(col("wh")).as("h"))
-      val sums = (0 until SimBits).map(b =>
-        sum(expr(s"CASE WHEN (shiftright(h, $b) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s$b"))
-      val bits = (0 until SimBits).map(b =>
-        expr(s"CASE WHEN s$b >= 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
-      ex.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-        .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
-    }),
+        .filter(expr("size(wh) > 0"))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          expr(s"graft_simhash(wh, $SimBits)").as("simhash"))),
 
     "dedup_minhash_lsh" -> ((s, dir) => {
       val base = docs(s, dir)
@@ -207,7 +207,7 @@ object ExtQueries {
           col("x.sh").as("sha"), col("y.sh").as("shb"))
         .dropDuplicates("a", "b")
       cand.select(col("a"), col("b"),
-        Rounding.r6(expr(s"CAST(size(filter(sequence(1, $NumHash), i -> element_at(mha, i) = element_at(mhb, i))) AS DOUBLE) / $NumHash.0D")).as("est_sim"),
+        Rounding.r6(expr("graft_minhash_est(mha, mhb)")).as("est_sim"),
         Rounding.r6(expr("CAST(size(array_intersect(array_distinct(sha), array_distinct(shb))) AS DOUBLE) / CAST(size(array_union(array_distinct(sha), array_distinct(shb))) AS DOUBLE)")).as("jaccard"))
     }),
 

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Relational query surface (scan → filter → join → aggregate → top-k).
@@ -86,13 +86,22 @@ object RelationalQueries {
     }),
 
     // Event-stream daily aggregate (time-bucketed analytics on `events`).
+    // countDistinct alongside plain aggregates plans an Expand that
+    // doubles every input row; the manual two-phase form — partials per
+    // (type, day, user), then fold — computes identical values with one
+    // full-width shuffle and no row duplication. The second groupBy
+    // reuses the first's hash partitioning prefix only logically (keys
+    // differ), but its input is already one row per user — tiny.
     "agg_events_daily" -> ((s, dir) => {
-      EventBars.events(s, dir)
-        .groupBy(col("event_type"), to_date(timestamp_micros(col("t"))).as("day"))
-        .agg(count(lit(1)).as("n_events"),
-          Rounding.r4(sum(col("value"))).as("sum_value"),
-          Rounding.r6(avg(col("value"))).as("avg_value"),
-          countDistinct(col("user_id")).as("n_users"))
+      val per = EventBars.events(s, dir)
+        .groupBy(col("event_type"),
+          to_date(timestamp_micros(col("t"))).as("day"), col("user_id"))
+        .agg(count(lit(1)).as("c"), sum(col("value")).as("sv"))
+      per.groupBy("event_type", "day")
+        .agg(sum(col("c")).as("n_events"),
+          Rounding.r4(sum(col("sv"))).as("sum_value"),
+          Rounding.r6(sum(col("sv")) / sum(col("c"))).as("avg_value"),
+          count(lit(1)).as("n_users"))
     }),
 
     // Semi/anti-join surface: customers with and without open orders.
@@ -134,15 +143,38 @@ object RelationalQueries {
           Rounding.r4(sum("psum")).as("sum_value"))
     }),
 
-    // Exact interpolated quantiles (both engines: linear interpolation
-    // over the sorted values — Spark `percentile` ≡ DuckDB quantile_cont).
-    "agg_quantiles" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          Rounding.r4(expr("percentile(l_extendedprice, 0.25)")).as("p25"),
-          Rounding.r4(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
-          Rounding.r4(expr("percentile(l_extendedprice, 0.75)")).as("p75"))),
+    // Exact interpolated quantiles (linear interpolation over the sorted
+    // values ≡ DuckDB quantile_cont). Sort-based instead of Spark's
+    // `percentile` ObjectAggregate, which buffers every value per group
+    // on one reducer thread and dominated the bench: one exchange+sort
+    // (WindowExec) ranks the rows, then picking the bracketing rows per
+    // quantile is a codegen'd hash aggregate that reuses the window's
+    // partitioning — no second exchange, no object buffers.
+    "agg_quantiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+      val wp = Window.partitionBy("l_returnflag")
+      val price = col("l_extendedprice")
+      val ranked = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), price)
+        .withColumn("rn0", row_number().over(w).cast("long") - 1L)
+        .withColumn("n", count(lit(1)).over(wp))
+      def quant(p: Double): Column = {
+        // Spark Percentile.getPercentile arithmetic, reproduced exactly:
+        // pos = (n-1)*p; lower*(ceil(pos)-pos) + higher*(pos-floor(pos))
+        val pos = (col("n") - 1L).cast("double") * lit(p)
+        val lo = floor(pos).cast("long")
+        val vl = max(when(col("rn0") === lo, price))
+        val vh = max(when(col("rn0") === lo + 1L, price))
+        val frac = pos - floor(pos)
+        when(first(frac) === 0.0, vl)
+          .otherwise(vl * (lit(1.0) - first(frac)) + vh * first(frac))
+      }
+      ranked.groupBy("l_returnflag").agg(
+        Rounding.r4(quant(0.25)).as("p25"),
+        Rounding.r4(quant(0.5)).as("p50"),
+        Rounding.r4(quant(0.75)).as("p75"))
+    }),
 
     // Spark's native session_window: per-user activity sessions with a
     // 30-minute inactivity gap (the streaming-capable cousin of F1's
