@@ -1,0 +1,75 @@
+package graft
+
+/** Physical-plan shape regression tests — the scale properties the
+  * engine is designed around, pinned so a refactor cannot silently
+  * reintroduce a shuffle, a BroadcastNestedLoopJoin, or an interpreted
+  * projection island. Checks run on the INITIAL physical plan (AQE may
+  * further improve shapes at runtime — e.g. reuse the twin exchanges of
+  * a self-join — but never worsen these invariants).
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def shuffles(p: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(p).length
+
+  test("q5: every dimension broadcast, exactly one shuffle (final groupBy)") {
+    val p = plan("q5_nation_revenue")
+    assert("BroadcastExchange".r.findAllIn(p).length == 5)
+    assert(shuffles(p) == 1)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
+  }
+
+  test("exact all-pairs joins never plan a BroadcastNestedLoopJoin") {
+    Seq("emb_neardup", "sim_topk").foreach { q =>
+      assert(!plan(q).contains("BroadcastNestedLoop"), q)
+    }
+  }
+
+  test("native expression family stays inside whole-stage codegen") {
+    Seq("dedup_minhash_lsh", "text_fingerprint", "dedup_simhash",
+      "sim_ann_lsh", "ind_cci").foreach { q =>
+      assert(!plan(q).contains("CodegenFallback"), q)
+    }
+  }
+
+  test("dedup_simhash is a pure projection: zero exchanges") {
+    assert(shuffles(plan("dedup_simhash")) == 0)
+  }
+
+  test("pipeline_window runs end-to-end on ONE hash exchange") {
+    assert(shuffles(plan("pipeline_window")) == 1)
+  }
+
+  test("pipeline_full adds exactly one exchange (the groupByKey hop)") {
+    assert(shuffles(plan("pipeline_full")) == 2)
+  }
+
+  test("as-of join is one shuffle (union before the exchange)") {
+    assert(shuffles(plan("asof_join")) == 1)
+  }
+
+  test("LSH candidate join + bucket-cap window share the bk exchange shape") {
+    // 3 = the two join sides (canonically identical → reused at
+    // runtime by ReuseExchange/AQE stage reuse) + pair dropDuplicates.
+    assert(shuffles(plan("dedup_minhash_lsh")) == 3)
+  }
+
+  test("readDay prunes to one Hive partition") {
+    val base = java.nio.file.Files.createTempDirectory("plan").toString
+    val df = spark.range(10).selectExpr("'T' AS ticker", "CAST(id AS DOUBLE) AS volume",
+      "1.0 AS open", "1.0 AS close", "1.0 AS high", "1.0 AS low",
+      "1.0 AS adj_close", "id AS window_start")
+    graft.io.BarsIO.writePartitioned(df, base, "1m", "2024-03-05")
+    graft.io.BarsIO.writePartitioned(df, base, "1m", "2024-03-06")
+    val p = graft.io.BarsIO.readDay(spark, base, "1m", "2024-03-06")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters"))
+    // both filters are partition filters — nothing survives as a data filter
+    assert(!p.contains("PushedFilters: [IsNotNull"))
+  }
+}
