@@ -149,6 +149,70 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup dedup: native simhash key + watermark state") {
+    // The batch near-dup family composes with streaming: graft_simhash
+    // is an ordinary codegen'd expression, so keying
+    // dropDuplicatesWithinWatermark by the signature dedups
+    // same-content (and bit-identical-signature near-dup) docs with
+    // watermark-bounded state — the streaming twin of dedup_simhash.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(min: Int) = new java.sql.Timestamp(1709650800000L + min * 60000L)
+    val deduped = stream.toDS().toDF("ts", "text")
+      .withColumn("sig", org.apache.spark.sql.functions.expr(
+        "graft_simhash(graft_word_hashes(split(text, ' ')), 16)"))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("sig")
+    val q = deduped.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("simdedup_out").start()
+    try {
+      stream.addData(Seq(
+        (ts(0), "the quick brown fox jumps over the dog"),
+        (ts(1), "the quick brown fox jumps over the dog"),   // exact dup
+        (ts(2), "completely different content about markets and data")))
+      q.processAllAvailable()
+      stream.addData(Seq(
+        (ts(3), "the quick brown fox jumps over the dog"),   // still dup
+        (ts(4), "yet another unrelated document entirely distinct")))
+      q.processAllAvailable()
+      val texts = spark.table("simdedup_out").collect()
+        .map(_.getAs[String]("text")).sorted
+      assert(texts.length == 3 && texts.distinct.length == 3)
+    } finally q.stop()
+  }
+
+  test("streaming query resumes from checkpoint without re-emitting days") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val stream = MemoryStream[RawBarEvent]
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[
+      graft.streaming.DayBars]()
+    def start() = StreamingPipeline.assembleDays(stream.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.DayBars],
+          _: Long) => b.collect().foreach(emitted.add); () }
+      .start()
+    var q = start()
+    try {
+      stream.addData(day1Bars)
+      q.processAllAvailable()
+      q.stop() // crash/redeploy point — state lives in the checkpoint
+      q = start()
+      stream.addData(pusher(1))
+      q.processAllAvailable()
+      stream.addData(pusher(2))
+      q.processAllAvailable()
+      val got = emitted.toArray(Array.empty[graft.streaming.DayBars])
+        .filter(_.ticker == "AAPL")
+      assert(got.length == 1, s"day must emit exactly once, got ${got.length}")
+      assert(got(0).bars.length == 40)
+    } finally q.stop()
+  }
+
   test("streaming output is bit-identical to the batch pipeline") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
