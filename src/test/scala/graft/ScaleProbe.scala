@@ -19,15 +19,37 @@ object ScaleProbe {
       val fi = graft.ind.FrameIndicators.addAll(ip, Seq("ticker","island"), Seq("ws"))
       graft.functions.GraftFunctions.register(spark)
       val w = org.apache.spark.sql.expressions.Window.partitionBy("ticker","island").orderBy("ws")
-      fi.withColumn("_wp", expr("graft_wilder_w(close)").over(w))
-        .withColumn("_ap", expr("graft_adx_pair_w(high, low, close)").over(w))
-        .withColumn("macd_hist", expr("graft_macd_hist_w(close)").over(w))
-        .count()
+      fi.withColumn("_x", expr("graft_ind_w(close, high, low, close)").over(w))
+        .select(col("ticker"), col("ws"), col("_x.rsi"), col("_x.adx"))
+        .queryExecution.toRdd.count()
     }
     run() // warm
     val t0 = System.nanoTime()
     val n = run()
     println("OUT_ROWS=" + n + " SEC=" + (System.nanoTime()-t0)/1e9)
+
+    // Dedup/similarity family at `reps`× the sf0.1 corpus: replicated
+    // docs salt their text so signatures stay distinct (the shape under
+    // test is the no-shuffle simhash projection and the banded LSH
+    // equi-join, not a degenerate all-identical corpus).
+    graft.functions.GraftFunctions.register(spark)
+    val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    docs0.crossJoin(spark.range(reps).select(col("id").as("rep")))
+      .withColumn("doc_id", col("doc_id") * reps + col("rep"))
+      .withColumn("text", concat(col("text"), lit(" salt"), col("rep")))
+      .drop("rep")
+      .write.mode("overwrite").parquet("/tmp/scale_docs/documents.parquet")
+    val nd = spark.read.parquet("/tmp/scale_docs/documents.parquet").count()
+    def timeQ(name: String): Double = {
+      val t = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, "/tmp/scale_docs")
+        .queryExecution.toRdd.count()
+      (System.nanoTime() - t) / 1e9
+    }
+    timeQ("dedup_simhash") // warm
+    println(f"DOCS=$nd SIMHASH_SEC=${timeQ("dedup_simhash")}%.2f " +
+      f"MINHASH_LSH_SEC=${timeQ("dedup_minhash_lsh")}%.2f " +
+      f"EXACT_SEC=${timeQ("dedup_exact")}%.2f")
     spark.stop()
   }
 }
