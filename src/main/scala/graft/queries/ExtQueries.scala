@@ -371,6 +371,34 @@ object ExtQueries {
         .filter(col("rank") <= 3)
         .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("n_id"),
           col("rank"), Rounding.r6(col("sim")).as("sim"))
+    }),
+
+    // IVF with nprobe=2 — the recall lever: queries probe their TWO
+    // nearest cells (candidates ~2×, still an equi-join on cell id; a
+    // data vector lives in exactly one cell so no pair dedup needed).
+    "sim_ivf_probe2" -> ((s, dir) => {
+      val e = emb(s, dir)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+        .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+      val ranked = e.crossJoin(broadcast(cents))
+        .withColumn("csim", expr(s"try_divide(${dotS("v", "cv")}, nrm * cnrm)"))
+        .withColumn("crank", expr(
+          "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id)"))
+      val assigned = ranked.filter(col("crank") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
+      val qs = ranked.filter(col("crank") <= 2 && col("vec_id") % 25 === 0)
+        .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
+      qs.as("x").join(assigned.as("y"),
+          col("x.cell") === col("y.cell") && col("x.vec_id") =!= col("y.vec_id"))
+        .withColumn("sim", expr(s"try_divide(${dotS("x.v", "y.v")}, x.nrm * y.nrm)"))
+        .withColumn("rank", expr(
+          "CAST(row_number() OVER (PARTITION BY x.vec_id ORDER BY sim DESC, y.vec_id) AS BIGINT)"))
+        .filter(col("rank") <= 3)
+        .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("n_id"),
+          col("rank"), Rounding.r6(col("sim")).as("sim"))
     }))
 
   // ---- DuckDB oracles ----
@@ -517,6 +545,22 @@ object ExtQueries {
          |asg1 AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS crank FROM asg0),
          |assigned AS (SELECT vec_id, v, nrm, c_id AS cell FROM asg1 WHERE crank = 1),
          |qs AS (SELECT * FROM assigned WHERE vec_id % 25 = 0),
+         |sims AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
+         |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+         |  FROM qs x JOIN assigned y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)::BIGINT AS rank FROM sims)
+         |SELECT q_id, n_id, rank, (round(sim, 6) + 0.0) AS sim FROM rk WHERE rank <= 3""".stripMargin,
+
+    "sim_ivf_probe2" ->
+      s"""WITH $embBase,
+         |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM en WHERE vec_id < 16),
+         |asg0 AS (SELECT e.vec_id, e.v, e.nrm, c.c_id,
+         |    ${dotD("e.v", "c.cv")} / (e.nrm * c.cnrm) AS csim
+         |  FROM en e CROSS JOIN cents c),
+         |asg1 AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS crank FROM asg0),
+         |assigned AS (SELECT vec_id, v, nrm, c_id AS cell FROM asg1 WHERE crank = 1),
+         |qs AS (SELECT vec_id, v, nrm, c_id AS cell FROM asg1
+         |  WHERE crank <= 2 AND vec_id % 25 = 0),
          |sims AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
          |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
          |  FROM qs x JOIN assigned y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
