@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.{AsOfJoin, Multimodal, TextOps}
@@ -81,6 +81,48 @@ object ExtQueries {
     * pairing at MaxBandBucket^2 regardless of corpus skew.
     */
   private val MaxBandBucket = 64
+
+  /** Exact 3-gram-shingle jaccard over a candidate pair (raw — callers
+    * round for output, filter on the raw value).
+    */
+  private def jaccardExpr: Column =
+    expr("CAST(size(array_intersect(array_distinct(sha), array_distinct(shb))) AS DOUBLE) / CAST(size(array_union(array_distinct(sha), array_distinct(shb))) AS DOUBLE)")
+
+  /** MinHash-LSH candidate pairs (a < b) with signatures and shingle
+    * sets attached — shared by the pair-report and kept-corpus queries.
+    *
+    * Band-skew guard: a boilerplate-heavy corpus floods one band bucket
+    * and the within-bucket pairing degrades to quadratic in the flood
+    * size, so bucket membership is capped at [[MaxBandBucket]] (floods
+    * that large are exact-dup shaped and belong to dedup_exact's
+    * hash-groupBy). The count window partitions on bk — the same key
+    * the candidate join shuffles on — so ONE exchange feeds the window
+    * and both join sides (the expensive text hashing runs once;
+    * verified in PlanSpec). Pairs are deduped BEFORE the heavy per-pair
+    * array expressions so jaccard/est run once per unique pair, not
+    * once per colliding band.
+    */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .withColumn("toks", expr(toksSpark))
+      .withColumn("wh", expr(whS))
+      .withColumn("sh", expr(shS))
+      .filter(expr("size(sh) > 0"))
+      .withColumn("mh", expr(mhS))
+      .withColumn("bands", expr(bandsS))
+      .select(col("doc_id").cast("long").as("doc_id"), col("sh"), col("mh"),
+        explode(expr(bkS)).as("bk"))
+      .withColumn("_bn", expr("count(1) OVER (PARTITION BY bk)"))
+      .filter(col("_bn") <= MaxBandBucket)
+      .drop("_bn")
+    base.as("x").hint("shuffle_hash")
+      .join(base.as("y").hint("shuffle_hash"),
+        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.mh").as("mha"), col("y.mh").as("mhb"),
+        col("x.sh").as("sha"), col("y.sh").as("shb"))
+      .dropDuplicates("a", "b")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -173,42 +215,23 @@ object ExtQueries {
         .select(col("doc_id").cast("long").as("doc_id"),
           expr(s"graft_simhash(wh, $SimBits)").as("simhash"))),
 
-    "dedup_minhash_lsh" -> ((s, dir) => {
-      val base = docs(s, dir)
-        .withColumn("toks", expr(toksSpark))
-        .withColumn("wh", expr(whS))
-        .withColumn("sh", expr(shS))
-        .filter(expr("size(sh) > 0"))
-        .withColumn("mh", expr(mhS))
-        .withColumn("bands", expr(bandsS))
-        .select(col("doc_id").cast("long").as("doc_id"), col("sh"), col("mh"),
-          explode(expr(bkS)).as("bk"))
-        // Band-skew guard: a boilerplate-heavy corpus floods one band
-        // bucket and the within-bucket pairing degrades to quadratic in
-        // the flood size. Cap bucket membership — floods that large are
-        // exact-dup shaped and belong to dedup_exact's hash-groupBy,
-        // not pairwise LSH. The count window partitions on bk, the same
-        // key the candidate join shuffles on, so Catalyst reuses ONE
-        // exchange (no extra shuffle; verified in the plan).
-        .withColumn("_bn", expr("count(1) OVER (PARTITION BY bk)"))
-        .filter(col("_bn") <= MaxBandBucket)
-        .drop("_bn")
-      // shuffle-hash join on the band key: both sides are the identical
-      // subplan, so Catalyst reuses one exchange (the expensive text
-      // hashing runs once, not once per side as broadcast would).
-      // Candidate pairs are deduped BEFORE the heavy per-pair array
-      // expressions so jaccard/est run once per unique pair, not once
-      // per colliding band.
-      val cand = base.as("x").hint("shuffle_hash")
-        .join(base.as("y").hint("shuffle_hash"),
-          col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          col("x.mh").as("mha"), col("y.mh").as("mhb"),
-          col("x.sh").as("sha"), col("y.sh").as("shb"))
-        .dropDuplicates("a", "b")
-      cand.select(col("a"), col("b"),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      minhashPairs(s, dir).select(col("a"), col("b"),
         Rounding.r6(expr("graft_minhash_est(mha, mhb)")).as("est_sim"),
-        Rounding.r6(expr("CAST(size(array_intersect(array_distinct(sha), array_distinct(shb))) AS DOUBLE) / CAST(size(array_union(array_distinct(sha), array_distinct(shb))) AS DOUBLE)")).as("jaccard"))
+        Rounding.r6(jaccardExpr).as("jaccard"))),
+
+    // The kept corpus — what a pipeline actually materializes after
+    // near-dup detection: greedy keep-lowest-id (every pair's higher id
+    // is dropped when jaccard clears the threshold; the `a < b` pair
+    // orientation makes the survivor deterministic). Anti-join on the
+    // loser set — docs shuffle only their ids.
+    "dedup_keep" -> ((s, dir) => {
+      val losers = minhashPairs(s, dir)
+        .filter(jaccardExpr >= 0.8)
+        .select(col("b").as("doc_id")).distinct()
+      docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("n_chars"))
+        .join(losers, Seq("doc_id"), "left_anti")
     }),
 
     // Exact all-pairs near-dup as a BLOCK-PARTITIONED pair join: rows
@@ -502,6 +525,21 @@ object ExtQueries {
          |  (round(len(list_distinct(list_intersect(list_distinct(x.sh), list_distinct(y.sh))))::DOUBLE
          |      / len(list_distinct(list_concat(list_distinct(x.sh), list_distinct(y.sh))))::DOUBLE, 6) + 0.0) AS jaccard
          |FROM dk x JOIN dk y ON x.bk = y.bk AND x.doc_id < y.doc_id""".stripMargin,
+
+    "dedup_keep" ->
+      s"""WITH $docHashes,
+         |df AS (SELECT * FROM ds WHERE len(sh) > 0),
+         |dm AS (SELECT *, $mhD AS mh FROM df),
+         |db AS (SELECT *, $bandsD AS mbands FROM dm),
+         |dk0 AS (SELECT doc_id, sh, mh, unnest($bkD) AS bk FROM db),
+         |dkc AS (SELECT *, count(*) OVER (PARTITION BY bk) AS bucket_n FROM dk0),
+         |dk AS (SELECT doc_id, sh, mh, bk FROM dkc WHERE bucket_n <= $MaxBandBucket),
+         |losers AS (SELECT DISTINCT y.doc_id
+         |  FROM dk x JOIN dk y ON x.bk = y.bk AND x.doc_id < y.doc_id
+         |  WHERE len(list_distinct(list_intersect(list_distinct(x.sh), list_distinct(y.sh))))::DOUBLE
+         |      / len(list_distinct(list_concat(list_distinct(x.sh), list_distinct(y.sh))))::DOUBLE >= 0.8)
+         |SELECT d.doc_id::BIGINT AS doc_id, d.n_chars FROM documents d
+         |WHERE d.doc_id::BIGINT NOT IN (SELECT doc_id FROM losers)""".stripMargin,
 
     "emb_neardup" ->
       s"""WITH $embBase
