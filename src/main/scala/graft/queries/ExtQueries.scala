@@ -202,6 +202,27 @@ object ExtQueries {
         .groupBy("h")
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical"))),
 
+    // Deterministic ~5% uniform sample: Knuth-hash the id, keep one
+    // residue class. Pure per-row filter — pushes into the scan, zero
+    // shuffle, and reproducible across engines/runs (unlike rand()).
+    "sample_hash" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("n_chars"))
+        .filter(expr(s"((doc_id * 2654435761L) % ${P}L) % 20 = 0"))),
+
+    // Stratified sample: a fixed per-source quota, hash-ordered so the
+    // draw is deterministic. One shuffle on the (low-cardinality)
+    // stratum key; rank + filter, no data-dependent randomness.
+    "sample_stratified" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+          expr(s"(doc_id * 2654435761L) % ${P}L").as("h"))
+        .withColumn("rk", expr(
+          "CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT)"))
+        .filter(col("rk") <= 10)
+        .select(col("doc_id"), col("source"), col("rk"))),
+
     // Pure projection — the majority-vote fold runs per row in the
     // native graft_simhash expression, so there is no explode, no
     // 16-sum groupBy, and NO shuffle at all. (The explode→groupBy
@@ -525,6 +546,18 @@ object ExtQueries {
          |  (round(len(list_distinct(list_intersect(list_distinct(x.sh), list_distinct(y.sh))))::DOUBLE
          |      / len(list_distinct(list_concat(list_distinct(x.sh), list_distinct(y.sh))))::DOUBLE, 6) + 0.0) AS jaccard
          |FROM dk x JOIN dk y ON x.bk = y.bk AND x.doc_id < y.doc_id""".stripMargin,
+
+    "sample_hash" ->
+      s"""SELECT doc_id::BIGINT AS doc_id, source, n_chars FROM documents
+         |WHERE ((doc_id::BIGINT * 2654435761) % $P) % 20 = 0""".stripMargin,
+
+    "sample_stratified" ->
+      s"""WITH h AS (SELECT doc_id::BIGINT AS doc_id, source,
+         |    (doc_id::BIGINT * 2654435761) % $P AS h FROM documents),
+         |r AS (SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id)::BIGINT AS rk
+         |  FROM h)
+         |SELECT doc_id, source, rk FROM r WHERE rk <= 10""".stripMargin,
 
     "dedup_keep" ->
       s"""WITH $docHashes,
