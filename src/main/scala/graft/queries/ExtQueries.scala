@@ -202,6 +202,28 @@ object ExtQueries {
         .groupBy("h")
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical"))),
 
+    // Benchmark decontamination (GPT-3-style n-gram overlap): flag
+    // every training doc sharing a 3-gram shingle with the held-out
+    // set (stand-in: doc_id % 50 == 0). The held-out shingle set is
+    // SMALL by nature → broadcast, so the corpus side never shuffles
+    // its shingles; per-doc overlap counts come from one groupBy of
+    // 8-byte (doc_id, hash) pairs.
+    "text_decontaminate" -> ((s, dir) => {
+      val sh = docs(s, dir)
+        .withColumn("toks", expr(toksSpark))
+        .withColumn("wh", expr(whS))
+        .withColumn("sh", expr(shS))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          expr("array_distinct(sh)").as("shd"))
+      val benchShingles = sh.filter(col("doc_id") % 50 === 0)
+        .select(explode(col("shd")).as("g")).distinct()
+      sh.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), explode(col("shd")).as("g"))
+        .join(broadcast(benchShingles), Seq("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+    }),
+
     // Deterministic ~5% uniform sample: Knuth-hash the id, keep one
     // residue class. Pure per-row filter — pushes into the scan, zero
     // shuffle, and reproducible across engines/runs (unlike rand()).
@@ -546,6 +568,14 @@ object ExtQueries {
          |  (round(len(list_distinct(list_intersect(list_distinct(x.sh), list_distinct(y.sh))))::DOUBLE
          |      / len(list_distinct(list_concat(list_distinct(x.sh), list_distinct(y.sh))))::DOUBLE, 6) + 0.0) AS jaccard
          |FROM dk x JOIN dk y ON x.bk = y.bk AND x.doc_id < y.doc_id""".stripMargin,
+
+    "text_decontaminate" ->
+      s"""WITH $docHashes,
+         |shd AS (SELECT doc_id, list_distinct(sh) AS shd FROM ds),
+         |bs AS (SELECT DISTINCT unnest(shd) AS g FROM shd WHERE doc_id % 50 = 0),
+         |cd AS (SELECT doc_id, unnest(shd) AS g FROM shd WHERE doc_id % 50 <> 0)
+         |SELECT cd.doc_id, count(*) AS n_shared
+         |FROM cd JOIN bs USING (g) GROUP BY cd.doc_id""".stripMargin,
 
     "sample_hash" ->
       s"""SELECT doc_id::BIGINT AS doc_id, source, n_chars FROM documents
