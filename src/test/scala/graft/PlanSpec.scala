@@ -59,6 +59,18 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(plan("dedup_minhash_lsh")) == 3)
   }
 
+  test("decontamination broadcasts the held-out shingle set") {
+    val p = plan("text_decontaminate")
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("uniform hash sample pushes its filter to the scan") {
+    val p = plan("sample_hash")
+    assert(shuffles(p) == 0)
+    assert(p.contains("PushedFilters") || p.contains("Filter"))
+  }
+
   test("readDay prunes to one Hive partition") {
     val base = java.nio.file.Files.createTempDirectory("plan").toString
     val df = spark.range(10).selectExpr("'T' AS ticker", "CAST(id AS DOUBLE) AS volume",
