@@ -272,9 +272,11 @@ object ExtQueries {
       val losers = minhashPairs(s, dir)
         .filter(jaccardExpr >= 0.8)
         .select(col("b").as("doc_id")).distinct()
+      // losers ≪ corpus (it's the near-dup fraction): broadcast the
+      // anti-join so the full corpus never shuffles
       docs(s, dir)
         .select(col("doc_id").cast("long").as("doc_id"), col("n_chars"))
-        .join(losers, Seq("doc_id"), "left_anti")
+        .join(broadcast(losers), Seq("doc_id"), "left_anti")
     }),
 
     // Exact all-pairs near-dup as a BLOCK-PARTITIONED pair join: rows
