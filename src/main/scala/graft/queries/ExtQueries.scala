@@ -202,6 +202,29 @@ object ExtQueries {
         .groupBy("h")
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical"))),
 
+    // TF-IDF-style top terms per document. idf is the exact rational
+    // N/df instead of log(N/df): rank order per doc is identical (log
+    // is monotone) and the arithmetic stays bit-equal across engines
+    // (libm log is not correctly rounded; integer ratios are).
+    // Shape: explode → two short-pair groupBys → vocab join → per-doc
+    // rank. Term stats shuffle (doc_id, tok-hash)-sized rows only.
+    "text_tfidf" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tf = d.select(col("doc_id").cast("long").as("doc_id"),
+          explode(expr(toksSpark)).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tfc"))
+      val dfc = tf.groupBy("tok").agg(count(lit(1)).as("dfc"))
+      val n = d.select(count(lit(1)).cast("double").as("nd"))
+      tf.join(dfc, Seq("tok")).crossJoin(broadcast(n))
+        .withColumn("score",
+          col("tfc").cast("double") * col("nd") / col("dfc").cast("double"))
+        .withColumn("rk", expr(
+          "CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS BIGINT)"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("tok"), col("rk"),
+          Rounding.r6(col("score")).as("score"))
+    }),
+
     // Benchmark decontamination (GPT-3-style n-gram overlap): flag
     // every training doc sharing a 3-gram shingle with the held-out
     // set (stand-in: doc_id % 50 == 0). The held-out shingle set is
@@ -570,6 +593,20 @@ object ExtQueries {
          |  (round(len(list_distinct(list_intersect(list_distinct(x.sh), list_distinct(y.sh))))::DOUBLE
          |      / len(list_distinct(list_concat(list_distinct(x.sh), list_distinct(y.sh))))::DOUBLE, 6) + 0.0) AS jaccard
          |FROM dk x JOIN dk y ON x.bk = y.bk AND x.doc_id < y.doc_id""".stripMargin,
+
+    "text_tfidf" ->
+      s"""WITH $docToks,
+         |tk AS (SELECT doc_id, unnest(toks) AS tok FROM dt),
+         |tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tfc FROM tk GROUP BY 1, 2),
+         |dfc AS (SELECT tok, count(*)::BIGINT AS dfc FROM tf GROUP BY 1),
+         |n AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+         |sc AS (SELECT tf.doc_id, tf.tok,
+         |    tf.tfc::DOUBLE * n.nd / dfc.dfc::DOUBLE AS score
+         |  FROM tf JOIN dfc USING (tok) CROSS JOIN n),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, tok)::BIGINT AS rk FROM sc)
+         |SELECT doc_id, tok, rk, (round(score, 6) + 0.0) AS score
+         |FROM rk WHERE rk <= 3""".stripMargin,
 
     "text_decontaminate" ->
       s"""WITH $docHashes,
