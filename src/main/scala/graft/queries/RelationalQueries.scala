@@ -85,6 +85,14 @@ object RelationalQueries {
           count(lit(1)).as("n"))
     }),
 
+    // CUBE completes the grouping-sets family (all 4 key subsets).
+    "agg_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(Rounding.r4(sum(col("l_quantity"))).as("sum_qty"),
+          count(lit(1)).as("n"))
+    }),
+
     // Event-stream daily aggregate (time-bucketed analytics on `events`).
     // countDistinct alongside plain aggregates plans an Expand that
     // doubles every input row; the manual two-phase form — partials per
@@ -264,6 +272,12 @@ object RelationalQueries {
         |  (round(sum(l_quantity), 4) + 0.0) AS sum_qty, count(*) AS n
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  (round(sum(l_quantity), 4) + 0.0) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
     "agg_events_daily" ->
       """SELECT event_type, CAST(ts AS DATE) AS day,

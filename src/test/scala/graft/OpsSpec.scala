@@ -142,6 +142,29 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("literal"))
   }
 
+  test("new native expressions: known values and typed argument errors") {
+    graft.functions.GraftFunctions.register(spark)
+    // simhash of one hash h sets exactly h's low 16 bits
+    val sh = spark.sql("SELECT graft_simhash(array(CAST(5 AS BIGINT)), 16) AS s")
+      .collect()(0).getLong(0)
+    assert(sh == 5L)
+    // empty input: every bit-count is 0 (>= 0) → all bits set
+    val she = spark.sql(
+      "SELECT graft_simhash(CAST(array() AS ARRAY<BIGINT>), 16) AS s")
+      .collect()(0).getLong(0)
+    assert(she == 0xFFFFL)
+    val est = spark.sql(
+      "SELECT graft_minhash_est(array(1L, 2L, 3L, 4L), array(1L, 9L, 3L, 8L)) AS e")
+      .collect()(0).getDouble(0)
+    assert(est == 0.5)
+    val ads = spark.sql(
+      "SELECT graft_absdev_sum(array(1D, 2D, 4D), 2D) AS a").collect()(0).getDouble(0)
+    assert(ads == 3.0)
+    // arity violations fail at analysis, not silently
+    intercept[Exception](spark.sql("SELECT graft_simhash(array(1L))").collect())
+    intercept[Exception](spark.sql("SELECT graft_macd_hist_w(1.0, 2)").collect())
+  }
+
   test("exact dedup partitions the corpus: group sizes sum to doc count") {
     val total = spark.read.parquet(s"$sf/documents.parquet").count()
     val grouped = graft.queries.ExtQueries.queries("dedup_exact")(spark, sf)
