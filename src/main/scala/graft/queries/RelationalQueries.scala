@@ -198,6 +198,19 @@ object RelationalQueries {
           expr("CAST(unix_micros(session_window.start) AS BIGINT)").as("session_start"),
           col("n_events"), col("sum_value"))),
 
+    // Hopping (sliding) windows via Spark's native window(): 10-minute
+    // windows sliding every 5 — each event lands in exactly two. The
+    // oracle expands the same two aligned starts with integer math.
+    "agg_hopping" -> ((s, dir) =>
+      EventBars.events(s, dir)
+        .groupBy(window(timestamp_micros(col("t")), "10 minutes", "5 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          Rounding.r4(sum(col("value"))).as("sum_value"))
+        .select(
+          expr("CAST(unix_micros(window.start) AS BIGINT)").as("wstart"),
+          col("event_type"), col("n_events"), col("sum_value"))),
+
     // Long→wide pivot (inverse of rel_unpivot): event counts per type.
     "rel_pivot" -> ((s, dir) =>
       EventBars.events(s, dir)
@@ -333,6 +346,15 @@ object RelationalQueries {
         |SELECT user_id, min(t)::BIGINT AS session_start,
         |  count(*) AS n_events, (round(sum(value), 4) + 0.0) AS sum_value
         |FROM i GROUP BY user_id, sid""".stripMargin,
+
+    "agg_hopping" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS t, value FROM events),
+        |x AS (SELECT event_type, value,
+        |    unnest([t - (t % 300000000) - 300000000, t - (t % 300000000)]) AS wstart
+        |  FROM e)
+        |SELECT wstart::BIGINT AS wstart, event_type,
+        |  count(*) AS n_events, (round(sum(value), 4) + 0.0) AS sum_value
+        |FROM x GROUP BY wstart, event_type""".stripMargin,
 
     "rel_pivot" ->
       """SELECT user_id::BIGINT AS user_id,
