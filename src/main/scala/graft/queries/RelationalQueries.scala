@@ -184,6 +184,46 @@ object RelationalQueries {
         Rounding.r4(quant(0.75)).as("p75"))
     }),
 
+    // Feature prep: per-group z-score normalization (one exchange on
+    // the group key; mean/std as whole-partition window aggregates).
+    "feat_zscore" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type")
+      EventBars.events(s, dir)
+        .select(col("event_id").cast("long").as("event_id"),
+          col("event_type"), col("value"))
+        .withColumn("mu", avg("value").over(w))
+        .withColumn("sd", stddev_samp("value").over(w))
+        .select(col("event_id"), col("event_type"),
+          Rounding.r6(expr("try_divide(value - mu, sd)")).as("z"))
+    }),
+
+    // Feature prep: winsorization — clip each value to its group's
+    // [p05, p95]. Quantiles via the same sort-based bracketing as
+    // agg_quantiles, computed as window aggregates so clipping happens
+    // in the SAME pass: one exchange, one sort, no join back.
+    "feat_winsorize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.partitionBy("event_type").orderBy("value")
+      val wAll = Window.partitionBy("event_type")
+      val ranked = EventBars.events(s, dir)
+        .select(col("event_id").cast("long").as("event_id"),
+          col("event_type"), col("value"))
+        .withColumn("rn0", row_number().over(wOrd).cast("long") - 1L)
+        .withColumn("n", count(lit(1)).over(wAll))
+      def quant(p: Double): Column = {
+        val pos = (col("n") - 1L).cast("double") * lit(p)
+        val lo = floor(pos).cast("long")
+        val frac = pos - floor(pos)
+        val vl = max(when(col("rn0") === lo, col("value"))).over(wAll)
+        val vh = max(when(col("rn0") === lo + 1L, col("value"))).over(wAll)
+        when(frac === 0.0, vl).otherwise(vl * (lit(1.0) - frac) + vh * frac)
+      }
+      ranked.select(col("event_id"), col("event_type"),
+        Rounding.r6(least(greatest(col("value"), quant(0.05)), quant(0.95)))
+          .as("clipped"))
+    }),
+
     // Spark's native session_window: per-user activity sessions with a
     // 30-minute inactivity gap (the streaming-capable cousin of F1's
     // gaps-and-islands; oracle = classic islands SQL).
@@ -334,6 +374,20 @@ object RelationalQueries {
         |  (round(quantile_cont(l_extendedprice, 0.5), 4) + 0.0) AS p50,
         |  (round(quantile_cont(l_extendedprice, 0.75), 4) + 0.0) AS p75
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "feat_zscore" ->
+      """SELECT event_id::BIGINT AS event_id, event_type,
+        |  (round((value - avg(value) OVER (PARTITION BY event_type))
+        |       / stddev_samp(value) OVER (PARTITION BY event_type), 6) + 0.0) AS z
+        |FROM events""".stripMargin,
+
+    "feat_winsorize" ->
+      """SELECT event_id::BIGINT AS event_id, event_type,
+        |  (round(least(greatest(value,
+        |      quantile_cont(value, 0.05) OVER (PARTITION BY event_type)),
+        |      quantile_cont(value, 0.95) OVER (PARTITION BY event_type)), 6) + 0.0)
+        |    AS clipped
+        |FROM events""".stripMargin,
 
     "agg_sessions" ->
       """WITH e AS (SELECT user_id::BIGINT AS user_id, epoch_us(ts) AS t, value
