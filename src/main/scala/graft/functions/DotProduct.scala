@@ -101,53 +101,61 @@ object GraftFunctions {
   private def wilderPeriod(cs: Seq[Expression], name: String): Int =
     if (cs.length > 1) litIntParam(cs(1), name) else 14
 
+  /** The single catalog of every graft function: name, implementing
+    * class, and arity-checked builder. Consumed by BOTH registration
+    * paths — [[register]] (runtime, pre-existing session) and
+    * [[GraftExtensions]] (SparkSessionExtensions injection) — so they
+    * can never drift apart.
+    */
+  val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", classOf[DotProduct],
+      arity("graft_dot", 2)(cs => DotProduct(cs(0), cs(1)))),
+    ("graft_word_hashes", classOf[WordHashes],
+      arity("graft_word_hashes", 1)(cs => WordHashes(cs(0)))),
+    ("graft_shingles", classOf[ShingleHashes],
+      arity("graft_shingles", 1)(cs => ShingleHashes(cs(0)))),
+    ("graft_minhash", classOf[MinHashSig],
+      arity("graft_minhash", 2)(cs =>
+        MinHashSig(cs(0), litInt(cs(1), "graft_minhash")))),
+    ("graft_hplane_sig", classOf[HyperplaneSig],
+      arity("graft_hplane_sig", 2)(cs =>
+        HyperplaneSig(cs(0), litInt(cs(1), "graft_hplane_sig")))),
+    ("graft_rsi_w", classOf[RsiWindow],
+      arity("graft_rsi_w", 1, 2)(cs =>
+        RsiWindow(cs(0), wilderPeriod(cs, "graft_rsi_w")))),
+    ("graft_cmo_w", classOf[CmoWindow],
+      arity("graft_cmo_w", 1, 2)(cs =>
+        CmoWindow(cs(0), wilderPeriod(cs, "graft_cmo_w")))),
+    ("graft_macd_hist_w", classOf[MacdHistWindow],
+      arity("graft_macd_hist_w", 1)(cs => MacdHistWindow(cs(0)))),
+    ("graft_adx_w", classOf[AdxWindow],
+      arity("graft_adx_w", 3)(cs => AdxWindow(cs(0), cs(1), cs(2)))),
+    ("graft_adx_hist_w", classOf[AdxHistWindow],
+      arity("graft_adx_hist_w", 3)(cs => AdxHistWindow(cs(0), cs(1), cs(2)))),
+    ("graft_wilder_w", classOf[WilderPairWindow],
+      arity("graft_wilder_w", 1, 2)(cs =>
+        WilderPairWindow(cs(0), wilderPeriod(cs, "graft_wilder_w")))),
+    ("graft_adx_pair_w", classOf[AdxPairWindow],
+      arity("graft_adx_pair_w", 3)(cs => AdxPairWindow(cs(0), cs(1), cs(2)))),
+    ("graft_absdev_sum", classOf[AbsDevSum],
+      arity("graft_absdev_sum", 2)(cs => AbsDevSum(cs(0), cs(1)))),
+    ("graft_simhash", classOf[SimHash],
+      arity("graft_simhash", 2)(cs =>
+        SimHash(cs(0), litInt(cs(1), "graft_simhash")))),
+    ("graft_minhash_est", classOf[MinHashEst],
+      arity("graft_minhash_est", 2)(cs => MinHashEst(cs(0), cs(1)))),
+    ("graft_ind_w", classOf[IndicatorPackWindow],
+      arity("graft_ind_w", 4, 5)(cs => IndicatorPackWindow(
+        cs(0), cs(1), cs(2), cs(3),
+        if (cs.length > 4) litInt(cs(4), "graft_ind_w") else 14))))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-    def add(name: String, clazz: Class[_], b: Seq[Expression] => Expression): Unit = {
+    builders.foreach { case (name, clazz, b) =>
       val id = FunctionIdentifier(name)
       if (!reg.functionExists(id))
         reg.registerFunction(id, new ExpressionInfo(clazz.getName, name), b)
     }
-    add("graft_dot", classOf[DotProduct],
-      arity("graft_dot", 2)(cs => DotProduct(cs(0), cs(1))))
-    add("graft_word_hashes", classOf[WordHashes],
-      arity("graft_word_hashes", 1)(cs => WordHashes(cs(0))))
-    add("graft_shingles", classOf[ShingleHashes],
-      arity("graft_shingles", 1)(cs => ShingleHashes(cs(0))))
-    add("graft_minhash", classOf[MinHashSig],
-      arity("graft_minhash", 2)(cs =>
-        MinHashSig(cs(0), litInt(cs(1), "graft_minhash"))))
-    add("graft_hplane_sig", classOf[HyperplaneSig],
-      arity("graft_hplane_sig", 2)(cs =>
-        HyperplaneSig(cs(0), litInt(cs(1), "graft_hplane_sig"))))
-    add("graft_rsi_w", classOf[RsiWindow],
-      arity("graft_rsi_w", 1, 2)(cs =>
-        RsiWindow(cs(0), wilderPeriod(cs, "graft_rsi_w"))))
-    add("graft_cmo_w", classOf[CmoWindow],
-      arity("graft_cmo_w", 1, 2)(cs =>
-        CmoWindow(cs(0), wilderPeriod(cs, "graft_cmo_w"))))
-    add("graft_macd_hist_w", classOf[MacdHistWindow],
-      arity("graft_macd_hist_w", 1)(cs => MacdHistWindow(cs(0))))
-    add("graft_adx_w", classOf[AdxWindow],
-      arity("graft_adx_w", 3)(cs => AdxWindow(cs(0), cs(1), cs(2))))
-    add("graft_adx_hist_w", classOf[AdxHistWindow],
-      arity("graft_adx_hist_w", 3)(cs => AdxHistWindow(cs(0), cs(1), cs(2))))
-    add("graft_wilder_w", classOf[WilderPairWindow],
-      arity("graft_wilder_w", 1, 2)(cs =>
-        WilderPairWindow(cs(0), wilderPeriod(cs, "graft_wilder_w"))))
-    add("graft_adx_pair_w", classOf[AdxPairWindow],
-      arity("graft_adx_pair_w", 3)(cs => AdxPairWindow(cs(0), cs(1), cs(2))))
-    add("graft_absdev_sum", classOf[AbsDevSum],
-      arity("graft_absdev_sum", 2)(cs => AbsDevSum(cs(0), cs(1))))
-    add("graft_simhash", classOf[SimHash],
-      arity("graft_simhash", 2)(cs =>
-        SimHash(cs(0), litInt(cs(1), "graft_simhash"))))
-    add("graft_minhash_est", classOf[MinHashEst],
-      arity("graft_minhash_est", 2)(cs => MinHashEst(cs(0), cs(1))))
-    add("graft_ind_w", classOf[IndicatorPackWindow],
-      arity("graft_ind_w", 4, 5)(cs => IndicatorPackWindow(
-        cs(0), cs(1), cs(2), cs(3),
-        if (cs.length > 4) litInt(cs(4), "graft_ind_w") else 14)))
   }
 }

@@ -118,6 +118,10 @@ class OpsSpec extends SparkSpec {
           "graft_word_hashes(array('ab')) AS wh").collect()(0)
       assert(r.getDouble(0) == 11.0)
       assert(r.getSeq[Long](1) == Seq(7L * 131 * 131 + 97 * 131 + 98))
+      // the extension path carries the ENTIRE shared catalog
+      graft.functions.GraftFunctions.builders.foreach { case (name, _, _) =>
+        assert(s2.catalog.functionExists(name), s"missing $name")
+      }
     } finally {
       SparkSession.setDefaultSession(prior)
       SparkSession.setActiveSession(prior)
