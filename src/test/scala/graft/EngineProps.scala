@@ -100,4 +100,45 @@ object EngineProps extends Properties("engine") {
       val out = RecursiveIndicators.scan(price, price.map(_ + 1), price.map(_ - 1), price)
       (30 until n).forall(i => out(i)(0).asInstanceOf[Double] == 1.0)
     }
+
+  /** The block-pair decomposition behind emb_neardup/sim_topk: x rows
+    * replicated to (b(x), j) and y rows to (i, b(y)) meet on an
+    * equi-key in exactly ONE group per ordered pair — so a join on the
+    * block-pair key + (idx < idy) enumerates each unordered pair once.
+    */
+  property("block-pair join enumerates every unordered pair exactly once") =
+    Prop.forAll(Gen.choose(2, 40), Gen.choose(1, 8)) { (n, b) =>
+      import org.apache.spark.sql.functions._
+      val ids = spark.range(n.toLong).select(col("id"))
+      val x = ids.withColumn("bi", expr(s"CAST(id % $b AS INT)"))
+        .withColumn("bj", explode(expr(s"sequence(0, ${b - 1})")))
+      val y = ids.withColumn("bj", expr(s"CAST(id % $b AS INT)"))
+        .withColumn("bi", explode(expr(s"sequence(0, ${b - 1})")))
+      val pairs = x.as("x").join(y.as("y"),
+          col("x.bi") === col("y.bi") && col("x.bj") === col("y.bj") &&
+            col("x.id") < col("y.id"))
+        .select(col("x.id"), col("y.id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      pairs.length == n * (n - 1) / 2 && pairs.distinct.length == pairs.length
+    }
+
+  /** Native per-row simhash ≡ the explode → ±1-vote-sum → groupBy
+    * aggregation formulation it replaced.
+    */
+  property("graft_simhash equals the aggregation formulation") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(0L, 1000000006L))) { hs =>
+      graft.functions.GraftFunctions.register(spark)
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val d = Seq((1L, hs)).toDF("doc_id", "wh")
+      val native = d.select(expr("graft_simhash(wh, 16)")).collect()(0).getLong(0)
+      val ex = d.select(col("doc_id"), explode(col("wh")).as("h"))
+      val sums = (0 until 16).map(bt =>
+        sum(expr(s"CASE WHEN (shiftright(h, $bt) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s$bt"))
+      val bits = (0 until 16).map(bt =>
+        expr(s"CASE WHEN s$bt >= 0 THEN CAST(${1L << bt} AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
+      val agg = ex.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+        .select(bits.reduce(_ + _)).collect()(0).getLong(0)
+      native == agg
+    }
 }
