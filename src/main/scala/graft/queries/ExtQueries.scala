@@ -202,6 +202,25 @@ object ExtQueries {
         .groupBy("h")
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical"))),
 
+    // Sequence packing for training: assign docs to fixed-budget
+    // (512-token) sequences by running token count, packed WITHIN each
+    // source shard — the shard-local form that parallelizes (a single
+    // global order would serialize the corpus through one partition).
+    // Deterministic doc_id order; offset = tokens already in the
+    // sequence when the doc starts.
+    "text_pack" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+          expr(s"CAST(size($toksSpark) AS BIGINT)").as("n_toks"))
+        .withColumn("cum", coalesce(sum("n_toks").over(w), lit(0L)))
+        .select(col("doc_id"), col("source"), col("n_toks"),
+          (col("cum") / lit(512L)).cast("long").as("seq_id"),
+          (col("cum") % lit(512L)).as("offset"))
+    }),
+
     // TF-IDF-style top terms per document. idf is the exact rational
     // N/df instead of log(N/df): rank order per doc is identical (log
     // is monotone) and the arithmetic stays bit-equal across engines
@@ -593,6 +612,16 @@ object ExtQueries {
          |  (round(len(list_distinct(list_intersect(list_distinct(x.sh), list_distinct(y.sh))))::DOUBLE
          |      / len(list_distinct(list_concat(list_distinct(x.sh), list_distinct(y.sh))))::DOUBLE, 6) + 0.0) AS jaccard
          |FROM dk x JOIN dk y ON x.bk = y.bk AND x.doc_id < y.doc_id""".stripMargin,
+
+    "text_pack" ->
+      s"""WITH nt AS (SELECT doc_id::BIGINT AS doc_id, source,
+         |    len($toksDuck)::BIGINT AS n_toks FROM documents),
+         |cm AS (SELECT *, coalesce(sum(n_toks) OVER (PARTITION BY source
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0)::BIGINT AS cum FROM nt)
+         |SELECT doc_id, source, n_toks,
+         |  (cum // 512)::BIGINT AS seq_id, (cum % 512)::BIGINT AS offset
+         |FROM cm""".stripMargin,
 
     "text_tfidf" ->
       s"""WITH $docToks,
