@@ -273,7 +273,7 @@ object ExtQueries {
       docs(s, dir)
         .select(col("doc_id").cast("long").as("doc_id"), col("source"),
           col("n_chars"))
-        .filter(expr(s"((doc_id * 2654435761L) % ${P}L) % 20 = 0"))),
+        .filter(expr(s"(((doc_id % ${P}L) * 2654435761L) % ${P}L) % 20 = 0"))),
 
     // Stratified sample: a fixed per-source quota, hash-ordered so the
     // draw is deterministic. One shuffle on the (low-cardinality)
@@ -281,7 +281,7 @@ object ExtQueries {
     "sample_stratified" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id").cast("long").as("doc_id"), col("source"),
-          expr(s"(doc_id * 2654435761L) % ${P}L").as("h"))
+          expr(s"((doc_id % ${P}L) * 2654435761L) % ${P}L").as("h"))
         .withColumn("rk", expr(
           "CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT)"))
         .filter(col("rk") <= 10)
@@ -421,7 +421,7 @@ object ExtQueries {
     // fallback when the group has fewer than k distinct hashes.
     "sketch_kmv" -> ((s, dir) => {
       val k = 64
-      val h = s"(user_id * 2654435761L) % ${P}L"
+      val h = s"((user_id % ${P}L) * 2654435761L) % ${P}L"
       val hashes = EventBars.events(s, dir)
         .select(col("event_type"), expr(h).as("h")).distinct()
       val exact = hashes.groupBy("event_type")
@@ -647,11 +647,11 @@ object ExtQueries {
 
     "sample_hash" ->
       s"""SELECT doc_id::BIGINT AS doc_id, source, n_chars FROM documents
-         |WHERE ((doc_id::BIGINT * 2654435761) % $P) % 20 = 0""".stripMargin,
+         |WHERE (((doc_id::BIGINT % $P) * 2654435761) % $P) % 20 = 0""".stripMargin,
 
     "sample_stratified" ->
       s"""WITH h AS (SELECT doc_id::BIGINT AS doc_id, source,
-         |    (doc_id::BIGINT * 2654435761) % $P AS h FROM documents),
+         |    ((doc_id::BIGINT % $P) * 2654435761) % $P AS h FROM documents),
          |r AS (SELECT doc_id, source,
          |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id)::BIGINT AS rk
          |  FROM h)
@@ -766,7 +766,7 @@ object ExtQueries {
 
     "sketch_kmv" ->
       s"""WITH hashes AS (
-         |  SELECT DISTINCT event_type, (user_id * 2654435761) % $P AS h
+         |  SELECT DISTINCT event_type, ((user_id % $P) * 2654435761) % $P AS h
          |  FROM events),
          |exact AS (SELECT event_type, count(*)::BIGINT AS n_exact
          |  FROM hashes GROUP BY 1),
