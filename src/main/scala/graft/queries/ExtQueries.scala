@@ -314,11 +314,14 @@ object ExtQueries {
       val losers = minhashPairs(s, dir)
         .filter(jaccardExpr >= 0.8)
         .select(col("b").as("doc_id")).distinct()
-      // losers ≪ corpus (it's the near-dup fraction): broadcast the
-      // anti-join so the full corpus never shuffles
+      // No broadcast hint on purpose: when the near-dup fraction is
+      // small AQE converts this to a broadcast anti-join at runtime
+      // (it knows the post-shuffle size), but a boilerplate-heavy
+      // corpus can make the loser set a large fraction of the ids —
+      // a forced broadcast would OOM there, the adaptive choice won't.
       docs(s, dir)
         .select(col("doc_id").cast("long").as("doc_id"), col("n_chars"))
-        .join(broadcast(losers), Seq("doc_id"), "left_anti")
+        .join(losers, Seq("doc_id"), "left_anti")
     }),
 
     // Exact all-pairs near-dup as a BLOCK-PARTITIONED pair join: rows
