@@ -184,16 +184,17 @@ object RelationalQueries {
         Rounding.r4(quant(0.75)).as("p75"))
     }),
 
-    // Feature prep: per-group z-score normalization (one exchange on
-    // the group key; mean/std as whole-partition window aggregates).
+    // Feature prep: per-group z-score normalization. Stats via groupBy
+    // (map-side partials; result = one row per group) broadcast back —
+    // NOT a whole-partition window, which would funnel each group of a
+    // low-cardinality key through a single task at scale.
     "feat_zscore" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("event_type")
-      EventBars.events(s, dir)
+      val e = EventBars.events(s, dir)
         .select(col("event_id").cast("long").as("event_id"),
           col("event_type"), col("value"))
-        .withColumn("mu", avg("value").over(w))
-        .withColumn("sd", stddev_samp("value").over(w))
+      val stats = e.groupBy("event_type")
+        .agg(avg("value").as("mu"), stddev_samp("value").as("sd"))
+      e.join(broadcast(stats), Seq("event_type"))
         .select(col("event_id"), col("event_type"),
           Rounding.r6(expr("try_divide(value - mu, sd)")).as("z"))
     }),
@@ -201,7 +202,11 @@ object RelationalQueries {
     // Feature prep: winsorization — clip each value to its group's
     // [p05, p95]. Quantiles via the same sort-based bracketing as
     // agg_quantiles, computed as window aggregates so clipping happens
-    // in the SAME pass: one exchange, one sort, no join back.
+    // in the SAME pass: one exchange, one sort, no join back. EXACT
+    // per-group quantiles inherently order each group (the sort spills;
+    // the whole-partition aggregate is one task per group) — at true
+    // scale swap the thresholds for approx_percentile, which has no
+    // cross-engine oracle.
     "feat_winsorize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val wOrd = Window.partitionBy("event_type").orderBy("value")
