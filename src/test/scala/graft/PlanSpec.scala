@@ -71,6 +71,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters") || p.contains("Filter"))
   }
 
+  test("z-score stats broadcast back over the unshuffled input") {
+    val p = plan("feat_zscore")
+    assert(p.contains("BroadcastHashJoin"))
+    // the event rows themselves never hash-exchange; only the per-group
+    // stats aggregate does
+    assert(shuffles(p) == 1)
+  }
+
   test("readDay prunes to one Hive partition") {
     val base = java.nio.file.Files.createTempDirectory("plan").toString
     val df = spark.range(10).selectExpr("'T' AS ticker", "CAST(id AS DOUBLE) AS volume",
