@@ -69,11 +69,15 @@ case class SimHash(child: Expression, bits: Int)
   override def dataType: DataType = org.apache.spark.sql.types.LongType
 
   override def nullSafeEval(input: Any): Any =
-    SimHash.eval(input.asInstanceOf[ArrayData], bits)
+    SimHash.sig(input.asInstanceOf[ArrayData], bits)
 
+  // The kernel must NOT be named `eval`: the companion class inherits
+  // Expression.eval(InternalRow), the name collision suppresses the
+  // static forwarder, and Janino then can't resolve the generated call
+  // — the whole stage silently falls back to interpreted execution.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.SimHash.eval($c, $bits)")
+      c => s"graft.functions.SimHash.sig($c, $bits)")
 
   override protected def withNewChildInternal(c: Expression): SimHash =
     copy(child = c)
@@ -81,7 +85,7 @@ case class SimHash(child: Expression, bits: Int)
 }
 
 object SimHash {
-  def eval(wh: ArrayData, bits: Int): Long = {
+  def sig(wh: ArrayData, bits: Int): Long = {
     val counts = new Array[Int](bits)
     val n = wh.numElements()
     var i = 0
@@ -124,11 +128,13 @@ case class MinHashEst(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    MinHashEst.eval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    MinHashEst.est(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
+  // `est`, not `eval` — see the SimHash note: an `eval` kernel loses its
+  // static forwarder to the inherited Expression.eval and breaks codegen.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.MinHashEst.eval($a, $b)")
+      (a, b) => s"graft.functions.MinHashEst.est($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): MinHashEst =
@@ -138,7 +144,7 @@ case class MinHashEst(left: Expression, right: Expression)
 }
 
 object MinHashEst {
-  def eval(a: ArrayData, b: ArrayData): Double = {
+  def est(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var m = 0
     var i = 0

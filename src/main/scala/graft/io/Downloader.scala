@@ -23,6 +23,8 @@ import graft.model.Schemas
   */
 object Downloader {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** G4: break a list into fixed-size chunks — full chunks first, then
     * the remainder (reference break_chunks, utils.py:89-107).
     */
@@ -45,6 +47,16 @@ object Downloader {
     val fields = Seq("Volume", "Open", "Close", "High", "Low", "Adj Close")
     val present = wide.columns.toSet
     val have = tickers.filter(t => fields.forall(f => present(s"$t:$f")))
+    val dropped = tickers.diff(have)
+    if (dropped.nonEmpty)
+      log.warn(s"flattenWide: dropping ${dropped.size} ticker(s) with " +
+        s"incomplete column sets: ${dropped.mkString(", ")}")
+    // All tickers incomplete → explode(array()) would yield
+    // ArrayType(NullType) and the r.* accesses below would throw; the
+    // correct result is simply an empty bars frame.
+    if (have.isEmpty)
+      return wide.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), Schemas.rawBars)
     val rows = have.map { t =>
       struct(
         lit(t).as("ticker") +:

@@ -100,16 +100,22 @@ object RelationalQueries {
     // full-width shuffle and no row duplication. The second groupBy
     // reuses the first's hash partitioning prefix only logically (keys
     // differ), but its input is already one row per user — tiny.
+    // Null contract (matches the oracle's count(1)/avg(value)/
+    // count(DISTINCT user_id)): a NULL user_id forms its own phase-1
+    // group — its rows still count toward n_events and the sums but the
+    // group is excluded from n_users; the avg denominator is the count
+    // of NON-null values, not the row count.
     "agg_events_daily" -> ((s, dir) => {
       val per = EventBars.events(s, dir)
         .groupBy(col("event_type"),
           to_date(timestamp_micros(col("t"))).as("day"), col("user_id"))
-        .agg(count(lit(1)).as("c"), sum(col("value")).as("sv"))
+        .agg(count(lit(1)).as("c"), sum(col("value")).as("sv"),
+          count(col("value")).as("cv"))
       per.groupBy("event_type", "day")
         .agg(sum(col("c")).as("n_events"),
           Rounding.r4(sum(col("sv"))).as("sum_value"),
-          Rounding.r6(sum(col("sv")) / sum(col("c"))).as("avg_value"),
-          count(lit(1)).as("n_users"))
+          Rounding.r6(sum(col("sv")) / sum(col("cv"))).as("avg_value"),
+          count(col("user_id")).as("n_users"))
     }),
 
     // Semi/anti-join surface: customers with and without open orders.

@@ -83,6 +83,20 @@ class DownloaderSpec extends SparkSpec {
     assert(features.select("ticker").distinct().count() == 25)
   }
 
+  test("flattenWide: incomplete tickers dropped; all-incomplete is empty") {
+    val wide = wideFixture(Seq("AAA", "BBB"))
+      .drop("BBB:Adj Close") // BBB now missing a required field
+    val out = Downloader.flattenWide(wide, Seq("AAA", "BBB"))
+    assert(out.columns.toSeq == graft.model.Schemas.rawBars.fieldNames.toSeq)
+    assert(out.select("ticker").distinct().collect().map(_.getString(0))
+      .toSeq == Seq("AAA"))
+
+    // no ticker complete → empty frame with the rawBars schema, no throw
+    val none = Downloader.flattenWide(wide.drop("AAA:Volume"), Seq("AAA", "BBB"))
+    assert(none.schema == graft.model.Schemas.rawBars)
+    assert(none.count() == 0L)
+  }
+
   test("empty fetches mean nothing is written (reference early return)") {
     val csv = tickerCsv(Seq("AAA", "BBB"))
     val base = java.nio.file.Files.createTempDirectory("dl0").toString

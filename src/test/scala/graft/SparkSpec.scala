@@ -18,5 +18,10 @@ object SparkSpec {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
+    // Fail loudly if any generated code doesn't compile. The default
+    // (fallback=true) silently runs the stage interpreted — which is how
+    // a suppressed static forwarder (kernel named `eval` colliding with
+    // Expression.eval) shipped: plans looked codegen'd, runtime wasn't.
+    .config("spark.sql.codegen.fallback", "false")
     .getOrCreate()
 }
