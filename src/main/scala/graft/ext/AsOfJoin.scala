@@ -25,13 +25,20 @@ object AsOfJoin {
     * @param tsCol     ordering column (same name both sides)
     * @param valCols   right-side value columns to attach (null when no
     *                  right row is at-or-before the left row)
+    * @param tolerance max allowed staleness in tsCol's own units (epoch
+    *                  micros here): a match older than `left.ts − tol`
+    *                  attaches as null, the standard "as-of with
+    *                  tolerance" contract (a quote 3 days stale is not a
+    *                  prevailing quote). None = unbounded lookback.
+    *                  Requires a numeric tsCol when set.
     */
   def apply(
       left: DataFrame,
       right: DataFrame,
       keyCols: Seq[String],
       tsCol: String,
-      valCols: Seq[String]): DataFrame = {
+      valCols: Seq[String],
+      tolerance: Option[Long] = None): DataFrame = {
 
     val leftCols = left.columns.toSeq
     // Forward-fill ONE struct of the whole right-row payload, not the
@@ -40,14 +47,19 @@ object AsOfJoin {
     // whose value IS null attaches null as-is (true as-of semantics)
     // instead of last(ignoreNulls) skipping it and carrying an older
     // non-null value forward.
+    // The matched right row's own timestamp rides along in the struct
+    // (field "_rt") so the tolerance check can compare against it after
+    // the forward-fill — the fill itself stays tolerance-oblivious (one
+    // running value per key, no extra state).
     val rStructType = org.apache.spark.sql.types.StructType(
-      valCols.map(c => right.schema(c).copy(name = c)))
+      valCols.map(c => right.schema(c).copy(name = c)) :+
+        right.schema(tsCol).copy(name = "_rt"))
     val lTagged = left
       .withColumn("_side", lit(1))
       .withColumn("_r", lit(null).cast(rStructType))
     val rTagged = right.select(
       keyCols.map(col) ++ Seq(col(tsCol), lit(0).as("_side"),
-        struct(valCols.map(col): _*).as("_r")): _*)
+        struct(valCols.map(col) :+ col(tsCol).as("_rt"): _*).as("_r")): _*)
     // align schemas: right side lacks the left-only columns
     val rAligned = leftCols.filterNot(c =>
       keyCols.contains(c) || c == tsCol).foldLeft(rTagged) { (d, c) =>
@@ -61,6 +73,15 @@ object AsOfJoin {
       .withColumn("_rf", last(col("_r"), ignoreNulls = true).over(w))
     filled.filter(col("_side") === 1)
       .select(leftCols.map(col) ++
-        valCols.map(c => col("_rf")(c).as(c + "_asof")): _*)
+        valCols.map { c =>
+          val v = col("_rf")(c)
+          tolerance match {
+            // no match → _rf is null → the condition is null → `when`
+            // with no otherwise yields null, same as the no-match case
+            case Some(tol) =>
+              when(col(tsCol) - col("_rf")("_rt") <= tol, v).as(c + "_asof")
+            case None => v.as(c + "_asof")
+          }
+        }: _*)
   }
 }

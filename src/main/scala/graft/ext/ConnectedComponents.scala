@@ -1,0 +1,59 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components by iterative min-label propagation — the
+  * cluster step of near-duplicate deduplication: LSH emits candidate
+  * PAIRS, but a pipeline must drop whole duplicate GROUPS (doc A≈B,
+  * B≈C ⇒ {A,B,C} is one cluster even when A≈C was never emitted as a
+  * pair). Each round every node takes the minimum label among itself
+  * and its neighbours; at the fixpoint every node carries the minimum
+  * node id of its component, which serves as the cluster id.
+  *
+  * Scale: each round is one equi-join (edges ⋈ labels on the source
+  * node) plus one groupBy-min — both hash-partition on the node id, so
+  * the exchanges align round to round. Rounds needed = graph diameter;
+  * near-dup clusters are quasi-cliques (LSH emits most intra-cluster
+  * pairs), so 2–3 rounds in practice. `localCheckpoint` truncates the
+  * lineage each round — without it the plan doubles every iteration
+  * and the driver, not the data, becomes the bottleneck. For graphs
+  * with long chains the alternating large-star/small-star scheme
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond")
+  * converges in O(log²) rounds; diameter-bounded dedup graphs don't
+  * need it.
+  */
+object ConnectedComponents {
+
+  /** @param nodes  one column `id` (LONG), one row per vertex
+    * @param edges  columns `src`, `dst` (LONG); undirected — pass each
+    *               edge once in either orientation, symmetrized here
+    * @param maxIter safety bound on propagation rounds
+    * @return one row per vertex: `id`, `lbl` = min id in its component
+    */
+  def apply(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+
+    var labels = nodes.select(col("id"), col("id").as("lbl")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNeighbour = sym
+        .join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("lbl"))
+      val next = labels.union(viaNeighbour)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      // Labels only ever decrease, so a strictly smaller label anywhere
+      // is exactly "not yet converged".
+      converged = next.as("n")
+        .join(labels.as("o"), "id")
+        .where(col("n.lbl") < col("o.lbl"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+}

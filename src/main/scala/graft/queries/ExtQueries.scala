@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AsOfJoin, Multimodal, TextOps}
+import graft.ext.{AsOfJoin, ConnectedComponents, Multimodal, TextOps}
 import graft.functions.GraftFunctions
 
 /** Extended LLM-data-pipeline operators (builder prompt; SURVEY.md §7.4):
@@ -324,6 +324,22 @@ object ExtQueries {
         .join(losers, Seq("doc_id"), "left_anti")
     }),
 
+    // Near-dup CLUSTERS, not just pairs: connected components over the
+    // jaccard ≥ 0.8 candidate graph (A≈B, B≈C ⇒ one {A,B,C} cluster
+    // even when LSH never emitted A≈C). cluster_id = min doc_id in the
+    // component; singletons keep their own id, so this is the full
+    // doc → dedup-group assignment a pipeline partitions on when
+    // choosing one representative per group. The oracle walks the same
+    // edges with a recursive CTE.
+    "dedup_cluster" -> ((s, dir) => {
+      val edges = minhashPairs(s, dir)
+        .filter(jaccardExpr >= 0.8)
+        .select(col("a").as("src"), col("b").as("dst"))
+      val nodes = docs(s, dir).select(col("doc_id").cast("long").as("id"))
+      ConnectedComponents(nodes, edges)
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+    }),
+
     // Exact all-pairs near-dup as a BLOCK-PARTITIONED pair join: rows
     // are bucketed into B blocks; the left side replicates each row to
     // block-pair keys (b, *), the right side to (*, b), so every
@@ -415,6 +431,25 @@ object ExtQueries {
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("t"), col("value").as("purchase_value"))
       AsOfJoin(clicks, purchases, Seq("user_id"), "t", Seq("purchase_value"))
+        .select(col("user_id"), col("t"), col("click_value"),
+          Rounding.r6(col("purchase_value_asof")).as("purchase_value"))
+    }),
+
+    // As-of with tolerance: the prevailing purchase only counts if it
+    // is at most 24 h stale — older matches attach as null. Same
+    // single-shuffle union + forward-fill plan as asof_join; the bound
+    // is a post-fill comparison against the matched row's own
+    // timestamp, not extra window state.
+    "asof_tolerance" -> ((s, dir) => {
+      val ev = EventBars.events(s, dir)
+        .select(col("user_id").cast("long").as("user_id"), col("t"),
+          col("event_type"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("t"), Rounding.r6(col("value")).as("click_value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("t"), col("value").as("purchase_value"))
+      AsOfJoin(clicks, purchases, Seq("user_id"), "t", Seq("purchase_value"),
+        tolerance = Some(86400000000L))
         .select(col("user_id"), col("t"), col("click_value"),
           Rounding.r6(col("purchase_value_asof")).as("purchase_value"))
     }),
@@ -675,6 +710,25 @@ object ExtQueries {
          |SELECT d.doc_id::BIGINT AS doc_id, d.n_chars FROM documents d
          |WHERE d.doc_id::BIGINT NOT IN (SELECT doc_id FROM losers)""".stripMargin,
 
+    "dedup_cluster" ->
+      s"""WITH RECURSIVE $docHashes,
+         |df AS (SELECT * FROM ds WHERE len(sh) > 0),
+         |dm AS (SELECT *, $mhD AS mh FROM df),
+         |db AS (SELECT *, $bandsD AS mbands FROM dm),
+         |dk0 AS (SELECT doc_id, sh, mh, unnest($bkD) AS bk FROM db),
+         |dkc AS (SELECT *, count(*) OVER (PARTITION BY bk) AS bucket_n FROM dk0),
+         |dk AS (SELECT doc_id, sh, mh, bk FROM dkc WHERE bucket_n <= $MaxBandBucket),
+         |pr AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM dk x JOIN dk y ON x.bk = y.bk AND x.doc_id < y.doc_id
+         |  WHERE len(list_distinct(list_intersect(list_distinct(x.sh), list_distinct(y.sh))))::DOUBLE
+         |      / len(list_distinct(list_concat(list_distinct(x.sh), list_distinct(y.sh))))::DOUBLE >= 0.8),
+         |e AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id::BIGINT, doc_id::BIGINT FROM documents
+         |  UNION
+         |  SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.id)
+         |SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+
     "emb_neardup" ->
       s"""WITH $embBase
          |SELECT x.vec_id AS a, y.vec_id AS b,
@@ -764,6 +818,19 @@ object ExtQueries {
         |  FROM ev WHERE event_type = 'purchase')
         |SELECT c.user_id, c.t, c.click_value,
         |  (round(p.purchase_value, 6) + 0.0) AS purchase_value
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.t >= p.t""".stripMargin,
+
+    "asof_tolerance" ->
+      """WITH ev AS (SELECT user_id::BIGINT AS user_id, epoch_us(ts) AS t,
+        |    event_type, value FROM events),
+        |clicks AS (SELECT user_id, t, (round(value, 6) + 0.0) AS click_value
+        |  FROM ev WHERE event_type = 'click'),
+        |purchases AS (SELECT user_id, t, value AS purchase_value
+        |  FROM ev WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.t, c.click_value,
+        |  (round(CASE WHEN c.t - p.t <= 86400000000 THEN p.purchase_value END, 6)
+        |    + 0.0) AS purchase_value
         |FROM clicks c ASOF LEFT JOIN purchases p
         |  ON c.user_id = p.user_id AND c.t >= p.t""".stripMargin,
 

@@ -281,6 +281,76 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_events"),
           Rounding.r4(sum(col("value"))).as("sum_value"))),
 
+    // GROUPING SETS — the general form cube/rollup specialize. Spark 4's
+    // native groupingSets API plans the same single-pass Expand as cube,
+    // reading the input once for all three granularities.
+    "agg_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq.empty[Column]),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(Rounding.r4(sum(col("l_quantity"))).as("sum_qty"),
+          count(lit(1)).as("n"))),
+
+    // Ordered event funnel (view → click → purchase per user): earliest
+    // view, earliest click at-or-after it, earliest purchase at-or-after
+    // that. Each step filters THEN aggregates to one row per user before
+    // joining, so the joins are tiny and all hash-partition on user_id —
+    // the per-step exchanges align and no step ever shuffles raw events
+    // more than once. At 100 TB this beats any collect_list-per-user
+    // formulation (no user's history is ever materialized as one row).
+    "agg_funnel" -> ((s, dir) => {
+      val ev = EventBars.events(s, dir)
+        .select(col("user_id").cast("long").as("user_id"), col("t"),
+          col("event_type"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("t").as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").where(col("t") >= col("t_view"))
+        .groupBy("user_id").agg(min("t").as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").where(col("t") >= col("t_click"))
+        .groupBy("user_id").agg(min("t").as("t_purchase"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"),
+          col("t_purchase"),
+          (lit(1L)
+            + when(col("t_click").isNotNull, 1L).otherwise(0L)
+            + when(col("t_purchase").isNotNull, 1L).otherwise(0L))
+            .as("steps"))
+    }),
+
+    // Range join WITHOUT an equi-key, the shape that naively plans a
+    // BroadcastNestedLoopJoin: attach every event to each traffic-spike
+    // window containing it ([spike minute − 90 s, + 150 s); spike =
+    // minute with ≥ 2× the mean per-minute event count). Distributed
+    // formulation: explode each interval into the minute buckets it
+    // covers (bounded: 5/interval), EQUI-join points to intervals on the
+    // bucket, then apply the exact containment as a residual filter —
+    // shuffle is O(points + 5·intervals), per-task work is bucket-local,
+    // and no nested-loop join exists at any scale. (This is the bucketed
+    // range-join scheme Spark itself lacks as a native operator.)
+    "join_range_points" -> ((s, dir) => {
+      val ev = EventBars.events(s, dir).select(col("event_id"), col("t"))
+      val counts = ev.groupBy(expr("t div 60000000").as("mnt"))
+        .agg(count(lit(1)).as("n"))
+      val meanN = counts.agg(avg(col("n")).as("an"))
+      val spikes = counts.join(broadcast(meanN))
+        .filter(col("n") >= lit(2.0) * col("an"))
+        .select((col("mnt") * 60000000L).as("spike_start"),
+          (col("mnt") * 60000000L - 90000000L).as("lo"),
+          (col("mnt") * 60000000L + 150000000L).as("hi"),
+          col("n").as("n_spike"))
+        .withColumn("bkt",
+          explode(expr("sequence(lo div 60000000, (hi - 1) div 60000000)")))
+      ev.withColumn("bkt", expr("t div 60000000"))
+        .join(spikes, "bkt")
+        .where(col("t") >= col("lo") && col("t") < col("hi"))
+        .select(col("event_id"), col("t"), col("spike_start"), col("n_spike"))
+    }),
+
     // Ranking-window surface: top-3 events per type by value.
     "agg_topk_per_group" -> ((s, dir) =>
       EventBars.events(s, dir)
@@ -434,6 +504,42 @@ object RelationalQueries {
       """SELECT isoyear(ts)::BIGINT AS iso_year, week(ts)::BIGINT AS iso_week,
         |  count(*) AS n_events, (round(sum(value), 4) + 0.0) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  (round(sum(l_quantity), 4) + 0.0) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), ())""".stripMargin,
+
+    "agg_funnel" ->
+      """WITH ev AS (SELECT user_id::BIGINT AS user_id, epoch_us(ts) AS t,
+        |    event_type FROM events),
+        |v AS (SELECT user_id, min(t) AS t_view FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.t) AS t_click FROM ev e
+        |  JOIN v ON e.user_id = v.user_id AND e.t >= v.t_view
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.t) AS t_purchase FROM ev e
+        |  JOIN c ON e.user_id = c.user_id AND e.t >= c.t_click
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+        |  (1 + CASE WHEN c.t_click IS NULL THEN 0 ELSE 1 END
+        |     + CASE WHEN p.t_purchase IS NULL THEN 0 ELSE 1 END)::BIGINT AS steps
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |  LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+
+    "join_range_points" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS t FROM events),
+        |m AS (SELECT t // 60000000 AS mnt, count(*)::BIGINT AS n
+        |  FROM ev GROUP BY 1),
+        |a AS (SELECT avg(n) AS an FROM m),
+        |sp AS (SELECT mnt * 60000000 AS spike_start,
+        |    mnt * 60000000 - 90000000 AS lo, mnt * 60000000 + 150000000 AS hi,
+        |    n AS n_spike
+        |  FROM m, a WHERE n >= 2.0 * an)
+        |SELECT e.event_id, e.t, s.spike_start, s.n_spike
+        |FROM ev e JOIN sp s ON e.t >= s.lo AND e.t < s.hi""".stripMargin,
 
     "agg_topk_per_group" ->
       """WITH r AS (SELECT event_type, event_id,

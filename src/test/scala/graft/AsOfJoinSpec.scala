@@ -46,6 +46,34 @@ class AsOfJoinSpec extends SparkSpec {
       s"expected null rv_asof from the null-valued match, got ${out(0)}")
   }
 
+  test("tolerance: stale matches null out, fresh matches attach") {
+    val left = spark.createDataFrame(java.util.Arrays.asList(
+      Row("a", 100L, 1.0),  // match@95, 5 ticks stale → attaches
+      Row("a", 200L, 2.0),  // nearest match@95, 105 stale → null
+      Row("a", 300L, 3.0)), // no match at all → null either way
+      lSchema)
+    val right = spark.createDataFrame(java.util.Arrays.asList(
+      Row("a", 95L, 9.5), Row("b", 299L, 9.9)), rSchema)
+    val out = AsOfJoin(left, right, Seq("k"), "t", Seq("rv"),
+      tolerance = Some(10L))
+      .collect().map(r => (r.getLong(1),
+        if (r.isNullAt(3)) null else r.getDouble(3))).sortBy(_._1)
+    assert(out.toSeq == Seq((100L, 9.5), (200L, null), (300L, null)))
+  }
+
+  test("tolerance: a fresh match whose value is NULL stays null-matched") {
+    // The bound must test the matched row's timestamp, not its value:
+    // a null-valued right row WITHIN tolerance attaches as null because
+    // the value is null, never by falling back past the tolerance.
+    val left = spark.createDataFrame(java.util.Arrays.asList(
+      Row("a", 25L, 1.0)), lSchema)
+    val right = spark.createDataFrame(java.util.Arrays.asList(
+      Row("a", 10L, 100.0), Row("a", 20L, null)), rSchema)
+    val out = AsOfJoin(left, right, Seq("k"), "t", Seq("rv"),
+      tolerance = Some(1000L)).collect()
+    assert(out.length == 1 && out(0).isNullAt(3))
+  }
+
   test("preserves left row count and columns") {
     val left = spark.createDataFrame(java.util.Arrays.asList(
       (1 to 50).map(i => Row("k", i.toLong, i.toDouble)): _*), lSchema)
