@@ -32,10 +32,21 @@ object ConnectedComponents {
     * @return one row per vertex: `id`, `lbl` = min id in its component
     */
   def apply(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // Materialize the symmetrized edge list ONCE before iterating:
+    // edges is typically the tail of an expensive pipeline (shingle →
+    // minhash → band join), and a lazy `sym` would re-execute all of it
+    // on every propagation round.
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
 
-    var labels = nodes.select(col("id"), col("id").as("lbl")).localCheckpoint()
+    // Iterate ONLY over nodes that have at least one edge. In a dedup
+    // corpus the candidate subgraph is a sliver of the node set (most
+    // docs are singletons); a singleton's label never changes, so
+    // shuffling the full corpus through every round would be pure
+    // waste. Singletons re-attach with lbl = id at the end.
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -54,6 +65,8 @@ object ConnectedComponents {
       labels = next
       iter += 1
     }
-    labels
+    nodes.select(col("id"))
+      .join(labels.withColumnRenamed("lbl", "_elbl"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("_elbl"), col("id")).as("lbl"))
   }
 }

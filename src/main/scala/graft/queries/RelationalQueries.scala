@@ -23,6 +23,15 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Leaf groups for the rollup/cube/grouping-sets family: one ordinary
+    * groupBy over the finest key combination, carrying re-aggregable
+    * partials (sum, count). The multi-set expansion then runs over these
+    * few rows instead of the raw scan. */
+  private def leafAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sq"), count(lit(1)).as("c"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-shaped pricing summary: full scan, group-by on two low-card
     // keys — partial aggregation makes this shuffle ~12 rows at any scale.
@@ -78,19 +87,25 @@ object RelationalQueries {
     }),
 
     // Grouping-sets/rollup surface (free from Spark SQL; SURVEY.md §2).
+    // ROLLUP/CUBE/GROUPING SETS all pre-aggregate to the LEAF groups
+    // first, then expand only the partials: a naive .cube() plans
+    // Expand BEFORE the partial aggregate, multiplying every input row
+    // by the number of grouping sets (3-4× the scan's rows through the
+    // CPU at 100 TB). sum/count re-aggregate losslessly from leaves,
+    // so Expand here touches |distinct key combos| rows, not the data.
     "agg_rollup" -> ((s, dir) => {
-      t(s, dir, "lineitem")
+      leafAgg(s, dir)
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(Rounding.r4(sum(col("l_quantity"))).as("sum_qty"),
-          count(lit(1)).as("n"))
+        .agg(Rounding.r4(sum(col("sq"))).as("sum_qty"),
+          sum(col("c")).as("n"))
     }),
 
     // CUBE completes the grouping-sets family (all 4 key subsets).
     "agg_cube" -> ((s, dir) => {
-      t(s, dir, "lineitem")
+      leafAgg(s, dir)
         .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(Rounding.r4(sum(col("l_quantity"))).as("sum_qty"),
-          count(lit(1)).as("n"))
+        .agg(Rounding.r4(sum(col("sq"))).as("sum_qty"),
+          sum(col("c")).as("n"))
     }),
 
     // Event-stream daily aggregate (time-bucketed analytics on `events`).
@@ -285,13 +300,13 @@ object RelationalQueries {
     // native groupingSets API plans the same single-pass Expand as cube,
     // reading the input once for all three granularities.
     "agg_grouping_sets" -> ((s, dir) =>
-      t(s, dir, "lineitem")
+      leafAgg(s, dir)
         .groupingSets(
           Seq(Seq(col("l_returnflag"), col("l_linestatus")),
             Seq(col("l_returnflag")), Seq.empty[Column]),
           col("l_returnflag"), col("l_linestatus"))
-        .agg(Rounding.r4(sum(col("l_quantity"))).as("sum_qty"),
-          count(lit(1)).as("n"))),
+        .agg(Rounding.r4(sum(col("sq"))).as("sum_qty"),
+          sum(col("c")).as("n"))),
 
     // Ordered event funnel (view → click → purchase per user): earliest
     // view, earliest click at-or-after it, earliest purchase at-or-after

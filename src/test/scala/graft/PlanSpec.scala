@@ -53,6 +53,26 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(plan("asof_join")) == 1)
   }
 
+  test("as-of with tolerance keeps the same one-shuffle plan") {
+    // the staleness bound is a post-fill projection, never extra state
+    // or a second exchange
+    assert(shuffles(plan("asof_tolerance")) == 1)
+  }
+
+  test("cube family expands PARTIALS, not the scan") {
+    // leaf pre-agg first (scan → partial → exchange → final), Expand
+    // only above it: the multi-set blowup touches |leaf groups| rows.
+    // In the plan string (root-first) that reads as Expand BEFORE the
+    // leaf aggregate's exchange.
+    Seq("agg_cube", "agg_rollup", "agg_grouping_sets").foreach { q =>
+      val p = plan(q)
+      assert(shuffles(p) == 2, s"$q: ${shuffles(p)} exchanges")
+      assert(p.contains("Expand") &&
+        p.lastIndexOf("Exchange hashpartitioning") > p.indexOf("Expand"),
+        s"$q: Expand runs against the raw scan\n$p")
+    }
+  }
+
   test("LSH candidate join + bucket-cap window share the bk exchange shape") {
     // 3 = the two join sides (canonically identical → reused at
     // runtime by ReuseExchange/AQE stage reuse) + pair dropDuplicates.
