@@ -340,6 +340,29 @@ object ExtQueries {
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
     }),
 
+    // What the pipeline materializes from the clusters: ONE
+    // representative per near-dup group — longest doc wins, lowest id
+    // breaks ties. A single groupBy with an argmax struct (no
+    // per-cluster sort, no window): max(struct(n_chars, −doc_id))
+    // carries the winner through the partial aggregates, so the shuffle
+    // moves one candidate per cluster per map task, never the docs.
+    "dedup_cluster_keep" -> ((s, dir) => {
+      val edges = minhashPairs(s, dir)
+        .filter(jaccardExpr >= 0.8)
+        .select(col("a").as("src"), col("b").as("dst"))
+      val nodes = docs(s, dir).select(col("doc_id").cast("long").as("id"))
+      val cluster = ConnectedComponents(nodes, edges)
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      cluster
+        .join(docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+          col("n_chars")), "doc_id")
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("w"))
+        .select(col("cluster_id"), (-col("w.neg_id")).as("rep_doc_id"),
+          col("w.n_chars").as("rep_n_chars"), col("n_members"))
+    }),
+
     // Exact all-pairs near-dup as a BLOCK-PARTITIONED pair join: rows
     // are bucketed into B blocks; the left side replicates each row to
     // block-pair keys (b, *), the right side to (*, b), so every
@@ -728,6 +751,32 @@ object ExtQueries {
          |  UNION
          |  SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.id)
          |SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+
+    "dedup_cluster_keep" ->
+      s"""WITH RECURSIVE $docHashes,
+         |df AS (SELECT * FROM ds WHERE len(sh) > 0),
+         |dm AS (SELECT *, $mhD AS mh FROM df),
+         |db AS (SELECT *, $bandsD AS mbands FROM dm),
+         |dk0 AS (SELECT doc_id, sh, mh, unnest($bkD) AS bk FROM db),
+         |dkc AS (SELECT *, count(*) OVER (PARTITION BY bk) AS bucket_n FROM dk0),
+         |dk AS (SELECT doc_id, sh, mh, bk FROM dkc WHERE bucket_n <= $MaxBandBucket),
+         |pr AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM dk x JOIN dk y ON x.bk = y.bk AND x.doc_id < y.doc_id
+         |  WHERE len(list_distinct(list_intersect(list_distinct(x.sh), list_distinct(y.sh))))::DOUBLE
+         |      / len(list_distinct(list_concat(list_distinct(x.sh), list_distinct(y.sh))))::DOUBLE >= 0.8),
+         |e AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id::BIGINT, doc_id::BIGINT FROM documents
+         |  UNION
+         |  SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.id),
+         |cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |jm AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars,
+         |    row_number() OVER (PARTITION BY cl.cluster_id
+         |      ORDER BY d.n_chars DESC, cl.doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+         |  FROM cl JOIN documents d ON d.doc_id::BIGINT = cl.doc_id)
+         |SELECT cluster_id, doc_id AS rep_doc_id, n_chars AS rep_n_chars,
+         |  n_members FROM jm WHERE rk = 1""".stripMargin,
 
     "emb_neardup" ->
       s"""WITH $embBase

@@ -129,6 +129,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join bounds both buffers with watermarks") {
+    // The streaming face of the as-of/range-join family: clicks join
+    // purchases of the same user within a 10-minute lookback. The
+    // time-range predicate lets Spark derive state watermarks for BOTH
+    // sides, so neither buffer grows unboundedly — the property that
+    // makes the join runnable on an infinite stream.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val clicks = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val purchases = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    def ts(min: Int) = new java.sql.Timestamp(1709650800000L + min * 60000L)
+    val c = clicks.toDS().toDF("cts", "uid", "click_v")
+      .withWatermark("cts", "10 minutes")
+    val p = purchases.toDS().toDF("pts", "puid", "purchase_v")
+      .withWatermark("pts", "10 minutes")
+    val joined = c.join(p, expr(
+      "uid = puid AND pts BETWEEN cts - INTERVAL 10 MINUTES AND cts"))
+      .select($"uid", $"cts", $"purchase_v")
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ssj_out").start()
+    try {
+      purchases.addData((ts(0), 1L, 5.0))
+      clicks.addData((ts(5), 1L, 1.0))   // 5 min after purchase → match
+      clicks.addData((ts(20), 1L, 2.0))  // purchase@0 outside lookback → no row
+      purchases.addData((ts(18), 2L, 7.0))
+      clicks.addData((ts(19), 2L, 3.0))  // other user isolated → match
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+        .toSet
+      assert(rows == Set((1L, ts(5).getTime, 5.0), (2L, ts(19).getTime, 7.0)))
+    } finally q.stop()
+  }
+
   test("streaming exact-dedup drops in-watermark duplicates") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
