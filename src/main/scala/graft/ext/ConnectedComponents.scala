@@ -53,16 +53,19 @@ object ConnectedComponents {
       val viaNeighbour = sym
         .join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("lbl"))
-      // Pointer jumping: also adopt the label OF the current label.
-      // lbl is always a node in the same component with lbl ≤ id, so
-      // this stays within the component while halving label-chain
-      // depth each round — convergence in O(log diameter) rounds
-      // instead of O(diameter) (the long-chain worst case; quasi-clique
-      // dedup graphs converge in 2-3 rounds either way).
-      val viaPointer = labels.as("x")
-        .join(labels.as("y"), col("x.lbl") === col("y.id"))
-        .select(col("x.id").as("id"), col("y.lbl").as("lbl"))
-      val next = labels.union(viaNeighbour).union(viaPointer)
+      // Pointer jumping from round 3 on: also adopt the label OF the
+      // current label. lbl is always a node in the same component with
+      // lbl ≤ id, so this stays within the component while halving
+      // label-chain depth each round — O(log diameter) convergence on
+      // long chains. Quasi-clique dedup graphs converge in ≤ 3 plain
+      // rounds, so the extra self-join is skipped while they do.
+      val viaPointer =
+        if (iter < 2) Seq.empty
+        else Seq(labels.as("x")
+          .join(labels.as("y"), col("x.lbl") === col("y.id"))
+          .select(col("x.id").as("id"), col("y.lbl").as("lbl")))
+      val next = (Seq(labels, viaNeighbour) ++ viaPointer)
+        .reduce(_ union _)
         .groupBy("id").agg(min("lbl").as("lbl"))
         .localCheckpoint()
       // Labels only ever decrease, so a strictly smaller label anywhere
