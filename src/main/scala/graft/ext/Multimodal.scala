@@ -87,6 +87,47 @@ object Multimodal {
     }(Encoders.row(frameSchema))
   }
 
+  private val phashSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("phash", LongType)))
+
+  /** Average-hash perceptual fingerprint (STUB for image pHash — the
+    * real pipeline would decode + grayscale + 8×8 downsample first):
+    * sample `maxPixels` evenly-strided bytes, set bit i when pixel i is
+    * at or above the sample mean. Near-identical payloads land on the
+    * same 32-bit key, so media-level near-dup detection becomes a
+    * groupBy on an 8-byte hash — the bytes themselves never shuffle.
+    * 32 pixels keeps the distinct-powers sum positive in an int64 on
+    * both engines (bit 63 would flip the sign and invite cross-engine
+    * overflow drift).
+    */
+  def avgHash(media: DataFrame, maxPixels: Int = 32): DataFrame = {
+    val idIdx = media.schema.fieldIndex("doc_id")
+    val plIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { it: Iterator[Row] =>
+      it.map { r =>
+        val id = r.getAs[Number](idIdx).longValue
+        val bytes = r.getAs[Array[Byte]](plIdx)
+        val n = bytes.length
+        val k = math.min(maxPixels, n)
+        var hash = 0L
+        if (k > 0) {
+          val stride = math.max(1, n / maxPixels)
+          var sum = 0L
+          var i = 0
+          while (i < k) { sum += (bytes(i * stride) & 0xff).toLong; i += 1 }
+          val mean = sum.toDouble / k.toDouble
+          i = 0
+          while (i < k) {
+            if ((bytes(i * stride) & 0xff).toDouble >= mean) hash |= 1L << i
+            i += 1
+          }
+        }
+        Row(id, hash)
+      }
+    }(Encoders.row(phashSchema))
+  }
+
   /** "Decode" each payload into fixed-width features.
     *
     * STUB decoder: a real implementation would hand `payload` to an

@@ -47,6 +47,11 @@ object TextOps {
     s"list_transform(generate_series(1, len($wh) - 2), " +
       s"i -> ((($wh[i]*131 + $wh[i+1]) % $P)*131 + $wh[i+2]) % $P)"
 
+  /** 2-gram (bigram) hashes — same base-131 fold, window of 2. */
+  def bigramsDuck(wh: String): String =
+    s"list_transform(generate_series(1, len($wh) - 1), " +
+      s"i -> ($wh[i]*131 + $wh[i+1]) % $P)"
+
   /** MinHash signature: `numHash` permutations h_j(x)=((2j+1)x+7919j+1) mod P. */
   def minhashSpark(sh: String, numHash: Int): String =
     s"transform(sequence(0, ${numHash - 1}), j -> " +

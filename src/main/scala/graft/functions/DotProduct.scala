@@ -113,7 +113,8 @@ object GraftFunctions {
     ("graft_word_hashes", classOf[WordHashes],
       arity("graft_word_hashes", 1)(cs => WordHashes(cs(0)))),
     ("graft_shingles", classOf[ShingleHashes],
-      arity("graft_shingles", 1)(cs => ShingleHashes(cs(0)))),
+      arity("graft_shingles", 1, 2)(cs => ShingleHashes(cs(0),
+        if (cs.length > 1) litInt(cs(1), "graft_shingles") else 3))),
     ("graft_minhash", classOf[MinHashSig],
       arity("graft_minhash", 2)(cs =>
         MinHashSig(cs(0), litInt(cs(1), "graft_minhash")))),

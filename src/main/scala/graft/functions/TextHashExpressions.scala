@@ -44,14 +44,18 @@ object TextHashExpressions {
     new GenericArrayData(out)
   }
 
-  def shingleHashes(wh: ArrayData): ArrayData = {
+  def shingleHashes(wh: ArrayData, gram: Int): ArrayData = {
     val n = wh.numElements()
-    val m = math.max(0, n - 2)
+    val m = math.max(0, n - gram + 1)
     val out = new Array[Long](m)
     var i = 0
     while (i < m) {
-      out(i) = (((wh.getLong(i) * 131 + wh.getLong(i + 1)) % P) * 131 +
-        wh.getLong(i + 2)) % P
+      // left fold base 131 over the gram window — for gram=3 this is
+      // bit-identical to the original ((h0*131+h1)%P*131+h2)%P
+      var h = wh.getLong(i)
+      var j = 1
+      while (j < gram) { h = (h * 131 + wh.getLong(i + j)) % P; j += 1 }
+      out(i) = h
       i += 1
     }
     new GenericArrayData(out)
@@ -119,8 +123,11 @@ case class WordHashes(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_word_hashes"
 }
 
-/** ARRAY<BIGINT> word hashes → ARRAY<BIGINT> 3-gram shingle hashes. */
-case class ShingleHashes(child: Expression) extends UnaryExpression {
+/** ARRAY<BIGINT> word hashes → ARRAY<BIGINT> n-gram shingle hashes
+  * (default 3; gram=2 gives the bigram stream repetition scoring uses). */
+case class ShingleHashes(child: Expression, gram: Int = 3)
+    extends UnaryExpression {
+  require(gram >= 2, s"graft_shingles: gram must be >= 2, got $gram")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -131,13 +138,14 @@ case class ShingleHashes(child: Expression) extends UnaryExpression {
   }
 
   override def nullSafeEval(input: Any): Any =
-    TextHashExpressions.shingleHashes(input.asInstanceOf[ArrayData])
+    TextHashExpressions.shingleHashes(input.asInstanceOf[ArrayData], gram)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.TextHashExpressions.shingleHashes($c)")
+      c => s"graft.functions.TextHashExpressions.shingleHashes($c, $gram)")
 
-  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(c)
+  override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
   override def prettyName: String = "graft_shingles"
 }
 

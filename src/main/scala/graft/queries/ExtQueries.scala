@@ -144,6 +144,40 @@ object ExtQueries {
           Rounding.r6(col("dr")).as("distinct_ratio"),
           Rounding.r6(expr("least(1.0D, greatest(0.0D, 0.2D + 0.001D * CAST(length(text) AS DOUBLE) + 0.3D * dr - 0.05D * abs(avg_len - 5.0D)))")).as("quality"))),
 
+    // Repetition quality filters (the Gopher-rule family): fraction of
+    // 2-gram occurrences taken by the single most frequent 2-gram, and
+    // fraction of 3-gram occurrences that are repeats. Gram streams are
+    // the native base-131 hash fold (no string materialization); the
+    // top-gram count is an explode→count over (doc, gram-hash) — both
+    // groupBys hash-partition so the per-doc fold reuses the exchange.
+    "text_repetition" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .withColumn("toks", expr(toksSpark))
+        .withColumn("wh", expr(whS))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          expr("graft_shingles(wh, 2)").as("g2"),
+          expr("graft_shingles(wh, 3)").as("g3"))
+        .select(col("doc_id"), col("g2"),
+          expr("CAST(size(g2) AS BIGINT)").as("n2"),
+          expr("CAST(size(g3) AS BIGINT)").as("n3"),
+          expr("CAST(size(array_distinct(g3)) AS BIGINT)").as("d3"))
+      val top2 = base.select(col("doc_id"), explode(col("g2")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("top2"))
+      base.drop("g2")
+        .join(top2, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          Rounding.r6(coalesce(
+            try_divide(col("top2").cast("double"), col("n2").cast("double")),
+            lit(0.0))).as("top2gram_frac"),
+          Rounding.r6(coalesce(
+            try_divide((col("n3") - col("d3")).cast("double"),
+              col("n3").cast("double")),
+            lit(0.0))).as("dup3gram_frac"))
+        .withColumn("repetitive",
+          col("top2gram_frac") > 0.2 || col("dup3gram_frac") > 0.2)
+    }),
+
     "text_langid" -> ((s, dir) => {
       val base = docs(s, dir).withColumn("toks", expr(toksSpark))
       val scored = LangMarkers.foldLeft(base) { case (d, (name, ms)) =>
@@ -445,6 +479,15 @@ object ExtQueries {
     "mm_frames" -> ((s, dir) =>
       Multimodal.frameSample(Multimodal.mediaTable(docs(s, dir)), 64)),
 
+    // Media near-dup via average-hash: per-payload 32-pixel fingerprint
+    // (mapPartitions, bytes never leave the scan task), then duplicate
+    // groups = one count window over the 8-byte hash — the only
+    // shuffled payload is (doc_id, phash).
+    "mm_phash" -> ((s, dir) =>
+      Multimodal.avgHash(Multimodal.mediaTable(docs(s, dir)))
+        .withColumn("n_same",
+          expr("count(1) OVER (PARTITION BY phash)").cast("long"))),
+
     "asof_join" -> ((s, dir) => {
       val ev = EventBars.events(s, dir)
         .select(col("user_id").cast("long").as("user_id"), col("t"),
@@ -602,6 +645,24 @@ object ExtQueries {
          |  (round(avg_len, 6) + 0.0) AS avg_len, (round(dr, 6) + 0.0) AS distinct_ratio,
          |  (round(least(1.0, greatest(0.0, 0.2 + 0.001 * length(text)::DOUBLE + 0.3 * dr - 0.05 * abs(avg_len - 5.0))), 6) + 0.0) AS quality
          |FROM t3""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH $docToks,
+         |dh AS (SELECT doc_id::BIGINT AS doc_id, $whD AS wh FROM dt),
+         |gg AS (SELECT doc_id, ${TextOps.bigramsDuck("wh")} AS g2,
+         |    ${TextOps.shinglesDuck("wh")} AS g3 FROM dh),
+         |st AS (SELECT doc_id, len(g2)::BIGINT AS n2, len(g3)::BIGINT AS n3,
+         |    len(list_distinct(g3))::BIGINT AS d3 FROM gg),
+         |ex AS (SELECT doc_id, unnest(g2) AS g FROM gg),
+         |tc AS (SELECT doc_id, g, count(*) AS c FROM ex GROUP BY 1, 2),
+         |tp AS (SELECT doc_id, max(c) AS top2 FROM tc GROUP BY 1),
+         |fr AS (SELECT st.doc_id,
+         |    (round(coalesce(tp.top2::DOUBLE / nullif(st.n2, 0)::DOUBLE, 0.0), 6) + 0.0) AS top2gram_frac,
+         |    (round(coalesce((st.n3 - st.d3)::DOUBLE / nullif(st.n3, 0)::DOUBLE, 0.0), 6) + 0.0) AS dup3gram_frac
+         |  FROM st LEFT JOIN tp ON st.doc_id = tp.doc_id)
+         |SELECT doc_id, top2gram_frac, dup3gram_frac,
+         |  (top2gram_frac > 0.2 OR dup3gram_frac > 0.2) AS repetitive
+         |FROM fr""".stripMargin,
 
     "text_langid" ->
       s"""WITH $docToks,
@@ -905,5 +966,31 @@ object ExtQueries {
         |  unicode(substr(text, 1, 1))::BIGINT AS first_byte,
         |  unicode(substr(text, length(text), 1))::BIGINT AS last_byte,
         |  (length(text) - length(replace(text, ' ', '')))::BIGINT AS n_spaces
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+
+    // The stub payload is the utf-8 text (ASCII corpus), so the byte
+    // sampled at i*stride equals unicode() of that character.
+    "mm_phash" ->
+      """WITH cs AS (SELECT doc_id::BIGINT AS doc_id,
+        |    list_transform(regexp_extract_all(text, '.'), c -> unicode(c)::BIGINT) AS codes
+        |  FROM documents),
+        |st AS (SELECT doc_id, codes, least(32, len(codes)) AS k,
+        |    greatest(1, len(codes) // 32) AS stride FROM cs),
+        |px AS (SELECT doc_id, k, list_transform(generate_series(1, k),
+        |    i -> codes[(i - 1) * stride + 1]) AS px FROM st),
+        |mn AS (SELECT doc_id, k, px,
+        |    CASE WHEN k = 0 THEN 0.0 ELSE
+        |      list_reduce(list_prepend(0::BIGINT, px), (a, b) -> a + b)::DOUBLE / k::DOUBLE
+        |    END AS mean FROM px),
+        |ph AS (SELECT doc_id,
+        |    CASE WHEN k = 0 THEN 0::BIGINT ELSE
+        |      list_reduce(list_prepend(0::BIGINT,
+        |        list_transform(generate_series(1, k),
+        |          i -> CASE WHEN px[i]::DOUBLE >= mean THEN (1::BIGINT << (i - 1))
+        |               ELSE 0::BIGINT END)),
+        |        (a, b) -> a | b)
+        |    END AS phash FROM mn)
+        |SELECT doc_id, phash,
+        |  count(*) OVER (PARTITION BY phash)::BIGINT AS n_same
+        |FROM ph""".stripMargin)
 }

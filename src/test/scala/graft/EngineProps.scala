@@ -141,4 +141,36 @@ object EngineProps extends Properties("engine") {
         .select(bits.reduce(_ + _)).collect()(0).getLong(0)
       native == agg
     }
+
+  /** Distributed connected components ≡ sequential union-find on random
+    * graphs — random edge sets exercise cluster shapes (cliques, chains,
+    * crossing merges) the fixed fixtures can't enumerate.
+    */
+  property("connected components match sequential union-find") =
+    Prop.forAll(for {
+      n <- Gen.choose(1, 40)
+      m <- Gen.choose(0, 60)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n - 1L); b <- Gen.choose(0L, n - 1L)
+      } yield (a, b))
+    } yield (n.toLong, es.filter(e => e._1 != e._2))) { case (n, es) =>
+      import spark.implicits._
+      val got = graft.ext.ConnectedComponents(
+        spark.range(n).toDF("id"), es.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: path-compressed union-find, min id as root label
+      val parent = Array.tabulate(n.toInt)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val want = (0 until n.toInt).map(i => i.toLong -> find(i).toLong).toMap
+      got == want
+    }
 }

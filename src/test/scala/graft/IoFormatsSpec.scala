@@ -34,6 +34,38 @@ class IoFormatsSpec extends SparkSpec {
   test("json roundtrip preserves the raw-bars schema")(roundtrip("json"))
   test("orc roundtrip preserves the raw-bars schema")(roundtrip("orc"))
 
+  test("jsonl corpus roundtrip: gzip'd, source-partitioned, schema-enforced") {
+    val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toString
+    graft.io.DocsIO.writeJsonl(src, dir)
+    // partitioned layout: one directory per source, gzip json inside
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("source=")).map(_.getName).sorted
+    assert(parts.nonEmpty)
+    assert(new java.io.File(dir, parts.head).listFiles()
+      .exists(_.getName.endsWith(".json.gz")))
+    val back = graft.io.DocsIO.readJsonl(spark, dir)
+      .select(src.columns.map(col).toIndexedSeq: _*)
+    assert(back.schema == src.select(src.columns.map(col).toIndexedSeq: _*).schema)
+    val a = src.collect().map(_.toString).sorted.toSeq
+    val b = back.collect().map(_.toString).sorted.toSeq
+    assert(a == b, "jsonl corpus roundtrip mismatch")
+  }
+
+  test("jsonl FAILFAST surfaces malformed lines instead of nulling them") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_bad").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "shard.json"),
+      "{\"doc_id\": 1, \"text\": \"ok\", \"lang\": \"en\", \"source\": \"a\", \"n_chars\": 2}\nnot-json\n"
+        .getBytes("UTF-8"))
+    intercept[org.apache.spark.SparkException] {
+      graft.io.DocsIO.readJsonl(spark, dir).collect()
+    }
+    // permissive mode reads the good line and nulls the bad one
+    assert(graft.io.DocsIO.readJsonl(spark, dir, failFast = false)
+      .count() == 2L)
+  }
+
   test("csv ticker list source appends the two ETF literals") {
     val dir = java.nio.file.Files.createTempDirectory("tick").toString
     java.nio.file.Files.writeString(
