@@ -10,9 +10,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // absorb JVM/JIT + parquet-footer warm-up outside the timed region
+    // absorb JVM/JIT + parquet-footer warm-up outside the timed region.
+    // The window/join/explode warm-up below is a HANDWRITTEN shape, not
+    // one of the measured queries: it JITs the codegen/janino/exchange
+    // machinery without pre-compiling any measured plan's generated
+    // classes (those still compile inside their own timed region).
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     spark.range(1000000L).selectExpr("sum(id)").count()
+    spark.range(100000L)
+      .selectExpr("id", "id % 97 AS k", "CAST(id % 13 AS DOUBLE) AS v")
+      .selectExpr("*",
+        "avg(v) OVER (PARTITION BY k ORDER BY id ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS m",
+        "row_number() OVER (PARTITION BY k ORDER BY id) AS rn")
+      .join(spark.range(97).selectExpr("id AS k", "id * 2 AS w"), "k")
+      .selectExpr("k", "explode(array(v, m, CAST(w AS DOUBLE))) AS x")
+      .groupBy("k").agg(org.apache.spark.sql.functions.sum("x"))
+      .queryExecution.toRdd.count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // toRdd.count() materializes every output row (all columns

@@ -70,6 +70,28 @@ object ScaleProbe {
     val ncc = graft.ext.ConnectedComponents(nodes, cliques.union(chains))
       .where(col("id") =!= col("lbl")).count()
     println(f"CC_NODES=$nNodes CC_LABELED=$ncc CC_SEC=${(System.nanoTime()-tcc)/1e9}%.2f")
+
+    // Event-stream family at `reps`× the sf0.1 events: replicated users
+    // keep per-user funnel state bounded; extra rows per minute raise
+    // spike counts, stressing the range join's interval fan-out.
+    val ev0 = graft.queries.EventBars.events(spark, "/root/testdata/sf0.1")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    ev0.crossJoin(spark.range(reps).select(col("id").as("rep")))
+      .withColumn("user_id", col("user_id") * reps + col("rep"))
+      .withColumn("event_id", col("event_id") * reps + col("rep"))
+      .drop("rep")
+      .write.mode("overwrite").parquet("/tmp/scale_events/events.parquet")
+    val nEv = spark.read.parquet("/tmp/scale_events/events.parquet").count()
+    def timeE(name: String): Double = {
+      val t = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, "/tmp/scale_events")
+        .queryExecution.toRdd.count()
+      (System.nanoTime() - t) / 1e9
+    }
+    timeE("agg_funnel") // warm
+    println(f"EVENTS=$nEv FUNNEL_SEC=${timeE("agg_funnel")}%.2f " +
+      f"RANGE_JOIN_SEC=${timeE("join_range_points")}%.2f " +
+      f"ASOF_SEC=${timeE("asof_tolerance")}%.2f")
     spark.stop()
   }
 }
