@@ -77,6 +77,10 @@ object ConnectedComponents {
       labels = next
       iter += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"ConnectedComponents: maxIter=$maxIter exhausted before the " +
+          "fixpoint — returned labels may split components (raise maxIter)")
     nodes.select(col("id"))
       .join(labels.withColumnRenamed("lbl", "_elbl"), Seq("id"), "left")
       .select(col("id"), coalesce(col("_elbl"), col("id")).as("lbl"))

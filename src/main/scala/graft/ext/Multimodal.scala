@@ -107,7 +107,10 @@ object Multimodal {
     media.mapPartitions { it: Iterator[Row] =>
       it.map { r =>
         val id = r.getAs[Number](idIdx).longValue
-        val bytes = r.getAs[Array[Byte]](plIdx)
+        // null payload (null text upstream) hashes like an empty one —
+        // the oracle mirrors via coalesce(text, '')
+        val raw = r.getAs[Array[Byte]](plIdx)
+        val bytes = if (raw == null) Array.emptyByteArray else raw
         val n = bytes.length
         val k = math.min(maxPixels, n)
         var hash = 0L

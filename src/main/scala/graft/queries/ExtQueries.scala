@@ -146,33 +146,35 @@ object ExtQueries {
 
     // Repetition quality filters (the Gopher-rule family): fraction of
     // 2-gram occurrences taken by the single most frequent 2-gram, and
-    // fraction of 3-gram occurrences that are repeats. Gram streams are
-    // the native base-131 hash fold (no string materialization); the
-    // top-gram count is an explode→count over (doc, gram-hash) — both
-    // groupBys hash-partition so the per-doc fold reuses the exchange.
+    // fraction of 3-gram occurrences that are repeats. One explode →
+    // per-(doc, gram) count → per-doc fold PER GRAM SIZE — every
+    // statistic (top count, total, distinct) comes out of its stream's
+    // single aggregation tree, so the tokenize→hash pipeline runs once
+    // per stream instead of once per statistic. Gram hashes are the
+    // native base-131 fold (no string materialization). Docs too short
+    // for any gram re-attach from the cheap id scan with zero fracs.
     "text_repetition" -> ((s, dir) => {
-      val base = docs(s, dir)
-        .withColumn("toks", expr(toksSpark))
-        .withColumn("wh", expr(whS))
-        .select(col("doc_id").cast("long").as("doc_id"),
-          expr("graft_shingles(wh, 2)").as("g2"),
-          expr("graft_shingles(wh, 3)").as("g3"))
-        .select(col("doc_id"), col("g2"),
-          expr("CAST(size(g2) AS BIGINT)").as("n2"),
-          expr("CAST(size(g3) AS BIGINT)").as("n3"),
-          expr("CAST(size(array_distinct(g3)) AS BIGINT)").as("d3"))
-      val top2 = base.select(col("doc_id"), explode(col("g2")).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max(col("c")).as("top2"))
-      base.drop("g2")
-        .join(top2, Seq("doc_id"), "left")
+      def gramStats(gram: Int, prefix: String): DataFrame =
+        docs(s, dir)
+          .withColumn("toks", expr(toksSpark))
+          .withColumn("wh", expr(whS))
+          .select(col("doc_id").cast("long").as("doc_id"),
+            explode(expr(s"graft_shingles(wh, $gram)")).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(
+            max(col("c")).as(s"${prefix}_top"),
+            sum(col("c")).as(s"${prefix}_n"),
+            count(lit(1)).as(s"${prefix}_d"))
+      docs(s, dir).select(col("doc_id").cast("long").as("doc_id"))
+        .join(gramStats(2, "g2"), Seq("doc_id"), "left")
+        .join(gramStats(3, "g3"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           Rounding.r6(coalesce(
-            try_divide(col("top2").cast("double"), col("n2").cast("double")),
+            try_divide(col("g2_top").cast("double"), col("g2_n").cast("double")),
             lit(0.0))).as("top2gram_frac"),
           Rounding.r6(coalesce(
-            try_divide((col("n3") - col("d3")).cast("double"),
-              col("n3").cast("double")),
+            try_divide((col("g3_n") - col("g3_d")).cast("double"),
+              col("g3_n").cast("double")),
             lit(0.0))).as("dup3gram_frac"))
         .withColumn("repetitive",
           col("top2gram_frac") > 0.2 || col("dup3gram_frac") > 0.2)
@@ -969,10 +971,14 @@ object ExtQueries {
         |FROM documents""".stripMargin,
 
     // The stub payload is the utf-8 text (ASCII corpus), so the byte
-    // sampled at i*stride equals unicode() of that character.
+    // sampled at i*stride equals unicode() of that character (same
+    // single-byte assumption mm_decode's oracle already makes). The 's'
+    // regex flag keeps '.' matching newlines, and coalesce mirrors the
+    // Spark side's null-payload-as-empty rule.
     "mm_phash" ->
       """WITH cs AS (SELECT doc_id::BIGINT AS doc_id,
-        |    list_transform(regexp_extract_all(text, '.'), c -> unicode(c)::BIGINT) AS codes
+        |    list_transform(regexp_extract_all(coalesce(text, ''), '.', 0, 's'),
+        |      c -> unicode(c)::BIGINT) AS codes
         |  FROM documents),
         |st AS (SELECT doc_id, codes, least(32, len(codes)) AS k,
         |    greatest(1, len(codes) // 32) AS stride FROM cs),

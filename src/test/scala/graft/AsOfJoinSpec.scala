@@ -50,8 +50,8 @@ class AsOfJoinSpec extends SparkSpec {
     val left = spark.createDataFrame(java.util.Arrays.asList(
       Row("a", 100L, 1.0),  // match@95, 5 ticks stale → attaches
       Row("a", 200L, 2.0),  // nearest match@95, 105 stale → null
-      Row("a", 300L, 3.0)), // no match at all → null either way
-      lSchema)
+      Row("c", 300L, 3.0)), // key with NO right rows: _rf itself null →
+      lSchema)               // the tolerance when() must yield null, not throw
     val right = spark.createDataFrame(java.util.Arrays.asList(
       Row("a", 95L, 9.5), Row("b", 299L, 9.9)), rSchema)
     val out = AsOfJoin(left, right, Seq("k"), "t", Seq("rv"),

@@ -51,16 +51,18 @@ object ScaleProbe {
       f"MINHASH_LSH_SEC=${timeQ("dedup_minhash_lsh")}%.2f " +
       f"EXACT_SEC=${timeQ("dedup_exact")}%.2f")
 
-    // Connected components at corpus scale: 1M nodes, ~10% of them in
-    // 4-cliques (the LSH-quasi-clique shape) plus 1k length-10 chains
+    // Connected components at corpus scale: 1M nodes — 100k of them in
+    // 25k TRUE 4-cliques (all 6 intra-group edges, the LSH shape where
+    // every member sees the min directly) plus 1k length-10 chains
     // (worst-case diameter for the label walk). Probes that round count
     // stays diameter-bounded and per-round cost is edge-proportional,
-    // not node-proportional (singletons — 85% here — never iterate).
+    // not node-proportional (singletons — ~89% here — never iterate).
     val nNodes = 1000000L
     val nodes = spark.range(nNodes).select(col("id"))
     val cliques = spark.range(25000L).select(col("id").as("g"))
       .select(explode(expr(
-        "transform(sequence(0, 2), i -> struct(g*4 + i AS src, g*4 + i + 1 AS dst))")).as("e"))
+        "flatten(transform(sequence(0, 2), i -> transform(sequence(i + 1, 3), " +
+          "j -> struct(g*4 + i AS src, g*4 + j AS dst))))")).as("e"))
       .select(col("e.src"), col("e.dst"))
     val chains = spark.range(1000L).select((col("id") * 10L + 200000L).as("b"))
       .select(explode(expr(
