@@ -180,6 +180,38 @@ object ExtQueries {
           col("top2gram_frac") > 0.2 || col("dup3gram_frac") > 0.2)
     }),
 
+    // The END-TO-END kept corpus — the composition a training-data
+    // pipeline actually ships: drop held-out benchmark docs, low
+    // quality, repetitive docs, exact duplicates (keep-lowest-id),
+    // near-dup losers, and benchmark-contaminated docs. Every stage is
+    // one of this engine's oracle-gated operators; the whole chain is
+    // semi/anti joins on doc_id — documents themselves are scanned,
+    // never shuffled (only ids and 16-byte hashes move).
+    "corpus_clean" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("n_chars"))
+        .filter(col("doc_id") % 50 =!= 0) // held-out eval set ≙ text_decontaminate's split
+      val highQuality = queries("text_stats")(s, dir)
+        .select(col("doc_id"), col("quality"))
+        .filter(col("quality") >= 0.5)
+      val notRepetitive = queries("text_repetition")(s, dir)
+        .filter(!col("repetitive")).select("doc_id")
+      val exactKeep = docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          md5(col("text")).as("h"))
+        .groupBy("h").agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val nearKeep = queries("dedup_keep")(s, dir).select("doc_id")
+      val contaminated = queries("text_decontaminate")(s, dir)
+        .filter(col("n_shared") > 0).select("doc_id")
+      base.join(highQuality, "doc_id")
+        .join(notRepetitive, Seq("doc_id"), "left_semi")
+        .join(exactKeep, Seq("doc_id"), "left_semi")
+        .join(nearKeep, Seq("doc_id"), "left_semi")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+    }),
+
     "text_langid" -> ((s, dir) => {
       val base = docs(s, dir).withColumn("toks", expr(toksSpark))
       val scored = LangMarkers.foldLeft(base) { case (d, (name, ms)) =>
@@ -647,6 +679,53 @@ object ExtQueries {
          |  (round(avg_len, 6) + 0.0) AS avg_len, (round(dr, 6) + 0.0) AS distinct_ratio,
          |  (round(least(1.0, greatest(0.0, 0.2 + 0.001 * length(text)::DOUBLE + 0.3 * dr - 0.05 * abs(avg_len - 5.0))), 6) + 0.0) AS quality
          |FROM t3""".stripMargin,
+
+    "corpus_clean" ->
+      s"""WITH $docHashes,
+         |q1 AS (SELECT doc_id, text, toks, len(toks)::BIGINT AS n_tokens,
+         |    len(list_distinct(toks))::BIGINT AS n_distinct,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(toks, t -> length(t)::DOUBLE)), (a, b) -> a + b) / len(toks)::DOUBLE AS avg_len
+         |  FROM dt),
+         |q2 AS (SELECT doc_id, (round(least(1.0, greatest(0.0,
+         |    0.2 + 0.001 * length(text)::DOUBLE
+         |    + 0.3 * (n_distinct::DOUBLE / n_tokens::DOUBLE)
+         |    - 0.05 * abs(avg_len - 5.0))), 6) + 0.0) AS quality FROM q1),
+         |gg AS (SELECT doc_id, ${TextOps.bigramsDuck("wh")} AS g2,
+         |    ${TextOps.shinglesDuck("wh")} AS g3 FROM dh),
+         |rst AS (SELECT doc_id, len(g2)::BIGINT AS n2, len(g3)::BIGINT AS n3,
+         |    len(list_distinct(g3))::BIGINT AS d3 FROM gg),
+         |rex AS (SELECT doc_id, unnest(g2) AS g FROM gg),
+         |rtc AS (SELECT doc_id, g, count(*) AS c FROM rex GROUP BY 1, 2),
+         |rtp AS (SELECT doc_id, max(c) AS top2 FROM rtc GROUP BY 1),
+         |rp AS (SELECT rst.doc_id,
+         |    ((round(coalesce(rtp.top2::DOUBLE / nullif(rst.n2, 0)::DOUBLE, 0.0), 6) + 0.0) > 0.2
+         |     OR (round(coalesce((rst.n3 - rst.d3)::DOUBLE / nullif(rst.n3, 0)::DOUBLE, 0.0), 6) + 0.0) > 0.2) AS repetitive
+         |  FROM rst LEFT JOIN rtp ON rst.doc_id = rtp.doc_id),
+         |df AS (SELECT * FROM ds WHERE len(sh) > 0),
+         |dm AS (SELECT *, $mhD AS mh FROM df),
+         |db AS (SELECT *, $bandsD AS mbands FROM dm),
+         |dk0 AS (SELECT doc_id, sh, mh, unnest($bkD) AS bk FROM db),
+         |dkc AS (SELECT *, count(*) OVER (PARTITION BY bk) AS bucket_n FROM dk0),
+         |dk AS (SELECT doc_id, sh, mh, bk FROM dkc WHERE bucket_n <= $MaxBandBucket),
+         |losers AS (SELECT DISTINCT y.doc_id
+         |  FROM dk x JOIN dk y ON x.bk = y.bk AND x.doc_id < y.doc_id
+         |  WHERE len(list_distinct(list_intersect(list_distinct(x.sh), list_distinct(y.sh))))::DOUBLE
+         |      / len(list_distinct(list_concat(list_distinct(x.sh), list_distinct(y.sh))))::DOUBLE >= 0.8),
+         |ek AS (SELECT min(doc_id::BIGINT) AS doc_id FROM documents GROUP BY md5(text)),
+         |shd AS (SELECT doc_id, list_distinct(sh) AS shd FROM ds),
+         |bs AS (SELECT DISTINCT unnest(shd) AS g FROM shd WHERE doc_id % 50 = 0),
+         |cd AS (SELECT doc_id, unnest(shd) AS g FROM shd WHERE doc_id % 50 <> 0),
+         |cont AS (SELECT DISTINCT cd.doc_id FROM cd JOIN bs USING (g))
+         |SELECT d.doc_id::BIGINT AS doc_id, d.source, d.n_chars, q2.quality
+         |FROM documents d
+         |JOIN q2 ON q2.doc_id = d.doc_id::BIGINT
+         |JOIN rp ON rp.doc_id = d.doc_id::BIGINT
+         |WHERE d.doc_id::BIGINT % 50 <> 0
+         |  AND q2.quality >= 0.5
+         |  AND NOT rp.repetitive
+         |  AND d.doc_id::BIGINT IN (SELECT doc_id FROM ek)
+         |  AND d.doc_id::BIGINT NOT IN (SELECT doc_id FROM losers)
+         |  AND d.doc_id::BIGINT NOT IN (SELECT doc_id FROM cont)""".stripMargin,
 
     "text_repetition" ->
       s"""WITH $docToks,
