@@ -355,6 +355,22 @@ object ExtQueries {
         .filter(col("rk") <= 10)
         .select(col("doc_id"), col("source"), col("rk"))),
 
+    // Weighted domain mixing: each source keeps a different fraction of
+    // its docs (rates 1/5..5/5, derived from the source index — in a
+    // real pipeline this is the mixture-weights table). Keep rule is
+    // the Knuth-hash residue under the rate threshold, in EXACT integer
+    // arithmetic (h*5 < w*P; h < P so h*5 can't overflow) — a
+    // double-valued rate compare could round differently per engine.
+    // Scan-pushed filter, no shuffle, independent of row order.
+    "sample_weighted" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("n_chars"))
+        .withColumn("w",
+          expr("CAST(1 + CAST(substring(source, 4) AS INT) % 5 AS BIGINT)"))
+        .filter(
+          expr(s"((doc_id % ${P}L) * 2654435761L) % ${P}L * 5 < w * ${P}L"))),
+
     // Pure projection — the majority-vote fold runs per row in the
     // native graft_simhash expression, so there is no explode, no
     // 16-sum groupBy, and NO shuffle at all. (The explode→groupBy
@@ -859,6 +875,13 @@ object ExtQueries {
          |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id)::BIGINT AS rk
          |  FROM h)
          |SELECT doc_id, source, rk FROM r WHERE rk <= 10""".stripMargin,
+
+    "sample_weighted" ->
+      s"""SELECT doc_id::BIGINT AS doc_id, source, n_chars,
+         |  (1 + CAST(substr(source, 4) AS INT) % 5)::BIGINT AS w
+         |FROM documents
+         |WHERE ((doc_id::BIGINT % $P) * 2654435761) % $P * 5
+         |  < (1 + CAST(substr(source, 4) AS INT) % 5)::BIGINT * $P::BIGINT""".stripMargin,
 
     "dedup_keep" ->
       s"""WITH $docHashes,

@@ -129,6 +129,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel advances per-user state across micro-batches") {
+    // Incremental agg_funnel: the same at-or-after step semantics the
+    // batch query (and its DuckDB oracle) pin, held as 3 longs of state
+    // per user — never an event list.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingFunnel
+    import graft.streaming.StreamingFunnel.{FunnelAdvance, FunnelEvent}
+    import spark.implicits._
+    val stream = MemoryStream[FunnelEvent]
+    def ts(min: Int) = new java.sql.Timestamp(1709650800000L + min * 60000L)
+    val q = StreamingFunnel(stream.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("funnel_out").start()
+    try {
+      // batch 1: u1 view+click (order scrambled within the batch),
+      // u2 view AFTER a too-early purchase
+      stream.addData(
+        FunnelEvent(ts(2), 1L, "click"), FunnelEvent(ts(1), 1L, "view"),
+        FunnelEvent(ts(4), 2L, "purchase"), FunnelEvent(ts(5), 2L, "view"))
+      q.processAllAvailable()
+      // batch 2: u1 completes; u2's purchase precedes its click → stuck at 2
+      stream.addData(
+        FunnelEvent(ts(3), 1L, "purchase"), // >= click@2 → step 3
+        FunnelEvent(ts(6), 2L, "click"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_out").as[FunnelAdvance].collect()
+      val byUser = rows.groupBy(_.uid).view.mapValues(_.map(_.steps).sorted.toSeq)
+      assert(byUser(1L) == Seq(1, 2, 3), s"u1: ${rows.toSeq}")
+      assert(byUser(2L) == Seq(1, 2), s"u2: ${rows.toSeq}")
+      // u2's purchase@4 arrived before its click@6 existed — a second
+      // purchase AT-or-after the click still completes the funnel
+      stream.addData(FunnelEvent(ts(7), 2L, "purchase"))
+      q.processAllAvailable()
+      assert(spark.table("funnel_out").as[FunnelAdvance].collect()
+        .count(r => r.uid == 2L && r.steps == 3) == 1)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join bounds both buffers with watermarks") {
     // The streaming face of the as-of/range-join family: clicks join
     // purchases of the same user within a 10-minute lookback. The
