@@ -366,6 +366,22 @@ object RelationalQueries {
         .select(col("event_id"), col("t"), col("spike_start"), col("n_spike"))
     }),
 
+    // Skew-salted JOIN (completing the skew toolkit agg_salted starts):
+    // event_type has 5 values, so each key is ~20% of the big side — a
+    // plain shuffle join puts a fifth of the table in one task. The
+    // salted form spreads every key over 8 shards; the shuffle-hash
+    // hint forces the shuffle path the technique exists for (stats
+    // would otherwise broadcast this small dim and hide the skew).
+    "join_skew_salted" -> ((s, dir) => {
+      val ev = EventBars.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          Rounding.r6(col("value")).as("value"))
+      val dim = EventBars.events(s, dir)
+        .groupBy("event_type").agg(count(lit(1)).as("n_type"))
+        .hint("shuffle_hash")
+      graft.ext.SaltedJoin(ev, dim, Seq("event_type"), 8)
+    }),
+
     // Ranking-window surface: top-3 events per type by value.
     "agg_topk_per_group" -> ((s, dir) =>
       EventBars.events(s, dir)
@@ -555,6 +571,13 @@ object RelationalQueries {
         |  FROM m, a WHERE n >= 2.0 * an)
         |SELECT e.event_id, e.t, s.spike_start, s.n_spike
         |FROM ev e JOIN sp s ON e.t >= s.lo AND e.t < s.hi""".stripMargin,
+
+    "join_skew_salted" ->
+      """WITH d AS (SELECT event_type, count(*) AS n_type
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, (round(e.value, 6) + 0.0) AS value,
+        |  d.n_type
+        |FROM events e JOIN d USING (event_type)""".stripMargin,
 
     "agg_topk_per_group" ->
       """WITH r AS (SELECT event_type, event_id,

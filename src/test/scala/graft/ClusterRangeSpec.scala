@@ -132,6 +132,22 @@ class ClusterRangeSpec extends SparkSpec {
     assert(out == Map(1L -> 3L, 2L -> 2L, 4L -> 1L, 5L -> 2L))
   }
 
+  test("salted join: identical rows to the plain join, exchange on the salted key") {
+    val sf = "/root/testdata/sf0.01"
+    val out = SparkEntry.queries("join_skew_salted")(spark, sf)
+    val p = out.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\([^)]*_salt".r.findFirstIn(p).nonEmpty,
+      s"big-side exchange not keyed on the salt:\n$p")
+    val ev = queries.EventBars.events(spark, sf)
+      .select(col("event_id"), col("event_type"),
+        queries.Rounding.r6(col("value")).as("value"))
+    val dim = queries.EventBars.events(spark, sf)
+      .groupBy("event_type").agg(count(lit(1)).as("n_type"))
+    val plain = ev.join(dim, "event_type")
+      .select(out.columns.map(col).toIndexedSeq: _*)
+    assert(out.exceptAll(plain).isEmpty && plain.exceptAll(out).isEmpty)
+  }
+
   test("agg_grouping_sets ≡ union of its three grouping levels") {
     val sf = "/root/testdata/sf0.001"
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
