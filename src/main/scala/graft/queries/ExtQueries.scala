@@ -551,6 +551,46 @@ object ExtQueries {
           Rounding.r6(col("purchase_value_asof")).as("purchase_value"))
     }),
 
+    // NEAREST-match as-of: the closest purchase in EITHER direction
+    // (backward wins ties — it has distance 0 on an exact-timestamp
+    // match, and the oracle's strict forward inequality mirrors that).
+    // Same union trick as AsOfJoin but with BOTH running fills over ONE
+    // sort: last-non-null looking back and first-non-null looking
+    // forward share the (t, side) ordering, so the plan is still one
+    // exchange + one sort. Right rows at the probe's exact timestamp
+    // sort before it, landing in the backward frame only.
+    "asof_nearest" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = EventBars.events(s, dir)
+        .select(col("user_id").cast("long").as("user_id"), col("t"),
+          col("event_type"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("t"),
+          Rounding.r6(col("value")).as("click_value"),
+          lit(1).as("_side"),
+          lit(null).cast("struct<v:double,rt:bigint>").as("_r"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("t"),
+          lit(null).cast("double").as("click_value"),
+          lit(0).as("_side"),
+          struct(col("value").as("v"), col("t").as("rt")).as("_r"))
+      val w = Window.partitionBy("user_id").orderBy(col("t").asc, col("_side").asc)
+      val back = last(col("_r"), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+      val fwd = first(col("_r"), ignoreNulls = true)
+        .over(w.rowsBetween(0, Window.unboundedFollowing))
+      clicks.unionByName(purchases)
+        .withColumn("_b", back).withColumn("_f", fwd)
+        .filter(col("_side") === 1)
+        .select(col("user_id"), col("t"), col("click_value"),
+          Rounding.r6(
+            when(col("_b").isNull, col("_f")("v"))
+              .when(col("_f").isNull, col("_b")("v"))
+              .when(col("t") - col("_b")("rt") <= col("_f")("rt") - col("t"),
+                col("_b")("v"))
+              .otherwise(col("_f")("v"))).as("purchase_value"))
+    }),
+
     // As-of with tolerance: the prevailing purchase only counts if it
     // is at most 24 h stale — older matches attach as null. Same
     // single-shuffle union + forward-fill plan as asof_join; the bound
@@ -1034,6 +1074,25 @@ object ExtQueries {
         |  (round(p.purchase_value, 6) + 0.0) AS purchase_value
         |FROM clicks c ASOF LEFT JOIN purchases p
         |  ON c.user_id = p.user_id AND c.t >= p.t""".stripMargin,
+
+    "asof_nearest" ->
+      """WITH ev AS (SELECT user_id::BIGINT AS user_id, epoch_us(ts) AS t,
+        |    event_type, value FROM events),
+        |clicks AS (SELECT user_id, t, (round(value, 6) + 0.0) AS click_value
+        |  FROM ev WHERE event_type = 'click'),
+        |purchases AS (SELECT user_id, t, value AS pv FROM ev
+        |  WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.t, c.click_value,
+        |  (round(CASE
+        |    WHEN pb.t IS NULL THEN pf.pv
+        |    WHEN pf.t IS NULL THEN pb.pv
+        |    WHEN c.t - pb.t <= pf.t - c.t THEN pb.pv
+        |    ELSE pf.pv END, 6) + 0.0) AS purchase_value
+        |FROM clicks c
+        |ASOF LEFT JOIN purchases pb
+        |  ON c.user_id = pb.user_id AND c.t >= pb.t
+        |ASOF LEFT JOIN purchases pf
+        |  ON c.user_id = pf.user_id AND c.t < pf.t""".stripMargin,
 
     "asof_tolerance" ->
       """WITH ev AS (SELECT user_id::BIGINT AS user_id, epoch_us(ts) AS t,
