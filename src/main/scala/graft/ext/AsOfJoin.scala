@@ -40,6 +40,23 @@ object AsOfJoin {
       valCols: Seq[String],
       tolerance: Option[Long] = None): DataFrame = {
 
+    // Internal plumbing names — fail loudly rather than silently
+    // overwrite user data or build a duplicate-field struct ("_rt"
+    // collides with the payload struct's right-timestamp field and
+    // makes col("_rf")("_rt") ambiguous).
+    require(!valCols.contains("_rt"),
+      "valCols may not contain the reserved name _rt")
+    val reserved = Seq("_side", "_r", "_rf")
+    require(!left.columns.exists(reserved.contains),
+      s"left input may not carry reserved columns ${reserved.mkString(", ")}")
+    tolerance.foreach { _ =>
+      require(right.schema(tsCol).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"tolerance requires a numeric $tsCol (got " +
+          s"${right.schema(tsCol).dataType.simpleString}); convert " +
+          "timestamps to epoch units first")
+    }
+
     val leftCols = left.columns.toSeq
     // Forward-fill ONE struct of the whole right-row payload, not the
     // value columns independently: the struct is non-null for every
@@ -66,8 +83,15 @@ object AsOfJoin {
       d.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }.select(lTagged.columns.map(col).toIndexedSeq: _*)
 
+    // The trailing `_r` sort term makes ties deterministic: when the
+    // right side holds several rows at the same (key, ts), `last`
+    // matches the greatest payload struct (max by value columns, in
+    // order) instead of a partition-order-dependent row. Left rows
+    // carry a null `_r` and sort stably within their (ts, side) group;
+    // the fill value is identical for all of them. The oracle mirrors
+    // this by collapsing right duplicates to max(value) per (key, ts).
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol).asc, col("_side").asc)
+      .orderBy(col(tsCol).asc, col("_side").asc, col("_r").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val filled = lTagged.unionByName(rAligned)
       .withColumn("_rf", last(col("_r"), ignoreNulls = true).over(w))

@@ -20,12 +20,26 @@ object Multimodal {
 
   /** documents → a media table: payload = utf-8 bytes standing in for an
     * encoded image/audio blob, with typed metadata alongside.
+    *
+    * The DuckDB oracles for the media queries (mm_decode, mm_phash, …)
+    * read per-CHARACTER codepoints while this side reads per-BYTE
+    * payload values; the two agree only while the corpus is pure ASCII
+    * (1 byte = 1 codepoint). Rather than letting a future non-ASCII
+    * fixture surface as an inscrutable oracle hash mismatch, the stub
+    * fails loudly on the first multi-byte document: octet_length ==
+    * char length iff ASCII, and `when` evaluates raise_error only on
+    * the violating rows (a codegen'd per-row comparison, ~free).
     */
   def mediaTable(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       lit("text/plain").as("kind"),
-      expr("encode(text, 'utf-8')").as("payload"),
+      when(octet_length(col("text")) =!= length(col("text")),
+        raise_error(concat(
+          lit("mediaTable stub requires an ASCII corpus (byte-hash " +
+            "oracles assume 1 byte per char); non-ASCII doc_id="),
+          col("doc_id").cast("string"))).cast("binary"))
+        .otherwise(expr("encode(text, 'utf-8')")).as("payload"),
       struct(
         expr("octet_length(encode(text, 'utf-8'))").as("n_bytes"),
         col("lang").as("tag")).as("meta"))

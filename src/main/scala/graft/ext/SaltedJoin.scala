@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   */
 object SaltedJoin {
 
-  /** @param big   probe side; every row gets `_salt = hash(row) % salt`
+  /** @param big   probe side; every row gets a per-row shard in [0, salt)
     * @param small build side (replicated `salt`×; keep it small)
     * @param keys  equi-join keys present on both sides
     * @param salt  shard count — hot-key rows spread over this many tasks
@@ -27,13 +27,24 @@ object SaltedJoin {
   def apply(big: DataFrame, small: DataFrame, keys: Seq[String],
       salt: Int): DataFrame = {
     require(salt >= 1, s"salt must be >= 1, got $salt")
-    // Per-ROW salt via hash of the whole row — salting by the join key
-    // alone would map the hot key to one shard again. Identical rows
-    // share a shard, which is harmless (same work, same task).
-    val bigS = big.withColumn("_salt",
-      pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(salt)))
-    val smallS = small.withColumn("_salt",
+    // Internal shard column: pick a name no input carries, so a user
+    // column named `_salt` is never silently overwritten then dropped.
+    val taken = (big.columns ++ small.columns).toSet
+    val saltCol = Iterator.from(0).map(i => s"_salt$i")
+      .find(n => !taken.contains(n)).get
+    // Per-ROW salt — salting by the join key alone would map the hot
+    // key to one shard again. Hash the KEY columns plus a row-local
+    // component (partition id + per-partition row id) rather than the
+    // whole row: non-key columns may be unhashable types (MapType
+    // fails analysis inside hash()), and the row-local term already
+    // spreads identical rows. Shard assignment varies run-to-run, but
+    // the inner-join result is shard-invariant (each big row meets
+    // exactly the one small replica carrying its shard).
+    val bigS = big.withColumn(saltCol,
+      pmod(hash((keys.map(col) :+ spark_partition_id()
+        :+ monotonically_increasing_id()).toIndexedSeq: _*), lit(salt)))
+    val smallS = small.withColumn(saltCol,
       explode(sequence(lit(0), lit(salt - 1))))
-    bigS.join(smallS, keys :+ "_salt").drop("_salt")
+    bigS.join(smallS, keys :+ saltCol).drop(saltCol)
   }
 }

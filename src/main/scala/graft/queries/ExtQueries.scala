@@ -574,7 +574,13 @@ object ExtQueries {
           lit(null).cast("double").as("click_value"),
           lit(0).as("_side"),
           struct(col("value").as("v"), col("t").as("rt")).as("_r"))
-      val w = Window.partitionBy("user_id").orderBy(col("t").asc, col("_side").asc)
+      // `_r` as the trailing sort term determinizes duplicate purchase
+      // timestamps: backward `last` matches max (v, rt) — the greatest
+      // value among same-instant purchases — and forward `first`
+      // matches the least; the oracle collapses duplicates to
+      // max(pv) / min(pv) respectively before its two ASOF joins.
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("t").asc, col("_side").asc, col("_r").asc)
       val back = last(col("_r"), ignoreNulls = true)
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
       val fwd = first(col("_r"), ignoreNulls = true)
@@ -1068,8 +1074,8 @@ object ExtQueries {
         |    event_type, value FROM events),
         |clicks AS (SELECT user_id, t, (round(value, 6) + 0.0) AS click_value
         |  FROM ev WHERE event_type = 'click'),
-        |purchases AS (SELECT user_id, t, value AS purchase_value
-        |  FROM ev WHERE event_type = 'purchase')
+        |purchases AS (SELECT user_id, t, max(value) AS purchase_value
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2)
         |SELECT c.user_id, c.t, c.click_value,
         |  (round(p.purchase_value, 6) + 0.0) AS purchase_value
         |FROM clicks c ASOF LEFT JOIN purchases p
@@ -1080,8 +1086,10 @@ object ExtQueries {
         |    event_type, value FROM events),
         |clicks AS (SELECT user_id, t, (round(value, 6) + 0.0) AS click_value
         |  FROM ev WHERE event_type = 'click'),
-        |purchases AS (SELECT user_id, t, value AS pv FROM ev
-        |  WHERE event_type = 'purchase')
+        |pback AS (SELECT user_id, t, max(value) AS pv FROM ev
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |pfwd AS (SELECT user_id, t, min(value) AS pv FROM ev
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2)
         |SELECT c.user_id, c.t, c.click_value,
         |  (round(CASE
         |    WHEN pb.t IS NULL THEN pf.pv
@@ -1089,9 +1097,9 @@ object ExtQueries {
         |    WHEN c.t - pb.t <= pf.t - c.t THEN pb.pv
         |    ELSE pf.pv END, 6) + 0.0) AS purchase_value
         |FROM clicks c
-        |ASOF LEFT JOIN purchases pb
+        |ASOF LEFT JOIN pback pb
         |  ON c.user_id = pb.user_id AND c.t >= pb.t
-        |ASOF LEFT JOIN purchases pf
+        |ASOF LEFT JOIN pfwd pf
         |  ON c.user_id = pf.user_id AND c.t < pf.t""".stripMargin,
 
     "asof_tolerance" ->
@@ -1099,8 +1107,8 @@ object ExtQueries {
         |    event_type, value FROM events),
         |clicks AS (SELECT user_id, t, (round(value, 6) + 0.0) AS click_value
         |  FROM ev WHERE event_type = 'click'),
-        |purchases AS (SELECT user_id, t, value AS purchase_value
-        |  FROM ev WHERE event_type = 'purchase')
+        |purchases AS (SELECT user_id, t, max(value) AS purchase_value
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2)
         |SELECT c.user_id, c.t, c.click_value,
         |  (round(CASE WHEN c.t - p.t <= 86400000000 THEN p.purchase_value END, 6)
         |    + 0.0) AS purchase_value

@@ -97,7 +97,10 @@ object RelationalQueries {
       leafAgg(s, dir)
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(Rounding.r4(sum(col("sq"))).as("sum_qty"),
-          sum(col("c")).as("n"))
+          // coalesce keeps empty-input semantics identical to the raw
+          // (non-pre-aggregated) form: over zero leaf rows the grand
+          // total's count is 0, but sum over them is NULL.
+          coalesce(sum(col("c")), lit(0L)).as("n"))
     }),
 
     // CUBE completes the grouping-sets family (all 4 key subsets).
@@ -105,7 +108,10 @@ object RelationalQueries {
       leafAgg(s, dir)
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(Rounding.r4(sum(col("sq"))).as("sum_qty"),
-          sum(col("c")).as("n"))
+          // coalesce keeps empty-input semantics identical to the raw
+          // (non-pre-aggregated) form: over zero leaf rows the grand
+          // total's count is 0, but sum over them is NULL.
+          coalesce(sum(col("c")), lit(0L)).as("n"))
     }),
 
     // Event-stream daily aggregate (time-bucketed analytics on `events`).
@@ -306,7 +312,10 @@ object RelationalQueries {
             Seq(col("l_returnflag")), Seq.empty[Column]),
           col("l_returnflag"), col("l_linestatus"))
         .agg(Rounding.r4(sum(col("sq"))).as("sum_qty"),
-          sum(col("c")).as("n"))),
+          // coalesce keeps empty-input semantics identical to the raw
+          // (non-pre-aggregated) form: over zero leaf rows the grand
+          // total's count is 0, but sum over them is NULL.
+          coalesce(sum(col("c")), lit(0L)).as("n"))),
 
     // Ordered event funnel (view → click → purchase per user): earliest
     // view, earliest click at-or-after it, earliest purchase at-or-after

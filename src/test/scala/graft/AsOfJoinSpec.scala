@@ -74,6 +74,53 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.length == 1 && out(0).isNullAt(3))
   }
 
+  test("duplicate right timestamps match deterministically (greatest value)") {
+    // Regression (round-3 advisor): with several right rows at the same
+    // (key, t), the fill used to pick a partition-order-dependent row.
+    // The window sort's trailing payload-struct term pins the match to
+    // the greatest value tuple, mirrored by the oracles' max(value)
+    // collapse — assert it holds under a shuffled, multi-partition input.
+    val left = spark.createDataFrame(java.util.Arrays.asList(
+      Row("a", 15L, 1.0)), lSchema)
+    val dups = (1 to 40).map(i => Row("a", 10L, i.toDouble))
+    val right = spark.createDataFrame(
+      java.util.Arrays.asList(dups: _*), rSchema).repartition(8)
+    (1 to 3).foreach { _ =>
+      val out = AsOfJoin(left, right, Seq("k"), "t", Seq("rv")).collect()
+      assert(out.length == 1 && out(0).getDouble(3) == 40.0,
+        s"expected deterministic max-value match 40.0, got ${out(0)}")
+    }
+  }
+
+  test("reserved names and non-numeric tolerance timestamps fail loudly") {
+    val left = spark.createDataFrame(java.util.Arrays.asList(
+      Row("a", 5L, 1.0)), lSchema)
+    val right = spark.createDataFrame(java.util.Arrays.asList(
+      Row("a", 1L, 2.0)), rSchema)
+    intercept[IllegalArgumentException] {
+      AsOfJoin(left, right.withColumnRenamed("rv", "_rt"),
+        Seq("k"), "t", Seq("_rt"))
+    }
+    intercept[IllegalArgumentException] {
+      AsOfJoin(left.withColumn("_side", org.apache.spark.sql.functions.lit(1)),
+        right, Seq("k"), "t", Seq("rv"))
+    }
+    val tsLeft = spark.createDataFrame(java.util.Arrays.asList(
+      Row("a", new java.sql.Timestamp(5000L), 1.0)),
+      StructType(Seq(StructField("k", StringType),
+        StructField("t", TimestampType), StructField("lv", DoubleType))))
+    val tsRight = spark.createDataFrame(java.util.Arrays.asList(
+      Row("a", new java.sql.Timestamp(1000L), 2.0)),
+      StructType(Seq(StructField("k", StringType),
+        StructField("t", TimestampType), StructField("rv", DoubleType))))
+    intercept[IllegalArgumentException] {
+      AsOfJoin(tsLeft, tsRight, Seq("k"), "t", Seq("rv"),
+        tolerance = Some(10L))
+    }
+    // …but timestamps without tolerance stay supported
+    assert(AsOfJoin(tsLeft, tsRight, Seq("k"), "t", Seq("rv")).count() == 1)
+  }
+
   test("preserves left row count and columns") {
     val left = spark.createDataFrame(java.util.Arrays.asList(
       (1 to 50).map(i => Row("k", i.toLong, i.toDouble)): _*), lSchema)

@@ -132,6 +132,30 @@ class ClusterRangeSpec extends SparkSpec {
     assert(out == Map(1L -> 3L, 2L -> 2L, 4L -> 1L, 5L -> 2L))
   }
 
+  test("salted join: survives a user _salt column and unhashable non-key types") {
+    // Regression (round-3 advisor): the shard column must not clobber
+    // pre-existing user data, and the per-row shard hash must not touch
+    // non-key columns (a MapType column fails analysis inside hash()).
+    val big = spark.range(0, 1000)
+      .select(col("id"), (col("id") % 3).cast("string").as("k"),
+        lit(7).as("_salt"),
+        map(lit("a"), col("id")).as("props"))
+    val small = spark.createDataFrame(java.util.Arrays.asList(
+        Row("0", 10L), Row("1", 20L), Row("2", 30L)),
+      StructType(Seq(StructField("k", StringType),
+        StructField("w", LongType))))
+    val out = ext.SaltedJoin(big, small, Seq("k"), salt = 4)
+    assert(out.columns.contains("_salt"), "user _salt column dropped")
+    assert(out.count() == 1000)
+    assert(out.filter(col("_salt") =!= 7).count() == 0,
+      "user _salt values clobbered by the shard column")
+    // set ops reject MapType — compare on the scalar columns (the map
+    // column's survival is covered by the count/clobber checks above)
+    val cmp = Seq("id", "k", "_salt", "w").map(col)
+    val plain = big.join(small, "k").select(cmp: _*)
+    assert(out.select(cmp: _*).exceptAll(plain).isEmpty)
+  }
+
   test("salted join: identical rows to the plain join, exchange on the salted key") {
     val sf = "/root/testdata/sf0.01"
     val out = SparkEntry.queries("join_skew_salted")(spark, sf)
