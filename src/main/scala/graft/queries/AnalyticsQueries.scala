@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Product-analytics + CDC operator surface over the `events` table:
+  * the ranking-window family, cohort retention, snapshot diffing, and
+  * latest-per-key compaction — the queries a training-data or metrics
+  * pipeline runs daily alongside the dedup/similarity operators.
+  *
+  * Scale notes (100 TB design point):
+  * - every date bucket here is PURE INTEGER math on epoch-micros
+  *   (`div` by day/week constants), so Spark and DuckDB agree
+  *   bit-for-bit and no calendar/timezone library sits in the hot path;
+  * - `rel_window_suite` runs every ranking function over ONE window
+  *   spec — one exchange, one sort, a single WindowExec feeds all
+  *   seven outputs;
+  * - `dedup_latest` is the argmax-struct form of "keep the newest
+  *   version per key": the winner rides the partial aggregates
+  *   (map-side combine), so the shuffle carries one row per key per
+  *   map task — the window/row_number formulation would shuffle and
+  *   sort EVERY version of every key;
+  * - `cdc_diff` joins two per-key aggregates that hash-partition on
+  *   the same key, so the full-outer join is exchange-aligned
+  *   (no third shuffle).
+  */
+object AnalyticsQueries {
+
+  private val WeekMicros = 604800000000L // 7 * 86400e6
+
+  /** events with long user_id + epoch-micro t (shared derivation). */
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    EventBars.events(s, dir)
+      .select(col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"),
+        col("event_type"), col("t"), col("value"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // The ranking-window family (row_number / rank / dense_rank /
+    // percent_rank / cume_dist / ntile / lag / lead) over one shared
+    // window spec. The sort key (t, event_id) is a TOTAL order —
+    // event_id breaks timestamp ties — so every function is
+    // deterministic; rank/dense_rank rank on t alone (so ties are
+    // visible to them) while the frame order stays total.
+    "rel_window_suite" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+      val wT = Window.partitionBy("user_id").orderBy(col("t"))
+      ev(s, dir).select(
+        col("user_id"), col("t"), col("event_id"),
+        row_number().over(w).cast("long").as("rn"),
+        rank().over(wT).cast("long").as("rnk"),
+        dense_rank().over(wT).cast("long").as("drnk"),
+        Rounding.r6(percent_rank().over(w)).as("prnk"),
+        Rounding.r6(cume_dist().over(w)).as("cdist"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        Rounding.r6(lag(col("value"), 1).over(w)).as("prev_value"),
+        Rounding.r6(lead(col("value"), 1).over(w)).as("next_value"))
+    }),
+
+    // Weekly cohort retention: users bucketed by their FIRST active
+    // week; each later active week increments that cohort's
+    // week-offset cell. Shape: distinct (user, week) partials first
+    // (map-side combine collapses each user's events per week), then
+    // the per-user min rides a second aggregate; the join back is
+    // exchange-aligned on user_id. After the first aggregate only
+    // (user, week) pairs move — never raw events.
+    "agg_retention" -> ((s, dir) => {
+      val uw = ev(s, dir)
+        .select(col("user_id"), expr(s"t div $WeekMicros").as("wk"))
+        .distinct()
+      val cohort = uw.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+      uw.join(cohort, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
+    // CDC snapshot diff: per-user state (event count, value sum) at the
+    // data's midpoint timestamp vs at the end, reconciled with a
+    // full-outer join → ADDED / CHANGED / UNCHANGED status per user
+    // (REMOVED can't occur on an append-only log but the branch is the
+    // generic contract). Status derives from integer counts only — no
+    // float compare decides a row's fate. Both aggregates partition on
+    // user_id, so the join adds no exchange; the midpoint scalar is a
+    // broadcast single row.
+    "cdc_diff" -> ((s, dir) => {
+      val e = ev(s, dir)
+      // integer midpoint (`div`), matching the oracle's `//` — a double
+      // division here would round where the oracle floors
+      val mid = e.agg(min(col("t")).as("mn"), max(col("t")).as("mx"))
+        .select(expr("(mn + mx) div 2").as("mid"))
+      val withMid = e.crossJoin(broadcast(mid))
+      val oldSnap = withMid.filter(col("t") <= col("mid"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_old"), sum(col("value")).as("s_old"))
+      val newSnap = e.groupBy("user_id")
+        .agg(count(lit(1)).as("n_new"), sum(col("value")).as("s_new"))
+      oldSnap.join(newSnap, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          when(col("n_old").isNull, lit("ADDED"))
+            .when(col("n_new").isNull, lit("REMOVED"))
+            .when(col("n_old") =!= col("n_new"), lit("CHANGED"))
+            .otherwise(lit("UNCHANGED")).as("status"),
+          coalesce(col("n_old"), lit(0L)).as("n_old"),
+          col("n_new"),
+          Rounding.r6(col("s_old")).as("sum_old"),
+          Rounding.r6(col("s_new")).as("sum_new"))
+    }),
+
+    // Latest-per-key CDC compaction ("apply the change log, keep the
+    // newest version"): argmax struct per (user, event_type) ordered by
+    // (t, event_id) — unique, so the pick is deterministic. The struct
+    // max folds in the partial aggregates; no per-key sort, no
+    // full-history shuffle.
+    "dedup_latest" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy("user_id", "event_type")
+        .agg(max(struct(col("t"), col("event_id"), col("value"))).as("m"))
+        .select(col("user_id"), col("event_type"),
+          col("m.t").as("t"), col("m.event_id").as("event_id"),
+          Rounding.r6(col("m.value")).as("value"))))
+
+  val oracles: Map[String, String] = Map(
+
+    "rel_window_suite" ->
+      """WITH e AS (SELECT event_id::BIGINT AS event_id,
+        |    user_id::BIGINT AS user_id, epoch_us(ts) AS t, value
+        |  FROM events)
+        |SELECT user_id, t, event_id,
+        |  row_number() OVER w::BIGINT AS rn,
+        |  rank() OVER wt::BIGINT AS rnk,
+        |  dense_rank() OVER wt::BIGINT AS drnk,
+        |  (round(percent_rank() OVER w, 6) + 0.0) AS prnk,
+        |  (round(cume_dist() OVER w, 6) + 0.0) AS cdist,
+        |  ntile(4) OVER w::BIGINT AS quartile,
+        |  (round(lag(value, 1) OVER w, 6) + 0.0) AS prev_value,
+        |  (round(lead(value, 1) OVER w, 6) + 0.0) AS next_value
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id),
+        |  wt AS (PARTITION BY user_id ORDER BY t)""".stripMargin,
+
+    "agg_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id::BIGINT AS user_id,
+        |    epoch_us(ts) // 604800000000 AS wk FROM events),
+        |cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY 1)
+        |SELECT c.cohort_wk, (u.wk - c.cohort_wk)::BIGINT AS week_offset,
+        |  count(*)::BIGINT AS n_users
+        |FROM uw u JOIN cohort c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "cdc_diff" ->
+      """WITH e AS (SELECT user_id::BIGINT AS user_id, epoch_us(ts) AS t,
+        |    value FROM events),
+        |mid AS (SELECT (min(t) + max(t)) // 2 AS mid FROM e),
+        |old AS (SELECT user_id, count(*)::BIGINT AS n_old,
+        |    sum(value) AS s_old
+        |  FROM e, mid WHERE t <= mid GROUP BY 1),
+        |new AS (SELECT user_id, count(*)::BIGINT AS n_new,
+        |    sum(value) AS s_new FROM e GROUP BY 1)
+        |SELECT coalesce(o.user_id, n.user_id) AS user_id,
+        |  CASE WHEN o.n_old IS NULL THEN 'ADDED'
+        |       WHEN n.n_new IS NULL THEN 'REMOVED'
+        |       WHEN o.n_old <> n.n_new THEN 'CHANGED'
+        |       ELSE 'UNCHANGED' END AS status,
+        |  coalesce(o.n_old, 0)::BIGINT AS n_old, n.n_new,
+        |  (round(o.s_old, 6) + 0.0) AS sum_old,
+        |  (round(n.s_new, 6) + 0.0) AS sum_new
+        |FROM old o FULL OUTER JOIN new n USING (user_id)""".stripMargin,
+
+    "dedup_latest" ->
+      """WITH e AS (SELECT event_id::BIGINT AS event_id,
+        |    user_id::BIGINT AS user_id, event_type, epoch_us(ts) AS t,
+        |    value FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY t DESC, event_id DESC) AS rn FROM e)
+        |SELECT user_id, event_type, t, event_id,
+        |  (round(value, 6) + 0.0) AS value
+        |FROM r WHERE rn = 1""".stripMargin)
+}
