@@ -35,10 +35,20 @@ object Bench {
       catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver keeps only the last ~2000 chars of output and parses the
+    // JSON line out of that tail (BENCH_r01..03 all show "parsed": null
+    // because the full-precision line overflowed it). Centisecond
+    // per-query precision keeps the whole line well under the window.
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Silence shutdown logging BEFORE stop(): a late stderr flush
+    // landing after the JSON line would push it out of the tail window.
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(line)
   }
 }

@@ -119,7 +119,62 @@ object AnalyticsQueries {
         .agg(max(struct(col("t"), col("event_id"), col("value"))).as("m"))
         .select(col("user_id"), col("event_type"),
           col("m.t").as("t"), col("m.event_id").as("event_id"),
-          Rounding.r6(col("m.value")).as("value"))))
+          Rounding.r6(col("m.value")).as("value"))),
+
+    // SCD-2 interval build: turn the append-only change log into
+    // versioned dimension rows — each event opens a version valid
+    // [t, next t); the newest version per (user, event_type) stays
+    // open-ended (valid_to null, is_current). One window over ONE
+    // exchange keyed on the dimension key; the sort key (t, event_id)
+    // is total, so interval bounds are deterministic even on timestamp
+    // ties. At 100 TB this is the standard "rebuild the dimension from
+    // the log" shape: shuffle once on the key, no self-join.
+    "cdc_scd2" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("t"), col("event_id"))
+      ev(s, dir).select(
+        col("user_id"), col("event_type"),
+        col("t").as("valid_from"),
+        lead(col("t"), 1).over(w).as("valid_to"),
+        Rounding.r6(col("value")).as("value"),
+        lead(col("t"), 1).over(w).isNull.as("is_current"))
+    }),
+
+    // Equi-width histogram of `value` into 20 global buckets. The
+    // min/max bounds are a single broadcast row; bucketing is one
+    // per-row projection, so the only shuffle carries 20 bucket ids.
+    // The bucket index is floor((v-mn)/(mx-mn)*20) clamped to 19 —
+    // identical IEEE double ops on both engines, so bucket membership
+    // can't straddle a boundary differently.
+    "agg_histogram" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val bounds = e.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+      e.crossJoin(broadcast(bounds))
+        .select(least(lit(19L),
+          floor((col("value") - col("mn")) / (col("mx") - col("mn")) * 20))
+          .cast("long").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // INTERSECT / EXCEPT set ops: compare the active-user sets of the
+    // log's first and second halves (midpoint as in cdc_diff) and tag
+    // each user both / first_only / second_only. Spark's native
+    // Intersect/Except distinct operators plan as aggregates over one
+    // hash exchange per side — ids only, never event rows.
+    "rel_setops" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val mid = e.agg(min(col("t")).as("mn"), max(col("t")).as("mx"))
+        .select(expr("(mn + mx) div 2").as("mid"))
+      val withMid = e.crossJoin(broadcast(mid))
+      val first = withMid.filter(col("t") <= col("mid")).select("user_id").distinct()
+      val second = withMid.filter(col("t") > col("mid")).select("user_id").distinct()
+      first.intersect(second).select(col("user_id"), lit("both").as("cohort"))
+        .unionByName(first.except(second)
+          .select(col("user_id"), lit("first_only").as("cohort")))
+        .unionByName(second.except(first)
+          .select(col("user_id"), lit("second_only").as("cohort")))
+    }))
 
   val oracles: Map[String, String] = Map(
 
@@ -176,5 +231,37 @@ object AnalyticsQueries {
         |    ORDER BY t DESC, event_id DESC) AS rn FROM e)
         |SELECT user_id, event_type, t, event_id,
         |  (round(value, 6) + 0.0) AS value
-        |FROM r WHERE rn = 1""".stripMargin)
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    "cdc_scd2" ->
+      """WITH e AS (SELECT event_id::BIGINT AS event_id,
+        |    user_id::BIGINT AS user_id, event_type, epoch_us(ts) AS t,
+        |    value FROM events)
+        |SELECT user_id, event_type, t AS valid_from,
+        |  lead(t, 1) OVER w AS valid_to,
+        |  (round(value, 6) + 0.0) AS value,
+        |  lead(t, 1) OVER w IS NULL AS is_current
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id, event_type
+        |  ORDER BY t, event_id)""".stripMargin,
+
+    "agg_histogram" ->
+      """WITH e AS (SELECT value FROM events),
+        |b AS (SELECT min(value) AS mn, max(value) AS mx FROM e)
+        |SELECT least(19, floor((e.value - b.mn) / (b.mx - b.mn) * 20))::BIGINT
+        |    AS bucket,
+        |  count(*)::BIGINT AS n
+        |FROM e, b GROUP BY 1""".stripMargin,
+
+    "rel_setops" ->
+      """WITH e AS (SELECT user_id::BIGINT AS user_id, epoch_us(ts) AS t
+        |    FROM events),
+        |mid AS (SELECT (min(t) + max(t)) // 2 AS mid FROM e),
+        |f AS (SELECT DISTINCT user_id FROM e, mid WHERE t <= mid),
+        |s AS (SELECT DISTINCT user_id FROM e, mid WHERE t > mid)
+        |SELECT user_id, 'both' AS cohort FROM (SELECT user_id FROM f INTERSECT SELECT user_id FROM s)
+        |UNION ALL
+        |SELECT user_id, 'first_only' AS cohort FROM (SELECT user_id FROM f EXCEPT SELECT user_id FROM s)
+        |UNION ALL
+        |SELECT user_id, 'second_only' AS cohort FROM (SELECT user_id FROM s EXCEPT SELECT user_id FROM f)""".stripMargin)
 }

@@ -709,7 +709,76 @@ object ExtQueries {
         .filter(col("rank") <= 3)
         .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("n_id"),
           col("rank"), Rounding.r6(col("sim")).as("sim"))
-    }))
+    }),
+
+    // Data profiling: the per-column summary every ingest job runs
+    // before training — null count, distinct count, min/max length —
+    // as ONE pass over the table (a single aggregate computes every
+    // column's stats; the long output shape comes from a stack of the
+    // one wide row, not from re-scanning per column). count(distinct)
+    // over several columns plans one Expand over the scan — at 100 TB
+    // that is 4× the scan rows shuffled as short values, the standard
+    // trade for exact multi-column distincts in one job.
+    "profile_docs" -> ((s, dir) => {
+      val d = docs(s, dir)
+      // groupBy a constant, not a global agg: profiling an empty shard
+      // yields zero rows (a global agg would emit one all-zero row),
+      // keeping the whole surface's empty-in → empty-out invariant
+      val wide = d.groupBy(lit(true).as("_g")).agg(
+        count(lit(1)).as("n_rows"),
+        count(col("text")).as("nn_text"),
+        count(col("lang")).as("nn_lang"),
+        count(col("source")).as("nn_source"),
+        countDistinct(col("lang")).as("d_lang"),
+        countDistinct(col("source")).as("d_source"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      wide.select(col("n_rows"), expr(
+        """stack(3,
+          |  'lang',   n_rows - nn_lang,   d_lang,   min_chars, max_chars,
+          |  'source', n_rows - nn_source, d_source, min_chars, max_chars,
+          |  'text',   n_rows - nn_text,   CAST(NULL AS BIGINT), min_chars, max_chars)
+          |  AS (column_name, n_null, n_distinct, min_chars, max_chars)""".stripMargin))
+        .select(col("column_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_chars"), col("max_chars"))
+    }),
+
+    // Unigram language-model quality score (the perplexity-style
+    // filter): score(doc) = mean over tokens of log10 P(token), with
+    // P from the corpus's own unigram counts. The vocabulary aggregate
+    // shuffles 8-byte (hash, count) pairs; the per-token probability
+    // lookup is a broadcast join (a real corpus's vocab is tiny next
+    // to the corpus), so documents never shuffle. Token order within a
+    // doc is the explode order on both engines, so the float fold is
+    // deterministic.
+    "text_unigram_lp" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          posexplode(expr(toksSpark)).as(Seq("pos", "tok")))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val total = toks.agg(count(lit(1)).cast("double").as("nt"))
+      toks.join(broadcast(vocab), Seq("tok"))
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          Rounding.r6(avg(log10(col("c").cast("double") / col("nt"))))
+            .as("avg_lp"))
+    }),
+
+    // Per-label embedding centroids — the "domain mean vector" used
+    // for clustering diagnostics and IVF seeding. Long output shape
+    // (label, dim, value): posexplode then ONE groupBy on (label, dim)
+    // — the shuffle carries scalars keyed by a 2-int key, never whole
+    // vectors, and map-side partial sums collapse each partition to
+    // one row per (label, dim) first.
+    "emb_centroids" -> ((s, dir) =>
+      emb(s, dir)
+        .select(col("label").cast("long").as("label"),
+          posexplode(expr("CAST(embedding AS ARRAY<DOUBLE>)")).as(Seq("dim", "x")))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"), Rounding.r6(avg(col("x"))).as("centroid"))
+        .select(col("label"), col("dim").cast("long").as("dim"), col("n"),
+          col("centroid"))))
 
   // ---- DuckDB oracles ----
 
@@ -1167,5 +1236,42 @@ object ExtQueries {
         |    END AS phash FROM mn)
         |SELECT doc_id, phash,
         |  count(*) OVER (PARTITION BY phash)::BIGINT AS n_same
-        |FROM ph""".stripMargin)
+        |FROM ph""".stripMargin,
+
+    "profile_docs" ->
+      """WITH w AS (SELECT count(*)::BIGINT AS n_rows,
+        |    count(text)::BIGINT AS nn_text, count(lang)::BIGINT AS nn_lang,
+        |    count(source)::BIGINT AS nn_source,
+        |    count(DISTINCT lang)::BIGINT AS d_lang,
+        |    count(DISTINCT source)::BIGINT AS d_source,
+        |    min(n_chars)::BIGINT AS min_chars,
+        |    max(n_chars)::BIGINT AS max_chars
+        |  FROM documents GROUP BY TRUE)
+        |SELECT 'lang' AS column_name, n_rows, n_rows - nn_lang AS n_null,
+        |  d_lang AS n_distinct, min_chars, max_chars FROM w
+        |UNION ALL
+        |SELECT 'source', n_rows, n_rows - nn_source, d_source,
+        |  min_chars, max_chars FROM w
+        |UNION ALL
+        |SELECT 'text', n_rows, n_rows - nn_text, NULL::BIGINT,
+        |  min_chars, max_chars FROM w""".stripMargin,
+
+    "text_unigram_lp" ->
+      s"""WITH $docToks,
+         |tk AS (SELECT doc_id, unnest(toks) AS tok FROM dt),
+         |v AS (SELECT tok, count(*)::BIGINT AS c FROM tk GROUP BY 1),
+         |n AS (SELECT count(*)::DOUBLE AS nt FROM tk)
+         |SELECT tk.doc_id, count(*)::BIGINT AS n_toks,
+         |  (round(avg(log10(v.c::DOUBLE / n.nt)), 6) + 0.0) AS avg_lp
+         |FROM tk JOIN v USING (tok) CROSS JOIN n
+         |GROUP BY 1""".stripMargin,
+
+    "emb_centroids" ->
+      """WITH x AS (SELECT label::BIGINT AS label,
+        |    unnest(embedding::DOUBLE[]) AS x,
+        |    generate_subscripts(embedding, 1) - 1 AS dim
+        |  FROM embeddings)
+        |SELECT label, dim::BIGINT AS dim, count(*)::BIGINT AS n,
+        |  (round(avg(x), 6) + 0.0) AS centroid
+        |FROM x GROUP BY 1, 2""".stripMargin)
 }

@@ -99,6 +99,37 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(p) == 1)
   }
 
+  test("scd2 builds on ONE exchange (window on the dimension key)") {
+    val p = plan("cdc_scd2")
+    assert(shuffles(p) == 1)
+    assert(p.contains("Window"))
+  }
+
+  test("histogram broadcasts the 1-row bounds; one bucket exchange") {
+    val p = plan("agg_histogram")
+    assert(p.contains("BroadcastExchange"))
+    // events bucket per-row against broadcast bounds; the only hash
+    // exchange carries 20 bucket ids (plus the single-row bounds agg)
+    assert(shuffles(p) == 1)
+  }
+
+  test("unigram LM scoring broadcasts the vocabulary") {
+    val p = plan("text_unigram_lp")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("embedding centroids: map-side partial avg, one exchange") {
+    val p = plan("emb_centroids")
+    assert(shuffles(p) == 1)
+    assert(p.contains("partial_avg") || p.contains("partial"))
+  }
+
+  test("profiling computes multi-column distincts in one Expand pass") {
+    val p = plan("profile_docs")
+    assert(p.contains("Expand"))
+  }
+
   test("readDay prunes to one Hive partition") {
     val base = java.nio.file.Files.createTempDirectory("plan").toString
     val df = spark.range(10).selectExpr("'T' AS ticker", "CAST(id AS DOUBLE) AS volume",

@@ -256,6 +256,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC compaction matches batch dedup_latest semantics") {
+    // The incremental face of dedup_latest: the same argmax-struct
+    // aggregate runs as a streaming Update-mode agg — per-key state is
+    // one struct, batches arrive scrambled, and the final table equals
+    // the batch compaction of the full log.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val stream = MemoryStream[(Long, String, Long, Double)]
+    val compacted = stream.toDS()
+      .toDF("user_id", "event_type", "t", "value")
+      .groupBy("user_id", "event_type")
+      .agg(max(struct(col("t"), col("value"))).as("m"))
+      .select(col("user_id"), col("event_type"),
+        col("m.t").as("t"), col("m.value").as("value"))
+    val q = compacted.writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("cdc_compact").start()
+    try {
+      // out-of-order arrivals: the newest version (t=30) lands first
+      stream.addData(Seq((1L, "click", 30L, 3.0), (1L, "click", 10L, 1.0),
+        (2L, "view", 5L, 9.9)))
+      q.processAllAvailable()
+      stream.addData(Seq((1L, "click", 20L, 2.0), (2L, "view", 50L, 0.5)))
+      q.processAllAvailable()
+      val got = spark.table("cdc_compact").as[(Long, String, Long, Double)]
+        .collect().toSet
+      assert(got == Set((1L, "click", 30L, 3.0), (2L, "view", 50L, 0.5)))
+    } finally q.stop()
+  }
+
   test("streaming query resumes from checkpoint without re-emitting days") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
