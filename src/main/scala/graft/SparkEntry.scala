@@ -17,11 +17,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ IndicatorQueries.queries ++
-      EtlQueries.queries ++ ExtQueries.queries ++ AnalyticsQueries.queries
+      EtlQueries.queries ++ ExtQueries.queries ++ AnalyticsQueries.queries ++
+      ScaleQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ IndicatorQueries.oracles ++
-      EtlQueries.oracles ++ ExtQueries.oracles ++ AnalyticsQueries.oracles
+      EtlQueries.oracles ++ ExtQueries.oracles ++ AnalyticsQueries.oracles ++
+      ScaleQueries.oracles
 }
