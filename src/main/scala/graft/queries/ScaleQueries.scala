@@ -142,13 +142,14 @@ object ScaleQueries {
     }),
 
     // Bloom-filter join pruning: the BUILDING-segment customer keys are
-    // folded into a k-hash bitmap (ONE aggregated row — a dense
-    // boolean array, O(1) lookup per probe), broadcast, and the orders
-    // scan drops non-members BEFORE the exact semi-join. The bloom
-    // filter has no false negatives, so the exact join behind it makes
-    // the result identical to the plain semi-join — which is exactly
-    // what the oracle runs. At 100 TB this is the difference between
-    // shuffling the full fact table and shuffling the ~matching rows.
+    // folded into a k-hash bitmap (packed 64-bit words, built by a
+    // 128-group bit_or aggregate and densified into ONE broadcast row;
+    // probes are an O(1) shift-and-mask), and the orders scan drops
+    // non-members BEFORE the exact semi-join. The bloom filter has no
+    // false negatives, so the exact join behind it makes the result
+    // identical to the plain semi-join — which is exactly what the
+    // oracle runs. At 100 TB this is the difference between shuffling
+    // the full fact table and shuffling the ~matching rows.
     "join_bloom" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
         .filter(col("c_mktsegment") === "BUILDING")
@@ -157,15 +158,18 @@ object ScaleQueries {
         s"transform(sequence(0, ${BloomK - 1}), " +
           s"j -> (($key*(2*j + 1) + j*7919 + 1) % $P) % $BloomM)"
       val bloom = cust
-        .select(explode(expr(posOf("c_custkey"))).as("pos")).distinct()
-        .agg(collect_set(col("pos")).as("ps"))
+        .select(explode(expr(posOf("c_custkey"))).as("pos"))
+        .groupBy(expr("pos DIV 64").as("w"))
+        .agg(bit_or(expr("CAST(1 AS BIGINT) << CAST(pos % 64 AS INT)")).as("b"))
+        .agg(map_from_arrays(collect_list(col("w")), collect_list(col("b"))).as("m"))
         .select(expr(
-          s"transform(sequence(0, ${BloomM - 1}), i -> array_contains(ps, CAST(i AS BIGINT)))")
+          s"transform(sequence(0, ${BloomM / 64 - 1}), w -> coalesce(m[CAST(w AS BIGINT)], 0L))")
           .as("bits"))
       val pruned = t(s, dir, "orders")
         .crossJoin(broadcast(bloom))
         .filter(expr(
-          s"forall(${posOf("o_custkey")}, p -> element_at(bits, CAST(p AS INT) + 1))"))
+          s"forall(${posOf("o_custkey")}, " +
+            "p -> (element_at(bits, CAST(p DIV 64 AS INT) + 1) >> CAST(p % 64 AS INT)) & 1 = 1)"))
         .drop("bits")
       pruned.join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
         .select(col("o_orderkey"), col("o_custkey"),
@@ -206,15 +210,17 @@ object ScaleQueries {
     // sketch a 100 TB pipeline keeps when the exact vocabulary
     // aggregate is too wide to materialize per shard.
     "sketch_cms" -> ((s, dir) => {
-      val hashExpr =
-        s"aggregate(transform(regexp_extract_all(tok, '.', 0), " +
-          s"c -> CAST(ascii(c) AS BIGINT)), 7L, (a, b) -> (a*131 + b) % $P)"
       val cellsOf =
         s"transform(sequence(0, ${CmsD - 1}), " +
           s"j -> ((h*(2*j + 1) + j*7919 + 1) % $P) % $CmsW)"
+      // token + its hash in one explode of zipped arrays — the per-token
+      // hash comes from the native graft_word_hashes kernel (one pass
+      // per doc), not a per-character HOF fold per exploded row
       val toks = docs(s, dir)
-        .select(explode(expr(toksSpark)).as("tok"))
-        .withColumn("h", expr(hashExpr))
+        .withColumn("toks", expr(toksSpark))
+        .withColumn("wh", expr(s"graft_word_hashes($toksSpark)"))
+        .select(explode(arrays_zip(col("toks"), col("wh"))).as("z"))
+        .select(col("z.toks").as("tok"), col("z.wh").as("h"))
       val sketch = toks
         .select(posexplode(expr(cellsOf)).as(Seq("j", "ccol")))
         .groupBy("j", "ccol").agg(count(lit(1)).as("c"))

@@ -130,6 +130,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Expand"))
   }
 
+  test("sorted-neighborhood dedup: one exchange, one sort, zero joins") {
+    val p = plan("dedup_neighbors")
+    assert(shuffles(p) == 1)
+    assert(p.contains("Window"))
+    assert(!p.contains("Join"))
+  }
+
+  test("ts_resample reuses the ticker exchange for the bar groupBy") {
+    // minuteBars' slot window partitions on ticker; the (ticker, bar)
+    // aggregate's clustering is satisfied by it → no second exchange
+    val p = plan("ts_resample")
+    assert(shuffles(p) == 1)
+  }
+
+  test("emb_quantize broadcasts the per-dim bounds") {
+    val p = plan("emb_quantize")
+    assert(shuffles(p) == 1)
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("join_bloom: bitmap is one broadcast row; exact join broadcasts") {
+    val p = plan("join_bloom")
+    assert(p.contains("BroadcastHashJoin")) // the exact semi-join
+    assert(!p.contains("SortMergeJoin"))
+    // the only hash exchange builds the 128-word bitmap
+    assert(shuffles(p) == 1)
+  }
+
+  test("segment dedup and CMS stay native (no codegen fallback, no BNLJ)") {
+    Seq("dedup_lines", "sketch_cms").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CodegenFallback"), q)
+      assert(!p.contains("BroadcastNestedLoop"), q)
+    }
+  }
+
   test("readDay prunes to one Hive partition") {
     val base = java.nio.file.Files.createTempDirectory("plan").toString
     val df = spark.range(10).selectExpr("'T' AS ticker", "CAST(id AS DOUBLE) AS volume",
