@@ -32,12 +32,14 @@ object ConnectedComponents {
     * @return one row per vertex: `id`, `lbl` = min id in its component
     */
   def apply(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    // Materialize the symmetrized edge list ONCE before iterating:
+    // Materialize the edge list ONCE before symmetrizing and iterating:
     // edges is typically the tail of an expensive pipeline (shingle →
-    // minhash → band join), and a lazy `sym` would re-execute all of it
-    // on every propagation round.
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // minhash → band join); a lazy `sym` would re-execute all of it on
+    // every propagation round, and even a checkpointed union would run
+    // the lineage twice (once per union branch).
+    val once = edges.select(col("src"), col("dst")).localCheckpoint()
+    val sym = once
+      .union(once.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
 
     // Iterate ONLY over nodes that have at least one edge. In a dedup

@@ -85,7 +85,7 @@ object ExtQueries {
   /** Exact 3-gram-shingle jaccard over a candidate pair (raw — callers
     * round for output, filter on the raw value).
     */
-  private def jaccardExpr: Column =
+  private[queries] def jaccardExpr: Column =
     expr("CAST(size(array_intersect(array_distinct(sha), array_distinct(shb))) AS DOUBLE) / CAST(size(array_union(array_distinct(sha), array_distinct(shb))) AS DOUBLE)")
 
   /** MinHash-LSH candidate pairs (a < b) with signatures and shingle
@@ -102,7 +102,7 @@ object ExtQueries {
     * array expressions so jaccard/est run once per unique pair, not
     * once per colliding band.
     */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir)
       .withColumn("toks", expr(toksSpark))
       .withColumn("wh", expr(whS))
@@ -793,6 +793,22 @@ object ExtQueries {
   private val embBase =
     s"""eb AS (SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |en AS (SELECT *, sqrt(${dotD("v", "v")}) AS nrm FROM eb)""".stripMargin
+
+  /** Shared oracle fragment: the LSH jaccard ≥ 0.8 candidate-pair CTE
+    * chain (token-equivalent to `minhashPairs(...).filter(jaccard ≥ 0.8)`);
+    * ends in `pr(a, b)`. Splice inside a WITH. */
+  private[queries] val lshPairsDuck: String =
+    s"""$docHashes,
+       |df AS (SELECT * FROM ds WHERE len(sh) > 0),
+       |dm AS (SELECT *, $mhD AS mh FROM df),
+       |db AS (SELECT *, $bandsD AS mbands FROM dm),
+       |dk0 AS (SELECT doc_id, sh, mh, unnest($bkD) AS bk FROM db),
+       |dkc AS (SELECT *, count(*) OVER (PARTITION BY bk) AS bucket_n FROM dk0),
+       |dk AS (SELECT doc_id, sh, mh, bk FROM dkc WHERE bucket_n <= $MaxBandBucket),
+       |pr AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM dk x JOIN dk y ON x.bk = y.bk AND x.doc_id < y.doc_id
+       |  WHERE len(list_distinct(list_intersect(list_distinct(x.sh), list_distinct(y.sh))))::DOUBLE
+       |      / len(list_distinct(list_concat(list_distinct(x.sh), list_distinct(y.sh))))::DOUBLE >= 0.8)""".stripMargin
 
   val oracles: Map[String, String] = Map(
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ext.TextOps
+import graft.ext.{PageRank, TextOps}
 import graft.functions.GraftFunctions
 
 /** Round-4 scale-path operators: the remaining building blocks a
@@ -237,6 +237,130 @@ object ScaleQueries {
         .select(col("tok"), col("n_exact"), col("n_est"))
     }),
 
+    // Fixed-iteration PageRank over the LSH near-dup graph — the
+    // importance score a pipeline uses to pick canonical docs or
+    // weight sampling. 5 power-iteration rounds, damping 0.85,
+    // dangling mass NOT redistributed (singletons hold (1-0.85)/N);
+    // the fixed round count keeps the doubles oracle-comparable.
+    // Scale shape: see [[graft.ext.PageRank]] — edges materialize
+    // once, each round is one exchange-aligned join + groupBy-sum,
+    // singletons never iterate.
+    "graph_pagerank" -> ((s, dir) => {
+      val edges = ExtQueries.minhashPairs(s, dir)
+        .filter(ExtQueries.jaccardExpr >= 0.8)
+        .select(col("a").as("src"), col("b").as("dst"))
+      val nodes = docs(s, dir).select(col("doc_id").cast("long").as("id"))
+      PageRank(nodes, edges, iters = 5, d = 0.85)
+        .select(col("id").as("doc_id"), Rounding.r6(col("rank")).as("rank"))
+    }),
+
+    // HyperLogLog distinct sketch (m=64 registers, deterministic Knuth
+    // hash): register = h mod 64, rho = leading-zero rank of h div 64
+    // in a 24-bit space via the binary-string length both engines
+    // print identically. The raw HLL estimate (no small-range
+    // correction — libm log is not bit-portable) next to the exact
+    // count. Every 2^-M term is dyadic, so the register sum is EXACT
+    // in double on both engines regardless of order. The sketch
+    // shuffles (type, register) pairs — 64 rows per group — which is
+    // the whole point at 100 TB.
+    "sketch_hll" -> ((s, dir) => {
+      val hashed = EventBars.events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .select(col("event_type"),
+          col("user_id").cast("long").as("uid"),
+          expr(s"((user_id % ${P}L) * 2654435761L) % ${P}L").as("h"))
+      val regs = hashed
+        .select(col("event_type"), (col("h") % 64).as("reg"),
+          expr("h DIV 64").as("v"))
+        .withColumn("rho",
+          when(col("v") === 0, lit(25L))
+            .otherwise(lit(25L) - length(bin(col("v"))).cast("long")))
+        .groupBy("event_type", "reg").agg(max(col("rho")).as("m"))
+      val est = regs.groupBy("event_type")
+        .agg(sum(pow(lit(2.0), -col("m"))).as("sp"),
+          count(lit(1)).as("nr"))
+        .select(col("event_type"),
+          (lit(0.709 * 64.0 * 64.0) /
+            (col("sp") + (lit(64L) - col("nr")).cast("double"))).as("raw"))
+      val exact = hashed.groupBy("event_type")
+        .agg(countDistinct(col("uid")).as("n_exact"))
+      exact.join(est, "event_type")
+        .select(col("event_type"), col("n_exact"),
+          Rounding.r4(col("raw")).as("est_distinct"))
+    }),
+
+    // MAD outlier detection: per event_type, flag rows whose absolute
+    // deviation from the median exceeds 3× the median absolute
+    // deviation — the robust data-quality screen that, unlike z-score,
+    // a few extreme rows can't mask. Medians use the exact rank-window
+    // interpolation arithmetic (bit-equal to quantile_cont, proven by
+    // agg_quantiles); group keys are low-cardinality, so at 100 TB the
+    // per-type sort is the cost — swap in a sketch quantile when exact
+    // boundaries stop mattering.
+    "anomaly_mad" -> ((s, dir) => {
+      val ev = EventBars.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_id").cast("long").as("event_id"),
+          col("event_type"), col("value"))
+      def medianOf(df: DataFrame, v: String, out: String): DataFrame = {
+        val w = Window.partitionBy("event_type").orderBy(col(v))
+        val wp = Window.partitionBy("event_type")
+        val ranked = df.select(col("event_type"), col(v))
+          .withColumn("rn0", row_number().over(w).cast("long") - 1L)
+          .withColumn("n", count(lit(1)).over(wp))
+        // Spark Percentile.getPercentile arithmetic at p=0.5 (exactly
+        // the agg_quantiles formulation, which is bit-equal to
+        // DuckDB's quantile_cont)
+        val pos = (col("n") - 1L).cast("double") * lit(0.5)
+        val lo = floor(pos).cast("long")
+        val vl = max(when(col("rn0") === lo, col(v)))
+        val vh = max(when(col("rn0") === lo + 1L, col(v)))
+        val frac = pos - floor(pos)
+        ranked.groupBy("event_type").agg(
+          when(first(frac) === 0.0, vl)
+            .otherwise(vl * (lit(1.0) - first(frac)) + vh * first(frac))
+            .as(out))
+      }
+      val med = medianOf(ev, "value", "med")
+      val withDev = ev.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("value") - col("med")))
+      val mad = medianOf(withDev, "dev", "mad")
+      withDev.join(broadcast(mad), "event_type")
+        .filter(col("dev") > lit(3.0) * col("mad"))
+        .select(col("event_id"), col("event_type"),
+          Rounding.r6(col("value")).as("value"),
+          Rounding.r6(col("med")).as("med"),
+          Rounding.r6(col("mad")).as("mad"))
+    }),
+
+    // Data-quality rule summary — the ingest gate a pipeline runs
+    // before training: null keys, referential orphans (broadcast
+    // anti-join — the fact table never shuffles), range and freshness
+    // violations, duplicate primary keys. One row per VIOLATED rule
+    // (clean rules emit nothing — preserving the engine-wide
+    // empty-in → empty-out invariant); each rule is a scan-side
+    // filter + count, so the whole report costs one pass per table.
+    "dq_rules" -> ((s, dir) => {
+      def cnt(name: String, df: DataFrame): DataFrame =
+        df.select(lit(name).as("rule"))
+          .groupBy("rule").agg(count(lit(1)).as("n_violations"))
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val c = t(s, dir, "customer").select(col("c_custkey"))
+      cnt("null_custkey", o.filter(col("o_custkey").isNull))
+        .unionByName(cnt("orphan_order",
+          o.filter(col("o_custkey").isNotNull)
+            .join(broadcast(c), col("o_custkey") === col("c_custkey"), "left_anti")))
+        .unionByName(cnt("qty_out_of_range",
+          li.filter(col("l_quantity") < 1.0 || col("l_quantity") > 50.0)))
+        .unionByName(cnt("nonpositive_price",
+          o.filter(col("o_totalprice") <= 0.0)))
+        .unionByName(cnt("dup_orderkey",
+          o.groupBy("o_orderkey").agg(count(lit(1)).as("c")).filter(col("c") > 1)))
+        .unionByName(cnt("late_ship",
+          li.filter(col("l_shipdate") > lit("1998-12-01").cast("timestamp"))))
+    }),
+
     // OHLC + VWAP downsampling: one-minute bars → five-minute bars.
     // Open/close are argmin/argmax structs on the (ws, event_id) total
     // order — they ride the partial aggregates, so the shuffle carries
@@ -365,6 +489,79 @@ object ScaleQueries {
          |    AND c.ccol = ((t.h*(2*u.j + 1) + u.j*7919 + 1) % $P) % $CmsW
          |  GROUP BY 1, 2)
          |SELECT tok, n_exact, n_est FROM est""".stripMargin,
+
+    "graph_pagerank" -> {
+      val iters = (1 to 5).map { k =>
+        s"""r$k AS (SELECT nd.id,
+           |    (1.0 - 0.85)/(SELECT n FROM cnt) + 0.85 * coalesce(s.c, 0.0) AS r
+           |  FROM nd LEFT JOIN (SELECT e.b AS id, sum(r${k - 1}.r / dg.deg) AS c
+           |    FROM e JOIN r${k - 1} ON e.a = r${k - 1}.id
+           |    JOIN dg ON dg.src = e.a GROUP BY 1) s USING (id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${ExtQueries.lshPairsDuck},
+         |e AS (SELECT a, b FROM pr UNION ALL SELECT b, a FROM pr),
+         |dg AS (SELECT a AS src, count(*)::DOUBLE AS deg FROM e GROUP BY 1),
+         |nd AS (SELECT doc_id::BIGINT AS id FROM documents),
+         |cnt AS (SELECT count(*)::DOUBLE AS n FROM nd),
+         |r0 AS (SELECT id, 1.0/(SELECT n FROM cnt) AS r FROM nd),
+         |$iters
+         |SELECT id AS doc_id, (round(r, 6) + 0.0) AS rank FROM r5""".stripMargin
+    },
+
+    "sketch_hll" ->
+      s"""WITH h AS (SELECT event_type, user_id::BIGINT AS uid,
+         |    ((user_id % ${P}) * 2654435761) % ${P} AS h
+         |  FROM events WHERE user_id IS NOT NULL),
+         |r AS (SELECT event_type, h % 64 AS reg, h // 64 AS v FROM h),
+         |m AS (SELECT event_type, reg,
+         |    max(CASE WHEN v = 0 THEN 25 ELSE 25 - length(bin(v)) END)::BIGINT AS m
+         |  FROM r GROUP BY 1, 2),
+         |e AS (SELECT event_type, sum(power(2.0, -m)) AS sp,
+         |    count(*)::BIGINT AS nr FROM m GROUP BY 1),
+         |x AS (SELECT event_type, count(DISTINCT uid)::BIGINT AS n_exact
+         |  FROM h GROUP BY 1)
+         |SELECT x.event_type, x.n_exact,
+         |  (round(0.709 * 64.0 * 64.0 / (e.sp + (64 - e.nr)::DOUBLE), 4) + 0.0)
+         |    AS est_distinct
+         |FROM x JOIN e USING (event_type)""".stripMargin,
+
+    "anomaly_mad" ->
+      """WITH e AS (SELECT event_id::BIGINT AS event_id, event_type, value
+        |    FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM e GROUP BY 1),
+        |d AS (SELECT e.event_id, e.event_type, e.value, m.med,
+        |    abs(e.value - m.med) AS dev FROM e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |  FROM d GROUP BY 1)
+        |SELECT d.event_id, d.event_type,
+        |  (round(d.value, 6) + 0.0) AS value,
+        |  (round(d.med, 6) + 0.0) AS med,
+        |  (round(md.mad, 6) + 0.0) AS mad
+        |FROM d JOIN md USING (event_type)
+        |WHERE d.dev > 3.0 * md.mad""".stripMargin,
+
+    "dq_rules" ->
+      """SELECT 'null_custkey' AS rule, count(*)::BIGINT AS n_violations
+        |  FROM orders WHERE o_custkey IS NULL HAVING count(*) > 0
+        |UNION ALL
+        |SELECT 'orphan_order', count(*)::BIGINT FROM orders o
+        |  WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |  HAVING count(*) > 0
+        |UNION ALL
+        |SELECT 'qty_out_of_range', count(*)::BIGINT FROM lineitem
+        |  WHERE l_quantity < 1.0 OR l_quantity > 50.0 HAVING count(*) > 0
+        |UNION ALL
+        |SELECT 'nonpositive_price', count(*)::BIGINT FROM orders
+        |  WHERE o_totalprice <= 0.0 HAVING count(*) > 0
+        |UNION ALL
+        |SELECT 'dup_orderkey', count(*)::BIGINT FROM
+        |  (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+        |  HAVING count(*) > 0
+        |UNION ALL
+        |SELECT 'late_ship', count(*)::BIGINT FROM lineitem
+        |  WHERE l_shipdate > TIMESTAMP '1998-12-01' HAVING count(*) > 0""".stripMargin,
 
     "ts_resample" ->
       s"""WITH ${EventBars.sqlMinuteBars},
