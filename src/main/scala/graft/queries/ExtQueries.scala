@@ -794,6 +794,16 @@ object ExtQueries {
     s"""eb AS (SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |en AS (SELECT *, sqrt(${dotD("v", "v")}) AS nrm FROM eb)""".stripMargin
 
+  /** Shared oracle fragment: hyperplane-bucketed embedding near-dup
+    * pairs at cosine > 0.3 (token-equivalent to emb_neardup_lsh's
+    * pair set); ends in `epr(a, b)`. Splice inside a WITH. */
+  private[queries] val embPairsDuck: String =
+    s"""$embBase,
+       |es AS (SELECT *, $sigD AS sig FROM en),
+       |epr AS (SELECT x.vec_id AS a, y.vec_id AS b
+       |  FROM es x JOIN es y ON x.sig = y.sig AND x.vec_id < y.vec_id
+       |  WHERE ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) > 0.3)""".stripMargin
+
   /** Shared oracle fragment: the LSH jaccard ≥ 0.8 candidate-pair CTE
     * chain (token-equivalent to `minhashPairs(...).filter(jaccard ≥ 0.8)`);
     * ends in `pr(a, b)`. Splice inside a WITH. */

@@ -237,6 +237,49 @@ object ScaleQueries {
         .select(col("tok"), col("n_exact"), col("n_est"))
     }),
 
+    // SemDeDup-style semantic clustering: connected components over
+    // the embedding near-dup graph (hyperplane-LSH candidate pairs at
+    // cosine > 0.3 — emb_neardup_lsh's exact pair set). The composition
+    // a pipeline runs to drop semantically redundant documents whose
+    // TEXT never collides: vectors bucket by signature, pairs join by
+    // equality, components iterate only on the (tiny) edge subgraph.
+    "dedup_semantic" -> ((s, dir) => {
+      val edges = ExtQueries.queries("emb_neardup_lsh")(s, dir)
+        .select(col("a").as("src"), col("b").as("dst"))
+      val nodes = t(s, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("id"))
+      graft.ext.ConnectedComponents(nodes, edges)
+        .select(col("id").as("vec_id"), col("lbl").as("cluster_id"))
+    }),
+
+    // Product quantization (the PQ in IVF-PQ): each vector splits into
+    // 8 sub-blocks of 8 dims; each block is coded as its nearest of 16
+    // deterministic "trained" centroids (the sub-vectors of the 16
+    // lowest vec_ids — same coarse-training stand-in as sim_ivf).
+    // Output is the 8-byte-per-vector code book a 100 TB ANN index
+    // actually stores, plus the per-block quantization error. The
+    // centroid table is 128 tiny rows → broadcast; codes come from one
+    // argmin-struct aggregate, so nothing but (vec_id, block, code)
+    // ever shuffles.
+    "emb_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"),
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+      val blocks = e.select(col("vec_id"),
+        posexplode(expr(
+          "transform(sequence(0, 7), b -> slice(v, b*8 + 1, 8))"))
+          .as(Seq("block", "sub")))
+      val cents = blocks.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("block"), col("sub").as("csub"))
+      blocks.join(broadcast(cents), "block")
+        .withColumn("dist2", expr(
+          "aggregate(zip_with(sub, csub, (x, y) -> (x - y) * (x - y)), 0D, (a, c) -> a + c)"))
+        .groupBy("vec_id", "block")
+        .agg(min(struct(col("dist2"), col("c_id"))).as("w"))
+        .select(col("vec_id"), col("block").cast("long").as("block"),
+          col("w.c_id").as("code"), Rounding.r6(col("w.dist2")).as("dist2"))
+    }),
+
     // Fixed-iteration PageRank over the LSH near-dup graph — the
     // importance score a pipeline uses to pick canonical docs or
     // weight sampling. 5 power-iteration rounds, damping 0.85,
@@ -489,6 +532,34 @@ object ScaleQueries {
          |    AND c.ccol = ((t.h*(2*u.j + 1) + u.j*7919 + 1) % $P) % $CmsW
          |  GROUP BY 1, 2)
          |SELECT tok, n_exact, n_est FROM est""".stripMargin,
+
+    "dedup_semantic" ->
+      s"""WITH RECURSIVE ${ExtQueries.embPairsDuck},
+         |e AS (SELECT a, b FROM epr UNION SELECT b, a FROM epr),
+         |reach(id, lbl) AS (
+         |  SELECT vec_id::BIGINT, vec_id::BIGINT FROM embeddings
+         |  UNION
+         |  SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.id)
+         |SELECT id AS vec_id, min(lbl) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+
+    "emb_pq" ->
+      """WITH eb AS (SELECT vec_id::BIGINT AS vec_id,
+        |    embedding::DOUBLE[] AS v FROM embeddings),
+        |bl AS (SELECT vec_id, b AS block, v[b*8 + 1 : b*8 + 8] AS sub
+        |  FROM eb, unnest(generate_series(0, 7)) AS u(b)),
+        |ct AS (SELECT vec_id AS c_id, block, sub AS csub FROM bl
+        |  WHERE vec_id < 16),
+        |d AS (SELECT bl.vec_id, bl.block, ct.c_id,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(generate_series(1, 8),
+        |        i -> (bl.sub[i] - ct.csub[i]) * (bl.sub[i] - ct.csub[i]))),
+        |      (a, c) -> a + c) AS dist2
+        |  FROM bl JOIN ct USING (block)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id, block
+        |    ORDER BY dist2, c_id) AS rn FROM d)
+        |SELECT vec_id, block::BIGINT AS block, c_id AS code,
+        |  (round(dist2, 6) + 0.0) AS dist2
+        |FROM r WHERE rn = 1""".stripMargin,
 
     "graph_pagerank" -> {
       val iters = (1 to 5).map { k =>

@@ -166,6 +166,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("MAD outliers: median stats broadcast back over the event rows") {
+    val p = plan("anomaly_mad")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("dq_rules: referential check is a broadcast anti-join") {
+    val p = plan("dq_rules")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("emb_pq: centroid table broadcast, codes from one argmin aggregate") {
+    val p = plan("emb_pq")
+    assert(p.contains("BroadcastHashJoin"))
+    // one exchange: the (vec_id, block) argmin groupBy
+    assert(shuffles(p) == 1)
+  }
+
   test("readDay prunes to one Hive partition") {
     val base = java.nio.file.Files.createTempDirectory("plan").toString
     val df = spark.range(10).selectExpr("'T' AS ticker", "CAST(id AS DOUBLE) AS volume",
