@@ -33,7 +33,8 @@ object PageRank {
     * @return one row per vertex: `id`, `rank` (unrounded double)
     */
   def apply(nodes: DataFrame, edges: DataFrame, iters: Int = 5,
-      d: Double = 0.85): DataFrame = {
+      d: Double = 0.85,
+      driverMaxEdges: Long = ConnectedComponents.DriverSolveMaxEdges): DataFrame = {
     val n = nodes.count().toDouble
     val base = (1.0 - d) / n
     // Materialize the raw edge list BEFORE symmetrizing: the union and
@@ -41,6 +42,12 @@ object PageRank {
     // un-checkpointed edge lineage (typically the whole LSH candidate
     // pipeline) would run 4x.
     val once = edges.select(col("src"), col("dst")).localCheckpoint()
+    // Adaptive execution, same posture as [[ConnectedComponents]]: a
+    // tiny similarity graph pays a fixed driver planning fee per
+    // round, so under the broadcast-sized edge threshold the power
+    // iteration runs driver-side; big graphs take the distributed loop.
+    if (once.count() <= driverMaxEdges)
+      return driverSolve(nodes, once, iters, d, n, base)
     val sym = once
       .union(once.select(col("dst").as("src"), col("src").as("dst")))
     val symDeg = sym
@@ -65,6 +72,33 @@ object PageRank {
     }
     nodes.select(col("id"))
       .join(rank.withColumnRenamed("r", "_er"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("_er"), lit(base)).as("rank"))
+  }
+
+  /** Driver-side power iteration over a collected edge list — the same
+    * update rule with a deterministic (src-sorted) contribution order.
+    * Output rounding (the query layer's r6) absorbs the ulp-level
+    * difference any summation-order choice carries, exactly as it does
+    * between the distributed plan and the DuckDB oracle.
+    */
+  private def driverSolve(nodes: DataFrame, once: DataFrame, iters: Int,
+      d: Double, n: Double, base: Double): DataFrame = {
+    val raw = once.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sym = (raw ++ raw.map(_.swap)).sortBy(identity)
+    val deg = sym.groupBy(_._1).map { case (k, es) => k -> es.length.toDouble }
+    var rank = deg.keys.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val in = scala.collection.mutable.HashMap.empty[Long, Double]
+      sym.foreach { case (s, t) =>
+        in(t) = in.getOrElse(t, 0.0) + rank(s) / deg(s)
+      }
+      rank = rank.keys.map(k => k -> (base + d * in.getOrElse(k, 0.0))).toMap
+    }
+    val ss = nodes.sparkSession
+    import ss.implicits._
+    val labels = rank.toSeq.toDF("id", "_er")
+    nodes.select(col("id"))
+      .join(broadcast(labels), Seq("id"), "left")
       .select(col("id"), coalesce(col("_er"), lit(base)).as("rank"))
   }
 }

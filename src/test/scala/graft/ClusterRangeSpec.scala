@@ -14,8 +14,23 @@ class ClusterRangeSpec extends SparkSpec {
     import spark.implicits._
     val n = nodes.toDF("id")
     val e = edges.toDF("src", "dst")
-    ConnectedComponents(n, e).collect()
+    // driverMaxEdges = 0 forces the distributed propagation loop —
+    // small fixtures would otherwise exercise only the driver-side
+    // union-find cutover
+    ConnectedComponents(n, e, 25, 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("adaptive driver-side solve ≡ distributed loop") {
+    import spark.implicits._
+    val nodes = (1L to 9L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (6L, 7L), (7L, 5L))
+      .toDF("src", "dst")
+    val driver = ConnectedComponents(nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = ConnectedComponents(nodes, edges, 25, 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(driver == dist)
   }
 
   test("connected components: transitivity along a path, isolated node") {

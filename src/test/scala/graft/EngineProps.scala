@@ -155,8 +155,10 @@ object EngineProps extends Properties("engine") {
       } yield (a, b))
     } yield (n.toLong, es.filter(e => e._1 != e._2))) { case (n, es) =>
       import spark.implicits._
+      // driverMaxEdges = 0: keep the property on the distributed loop
+      // (the driver-side cutover IS this reference union-find)
       val got = graft.ext.ConnectedComponents(
-        spark.range(n).toDF("id"), es.toDF("src", "dst"))
+        spark.range(n).toDF("id"), es.toDF("src", "dst"), 25, 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       // reference: path-compressed union-find, min id as root label
       val parent = Array.tabulate(n.toInt)(identity)

@@ -31,12 +31,19 @@ class PageRankSpec extends SparkSpec {
     }
     val expected = rank + (7L -> base)
 
+    // both the adaptive driver-side path (default: tiny graph) and the
+    // forced distributed loop must match the reference iteration
+    for (driverMax <- Seq(graft.ext.ConnectedComponents.DriverSolveMaxEdges, 0L)) {
+      val got = graft.ext.PageRank(nodes, edges, iters, d, driverMax)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.keySet == expected.keySet)
+      got.foreach { case (id, r) =>
+        assert(math.abs(r - expected(id)) < 1e-12,
+          s"node $id (driverMax=$driverMax): $r vs ${expected(id)}")
+      }
+    }
     val got = graft.ext.PageRank(nodes, edges, iters, d)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(got.keySet == expected.keySet)
-    got.foreach { case (id, r) =>
-      assert(math.abs(r - expected(id)) < 1e-12, s"node $id: $r vs ${expected(id)}")
-    }
     // ranks sum to ~1 minus the mass the dangling variant doesn't
     // redistribute — sanity-check they at least form a distribution core
     assert(got.values.sum > 0.5 && got.values.sum <= 1.0 + 1e-9)
