@@ -404,6 +404,87 @@ object ScaleQueries {
           li.filter(col("l_shipdate") > lit("1998-12-01").cast("timestamp"))))
     }),
 
+    // Z-order layout clustering — the data-skipping story: interleave
+    // the bits of two filter columns into one sort key, bucket the
+    // sorted order, and report each bucket's min/max key ranges. Files
+    // written in z-order carry TIGHT min/max stats on BOTH columns, so
+    // a point/range filter on either prunes most buckets at the scan
+    // (the per-bucket ranges this query emits are exactly the stats a
+    // lakehouse keeps per file). Pure integer bit math — one groupBy.
+    "layout_zorder" -> ((s, dir) => {
+      val z =
+        "aggregate(sequence(0, 7), 0L, (acc, i) -> acc" +
+          " + (shiftright(xk, CAST(i AS INT)) & 1) * shiftleft(1L, CAST(2*i AS INT))" +
+          " + (shiftright(yk, CAST(i AS INT)) & 1) * shiftleft(1L, CAST(2*i + 1 AS INT)))"
+      t(s, dir, "lineitem")
+        .select((col("l_partkey") % 256).as("xk"), (col("l_suppkey") % 256).as("yk"))
+        .withColumn("zv", expr(z))
+        .groupBy(expr("zv DIV 4096").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("xk")).as("min_x"), max(col("xk")).as("max_x"),
+          min(col("yk")).as("min_y"), max(col("yk")).as("max_y"))
+    }),
+
+    // The composed IVF-PQ ANN query — the index structure a 100 TB
+    // vector store actually serves: queries probe their IVF cell
+    // (equi-join on cell id — candidates shrink K×), and distances are
+    // ADC (asymmetric distance computation) against candidates' 8-byte
+    // PQ codes instead of raw vectors — the scan reads codes, not
+    // embeddings. Per-pair block distances fold in block order via a
+    // sorted-array aggregate, so the ADC doubles are bit-identical to
+    // the oracle's ordered list_reduce and ranking can't flip on a
+    // summation-order ulp.
+    "sim_ivf_pq" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"),
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+        .withColumn("nrm", expr(s"sqrt(${"graft_dot(v, v)"})"))
+      // IVF cells (sim_ivf's deterministic coarse quantizer)
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("csim", expr("try_divide(graft_dot(v, cv), nrm * cnrm)"))
+        .withColumn("crank", expr(
+          "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id)"))
+        .filter(col("crank") === 1)
+        .select(col("vec_id"), col("v"), col("c_id").as("cell"))
+      // PQ codes (emb_pq's 8×16 deterministic codebook)
+      val blocks = e.select(col("vec_id"),
+        posexplode(expr("transform(sequence(0, 7), b -> slice(v, b*8 + 1, 8))"))
+          .as(Seq("block", "sub")))
+      val pqCents = blocks.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("block"), col("sub").as("csub"))
+      val codes = blocks.join(broadcast(pqCents), "block")
+        .withColumn("d2", expr(
+          "aggregate(zip_with(sub, csub, (x, y) -> (x - y) * (x - y)), 0D, (a, c) -> a + c)"))
+        .groupBy("vec_id", "block")
+        .agg(min(struct(col("d2"), col("c_id"))).as("w"))
+        .select(col("vec_id"), col("block"), col("w.c_id").as("code"))
+      // ADC: query sub-vectors vs candidates' code centroids
+      val qBlocks = blocks.filter(col("vec_id") % 25 === 0)
+        .join(assigned.select(col("vec_id"), col("cell")), "vec_id")
+        .select(col("vec_id").as("q_id"), col("cell"), col("block"),
+          col("sub").as("qsub"))
+      val cand = assigned.select(col("vec_id").as("n_id"), col("cell"))
+        .join(codes.withColumnRenamed("vec_id", "n_id"), "n_id")
+      qBlocks.join(cand, Seq("cell", "block"))
+        .filter(col("q_id") =!= col("n_id"))
+        .join(broadcast(pqCents.withColumnRenamed("c_id", "code")),
+          Seq("block", "code"))
+        .withColumn("bd", expr(
+          "aggregate(zip_with(qsub, csub, (x, y) -> (x - y) * (x - y)), 0D, (a, c) -> a + c)"))
+        .groupBy("q_id", "n_id")
+        .agg(expr(
+          "aggregate(transform(array_sort(collect_list(struct(block, bd))), p -> p.bd), 0D, (a, c) -> a + c)")
+          .as("adc"))
+        .withColumn("rank", expr(
+          "CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS BIGINT)"))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("n_id"), col("rank"),
+          Rounding.r6(col("adc")).as("adc"))
+    }),
+
     // OHLC + VWAP downsampling: one-minute bars → five-minute bars.
     // Open/close are argmin/argmax structs on the (ws, event_id) total
     // order — they ride the partial aggregates, so the shuffle carries
@@ -633,6 +714,71 @@ object ScaleQueries {
         |UNION ALL
         |SELECT 'late_ship', count(*)::BIGINT FROM lineitem
         |  WHERE l_shipdate > TIMESTAMP '1998-12-01' HAVING count(*) > 0""".stripMargin,
+
+    "layout_zorder" ->
+      """WITH k AS (SELECT l_partkey % 256 AS xk, l_suppkey % 256 AS yk
+        |    FROM lineitem),
+        |z AS (SELECT xk, yk, list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(generate_series(0, 7), i ->
+        |      ((xk >> i) & 1) * (1::BIGINT << (2*i))
+        |      + ((yk >> i) & 1) * (1::BIGINT << (2*i + 1)))),
+        |    (a, b) -> a + b) AS zv FROM k)
+        |SELECT zv // 4096 AS bucket, count(*)::BIGINT AS n,
+        |  min(xk) AS min_x, max(xk) AS max_x,
+        |  min(yk) AS min_y, max(yk) AS max_y
+        |FROM z GROUP BY 1""".stripMargin,
+
+    "sim_ivf_pq" -> {
+      def dot(a: String, b: String) =
+        s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(" +
+          s"generate_series(1, len($a)), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+      def l2(a: String, b: String) =
+        s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(" +
+          s"generate_series(1, 8), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))," +
+          s" (x, y) -> x + y)"
+      s"""WITH eb AS (SELECT vec_id::BIGINT AS vec_id,
+         |    embedding::DOUBLE[] AS v FROM embeddings),
+         |en AS (SELECT *, sqrt(${dot("v", "v")}) AS nrm FROM eb),
+         |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM en
+         |  WHERE vec_id < 16),
+         |asg0 AS (SELECT e.vec_id, e.v, c.c_id,
+         |    ${dot("e.v", "c.cv")} / (e.nrm * c.cnrm) AS csim
+         |  FROM en e CROSS JOIN cents c),
+         |asg1 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY csim DESC, c_id) AS crank FROM asg0),
+         |assigned AS (SELECT vec_id, v, c_id AS cell FROM asg1
+         |  WHERE crank = 1),
+         |bl AS (SELECT vec_id, b AS block, v[b*8 + 1 : b*8 + 8] AS sub
+         |  FROM eb, unnest(generate_series(0, 7)) AS u(b)),
+         |ct AS (SELECT vec_id AS c_id, block, sub AS csub FROM bl
+         |  WHERE vec_id < 16),
+         |d AS (SELECT bl.vec_id, bl.block, ct.c_id,
+         |    ${l2("bl.sub", "ct.csub")} AS dist2
+         |  FROM bl JOIN ct USING (block)),
+         |cr AS (SELECT *, row_number() OVER (PARTITION BY vec_id, block
+         |    ORDER BY dist2, c_id) AS rn FROM d),
+         |codes AS (SELECT vec_id, block, c_id AS code FROM cr WHERE rn = 1),
+         |qb AS (SELECT bl.vec_id AS q_id, a.cell, bl.block, bl.sub AS qsub
+         |  FROM bl JOIN assigned a ON a.vec_id = bl.vec_id
+         |  WHERE bl.vec_id % 25 = 0),
+         |cand AS (SELECT a.vec_id AS n_id, a.cell, c.block, c.code
+         |  FROM assigned a JOIN codes c ON c.vec_id = a.vec_id),
+         |bd AS (SELECT qb.q_id, cand.n_id, qb.block,
+         |    ${l2("qb.qsub", "ct2.csub")} AS bd
+         |  FROM qb
+         |  JOIN cand ON cand.cell = qb.cell AND cand.block = qb.block
+         |    AND cand.n_id <> qb.q_id
+         |  JOIN ct ct2 ON ct2.block = qb.block AND ct2.c_id = cand.code),
+         |adc AS (SELECT q_id, n_id,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list(bd ORDER BY block)),
+         |      (a, c) -> a + c) AS adc
+         |  FROM bd GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY adc, n_id) AS rank FROM adc)
+         |SELECT q_id, n_id, rank::BIGINT AS rank,
+         |  (round(adc, 6) + 0.0) AS adc
+         |FROM r WHERE rank <= 3""".stripMargin
+    },
 
     "ts_resample" ->
       s"""WITH ${EventBars.sqlMinuteBars},

@@ -129,6 +129,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming OHLC resample matches the batch argmin/argmax bars") {
+    // the ts_resample shape incrementally: open/close as argmin/argmax
+    // structs inside a watermarked tumbling window — the same partial
+    // aggregates ride the streaming state store, so a bar finalizes
+    // with exactly the batch semantics once the watermark passes.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String, Double, Double)]
+    def ts(min: Int) = new java.sql.Timestamp(1709650800000L + min * 60000L)
+    def ohlc(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window($"ts", "5 minutes"), $"ticker")
+      .agg(
+        min(struct($"ts", $"seq", $"px")).as("o"),
+        max(struct($"ts", $"seq", $"px")).as("c"),
+        max($"px").as("high"), min($"px").as("low"),
+        sum($"vol").as("volume"), count(lit(1)).as("n"))
+      .select($"window.start".as("bar"), $"ticker",
+        $"o.px".as("open"), $"high", $"low", $"c.px".as("close"),
+        $"volume", $"n")
+    val in = Seq(
+      (ts(0), 1L, "A", 10.0, 100.0), (ts(1), 2L, "A", 12.0, 100.0),
+      (ts(4), 3L, "A", 9.0, 100.0), (ts(2), 4L, "A", 15.0, 100.0),
+      (ts(6), 5L, "A", 20.0, 100.0))
+    val q = ohlc(stream.toDS().toDF("ts", "seq", "ticker", "px", "vol")
+        .withWatermark("ts", "10 minutes"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("bars_out").start()
+    try {
+      stream.addData(in)
+      q.processAllAvailable()
+      stream.addData(Seq((ts(30), 9L, "A", 1.0, 1.0))) // advance watermark
+      q.processAllAvailable()
+      val streamed = spark.table("bars_out")
+        .where($"bar" === ts(0))
+        .select("ticker", "open", "high", "low", "close", "volume", "n")
+        .collect().toSeq
+      val batch = ohlc(in.toDF("ts", "seq", "ticker", "px", "vol"))
+        .where($"bar" === ts(0))
+        .select("ticker", "open", "high", "low", "close", "volume", "n")
+        .collect().toSeq
+      assert(streamed == batch)
+      // open = first by (ts, seq) = 10.0; close = last = 9.0 (ts(4));
+      // the out-of-order ts(2) row lands mid-bar, not as close
+      assert(streamed == Seq(Row("A", 10.0, 15.0, 9.0, 9.0, 400.0, 4L)))
+    } finally q.stop()
+  }
+
   test("streaming funnel advances per-user state across micro-batches") {
     // Incremental agg_funnel: the same at-or-after step semantics the
     // batch query (and its DuckDB oracle) pin, held as 3 longs of state
