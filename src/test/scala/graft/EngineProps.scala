@@ -122,6 +122,52 @@ object EngineProps extends Properties("engine") {
       pairs.length == n * (n - 1) / 2 && pairs.distinct.length == pairs.length
     }
 
+  /** Bloom bitmap (join_bloom's packed-word form) admits every build
+    * key — no false negatives, ever — on random key sets, so the
+    * pre-filter can never change the exact join's result.
+    */
+  property("bloom bitmap has no false negatives") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(0L, 1000000L))) { keys =>
+      import org.apache.spark.sql.functions._
+      import scala.jdk.CollectionConverters._
+      val P = graft.ext.TextOps.P
+      val posOf = (k: String) =>
+        s"transform(sequence(0, 3), j -> (($k*(2*j + 1) + j*7919 + 1) % $P) % 8192)"
+      val ks = spark.createDataset(keys)(
+        org.apache.spark.sql.Encoders.scalaLong).toDF("k")
+      val bits = ks.select(explode(expr(posOf("k"))).as("pos"))
+        .groupBy(expr("pos DIV 64").as("w"))
+        .agg(bit_or(expr("CAST(1 AS BIGINT) << CAST(pos % 64 AS INT)")).as("b"))
+        .agg(map_from_arrays(collect_list(col("w")), collect_list(col("b"))).as("m"))
+        .select(expr(
+          "transform(sequence(0, 127), w -> coalesce(m[CAST(w AS BIGINT)], 0L))")
+          .as("bits"))
+      val admitted = ks.crossJoin(broadcast(bits))
+        .filter(expr(
+          s"forall(${posOf("k")}, " +
+            "p -> (element_at(bits, CAST(p DIV 64 AS INT) + 1) >> CAST(p % 64 AS INT)) & 1 = 1)"))
+        .count()
+      admitted == keys.length.toLong
+    }
+
+  /** Count-min estimates can only OVERcount: for every key, the min
+    * over its d cells is >= the key's exact frequency.
+    */
+  property("count-min sketch never undercounts") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(0L, 50L))) { keys =>
+      val P = graft.ext.TextOps.P
+      val (d, w) = (3, 64) // small width → plenty of collisions
+      def cells(h: Long): Seq[(Int, Long)] =
+        (0 until d).map(j => j -> ((h * (2 * j + 1) + j * 7919L + 1) % P) % w)
+      val sketch = scala.collection.mutable.HashMap.empty[(Int, Long), Long]
+      keys.foreach(h => cells(h).foreach(c =>
+        sketch(c) = sketch.getOrElse(c, 0L) + 1))
+      val exact = keys.groupBy(identity).view.mapValues(_.length.toLong)
+      exact.forall { case (h, n) =>
+        cells(h).map(sketch).min >= n
+      }
+    }
+
   /** Native per-row simhash ≡ the explode → ±1-vote-sum → groupBy
     * aggregation formulation it replaced.
     */

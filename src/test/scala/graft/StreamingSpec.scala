@@ -177,6 +177,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL registers converge to the batch sketch") {
+    // sketch_hll's register table is a pure max-aggregate — the
+    // archetypal mergeable sketch: streamed per-batch maxes in Update
+    // mode converge to exactly the batch registers regardless of how
+    // rows split across micro-batches.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val P = graft.ext.TextOps.P
+    val stream = MemoryStream[(String, Long)]
+    def regs(df: org.apache.spark.sql.DataFrame) = df
+      .select($"event_type", expr(s"((uid % ${P}L) * 2654435761L) % ${P}L").as("h"))
+      .select($"event_type", ($"h" % 64).as("reg"), expr("h DIV 64").as("v"))
+      .withColumn("rho", when($"v" === 0, lit(25L))
+        .otherwise(lit(25L) - length(bin($"v")).cast("long")))
+      .groupBy("event_type", "reg").agg(max($"rho").as("m"))
+    val data = (1L to 500L).map(u => (if (u % 3 == 0) "click" else "view", u))
+    val q = regs(stream.toDS().toDF("event_type", "uid"))
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("hll_out").start()
+    try {
+      data.grouped(120).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      // Update mode emits every register revision; the final state is
+      // the max per key (register maxes only grow)
+      val streamed = spark.table("hll_out")
+        .groupBy("event_type", "reg").agg(max($"m").as("m"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = regs(data.toDF("event_type", "uid"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming funnel advances per-user state across micro-batches") {
     // Incremental agg_funnel: the same at-or-after step semantics the
     // batch query (and its DuckDB oracle) pin, held as 3 longs of state
