@@ -412,10 +412,11 @@ object ScaleQueries {
     // (the per-bucket ranges this query emits are exactly the stats a
     // lakehouse keeps per file). Pure integer bit math — one groupBy.
     "layout_zorder" -> ((s, dir) => {
-      val z =
-        "aggregate(sequence(0, 7), 0L, (acc, i) -> acc" +
-          " + (shiftright(xk, CAST(i AS INT)) & 1) * shiftleft(1L, CAST(2*i AS INT))" +
-          " + (shiftright(yk, CAST(i AS INT)) & 1) * shiftleft(1L, CAST(2*i + 1 AS INT)))"
+      // unrolled bit interleave (16 plain terms, stays in whole-stage
+      // codegen — an HOF fold here would evaluate interpreted per row)
+      val z = (0 until 8).map(i =>
+        s"(shiftright(xk, $i) & 1) * ${1L << (2 * i)}L" +
+          s" + (shiftright(yk, $i) & 1) * ${1L << (2 * i + 1)}L").mkString(" + ")
       t(s, dir, "lineitem")
         .select((col("l_partkey") % 256).as("xk"), (col("l_suppkey") % 256).as("yk"))
         .withColumn("zv", expr(z))
@@ -715,18 +716,18 @@ object ScaleQueries {
         |SELECT 'late_ship', count(*)::BIGINT FROM lineitem
         |  WHERE l_shipdate > TIMESTAMP '1998-12-01' HAVING count(*) > 0""".stripMargin,
 
-    "layout_zorder" ->
-      """WITH k AS (SELECT l_partkey % 256 AS xk, l_suppkey % 256 AS yk
-        |    FROM lineitem),
-        |z AS (SELECT xk, yk, list_reduce(list_prepend(0::BIGINT,
-        |    list_transform(generate_series(0, 7), i ->
-        |      ((xk >> i) & 1) * (1::BIGINT << (2*i))
-        |      + ((yk >> i) & 1) * (1::BIGINT << (2*i + 1)))),
-        |    (a, b) -> a + b) AS zv FROM k)
-        |SELECT zv // 4096 AS bucket, count(*)::BIGINT AS n,
-        |  min(xk) AS min_x, max(xk) AS max_x,
-        |  min(yk) AS min_y, max(yk) AS max_y
-        |FROM z GROUP BY 1""".stripMargin,
+    "layout_zorder" -> {
+      val z = (0 until 8).map(i =>
+        s"((xk >> $i) & 1) * ${1L << (2 * i)}" +
+          s" + ((yk >> $i) & 1) * ${1L << (2 * i + 1)}").mkString(" + ")
+      s"""WITH k AS (SELECT l_partkey % 256 AS xk, l_suppkey % 256 AS yk
+         |    FROM lineitem),
+         |z AS (SELECT xk, yk, ($z) AS zv FROM k)
+         |SELECT zv // 4096 AS bucket, count(*)::BIGINT AS n,
+         |  min(xk) AS min_x, max(xk) AS max_x,
+         |  min(yk) AS min_y, max(yk) AS max_y
+         |FROM z GROUP BY 1""".stripMargin
+    },
 
     "sim_ivf_pq" -> {
       def dot(a: String, b: String) =
