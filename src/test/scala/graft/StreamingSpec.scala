@@ -212,6 +212,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session_window matches the batch sessionization") {
+    // agg_sessions' native session_window runs identically under
+    // Structured Streaming: sessions finalize when the watermark
+    // passes their gap-extended close, with batch-equal bounds/counts.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val stream = MemoryStream[(java.sql.Timestamp, Long)]
+    def ts(min: Int) = new java.sql.Timestamp(1709650800000L + min * 60000L)
+    def sess(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(session_window($"ts", "5 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select($"session_window.start".as("s"), $"session_window.end".as("e"),
+        $"user_id", $"n")
+    // user 1: two sessions (gap 10 > 5); user 2: one session
+    val in = Seq((ts(0), 1L), (ts(2), 1L), (ts(12), 1L), (ts(3), 2L))
+    val q = sess(stream.toDS().toDF("ts", "user_id")
+        .withWatermark("ts", "10 minutes"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sess_out").start()
+    try {
+      stream.addData(in)
+      q.processAllAvailable()
+      stream.addData(Seq((ts(60), 99L))) // advance watermark past all
+      q.processAllAvailable()
+      val streamed = spark.table("sess_out")
+        .where($"user_id" =!= 99L).collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val batch = sess(in.toDF("ts", "user_id")).collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(streamed == batch)
+      assert(streamed.count(_._3 == 1L) == 2) // the 10-min gap split user 1
+    } finally q.stop()
+  }
+
   test("streaming funnel advances per-user state across micro-batches") {
     // Incremental agg_funnel: the same at-or-after step semantics the
     // batch query (and its DuckDB oracle) pin, held as 3 longs of state
