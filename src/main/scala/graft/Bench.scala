@@ -35,20 +35,37 @@ object Bench {
       catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    // The driver keeps only the last ~2000 chars of output and parses the
-    // JSON line out of that tail (BENCH_r01..03 all show "parsed": null
-    // because the full-precision line overflowed it). Centisecond
-    // per-query precision keeps the whole line well under the window.
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
-      .mkString("{", ",", "}")
+    // The driver keeps only the last ~2000 chars of output and parses
+    // the JSON line out of that tail (BENCH_r01..03 all show
+    // "parsed": null because the full-precision line overflowed it),
+    // and sbt's trailing "[success] Total time ..." line eats ~75 of
+    // those chars AFTER ours. At 96 queries even centisecond precision
+    // measured 1999 chars — so per-query values print at one decimal
+    // (trailing ".0" stripped), the sf as its basename, and the
+    // full-precision map goes to target/bench_detail.json. All number
+    // formatting is Locale.ROOT: a comma-decimal default locale would
+    // emit invalid JSON.
+    def f2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def f1(v: Double): String = {
+      val s = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+      if (s.endsWith(".0")) s.dropRight(2) else s
+    }
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    def line(fmt: Double => String): String =
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":""" +
+        results.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+          .mkString("{", ",", "}") +
+        s""","sf":"${new java.io.File(sfDir).getName}"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/bench_detail.json"),
+      line(f2).getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     // Silence shutdown logging BEFORE stop(): a late stderr flush
     // landing after the JSON line would push it out of the tail window.
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
-    println(line)
+    println(line(f1))
   }
 }

@@ -33,16 +33,27 @@ object SaltedJoin {
     val saltCol = Iterator.from(0).map(i => s"_salt$i")
       .find(n => !taken.contains(n)).get
     // Per-ROW salt — salting by the join key alone would map the hot
-    // key to one shard again. Hash the KEY columns plus a row-local
-    // component (partition id + per-partition row id) rather than the
-    // whole row: non-key columns may be unhashable types (MapType
-    // fails analysis inside hash()), and the row-local term already
-    // spreads identical rows. Shard assignment varies run-to-run, but
-    // the inner-join result is shard-invariant (each big row meets
-    // exactly the one small replica carrying its shard).
+    // key to one shard again. Hash every HASHABLE big-side column
+    // (MapType fails analysis inside hash(), so map-bearing columns
+    // are skipped): the shard is then a pure function of row CONTENT.
+    // Determinism matters more than it looks — a partition-id or
+    // monotonic-id term changes on partial map-stage retries, and
+    // because Spark does not propagate expression nondeterminism to
+    // the shuffle's DeterministicLevel, a recomputed task could
+    // re-shard rows already consumed by a reducer, duplicating or
+    // dropping join output. Identical duplicate rows sharing a shard
+    // is the accepted trade.
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
+      case _ => false
+    }
+    val hashable = big.schema.fields
+      .filterNot(f => hasMap(f.dataType)).map(f => col(f.name)).toSeq
+    val saltSource = if (hashable.nonEmpty) hashable else keys.map(col)
     val bigS = big.withColumn(saltCol,
-      pmod(hash((keys.map(col) :+ spark_partition_id()
-        :+ monotonically_increasing_id()).toIndexedSeq: _*), lit(salt)))
+      pmod(hash(saltSource: _*), lit(salt)))
     val smallS = small.withColumn(saltCol,
       explode(sequence(lit(0), lit(salt - 1))))
     bigS.join(smallS, keys :+ saltCol).drop(saltCol)

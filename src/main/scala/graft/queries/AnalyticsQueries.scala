@@ -145,14 +145,18 @@ object AnalyticsQueries {
     // per-row projection, so the only shuffle carries 20 bucket ids.
     // The bucket index is floor((v-mn)/(mx-mn)*20) clamped to 19 —
     // identical IEEE double ops on both engines, so bucket membership
-    // can't straddle a boundary differently.
+    // can't straddle a boundary differently. The mx = mn guard covers
+    // the degenerate all-equal (or single-row) column: 0/0 = NaN
+    // would bucket as 0 in Spark but 19 in DuckDB (NaN sorts greatest
+    // through least()).
     "agg_histogram" -> ((s, dir) => {
       val e = ev(s, dir)
       val bounds = e.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
       e.crossJoin(broadcast(bounds))
-        .select(least(lit(19L),
-          floor((col("value") - col("mn")) / (col("mx") - col("mn")) * 20))
-          .cast("long").as("bucket"))
+        .select(when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(lit(19L),
+            floor((col("value") - col("mn")) / (col("mx") - col("mn")) * 20))
+            .cast("long")).as("bucket"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"))
     }),
@@ -248,8 +252,9 @@ object AnalyticsQueries {
     "agg_histogram" ->
       """WITH e AS (SELECT value FROM events),
         |b AS (SELECT min(value) AS mn, max(value) AS mx FROM e)
-        |SELECT least(19, floor((e.value - b.mn) / (b.mx - b.mn) * 20))::BIGINT
-        |    AS bucket,
+        |SELECT CASE WHEN b.mx = b.mn THEN 0
+        |    ELSE least(19, floor((e.value - b.mn) / (b.mx - b.mn) * 20))::BIGINT
+        |  END AS bucket,
         |  count(*)::BIGINT AS n
         |FROM e, b GROUP BY 1""".stripMargin,
 

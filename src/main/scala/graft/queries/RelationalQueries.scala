@@ -185,31 +185,14 @@ object RelationalQueries {
     // (WindowExec) ranks the rows, then picking the bracketing rows per
     // quantile is a codegen'd hash aggregate that reuses the window's
     // partitioning — no second exchange, no object buffers.
-    "agg_quantiles" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-      val wp = Window.partitionBy("l_returnflag")
-      val price = col("l_extendedprice")
-      val ranked = t(s, dir, "lineitem")
-        .select(col("l_returnflag"), price)
-        .withColumn("rn0", row_number().over(w).cast("long") - 1L)
-        .withColumn("n", count(lit(1)).over(wp))
-      def quant(p: Double): Column = {
-        // Spark Percentile.getPercentile arithmetic, reproduced exactly:
-        // pos = (n-1)*p; lower*(ceil(pos)-pos) + higher*(pos-floor(pos))
-        val pos = (col("n") - 1L).cast("double") * lit(p)
-        val lo = floor(pos).cast("long")
-        val vl = max(when(col("rn0") === lo, price))
-        val vh = max(when(col("rn0") === lo + 1L, price))
-        val frac = pos - floor(pos)
-        when(first(frac) === 0.0, vl)
-          .otherwise(vl * (lit(1.0) - first(frac)) + vh * first(frac))
-      }
-      ranked.groupBy("l_returnflag").agg(
-        Rounding.r4(quant(0.25)).as("p25"),
-        Rounding.r4(quant(0.5)).as("p50"),
-        Rounding.r4(quant(0.75)).as("p75"))
-    }),
+    "agg_quantiles" -> ((s, dir) =>
+      ExactQuantile.grouped(t(s, dir, "lineitem"),
+          "l_returnflag", "l_extendedprice",
+          Seq(0.25 -> "_q25", 0.5 -> "_q50", 0.75 -> "_q75"))
+        .select(col("l_returnflag"),
+          Rounding.r4(col("_q25")).as("p25"),
+          Rounding.r4(col("_q50")).as("p50"),
+          Rounding.r4(col("_q75")).as("p75"))),
 
     // Feature prep: per-group z-score normalization. Stats via groupBy
     // (map-side partials; result = one row per group) broadcast back —

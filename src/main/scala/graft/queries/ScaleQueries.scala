@@ -59,6 +59,55 @@ object ScaleQueries {
   /** Five-minute bars from the one-minute grid. */
   private val BarStep = 5L * EventBars.StepMicros
 
+  // ---- join_bloom's bitmap builders ----
+  // shared with EngineProps' no-false-negatives property so the test
+  // exercises the PRODUCTION expressions, not a drifting replica
+
+  /** k bit positions of `key` in the m-bit bloom space. */
+  private[graft] def bloomPosOf(key: String): String =
+    s"transform(sequence(0, ${BloomK - 1}), " +
+      s"j -> (($key*(2*j + 1) + j*7919 + 1) % $P) % $BloomM)"
+
+  /** The packed-word bitmap: ONE row, `bits` = m/64 longs. */
+  private[graft] def bloomBits(keyed: DataFrame, keyCol: String): DataFrame =
+    keyed.select(explode(expr(bloomPosOf(keyCol))).as("pos"))
+      .groupBy(expr("pos DIV 64").as("w"))
+      .agg(bit_or(expr("CAST(1 AS BIGINT) << CAST(pos % 64 AS INT)")).as("b"))
+      .agg(map_from_arrays(collect_list(col("w")), collect_list(col("b"))).as("m"))
+      .select(expr(
+        s"transform(sequence(0, ${BloomM / 64 - 1}), w -> coalesce(m[CAST(w AS BIGINT)], 0L))")
+        .as("bits"))
+
+  /** Membership probe of `key` against the crossJoin'd `bits` column. */
+  private[graft] def bloomProbe(key: String): String =
+    s"forall(${bloomPosOf(key)}, " +
+      "p -> (element_at(bits, CAST(p DIV 64 AS INT) + 1) >> CAST(p % 64 AS INT)) & 1 = 1)"
+
+  // ---- emb_pq's block split + deterministic codebook ----
+  // shared with sim_ivf_pq, whose ADC must score against the SAME codes
+
+  /** (vec_id, block, sub): the 8×8-dim block split of `v`. */
+  private def pqBlocks(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      posexplode(expr("transform(sequence(0, 7), b -> slice(v, b*8 + 1, 8))"))
+        .as(Seq("block", "sub")))
+
+  /** (centroids, codes): 16 deterministic centroids per block (the
+    * sub-vectors of the 16 lowest vec_ids) and every vector's argmin
+    * code with its quantization error. */
+  private def pqCodebook(blocks: DataFrame): (DataFrame, DataFrame) = {
+    val cents = blocks.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("block"), col("sub").as("csub"))
+    val codes = blocks.join(broadcast(cents), "block")
+      .withColumn("d2", expr(
+        "aggregate(zip_with(sub, csub, (x, y) -> (x - y) * (x - y)), 0D, (a, c) -> a + c)"))
+      .groupBy("vec_id", "block")
+      .agg(min(struct(col("d2"), col("c_id"))).as("w"))
+      .select(col("vec_id"), col("block"), col("w.c_id").as("code"),
+        col("w.d2").as("dist2"))
+    (cents, codes)
+  }
+
   /** (doc_id, seg_idx, seg text, seg hash) — one row per 8-token
     * segment. The segment hash is a base-131 fold of the word hashes,
     * so only 8-byte keys (plus the short segment text) ever shuffle. */
@@ -154,22 +203,9 @@ object ScaleQueries {
       val cust = t(s, dir, "customer")
         .filter(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey"))
-      val posOf = (key: String) =>
-        s"transform(sequence(0, ${BloomK - 1}), " +
-          s"j -> (($key*(2*j + 1) + j*7919 + 1) % $P) % $BloomM)"
-      val bloom = cust
-        .select(explode(expr(posOf("c_custkey"))).as("pos"))
-        .groupBy(expr("pos DIV 64").as("w"))
-        .agg(bit_or(expr("CAST(1 AS BIGINT) << CAST(pos % 64 AS INT)")).as("b"))
-        .agg(map_from_arrays(collect_list(col("w")), collect_list(col("b"))).as("m"))
-        .select(expr(
-          s"transform(sequence(0, ${BloomM / 64 - 1}), w -> coalesce(m[CAST(w AS BIGINT)], 0L))")
-          .as("bits"))
       val pruned = t(s, dir, "orders")
-        .crossJoin(broadcast(bloom))
-        .filter(expr(
-          s"forall(${posOf("o_custkey")}, " +
-            "p -> (element_at(bits, CAST(p DIV 64 AS INT) + 1) >> CAST(p % 64 AS INT)) & 1 = 1)"))
+        .crossJoin(broadcast(bloomBits(cust, "c_custkey")))
+        .filter(expr(bloomProbe("o_custkey")))
         .drop("bits")
       pruned.join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
         .select(col("o_orderkey"), col("o_custkey"),
@@ -265,19 +301,9 @@ object ScaleQueries {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id").cast("long").as("vec_id"),
           expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
-      val blocks = e.select(col("vec_id"),
-        posexplode(expr(
-          "transform(sequence(0, 7), b -> slice(v, b*8 + 1, 8))"))
-          .as(Seq("block", "sub")))
-      val cents = blocks.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("c_id"), col("block"), col("sub").as("csub"))
-      blocks.join(broadcast(cents), "block")
-        .withColumn("dist2", expr(
-          "aggregate(zip_with(sub, csub, (x, y) -> (x - y) * (x - y)), 0D, (a, c) -> a + c)"))
-        .groupBy("vec_id", "block")
-        .agg(min(struct(col("dist2"), col("c_id"))).as("w"))
-        .select(col("vec_id"), col("block").cast("long").as("block"),
-          col("w.c_id").as("code"), Rounding.r6(col("w.dist2")).as("dist2"))
+      val (_, codes) = pqCodebook(pqBlocks(e))
+      codes.select(col("vec_id"), col("block").cast("long").as("block"),
+        col("code"), Rounding.r6(col("dist2")).as("dist2"))
     }),
 
     // Fixed-iteration PageRank over the LSH near-dup graph — the
@@ -345,25 +371,9 @@ object ScaleQueries {
         .filter(col("value").isNotNull)
         .select(col("event_id").cast("long").as("event_id"),
           col("event_type"), col("value"))
-      def medianOf(df: DataFrame, v: String, out: String): DataFrame = {
-        val w = Window.partitionBy("event_type").orderBy(col(v))
-        val wp = Window.partitionBy("event_type")
-        val ranked = df.select(col("event_type"), col(v))
-          .withColumn("rn0", row_number().over(w).cast("long") - 1L)
-          .withColumn("n", count(lit(1)).over(wp))
-        // Spark Percentile.getPercentile arithmetic at p=0.5 (exactly
-        // the agg_quantiles formulation, which is bit-equal to
-        // DuckDB's quantile_cont)
-        val pos = (col("n") - 1L).cast("double") * lit(0.5)
-        val lo = floor(pos).cast("long")
-        val vl = max(when(col("rn0") === lo, col(v)))
-        val vh = max(when(col("rn0") === lo + 1L, col(v)))
-        val frac = pos - floor(pos)
-        ranked.groupBy("event_type").agg(
-          when(first(frac) === 0.0, vl)
-            .otherwise(vl * (lit(1.0) - first(frac)) + vh * first(frac))
-            .as(out))
-      }
+      // exact medians via the shared quantile_cont-bit-equal arithmetic
+      def medianOf(df: DataFrame, v: String, out: String): DataFrame =
+        ExactQuantile.grouped(df, "event_type", v, Seq(0.5 -> out))
       val med = medianOf(ev, "value", "med")
       val withDev = ev.join(broadcast(med), "event_type")
         .withColumn("dev", abs(col("value") - col("med")))
@@ -450,18 +460,10 @@ object ScaleQueries {
           "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id)"))
         .filter(col("crank") === 1)
         .select(col("vec_id"), col("v"), col("c_id").as("cell"))
-      // PQ codes (emb_pq's 8×16 deterministic codebook)
-      val blocks = e.select(col("vec_id"),
-        posexplode(expr("transform(sequence(0, 7), b -> slice(v, b*8 + 1, 8))"))
-          .as(Seq("block", "sub")))
-      val pqCents = blocks.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("c_id"), col("block"), col("sub").as("csub"))
-      val codes = blocks.join(broadcast(pqCents), "block")
-        .withColumn("d2", expr(
-          "aggregate(zip_with(sub, csub, (x, y) -> (x - y) * (x - y)), 0D, (a, c) -> a + c)"))
-        .groupBy("vec_id", "block")
-        .agg(min(struct(col("d2"), col("c_id"))).as("w"))
-        .select(col("vec_id"), col("block"), col("w.c_id").as("code"))
+      // PQ codes — the SAME codebook emb_pq emits (shared helper)
+      val blocks = pqBlocks(e)
+      val (pqCents, codesFull) = pqCodebook(blocks)
+      val codes = codesFull.select(col("vec_id"), col("block"), col("code"))
       // ADC: query sub-vectors vs candidates' code centroids
       val qBlocks = blocks.filter(col("vec_id") % 25 === 0)
         .join(assigned.select(col("vec_id"), col("cell")), "vec_id")

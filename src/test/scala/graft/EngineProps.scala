@@ -129,23 +129,12 @@ object EngineProps extends Properties("engine") {
   property("bloom bitmap has no false negatives") =
     Prop.forAll(Gen.nonEmptyListOf(Gen.choose(0L, 1000000L))) { keys =>
       import org.apache.spark.sql.functions._
-      import scala.jdk.CollectionConverters._
-      val P = graft.ext.TextOps.P
-      val posOf = (k: String) =>
-        s"transform(sequence(0, 3), j -> (($k*(2*j + 1) + j*7919 + 1) % $P) % 8192)"
+      // the PRODUCTION builders from join_bloom, not a local replica
+      import graft.queries.ScaleQueries.{bloomBits, bloomProbe}
       val ks = spark.createDataset(keys)(
         org.apache.spark.sql.Encoders.scalaLong).toDF("k")
-      val bits = ks.select(explode(expr(posOf("k"))).as("pos"))
-        .groupBy(expr("pos DIV 64").as("w"))
-        .agg(bit_or(expr("CAST(1 AS BIGINT) << CAST(pos % 64 AS INT)")).as("b"))
-        .agg(map_from_arrays(collect_list(col("w")), collect_list(col("b"))).as("m"))
-        .select(expr(
-          "transform(sequence(0, 127), w -> coalesce(m[CAST(w AS BIGINT)], 0L))")
-          .as("bits"))
-      val admitted = ks.crossJoin(broadcast(bits))
-        .filter(expr(
-          s"forall(${posOf("k")}, " +
-            "p -> (element_at(bits, CAST(p DIV 64 AS INT) + 1) >> CAST(p % 64 AS INT)) & 1 = 1)"))
+      val admitted = ks.crossJoin(broadcast(bloomBits(ks, "k")))
+        .filter(expr(bloomProbe("k")))
         .count()
       admitted == keys.length.toLong
     }
