@@ -804,6 +804,23 @@ object ExtQueries {
        |  FROM es x JOIN es y ON x.sig = y.sig AND x.vec_id < y.vec_id
        |  WHERE ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) > 0.3)""".stripMargin
 
+  /** Shared oracle fragment: the UNFILTERED LSH candidate pairs with
+    * both shingle sets attached (token-equivalent to `minhashPairs`);
+    * ends in `cp(a, b, sha, shb)`. Splice inside a WITH. */
+  private[queries] val candPairsDuck: String =
+    s"""$docHashes,
+       |df AS (SELECT * FROM ds WHERE len(sh) > 0),
+       |dm AS (SELECT *, $mhD AS mh FROM df),
+       |db AS (SELECT *, $bandsD AS mbands FROM dm),
+       |dk0 AS (SELECT doc_id, sh, mh, unnest($bkD) AS bk FROM db),
+       |dkc AS (SELECT *, count(*) OVER (PARTITION BY bk) AS bucket_n FROM dk0),
+       |dk AS (SELECT doc_id, sh, mh, bk FROM dkc WHERE bucket_n <= $MaxBandBucket),
+       |cpid AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM dk x JOIN dk y ON x.bk = y.bk AND x.doc_id < y.doc_id),
+       |cp AS (SELECT cpid.a, cpid.b, da.sh AS sha, db2.sh AS shb
+       |  FROM cpid JOIN ds da ON da.doc_id = cpid.a
+       |  JOIN ds db2 ON db2.doc_id = cpid.b)""".stripMargin
+
   /** Shared oracle fragment: the LSH jaccard ≥ 0.8 candidate-pair CTE
     * chain (token-equivalent to `minhashPairs(...).filter(jaccard ≥ 0.8)`);
     * ends in `pr(a, b)`. Splice inside a WITH. */

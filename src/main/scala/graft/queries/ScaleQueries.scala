@@ -414,6 +414,53 @@ object ScaleQueries {
           li.filter(col("l_shipdate") > lit("1998-12-01").cast("timestamp"))))
     }),
 
+    // Bar-gap data-quality report — the reference domain's ingest
+    // screen: per ticker, how many grid steps are missing, the gap
+    // histogram (one/two-step gaps densify; 6-step gaps break
+    // islands), and the worst gap. Pure integer micros math over one
+    // lag window on the ticker exchange.
+    "ts_gaps" -> ((s, dir) => {
+      val w = Window.partitionBy("ticker").orderBy("ws", "event_id")
+      EventBars.minuteBars(s, dir)
+        .withColumn("gap", (col("ws") - lag(col("ws"), 1).over(w)) / EventBars.StepMicros)
+        .groupBy("ticker")
+        .agg(count(lit(1)).as("n_bars"),
+          sum(when(col("gap") === 2, 1L).otherwise(0L)).as("n_gap2"),
+          sum(when(col("gap") === 3, 1L).otherwise(0L)).as("n_gap3"),
+          sum(when(col("gap") >= 4, 1L).otherwise(0L)).as("n_break"),
+          coalesce(max(col("gap")), lit(0.0)).cast("long").as("max_gap_steps"),
+          coalesce(sum(col("gap") - 1), lit(0.0)).cast("long").as("missing_steps"))
+    }),
+
+    // Asymmetric containment on the LSH candidate pairs: doc-in-doc
+    // duplication (|A∩B| / |A|) that symmetric jaccard under-scores —
+    // a short doc fully embedded in a long one scores low jaccard but
+    // containment 1.0. Same candidate machinery, one extra per-pair
+    // projection.
+    "dedup_containment" -> ((s, dir) =>
+      ExtQueries.minhashPairs(s, dir)
+        .withColumn("ia", expr(
+          "CAST(size(array_intersect(array_distinct(sha), array_distinct(shb))) AS DOUBLE)"))
+        .select(col("a"), col("b"),
+          Rounding.r6(ExtQueries.jaccardExpr).as("jaccard"),
+          Rounding.r6(expr(
+            "try_divide(ia, CAST(size(array_distinct(sha)) AS DOUBLE))")).as("cont_a"),
+          Rounding.r6(expr(
+            "try_divide(ia, CAST(size(array_distinct(shb)) AS DOUBLE))")).as("cont_b"))),
+
+    // Per-dimension embedding profile — the vector-column face of
+    // profile_docs: one posexplode + one 64-group aggregate (map-side
+    // partials collapse each task to 64 rows before the shuffle).
+    "profile_embeddings" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(posexplode(expr("CAST(embedding AS ARRAY<DOUBLE>)"))
+          .as(Seq("dim", "x")))
+        .groupBy(col("dim").cast("long").as("dim"))
+        .agg(count(lit(1)).as("n"),
+          Rounding.r6(avg(col("x"))).as("mean"),
+          Rounding.r6(min(col("x"))).as("mn"),
+          Rounding.r6(max(col("x"))).as("mx"))),
+
     // Z-order layout clustering — the data-skipping story: interleave
     // the bits of two filter columns into one sort key, bucket the
     // sorted order, and report each bucket's min/max key ranges. Files
@@ -717,6 +764,43 @@ object ScaleQueries {
         |UNION ALL
         |SELECT 'late_ship', count(*)::BIGINT FROM lineitem
         |  WHERE l_shipdate > TIMESTAMP '1998-12-01' HAVING count(*) > 0""".stripMargin,
+
+    "ts_gaps" ->
+      s"""WITH ${EventBars.sqlMinuteBars},
+         |g AS (SELECT ticker, (ws - lag(ws) OVER (PARTITION BY ticker
+         |    ORDER BY ws, event_id)) / ${EventBars.StepMicros} AS gap
+         |  FROM minute_bars)
+         |SELECT ticker, count(*)::BIGINT AS n_bars,
+         |  sum(CASE WHEN gap = 2 THEN 1 ELSE 0 END)::BIGINT AS n_gap2,
+         |  sum(CASE WHEN gap = 3 THEN 1 ELSE 0 END)::BIGINT AS n_gap3,
+         |  sum(CASE WHEN gap >= 4 THEN 1 ELSE 0 END)::BIGINT AS n_break,
+         |  coalesce(max(gap), 0)::BIGINT AS max_gap_steps,
+         |  coalesce(sum(gap - 1), 0)::BIGINT AS missing_steps
+         |FROM g GROUP BY 1""".stripMargin,
+
+    "dedup_containment" ->
+      s"""WITH ${ExtQueries.candPairsDuck},
+         |m AS (SELECT a, b,
+         |    len(list_distinct(list_intersect(list_distinct(sha), list_distinct(shb))))::DOUBLE AS ia,
+         |    len(list_distinct(list_concat(list_distinct(sha), list_distinct(shb))))::DOUBLE AS iu,
+         |    len(list_distinct(sha))::DOUBLE AS na,
+         |    len(list_distinct(shb))::DOUBLE AS nb
+         |  FROM cp)
+         |SELECT a, b,
+         |  (round(ia / iu, 6) + 0.0) AS jaccard,
+         |  (round(ia / na, 6) + 0.0) AS cont_a,
+         |  (round(ia / nb, 6) + 0.0) AS cont_b
+         |FROM m""".stripMargin,
+
+    "profile_embeddings" ->
+      """WITH x AS (SELECT unnest(embedding::DOUBLE[]) AS x,
+        |    (generate_subscripts(embedding, 1) - 1)::BIGINT AS dim
+        |  FROM embeddings)
+        |SELECT dim, count(*)::BIGINT AS n,
+        |  (round(avg(x), 6) + 0.0) AS mean,
+        |  (round(min(x), 6) + 0.0) AS mn,
+        |  (round(max(x), 6) + 0.0) AS mx
+        |FROM x GROUP BY 1""".stripMargin,
 
     "layout_zorder" -> {
       val z = (0 until 8).map(i =>
