@@ -18,12 +18,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ IndicatorQueries.queries ++
       EtlQueries.queries ++ ExtQueries.queries ++ AnalyticsQueries.queries ++
-      ScaleQueries.queries
+      ScaleQueries.queries ++ TsQueries.queries ++ CorpusQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ IndicatorQueries.oracles ++
       EtlQueries.oracles ++ ExtQueries.oracles ++ AnalyticsQueries.oracles ++
-      ScaleQueries.oracles
+      ScaleQueries.oracles ++ TsQueries.oracles ++ CorpusQueries.oracles
 }

@@ -133,6 +133,9 @@ object GraftFunctions {
       arity("graft_adx_w", 3)(cs => AdxWindow(cs(0), cs(1), cs(2)))),
     ("graft_adx_hist_w", classOf[AdxHistWindow],
       arity("graft_adx_hist_w", 3)(cs => AdxHistWindow(cs(0), cs(1), cs(2)))),
+    ("graft_atr_w", classOf[AtrWindow],
+      arity("graft_atr_w", 3, 4)(cs => AtrWindow(cs(0), cs(1), cs(2),
+        if (cs.length > 3) litInt(cs(3), "graft_atr_w") else 14))),
     ("graft_wilder_w", classOf[WilderPairWindow],
       arity("graft_wilder_w", 1, 2)(cs =>
         WilderPairWindow(cs(0), wilderPeriod(cs, "graft_wilder_w")))),

@@ -104,6 +104,69 @@ case class CmoWindow(price: Expression, period: Int = 14)
     copy(price = newChildren(0))
 }
 
+/** Wilder ATR (Average True Range) as the same incremental window
+  * state machine — TA-Lib's ATR kernel (the reference's indicator
+  * family, stockdata/indicators.py:314-457 uses its TRANGE inside ADX):
+  *
+  *  - TR₁ = high₁ − low₁ (no previous close yet);
+  *    TRᵢ = greatest(highᵢ, closeᵢ₋₁) − least(lowᵢ, closeᵢ₋₁)
+  *    (≡ max(h−l, |h−prevC|, |l−prevC|));
+  *  - seed at 1-based row `period`: SMA of TR₁..TR_period;
+  *  - after: atr = (prev·(period−1) + TR) / period.
+  *
+  * Output stays in price units (the reference's /100 scaling applies to
+  * oscillators, not price-unit series); warm-up rows emit null. The
+  * DuckDB oracle mirrors this arithmetic in a recursive CTE
+  * (TsQueries.oracles "ind_atr") operation-for-operation.
+  *
+  * Buffer = (rn, prevClose, trSeedSum, atr). `Greatest`/`Least` skip
+  * null inputs, so the null prevClose on row 1 degrades to h−l exactly.
+  */
+case class AtrWindow(high: Expression, low: Expression, close: Expression,
+    period: Int = 14) extends AggregateWindowFunction {
+
+  override def children: Seq[Expression] = Seq(high, low, close)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private val pD = Literal(period.toDouble)
+  private val pm1D = Literal((period - 1).toDouble)
+  private val seedRow = Literal(period.toLong) // 1-based rn of the seed
+
+  private val rn = AttributeReference("rn", LongType, nullable = false)()
+  private val prevC = AttributeReference("prevC", DoubleType, nullable = true)()
+  private val trsum = AttributeReference("trsum", DoubleType, nullable = false)()
+  private val atr = AttributeReference("atr", DoubleType, nullable = true)()
+
+  override val aggBufferAttributes: Seq[AttributeReference] =
+    Seq(rn, prevC, trsum, atr)
+
+  private val nullD = Literal.create(null, DoubleType)
+
+  override val initialValues: Seq[Expression] =
+    Seq(Literal(0L), nullD, Literal(0.0), nullD)
+
+  override val updateExpressions: Seq[Expression] = {
+    val h = Cast(high, DoubleType)
+    val l = Cast(low, DoubleType)
+    val c = Cast(close, DoubleType)
+    val rn1 = Add(rn, Literal(1L))
+    val tr = Subtract(Greatest(Seq(h, prevC)), Least(Seq(l, prevC)))
+    val trsum1 = If(LessThanOrEqual(rn1, seedRow), Add(trsum, tr), trsum)
+    val atr1 = CaseWhen(Seq(
+      (LessThan(rn1, seedRow), nullD),
+      (EqualTo(rn1, seedRow), Divide(Add(trsum, tr), pD))),
+      Divide(Add(Multiply(atr, pm1D), tr), pD))
+    Seq(rn1, c, trsum1, atr1)
+  }
+
+  override val evaluateExpression: Expression = atr
+  override def prettyName: String = "graft_atr_w"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): AtrWindow =
+    copy(high = newChildren(0), low = newChildren(1), close = newChildren(2))
+}
+
 /** Both Wilder outputs from ONE state evaluation:
   * struct(rsi, cmo) — RSI and CMO share the gain/loss averages, so
   * evaluating them as separate window functions runs the state machine

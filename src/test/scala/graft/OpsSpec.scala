@@ -169,6 +169,45 @@ class OpsSpec extends SparkSpec {
     intercept[Exception](spark.sql("SELECT graft_macd_hist_w(1.0, 2)").collect())
   }
 
+  test("graft_atr_w matches a hand-iterated Wilder ATR") {
+    graft.functions.GraftFunctions.register(spark)
+    // deterministic pseudo-bars: TR varies, includes gaps both directions
+    val bars = (1 to 40).map { i =>
+      val c = 100.0 + 7.0 * math.sin(i * 1.3) + (if (i % 11 == 0) 15.0 else 0.0)
+      (i.toLong, c + 2.5, c - 1.5, c)
+    }
+    // reference loop: TR1 = h-l; TRi = max(h,prevC) - min(l,prevC);
+    // seed = SMA(TR 1..p) at row p; then (prev*(p-1)+tr)/p
+    val p = 14
+    var prevC = Double.NaN
+    var trsum = 0.0
+    var atr = Double.NaN
+    val want = bars.zipWithIndex.map { case ((_, h, l, c), i0) =>
+      val tr = if (i0 == 0) h - l
+        else math.max(h, prevC) - math.min(l, prevC)
+      val rn = i0 + 1
+      if (rn <= p) trsum += tr
+      if (rn == p) atr = trsum / p
+      else if (rn > p) atr = (atr * (p - 1) + tr) / p
+      prevC = c
+      if (rn >= p) Some(atr) else None
+    }
+    import spark.implicits._
+    val got = bars.toDF("event_id", "high", "low", "close")
+      .selectExpr("*", "'T' AS ticker", "event_id AS t")
+      .selectExpr("graft_atr_w(high, low, close) OVER " +
+        "(PARTITION BY ticker ORDER BY t, event_id) AS atr")
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got.length == want.length)
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      (g, w) match {
+        case (None, None) =>
+        case (Some(gv), Some(wv)) => assert(math.abs(gv - wv) < 1e-12, s"row $i")
+        case other => fail(s"row $i: $other")
+      }
+    }
+  }
+
   test("exact dedup partitions the corpus: group sizes sum to doc count") {
     val total = spark.read.parquet(s"$sf/documents.parquet").count()
     val grouped = graft.queries.ExtQueries.queries("dedup_exact")(spark, sf)

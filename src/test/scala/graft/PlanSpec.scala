@@ -185,6 +185,31 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(p) == 1)
   }
 
+  test("hamming near-dup is a banded equi-join, codegen'd, no distinct") {
+    val p = plan("dedup_hamming")
+    assert(!p.contains("BroadcastNestedLoop"))
+    assert(!p.contains("CodegenFallback"))
+    // first-matching-band filter replaced the pair distinct(): the only
+    // aggregates left are the per-doc simhash vote (none — it's native)
+    // so no HashAggregate should follow the join
+    val joinAt = p.indexOf("SortMergeJoin") max p.indexOf("ShuffledHashJoin") max
+      p.indexOf("BroadcastHashJoin")
+    assert(joinAt >= 0)
+    assert(!p.substring(0, joinAt).contains("HashAggregate"),
+      "no pair-level distinct above the band join")
+  }
+
+  test("time-series indicator suite runs on the single ticker exchange") {
+    Seq("ind_atr", "ind_obv", "ind_willr", "ind_bbands", "ts_rolling_corr")
+      .foreach { q => assert(shuffles(plan(q)) == 1, q) }
+  }
+
+  test("sketch_theta: per-type kth sketches broadcast to the union rows") {
+    val p = plan("sketch_theta")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("readDay prunes to one Hive partition") {
     val base = java.nio.file.Files.createTempDirectory("plan").toString
     val df = spark.range(10).selectExpr("'T' AS ticker", "CAST(id AS DOUBLE) AS volume",
