@@ -18,12 +18,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ IndicatorQueries.queries ++
       EtlQueries.queries ++ ExtQueries.queries ++ AnalyticsQueries.queries ++
-      ScaleQueries.queries ++ TsQueries.queries ++ CorpusQueries.queries
+      ScaleQueries.queries ++ TsQueries.queries ++ CorpusQueries.queries ++
+      Ts2Queries.queries ++ BehaviorQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ IndicatorQueries.oracles ++
       EtlQueries.oracles ++ ExtQueries.oracles ++ AnalyticsQueries.oracles ++
-      ScaleQueries.oracles ++ TsQueries.oracles ++ CorpusQueries.oracles
+      ScaleQueries.oracles ++ TsQueries.oracles ++ CorpusQueries.oracles ++
+      Ts2Queries.oracles ++ BehaviorQueries.oracles
 }

@@ -148,6 +148,9 @@ object GraftFunctions {
         SimHash(cs(0), litInt(cs(1), "graft_simhash")))),
     ("graft_minhash_est", classOf[MinHashEst],
       arity("graft_minhash_est", 2)(cs => MinHashEst(cs(0), cs(1)))),
+    ("graft_ema3_w", classOf[EmaTripleWindow],
+      arity("graft_ema3_w", 2)(cs =>
+        EmaTripleWindow(cs(0), litInt(cs(1), "graft_ema3_w")))),
     ("graft_ind_w", classOf[IndicatorPackWindow],
       arity("graft_ind_w", 4, 5)(cs => IndicatorPackWindow(
         cs(0), cs(1), cs(2), cs(3),

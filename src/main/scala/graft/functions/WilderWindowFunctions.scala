@@ -184,3 +184,66 @@ case class WilderPairWindow(price: Expression, period: Int = 14)
       newChildren: IndexedSeq[Expression]): WilderPairWindow =
     copy(price = newChildren(0))
 }
+
+/** Single/double/triple EMA from ONE incremental state machine:
+  * struct(e1, e2, e3) where e1 = EMA(price), e2 = EMA(e1), e3 = EMA(e2),
+  * all seeded with the first price (e1₁ = e2₁ = e3₁ = price₁) and
+  * smoothed with α = 2/(period+1):
+  *
+  *   e1ᵢ = α·priceᵢ + (1−α)·e1ᵢ₋₁
+  *   e2ᵢ = α·e1ᵢ    + (1−α)·e2ᵢ₋₁   (uses the CURRENT e1)
+  *   e3ᵢ = α·e2ᵢ    + (1−α)·e3ᵢ₋₁   (uses the CURRENT e2)
+  *
+  * One pass yields EMA, DEMA (2·e1−e2), TEMA (3·e1−3·e2+e3) and TRIX
+  * ((e3−lag e3)/lag e3) — the EMA family of the reference's TA-Lib
+  * surface (stockdata/indicators.py builds MACD from the same EMA
+  * primitive, indicators.py:178-209). Running e2/e3 as stacked window
+  * calls would re-run the upstream state machine per layer; this emits
+  * all three from one buffer on the shared per-ticker exchange.
+  *
+  * The DuckDB oracle mirrors the recursion operation-for-operation in a
+  * recursive CTE (`Ts2Queries.oracles`): α and 1−α are spelled as the
+  * same literal arithmetic (2.0/(p+1), 1.0 − 2.0/(p+1)) on both engines,
+  * so every row is bit-identical before the r6 mask.
+  */
+case class EmaTripleWindow(price: Expression, period: Int)
+    extends AggregateWindowFunction {
+
+  override def children: Seq[Expression] = Seq(price)
+  override def dataType: DataType = StructType(Seq(
+    StructField("e1", DoubleType), StructField("e2", DoubleType),
+    StructField("e3", DoubleType)))
+  override def nullable: Boolean = true
+
+  private val a = Literal(2.0 / (period + 1))
+  private val b = Literal(1.0 - 2.0 / (period + 1))
+
+  private val rn = AttributeReference("rn", LongType, nullable = false)()
+  private val e1 = AttributeReference("e1", DoubleType, nullable = true)()
+  private val e2 = AttributeReference("e2", DoubleType, nullable = true)()
+  private val e3 = AttributeReference("e3", DoubleType, nullable = true)()
+
+  override val aggBufferAttributes: Seq[AttributeReference] =
+    Seq(rn, e1, e2, e3)
+
+  override val initialValues: Seq[Expression] = Seq(Literal(0L),
+    Literal.create(null, DoubleType), Literal.create(null, DoubleType),
+    Literal.create(null, DoubleType))
+
+  override val updateExpressions: Seq[Expression] = {
+    val x = Cast(price, DoubleType)
+    val first = EqualTo(rn, Literal(0L))
+    val e1n = If(first, x, Add(Multiply(a, x), Multiply(b, e1)))
+    val e2n = If(first, x, Add(Multiply(a, e1n), Multiply(b, e2)))
+    val e3n = If(first, x, Add(Multiply(a, e2n), Multiply(b, e3)))
+    Seq(Add(rn, Literal(1L)), e1n, e2n, e3n)
+  }
+
+  override val evaluateExpression: Expression = CreateNamedStruct(Seq(
+    Literal("e1"), e1, Literal("e2"), e2, Literal("e3"), e3))
+
+  override def prettyName: String = "graft_ema3_w"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): EmaTripleWindow =
+    copy(price = newChildren(0))
+}

@@ -1,0 +1,452 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.ext.TextOps
+
+/** Behavioral / graph / corpus-statistics batch: conversion attribution,
+  * RFM segmentation, Markov transition matrix, edit-distance-verified
+  * near-dup, near-dup-graph degree histogram + triangle census, bigram
+  * PMI, BM25 retrieval scoring, equi-depth binning, and a key-skew
+  * profiler — the event-analytics and corpus-statistics layer next to
+  * the engine's dedup/similarity operators.
+  *
+  * Scale notes: attribution and Markov are one user/key exchange with
+  * map-side-collapsing argmin/argmax or count partials; the graph
+  * queries reuse the capped LSH candidate edges (bounded per bucket);
+  * PMI/BM25 broadcast their (bounded-vocab) dictionaries and corpus
+  * constants; RFM / equi-depth / key-skew rank an ALREADY-AGGREGATED
+  * key-level table (the single-partition ranking window sees |keys|
+  * rows, not |events| — the same posture as agg_quantiles; swap in
+  * sketch quantiles at true scale when exact bucket edges stop
+  * mattering). Exact-integer arithmetic (cents, counts) everywhere a
+  * double sum would be summation-order-dependent across engines.
+  */
+object BehaviorQueries {
+
+  private val r6 = Rounding.r6 _
+
+  /** events with micros t, typed user_id. */
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    EventBars.events(s, dir).select(
+      col("user_id").cast("long").as("user_id"), col("t"),
+      col("event_id"), col("event_type"),
+      col("value"))
+
+  private val evDuck =
+    """ev AS (SELECT user_id::BIGINT AS user_id, epoch_us(ts) AS t,
+      |  event_id, event_type, value FROM events)""".stripMargin
+
+  /** LSH near-dup edges (a < b, jaccard ≥ 0.8) — Spark side of
+    * [[ExtQueries.lshPairsDuck]]. */
+  private def edges(s: SparkSession, dir: String): DataFrame =
+    ExtQueries.minhashPairs(s, dir)
+      .filter(ExtQueries.jaccardExpr >= 0.8)
+      .select(col("a"), col("b"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // First/last-touch attribution: for each user with a purchase, the
+    // earliest and latest non-purchase touch strictly before their LAST
+    // purchase. Argmax structs ride the partial aggregates; the
+    // touch↔conversion join is exchange-aligned on user_id.
+    "attr_touch" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val conv = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(max(struct(col("t"), col("event_id"))).as("cv"))
+        .select(col("user_id"), col("cv.t").as("pt"), col("cv.event_id").as("pe"))
+      e.filter(col("event_type") =!= "purchase")
+        .join(conv, Seq("user_id"))
+        .filter(col("t") < col("pt")
+          || (col("t") === col("pt") && col("event_id") < col("pe")))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_touches"),
+          min(struct(col("t"), col("event_id"), col("event_type")))
+            .getField("event_type").as("first_touch"),
+          max(struct(col("t"), col("event_id"), col("event_type")))
+            .getField("event_type").as("last_touch"),
+          first(col("pt")).as("conv_t"))
+    }),
+
+    // RFM segmentation: user-level recency/frequency/monetary, quartile
+    // scores via ntile over (metric, user_id) — the tiebreak makes the
+    // bucketing deterministic, and monetary runs in exact cents so the
+    // sort key is cross-engine identical.
+    "seg_rfm" -> ((s, dir) => {
+      val u = ev(s, dir)
+        .withColumn("cents", round(col("value") * lit(100.0), 0).cast("long"))
+        .groupBy("user_id")
+        .agg(max(col("t")).as("rec"), count(lit(1)).as("freq"),
+          sum(col("cents")).as("mc"))
+      u.withColumn("r_q", ntile(4).over(Window.orderBy(col("rec"), col("user_id"))))
+        .withColumn("f_q", ntile(4).over(Window.orderBy(col("freq"), col("user_id"))))
+        .withColumn("m_q", ntile(4).over(Window.orderBy(col("mc"), col("user_id"))))
+        .select(col("user_id"), col("rec"), col("freq"),
+          (col("mc") / lit(100.0)).as("monetary"),
+          col("r_q"), col("f_q"), col("m_q"),
+          (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("rfm"))
+    }),
+
+    // Event-type Markov transition matrix: (type → next type) counts per
+    // user-ordered stream; P(next|cur) from exact integer counts (the
+    // row-normalizing window reuses the groupBy's hash partitioning).
+    "behav_markov" -> ((s, dir) => {
+      val wu = Window.partitionBy("user_id").orderBy("t", "event_id")
+      ev(s, dir)
+        .withColumn("next_type", lead(col("event_type"), 1).over(wu))
+        .filter(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type")
+        .agg(count(lit(1)).as("n_trans"))
+        .withColumn("p", col("n_trans")
+          / sum(col("n_trans")).over(Window.partitionBy("event_type")))
+    }),
+
+    // Edit-distance verification of the LSH candidates — the exact
+    // confirmation pass symmetric jaccard only approximates. Texts
+    // shuffle only for candidate ids (two hash joins on doc_id).
+    "dedup_editdist" -> ((s, dir) => {
+      val dd = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      ExtQueries.minhashPairs(s, dir).select(col("a"), col("b"))
+        .join(dd.select(col("doc_id").as("a"), col("text").as("ta")), Seq("a"))
+        .join(dd.select(col("doc_id").as("b"), col("text").as("tb")), Seq("b"))
+        .withColumn("ed", levenshtein(col("ta"), col("tb")))
+        .select(col("a"), col("b"), col("ed").cast("long").as("edit_dist"),
+          r6(lit(1.0) - col("ed").cast("double")
+            / greatest(length(col("ta")), length(col("tb")))).as("edit_sim"))
+    }),
+
+    // Degree histogram of the near-dup graph over ALL documents
+    // (singletons included): both endpoints explode in ONE pass over
+    // the edge list (a union of two selects would re-run the whole LSH
+    // candidate pipeline per branch); degree partials collapse
+    // map-side; the doc↔degree join shuffles ids only.
+    "graph_degree" -> ((s, dir) => {
+      val deg = edges(s, dir)
+        .select(explode(array(col("a"), col("b"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long").as("id"))
+        .join(deg, Seq("id"), "left")
+        .withColumn("degree", coalesce(col("deg"), lit(0L)))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+    }),
+
+    // Triangle census of the near-dup graph: the a<b edge orientation
+    // makes each triangle a single (a<b<c) wedge-close join — edges
+    // shuffle on their join keys, never the docs. The edge list is
+    // consumed four times (e1/e2/e3/wedges), so it materializes ONCE
+    // via localCheckpoint (the [[graft.ext.PageRank]] treatment — the
+    // LSH candidate pipeline is far heavier than the edge list).
+    // Wedge count from the degree partials; clustering = 3·tri/wedges.
+    "graph_triangles" -> ((s, dir) => {
+      val ed = edges(s, dir).localCheckpoint()
+      val tri = ed.as("e1")
+        .join(ed.as("e2"), col("e1.b") === col("e2.a"))
+        .join(ed.as("e3"),
+          col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val ne = ed.agg(count(lit(1)).as("n_edges"))
+      val wedges = ed
+        .select(explode(array(col("a"), col("b"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+        .agg(coalesce(sum(col("d") * (col("d") - 1) / lit(2)), lit(0.0))
+          .cast("long").as("n_wedges"))
+      ne.crossJoin(tri).crossJoin(wedges)
+        .select(col("n_edges"), col("n_triangles"), col("n_wedges"),
+          when(col("n_wedges") > 0,
+            (lit(3.0) * col("n_triangles")) / col("n_wedges"))
+            .as("clustering"))
+        .filter(col("n_edges") > 0) // empty-in → empty-out
+    }),
+
+    // Adjacent-bigram PMI over the corpus (count ≥ 5): bigram counts
+    // collapse map-side; the unigram dictionary and corpus totals are
+    // broadcast (bounded vocabulary). All inputs to ln() are exact
+    // integer ratios, so the PMI doubles are cross-engine identical.
+    "text_pmi" -> ((s, dir) => {
+      val dd = s.read.parquet(s"$dir/documents.parquet")
+      val tk = dd.select(col("doc_id"), expr(TextOps.toksSpark).as("toks"))
+      val bgc = tk.filter(size(col("toks")) > 1)
+        .select(explode(expr(
+          "transform(slice(toks, 1, size(toks) - 1), (x, i) -> struct(x AS w1, toks[i + 1] AS w2))"))
+          .as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      val uni = tk.select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      // Corpus totals from token LENGTHS, not from re-aggregating the
+      // unigram/bigram tables — one tiny scan instead of re-running
+      // both groupBys: n1 = Σ|toks|, n2 = Σ(|toks|−1 over len>1 docs).
+      val totals = tk.agg(
+        sum(size(col("toks"))).as("n1"),
+        sum(when(size(col("toks")) > 1, size(col("toks")) - 1)
+          .otherwise(0)).as("n2"))
+      bgc.filter(col("n_pair") >= 5)
+        .join(broadcast(uni.select(col("w").as("w1"), col("c").as("cx"))), Seq("w1"))
+        .join(broadcast(uni.select(col("w").as("w2"), col("c").as("cy"))), Seq("w2"))
+        .crossJoin(broadcast(totals))
+        .select(col("w1"), col("w2"), col("n_pair"),
+          r6(log((col("n_pair") / col("n2"))
+            / ((col("cx") / col("n1")) * (col("cy") / col("n1"))))).as("pmi"))
+    }),
+
+    // BM25 (k1=1.2, b=0.75) against a fixed 3-term query — corpus
+    // constants (N, df, avgdl) reduce to one broadcast row; per-doc
+    // scoring is a projection. Counts are exact, avgdl is an
+    // exact-integer ratio, so scores agree bit-for-bit before r6.
+    "text_bm25" -> ((s, dir) => {
+      def tf(t: String) =
+        expr(s"CAST(size(filter(toks, x -> x = '$t')) AS DOUBLE)")
+      val dd = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          expr(TextOps.toksSpark).as("toks"))
+        .withColumn("dl", size(col("toks")).cast("double"))
+        .withColumn("tf1", tf("join"))
+        .withColumn("tf2", tf("hash"))
+        .withColumn("tf3", tf("vector"))
+      val stats = dd.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sdl"),
+        count(when(col("tf1") > 0, lit(1))).as("df1"),
+        count(when(col("tf2") > 0, lit(1))).as("df2"),
+        count(when(col("tf3") > 0, lit(1))).as("df3"))
+      def idf(dfc: String) =
+        log(lit(1.0) + (col("nd") - col(dfc) + lit(0.5)) / (col(dfc) + lit(0.5)))
+      def term(tfc: String, dfc: String) =
+        idf(dfc) * ((col(tfc) * lit(2.2))
+          / (col(tfc) + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      dd.crossJoin(broadcast(stats))
+        .withColumn("avgdl", col("sdl") / col("nd"))
+        .withColumn("score",
+          term("tf1", "df1") + term("tf2", "df2") + term("tf3", "df3"))
+        .filter(col("score") > 0)
+        .select(col("doc_id"),
+          ((col("tf1") > 0).cast("int") + (col("tf2") > 0).cast("int")
+            + (col("tf3") > 0).cast("int")).as("n_terms_hit"),
+          r6(col("score")).as("bm25"))
+    }),
+
+    // Equi-depth (decile) binning of lineitem prices: ntile over the
+    // (price, orderkey, linenumber) total order — deterministic bucket
+    // edges; per-bin stats in exact cents. The ranking window sees the
+    // price column only.
+    "bin_equidepth" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_extendedprice").as("price"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("bin", ntile(10).over(
+          Window.orderBy(col("price"), col("l_orderkey"), col("l_linenumber"))))
+        .withColumn("cents", round(col("price") * lit(100.0), 0).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("price")).as("min_price"),
+          max(col("price")).as("max_price"),
+          r6(sum(col("cents")) / lit(100.0) / count(lit(1))).as("avg_price"))
+    }),
+
+    // Key-skew profiler on the events user distribution: top-10 heavy
+    // keys with corpus share, plus the p50/p99 group-size quantiles and
+    // each key's ratio to the median — the report that decides whether
+    // a join needs salting. Group sizes collapse map-side first.
+    "key_skew" -> ((s, dir) => {
+      // Everything AFTER the one events→sizes groupBy rides windows
+      // over the (small, already-aggregated) key-size table: the
+      // ranking, the totals, and the quantiles share the same
+      // single-partition stage instead of three re-aggregations of the
+      // raw events. Quantile arithmetic is the ExactQuantile /
+      // quantile_cont bit-equal form: pos=(n−1)p, v_lo(1−f)+v_hi·f.
+      val wAll = Window.partitionBy()
+      val sizes = ev(s, dir).groupBy("user_id")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("nd", col("n").cast("double"))
+        .withColumn("rn0",
+          row_number().over(Window.orderBy("nd", "user_id")).cast("long") - 1L)
+        .withColumn("cnt", count(lit(1)).over(wAll))
+        .withColumn("total", sum(col("n")).over(wAll))
+      def quant(p: Double) = {
+        val pos = (col("cnt") - 1L).cast("double") * lit(p)
+        val lo = floor(pos).cast("long")
+        val vl = max(when(col("rn0") === lo, col("nd"))).over(wAll)
+        val vh = max(when(col("rn0") === lo + 1L, col("nd"))).over(wAll)
+        val frac = pos - floor(pos)
+        when(frac === 0.0, vl).otherwise(vl * (lit(1.0) - frac) + vh * frac)
+      }
+      sizes
+        .withColumn("p50_size", quant(0.5))
+        .withColumn("p99_size", quant(0.99))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("n").desc, col("user_id"))))
+        .filter(col("rnk") <= 10)
+        .select(col("rnk"), col("user_id"), col("n").as("n_events"),
+          r6(col("n") / col("total")).as("share"),
+          col("p50_size"), col("p99_size"),
+          r6(col("nd") / col("p50_size")).as("ratio_to_p50"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+
+    "attr_touch" ->
+      s"""WITH $evDuck,
+         |cv AS (SELECT user_id,
+         |    (max(struct_pack(t := t, event_id := event_id))).t AS pt,
+         |    (max(struct_pack(t := t, event_id := event_id))).event_id AS pe
+         |  FROM ev WHERE event_type = 'purchase' GROUP BY user_id),
+         |tc AS (SELECT e.*, cv.pt FROM ev e JOIN cv ON e.user_id = cv.user_id
+         |  WHERE e.event_type <> 'purchase'
+         |    AND (e.t < cv.pt OR (e.t = cv.pt AND e.event_id < cv.pe)))
+         |SELECT user_id, count(*)::BIGINT AS n_touches,
+         |  (min(struct_pack(t := t, event_id := event_id,
+         |     event_type := event_type))).event_type AS first_touch,
+         |  (max(struct_pack(t := t, event_id := event_id,
+         |     event_type := event_type))).event_type AS last_touch,
+         |  first(pt) AS conv_t
+         |FROM tc GROUP BY user_id""".stripMargin,
+
+    "seg_rfm" ->
+      s"""WITH $evDuck,
+         |u AS (SELECT user_id, max(t) AS rec, count(*)::BIGINT AS freq,
+         |    sum(CAST(round(value * 100.0) AS BIGINT)) AS mc
+         |  FROM ev GROUP BY user_id),
+         |q AS (SELECT *,
+         |    ntile(4) OVER (ORDER BY rec, user_id)::INTEGER AS r_q,
+         |    ntile(4) OVER (ORDER BY freq, user_id)::INTEGER AS f_q,
+         |    ntile(4) OVER (ORDER BY mc, user_id)::INTEGER AS m_q
+         |  FROM u)
+         |SELECT user_id, rec, freq, mc / 100.0 AS monetary,
+         |  r_q, f_q, m_q, (r_q * 100 + f_q * 10 + m_q)::INTEGER AS rfm
+         |FROM q""".stripMargin,
+
+    "behav_markov" ->
+      s"""WITH $evDuck,
+         |n AS (SELECT event_type, lead(event_type) OVER (
+         |    PARTITION BY user_id ORDER BY t, event_id) AS next_type
+         |  FROM ev),
+         |g AS (SELECT event_type, next_type, count(*)::BIGINT AS n_trans
+         |  FROM n WHERE next_type IS NOT NULL GROUP BY event_type, next_type)
+         |SELECT event_type, next_type, n_trans,
+         |  n_trans / sum(n_trans) OVER (PARTITION BY event_type) AS p
+         |FROM g""".stripMargin,
+
+    "dedup_editdist" ->
+      s"""WITH ${ExtQueries.candPairsDuck},
+         |tx AS (SELECT cp.a, cp.b, da.text AS ta, db3.text AS tb
+         |  FROM cp JOIN dt da ON da.doc_id = cp.a
+         |  JOIN dt db3 ON db3.doc_id = cp.b)
+         |SELECT a, b, levenshtein(ta, tb)::BIGINT AS edit_dist,
+         |  (round((1.0 - CAST(levenshtein(ta, tb) AS DOUBLE)
+         |     / greatest(length(ta), length(tb))) * 1000000.0)
+         |   / 1000000.0 + 0.0) AS edit_sim
+         |FROM tx""".stripMargin,
+
+    "graph_degree" ->
+      s"""WITH ${ExtQueries.lshPairsDuck},
+         |dg AS (SELECT id, count(*)::BIGINT AS deg FROM (
+         |    SELECT a AS id FROM pr UNION ALL SELECT b FROM pr)
+         |  GROUP BY id),
+         |al AS (SELECT doc_id::BIGINT AS id FROM documents)
+         |SELECT coalesce(dg.deg, 0)::BIGINT AS degree,
+         |  count(*)::BIGINT AS n_nodes
+         |FROM al LEFT JOIN dg ON al.id = dg.id
+         |GROUP BY degree""".stripMargin,
+
+    "graph_triangles" ->
+      s"""WITH ${ExtQueries.lshPairsDuck},
+         |tr AS (SELECT count(*)::BIGINT AS n_triangles
+         |  FROM pr e1 JOIN pr e2 ON e1.b = e2.a
+         |  JOIN pr e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |ne AS (SELECT count(*)::BIGINT AS n_edges FROM pr),
+         |dg AS (SELECT id, count(*)::BIGINT AS d FROM (
+         |    SELECT a AS id FROM pr UNION ALL SELECT b FROM pr)
+         |  GROUP BY id),
+         |wg AS (SELECT CAST(coalesce(sum(d * (d - 1) / 2), 0.0) AS BIGINT)
+         |    AS n_wedges FROM dg)
+         |SELECT n_edges, n_triangles, n_wedges,
+         |  CASE WHEN n_wedges > 0
+         |    THEN (3.0 * n_triangles) / n_wedges END AS clustering
+         |FROM ne, tr, wg WHERE n_edges > 0""".stripMargin,
+
+    "text_pmi" ->
+      s"""WITH dtt AS (SELECT doc_id::BIGINT AS doc_id,
+         |    ${TextOps.toksDuck} AS toks FROM documents),
+         |u AS (SELECT doc_id, unnest(toks) AS w,
+         |    generate_subscripts(toks, 1) AS pos
+         |  FROM dtt WHERE len(toks) > 1),
+         |bg AS (SELECT u1.w AS w1, u2.w AS w2
+         |  FROM u u1 JOIN u u2
+         |    ON u1.doc_id = u2.doc_id AND u2.pos = u1.pos + 1),
+         |bgc AS (SELECT w1, w2, count(*)::BIGINT AS n_pair
+         |  FROM bg GROUP BY w1, w2),
+         |uni AS (SELECT w, count(*)::BIGINT AS c FROM (
+         |    SELECT unnest(toks) AS w FROM dtt) GROUP BY w),
+         |tot AS (SELECT sum(len(toks)) AS n1,
+         |    sum(CASE WHEN len(toks) > 1 THEN len(toks) - 1 ELSE 0 END) AS n2
+         |  FROM dtt)
+         |SELECT b.w1, b.w2, b.n_pair,
+         |  (round((ln((b.n_pair / n2)
+         |     / ((ux.c / n1) * (uy.c / n1)))) * 1000000.0)
+         |   / 1000000.0 + 0.0) AS pmi
+         |FROM bgc b JOIN uni ux ON ux.w = b.w1
+         |JOIN uni uy ON uy.w = b.w2, tot
+         |WHERE b.n_pair >= 5""".stripMargin,
+
+    "text_bm25" ->
+      s"""WITH dd AS (SELECT doc_id::BIGINT AS doc_id,
+         |    ${TextOps.toksDuck} AS toks FROM documents),
+         |f AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+         |    len(list_filter(toks, x -> x = 'join'))::DOUBLE AS tf1,
+         |    len(list_filter(toks, x -> x = 'hash'))::DOUBLE AS tf2,
+         |    len(list_filter(toks, x -> x = 'vector'))::DOUBLE AS tf3
+         |  FROM dd),
+         |st AS (SELECT count(*)::BIGINT AS nd, sum(dl) AS sdl,
+         |    count(*) FILTER (WHERE tf1 > 0)::BIGINT AS df1,
+         |    count(*) FILTER (WHERE tf2 > 0)::BIGINT AS df2,
+         |    count(*) FILTER (WHERE tf3 > 0)::BIGINT AS df3
+         |  FROM f),
+         |sc AS (SELECT doc_id, tf1, tf2, tf3, dl, sdl / nd AS avgdl,
+         |    nd, df1, df2, df3 FROM f, st),
+         |s2 AS (SELECT *,
+         |    ln(1.0 + (nd - df1 + 0.5) / (df1 + 0.5))
+         |      * ((tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+         |    + ln(1.0 + (nd - df2 + 0.5) / (df2 + 0.5))
+         |      * ((tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+         |    + ln(1.0 + (nd - df3 + 0.5) / (df3 + 0.5))
+         |      * ((tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+         |    AS score FROM sc)
+         |SELECT doc_id,
+         |  ((tf1 > 0)::INTEGER + (tf2 > 0)::INTEGER + (tf3 > 0)::INTEGER)
+         |    ::INTEGER AS n_terms_hit,
+         |  (round(score * 1000000.0) / 1000000.0 + 0.0) AS bm25
+         |FROM s2 WHERE score > 0""".stripMargin,
+
+    "bin_equidepth" ->
+      """WITH li AS (SELECT l_extendedprice AS price, l_orderkey,
+        |    l_linenumber FROM lineitem),
+        |b AS (SELECT *,
+        |    ntile(10) OVER (ORDER BY price, l_orderkey, l_linenumber)
+        |      ::INTEGER AS bin,
+        |    CAST(round(price * 100.0) AS BIGINT) AS cents
+        |  FROM li)
+        |SELECT bin, count(*)::BIGINT AS n_rows,
+        |  min(price) AS min_price, max(price) AS max_price,
+        |  (round((sum(cents) / 100.0 / count(*)) * 1000000.0)
+        |   / 1000000.0 + 0.0) AS avg_price
+        |FROM b GROUP BY bin""".stripMargin,
+
+    "key_skew" ->
+      s"""WITH $evDuck,
+         |sz AS (SELECT user_id, count(*)::BIGINT AS n FROM ev
+         |  GROUP BY user_id),
+         |q AS (SELECT quantile_cont(CAST(n AS DOUBLE), 0.5) AS p50_size,
+         |    quantile_cont(CAST(n AS DOUBLE), 0.99) AS p99_size,
+         |    sum(n) AS total FROM sz),
+         |r AS (SELECT *, row_number() OVER (ORDER BY n DESC, user_id)
+         |    ::INTEGER AS rnk FROM sz)
+         |SELECT rnk, user_id, n AS n_events,
+         |  (round((n / total) * 1000000.0) / 1000000.0 + 0.0) AS share,
+         |  p50_size, p99_size,
+         |  (round((CAST(n AS DOUBLE) / p50_size) * 1000000.0)
+         |   / 1000000.0 + 0.0) AS ratio_to_p50
+         |FROM r, q WHERE rnk <= 10""".stripMargin)
+}

@@ -1,0 +1,471 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.GraftFunctions
+
+/** Second round-4 time-series batch: the EMA family (EMA/DEMA/TEMA via
+  * the single-state-machine [[graft.functions.EmaTripleWindow]] kernel,
+  * TRIX on top of it), slow stochastic, Chaikin money flow, Donchian
+  * channels, per-ticker autocorrelation, hour-of-day seasonality, CUSUM
+  * changepoint report, per-day TWAP, and two distribution-drift tests
+  * (PSI, two-sample KS) — the series-analytics/monitoring layer a bar
+  * warehouse runs next to the reference's TA-Lib surface
+  * (stockdata/indicators.py:178-209 builds MACD from the same EMA
+  * primitive these queries expose directly).
+  *
+  * Scale notes: the indicator queries are one `hash(ticker)` exchange +
+  * one sort each (the shared shape of the whole indicator suite);
+  * `ts_acf`/`ts_seasonality`/`ts_cusum`/`ts_twap` collapse map-side to
+  * tiny per-ticker reports; `drift_psi` aggregates to 10 bins against
+  * broadcast bounds; `drift_ks` first collapses to the DISTINCT value
+  * domain (bounded for quantized/price-like columns — cents at 100 TB)
+  * so the single-partition ECDF window runs over the domain, not the
+  * rows. Every double output is r6'd; formulas are mirrored
+  * token-for-token in [[Ts2Queries.oracles]].
+  */
+object Ts2Queries {
+
+  private def w = Window.partitionBy("ticker").orderBy("t", "event_id")
+  private val Over = "PARTITION BY ticker ORDER BY t, event_id"
+
+  private val r6 = Rounding.r6 _
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // EMA/DEMA/TEMA(12) from ONE EmaTripleWindow state machine — e2/e3
+    // as stacked window calls would re-run the upstream EMA per layer.
+    "ind_ema" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      EventBars.bars(s, dir)
+        .withColumn("e", expr("graft_ema3_w(close, 12)").over(w))
+        .select(col("ticker"), col("t"), col("event_id"),
+          r6(col("e.e1")).as("ema"),
+          r6(lit(2.0) * col("e.e1") - col("e.e2")).as("dema"),
+          r6(lit(3.0) * col("e.e1") - lit(3.0) * col("e.e2") + col("e.e3"))
+            .as("tema"))
+    }),
+
+    // TRIX(15): 1-bar rate of change of the triple EMA. Same kernel,
+    // period 15; division guarded (close ≥ 0.01 keeps e3 > 0, but
+    // try_divide mirrors the oracle's CASE guard exactly).
+    "ind_trix" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      EventBars.bars(s, dir)
+        .withColumn("e3", expr("graft_ema3_w(close, 15)").over(w).getField("e3"))
+        .withColumn("p3", lag(col("e3"), 1).over(w))
+        .select(col("ticker"), col("t"), col("event_id"),
+          r6(expr("try_divide(e3 - p3, p3)")).as("trix"))
+    }),
+
+    // Slow stochastic: fast %K over the TA-Lib 14-bar frame, then two
+    // explicit 3-bar SMA layers (written as (x + lag1 + lag2)/3 — NOT
+    // avg() over a frame — so warm-up nulls gate identically on both
+    // engines and the fold order is pinned).
+    "ind_stoch" -> ((s, dir) => {
+      val rb = w.rowsBetween(-13, 0)
+      EventBars.bars(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("hh", max(col("high")).over(rb))
+        .withColumn("ll", min(col("low")).over(rb))
+        .withColumn("fk", when(col("rn") >= 14,
+          (col("close") - col("ll")) / (col("hh") - col("ll"))))
+        .withColumn("sk", when(col("rn") >= 16,
+          (col("fk") + lag(col("fk"), 1).over(w) + lag(col("fk"), 2).over(w))
+            / lit(3.0)))
+        .withColumn("sd", when(col("rn") >= 18,
+          (col("sk") + lag(col("sk"), 1).over(w) + lag(col("sk"), 2).over(w))
+            / lit(3.0)))
+        .select(col("ticker"), col("t"), col("event_id"),
+          r6(col("sk")).as("slow_k"), r6(col("sd")).as("slow_d"))
+    }),
+
+    // Chaikin money flow (20): Σ(mfm·vol)/Σvol over the sliding frame.
+    // high−low ≥ 1 by the bar synthesis, so mfm is division-safe.
+    "ind_cmf" -> ((s, dir) => {
+      val rb = w.rowsBetween(-19, 0)
+      EventBars.bars(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("mfv",
+          ((col("close") - col("low")) - (col("high") - col("close")))
+            / (col("high") - col("low")) * col("volume"))
+        .select(col("ticker"), col("t"), col("event_id"),
+          r6(when(col("rn") >= 20,
+            sum(col("mfv")).over(rb) / sum(col("volume")).over(rb)))
+            .as("cmf"))
+    }),
+
+    // Donchian channel (20) + position of close inside it. up−dn ≥
+    // high−low ≥ 1, so the position division is safe.
+    "ind_donchian" -> ((s, dir) => {
+      val rb = w.rowsBetween(-19, 0)
+      EventBars.bars(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("up", max(col("high")).over(rb))
+        .withColumn("dn", min(col("low")).over(rb))
+        .select(col("ticker"), col("t"), col("event_id"),
+          when(col("rn") >= 20, col("up")).as("dc_up"),
+          when(col("rn") >= 20, col("dn")).as("dc_dn"),
+          r6(when(col("rn") >= 20,
+            (col("close") - col("dn")) / (col("up") - col("dn"))))
+            .as("dc_pos"))
+    }),
+
+    // Per-ticker autocorrelation at lags 1..5: ONE window pass emits all
+    // five lag columns, stack() longifies, and the Pearson corr of each
+    // (x_t, x_{t−k}) pair set collapses map-side via explicit sums.
+    "ts_acf" -> ((s, dir) => {
+      val b = EventBars.bars(s, dir)
+        .withColumn("x1", lag(col("close"), 1).over(w))
+        .withColumn("x2", lag(col("close"), 2).over(w))
+        .withColumn("x3", lag(col("close"), 3).over(w))
+        .withColumn("x4", lag(col("close"), 4).over(w))
+        .withColumn("x5", lag(col("close"), 5).over(w))
+        .select(col("ticker"), col("close").as("y"),
+          expr("stack(5, 1, x1, 2, x2, 3, x3, 4, x4, 5, x5) AS (lag_k, x)"))
+        .filter(col("x").isNotNull)
+      val n = col("n").cast("double")
+      b.groupBy("ticker", "lag_k")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .withColumn("vx", greatest(n * col("sxx") - col("sx") * col("sx"), lit(0.0)))
+        .withColumn("vy", greatest(n * col("syy") - col("sy") * col("sy"), lit(0.0)))
+        .withColumn("den", sqrt(col("vx")) * sqrt(col("vy")))
+        .select(col("ticker"), col("lag_k"), col("n").as("n_pairs"),
+          r6(when(col("den") > 0,
+            (n * col("sxy") - col("sx") * col("sy")) / col("den"))).as("acf"))
+    }),
+
+    // Hour-of-day seasonality profile: (ticker, hour) partials collapse
+    // map-side; the ticker-level mean rides a window over the 24-row
+    // groups (no join back, no second exchange over the raw rows).
+    // Sums run in exact integer CENTS (2-decimal prices): double sums
+    // here are ulp-order-dependent across engines AND the /2^k group
+    // sizes park the results exactly on 6-decimal rounding midpoints —
+    // integer sums make both engines' pre-round doubles bit-identical.
+    "ts_seasonality" -> ((s, dir) => {
+      val wt = Window.partitionBy("ticker")
+      EventBars.bars(s, dir)
+        .withColumn("hod", expr("(t div 3600000000) % 24"))
+        .withColumn("cents", round(col("close") * lit(100.0), 0).cast("long"))
+        .groupBy("ticker", "hod")
+        .agg(count(lit(1)).as("n_bars"), sum(col("cents")).as("sc"))
+        .withColumn("tot_n", sum(col("n_bars")).over(wt))
+        .withColumn("tot_s", sum(col("sc")).over(wt))
+        .select(col("ticker"), col("hod"), col("n_bars"),
+          r6(col("sc") / lit(100.0) / col("n_bars")).as("avg_close"),
+          r6(col("sc") / lit(100.0) / col("n_bars")
+            - col("tot_s") / lit(100.0) / col("tot_n")).as("dev"))
+    }),
+
+    // CUSUM changepoint report: running Σ(close − ticker mean), then the
+    // deepest |cusum| with earliest-(t,event_id) tiebreak — one exchange,
+    // map-side-collapsing argmin-struct aggregate (same determinism
+    // treatment as ts_drawdown's trough).
+    // Exact-integer formulation: Σᵢ(closeᵢ − mean) over the first k rows
+    // = (cum_cents·n − k·tot_cents) / (100·n) — the numerator is exact
+    // long arithmetic, so the cusum doubles are bit-identical across
+    // engines (a float mean would put /2^k partitions on rounding
+    // midpoints, as in ts_seasonality).
+    "ts_cusum" -> ((s, dir) => {
+      val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+      val wt = Window.partitionBy("ticker")
+      EventBars.bars(s, dir)
+        .withColumn("cents", round(col("close") * lit(100.0), 0).cast("long"))
+        .withColumn("totc", sum(col("cents")).over(wt))
+        .withColumn("nt", count(lit(1)).over(wt))
+        .withColumn("k", row_number().over(w).cast("long"))
+        .withColumn("cumc", sum(col("cents")).over(cum))
+        .withColumn("cusum",
+          (col("cumc") * col("nt") - col("k") * col("totc"))
+            / (lit(100.0) * col("nt")))
+        .withColumn("ca", abs(col("cusum")))
+        .groupBy("ticker")
+        .agg(count(lit(1)).as("n_bars"),
+          r6(max(col("ca"))).as("max_cusum"),
+          min(struct(negate(col("ca")), col("t"), col("event_id")))
+            .getField("t").as("cp_t"))
+    }),
+
+    // Per-(ticker, day) time-weighted average price: each bar weighted
+    // by its micros gap to the next bar in the day (the last bar of a
+    // day carries no interval). Exact-integer weights; one exchange.
+    "ts_twap" -> ((s, dir) => {
+      val wd = Window.partitionBy("ticker", "day").orderBy("t", "event_id")
+      EventBars.bars(s, dir)
+        .withColumn("day", expr("t div 86400000000"))
+        .withColumn("dt", (lead(col("t"), 1).over(wd) - col("t")).cast("double"))
+        .filter(col("dt").isNotNull)
+        .groupBy("ticker", "day")
+        .agg(count(lit(1)).as("n_spans"),
+          r6(sum(col("close") * col("dt")) / sum(col("dt"))).as("twap"))
+    }),
+
+    // Population-stability-index drift between the two deterministic
+    // event halves (event_id parity), 10 equal-width bins over broadcast
+    // global bounds, Laplace-smoothed shares ((c+0.5)/(n+5)) so empty
+    // bins stay finite. 10-group shuffle; totals ride a window over the
+    // bin rows.
+    "drift_psi" -> ((s, dir) => {
+      val e = EventBars.events(s, dir)
+      val bounds = e.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+      val wAll = Window.partitionBy()
+      e.crossJoin(broadcast(bounds))
+        .withColumn("bin", least(lit(9L),
+          floor((col("value") - col("mn")) / ((col("mx") - col("mn")) / lit(10.0)))))
+        .groupBy("bin")
+        .agg(count(when(col("event_id") % 2 === 0, lit(1))).as("n_a"),
+          count(when(col("event_id") % 2 =!= 0, lit(1))).as("n_b"))
+        .withColumn("ta", sum(col("n_a")).over(wAll))
+        .withColumn("tb", sum(col("n_b")).over(wAll))
+        .withColumn("p", (col("n_a") + lit(0.5)) / (col("ta") + lit(5.0)))
+        .withColumn("q", (col("n_b") + lit(0.5)) / (col("tb") + lit(5.0)))
+        .withColumn("contrib", (col("p") - col("q")) * log(col("p") / col("q")))
+        .select(col("bin"), col("n_a"), col("n_b"),
+          r6(col("contrib")).as("psi_bin"),
+          r6(sum(col("contrib")).over(wAll)).as("psi_total"))
+    }),
+
+    // Two-sample Kolmogorov–Smirnov over the click/view value
+    // distributions. Collapses to the DISTINCT value domain first
+    // (bounded for quantized columns), then one ECDF window over the
+    // domain; counts are exact integers, so D is bit-identical across
+    // engines before any rounding. Ties in D break to the smallest value.
+    "drift_ks" -> ((s, dir) => {
+      val wv = Window.orderBy("value")
+        .rangeBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy()
+      EventBars.events(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy("value")
+        .agg(count(when(col("event_type") === "click", lit(1))).as("ca"),
+          count(when(col("event_type") === "view", lit(1))).as("cb"))
+        .withColumn("na", sum(col("ca")).over(wAll))
+        .withColumn("nb", sum(col("cb")).over(wAll))
+        .withColumn("d",
+          abs(sum(col("ca")).over(wv) / col("na")
+            - sum(col("cb")).over(wv) / col("nb")))
+        .agg(first(col("na")).as("n_a"), first(col("nb")).as("n_b"),
+          r6(max(col("d"))).as("ks_d"),
+          min(struct(negate(col("d")), col("value")))
+            .getField("value").as("at_value"))
+        .filter(col("n_a").isNotNull) // empty-in → empty-out
+    }))
+
+  val oracles: Map[String, String] = {
+    // α / 1−α spelled as the same literal arithmetic the kernel folds.
+    def a(p: Int) = s"(2.0/${p + 1}.0)"
+    def b(p: Int) = s"(1.0 - 2.0/${p + 1}.0)"
+    def emaRec(p: Int): String = {
+      val e1n = s"(${a(p)}*nb.close + ${b(p)}*r.e1)"
+      val e2n = s"(${a(p)}*$e1n + ${b(p)}*r.e2)"
+      val e3n = s"(${a(p)}*$e2n + ${b(p)}*r.e3)"
+      s"""nb AS (SELECT ticker, t, event_id, close,
+         |    row_number() OVER ($Over) AS rn FROM bars),
+         |rec AS (
+         |  SELECT ticker, t, event_id, rn,
+         |    close AS e1, close AS e2, close AS e3
+         |  FROM nb WHERE rn = 1
+         |  UNION ALL
+         |  SELECT nb.ticker, nb.t, nb.event_id, nb.rn,
+         |    $e1n, $e2n, $e3n
+         |  FROM rec r JOIN nb
+         |    ON nb.ticker = r.ticker AND nb.rn = r.rn + 1)""".stripMargin
+    }
+
+    Map(
+
+      "ind_ema" ->
+        s"""WITH RECURSIVE bars AS (${EventBars.sqlBars}),
+           |${emaRec(12)}
+           |SELECT ticker, t, event_id,
+           |  (round((e1) * 1000000.0) / 1000000.0 + 0.0) AS ema,
+           |  (round((2.0*e1 - e2) * 1000000.0) / 1000000.0 + 0.0) AS dema,
+           |  (round((3.0*e1 - 3.0*e2 + e3) * 1000000.0) / 1000000.0 + 0.0) AS tema
+           |FROM rec""".stripMargin,
+
+      "ind_trix" ->
+        s"""WITH RECURSIVE bars AS (${EventBars.sqlBars}),
+           |${emaRec(15)},
+           |l AS (SELECT *, lag(e3) OVER ($Over) AS p3 FROM rec)
+           |SELECT ticker, t, event_id,
+           |  (round((CASE WHEN p3 IS NULL OR p3 = 0 THEN NULL
+           |     ELSE (e3 - p3) / p3 END) * 1000000.0) / 1000000.0 + 0.0) AS trix
+           |FROM l""".stripMargin,
+
+      "ind_stoch" ->
+        s"""WITH bars AS (${EventBars.sqlBars}),
+           |f AS (SELECT *,
+           |    row_number() OVER ($Over) AS rn,
+           |    max(high) OVER ($Over
+           |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS hh,
+           |    min(low) OVER ($Over
+           |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS ll
+           |  FROM bars),
+           |k AS (SELECT *, CASE WHEN rn >= 14
+           |    THEN (close - ll) / (hh - ll) END AS fk FROM f),
+           |sk AS (SELECT *, CASE WHEN rn >= 16
+           |    THEN (fk + lag(fk, 1) OVER ($Over)
+           |          + lag(fk, 2) OVER ($Over)) / 3.0 END AS sk FROM k),
+           |sd AS (SELECT *, CASE WHEN rn >= 18
+           |    THEN (sk + lag(sk, 1) OVER ($Over)
+           |          + lag(sk, 2) OVER ($Over)) / 3.0 END AS sd FROM sk)
+           |SELECT ticker, t, event_id,
+           |  (round((sk) * 1000000.0) / 1000000.0 + 0.0) AS slow_k,
+           |  (round((sd) * 1000000.0) / 1000000.0 + 0.0) AS slow_d
+           |FROM sd""".stripMargin,
+
+      "ind_cmf" ->
+        s"""WITH bars AS (${EventBars.sqlBars}),
+           |m AS (SELECT *,
+           |    row_number() OVER ($Over) AS rn,
+           |    ((close - low) - (high - close)) / (high - low) * volume AS mfv
+           |  FROM bars)
+           |SELECT ticker, t, event_id,
+           |  (round((CASE WHEN rn >= 20 THEN
+           |     sum(mfv) OVER ($Over ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+           |     / sum(volume) OVER ($Over ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+           |   END) * 1000000.0) / 1000000.0 + 0.0) AS cmf
+           |FROM m""".stripMargin,
+
+      "ind_donchian" ->
+        s"""WITH bars AS (${EventBars.sqlBars}),
+           |f AS (SELECT *,
+           |    row_number() OVER ($Over) AS rn,
+           |    max(high) OVER ($Over
+           |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS up,
+           |    min(low) OVER ($Over
+           |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS dn
+           |  FROM bars)
+           |SELECT ticker, t, event_id,
+           |  CASE WHEN rn >= 20 THEN up END AS dc_up,
+           |  CASE WHEN rn >= 20 THEN dn END AS dc_dn,
+           |  (round((CASE WHEN rn >= 20
+           |     THEN (close - dn) / (up - dn) END) * 1000000.0) / 1000000.0 + 0.0) AS dc_pos
+           |FROM f""".stripMargin,
+
+      "ts_acf" ->
+        s"""WITH bars AS (${EventBars.sqlBars}),
+           |lg AS (SELECT ticker, close AS y,
+           |    lag(close, 1) OVER ($Over) AS x1,
+           |    lag(close, 2) OVER ($Over) AS x2,
+           |    lag(close, 3) OVER ($Over) AS x3,
+           |    lag(close, 4) OVER ($Over) AS x4,
+           |    lag(close, 5) OVER ($Over) AS x5
+           |  FROM bars),
+           |pairs AS (
+           |  SELECT ticker, 1 AS lag_k, x1 AS x, y FROM lg WHERE x1 IS NOT NULL
+           |  UNION ALL
+           |  SELECT ticker, 2, x2, y FROM lg WHERE x2 IS NOT NULL
+           |  UNION ALL
+           |  SELECT ticker, 3, x3, y FROM lg WHERE x3 IS NOT NULL
+           |  UNION ALL
+           |  SELECT ticker, 4, x4, y FROM lg WHERE x4 IS NOT NULL
+           |  UNION ALL
+           |  SELECT ticker, 5, x5, y FROM lg WHERE x5 IS NOT NULL),
+           |s AS (SELECT ticker, lag_k, count(*)::BIGINT AS n,
+           |    sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+           |    sum(y*y) AS syy, sum(x*y) AS sxy
+           |  FROM pairs GROUP BY ticker, lag_k),
+           |v AS (SELECT *,
+           |    greatest(CAST(n AS DOUBLE) * sxx - sx * sx, 0.0) AS vx,
+           |    greatest(CAST(n AS DOUBLE) * syy - sy * sy, 0.0) AS vy
+           |  FROM s),
+           |d AS (SELECT *, sqrt(vx) * sqrt(vy) AS den FROM v)
+           |SELECT ticker, lag_k, n AS n_pairs,
+           |  (round((CASE WHEN den > 0 THEN
+           |     (CAST(n AS DOUBLE) * sxy - sx * sy) / den END) * 1000000.0) / 1000000.0 + 0.0) AS acf
+           |FROM d""".stripMargin,
+
+      "ts_seasonality" ->
+        s"""WITH bars AS (${EventBars.sqlBars}),
+           |c AS (SELECT *, CAST(round(close * 100.0) AS BIGINT) AS cents
+           |  FROM bars),
+           |g AS (SELECT ticker, (t // 3600000000) % 24 AS hod,
+           |    count(*)::BIGINT AS n_bars, sum(cents) AS sc
+           |  FROM c GROUP BY ticker, hod),
+           |tt AS (SELECT *,
+           |    sum(n_bars) OVER (PARTITION BY ticker) AS tot_n,
+           |    sum(sc) OVER (PARTITION BY ticker) AS tot_s
+           |  FROM g)
+           |SELECT ticker, hod, n_bars,
+           |  (round((sc / 100.0 / n_bars) * 1000000.0) / 1000000.0 + 0.0)
+           |    AS avg_close,
+           |  (round((sc / 100.0 / n_bars - tot_s / 100.0 / tot_n) * 1000000.0)
+           |    / 1000000.0 + 0.0) AS dev
+           |FROM tt""".stripMargin,
+
+      "ts_cusum" ->
+        s"""WITH bars AS (${EventBars.sqlBars}),
+           |ce AS (SELECT *, CAST(round(close * 100.0) AS BIGINT) AS cents
+           |  FROM bars),
+           |m AS (SELECT *,
+           |    sum(cents) OVER (PARTITION BY ticker) AS totc,
+           |    count(*) OVER (PARTITION BY ticker) AS nt,
+           |    CAST(row_number() OVER ($Over) AS BIGINT) AS k,
+           |    sum(cents) OVER ($Over
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+           |  FROM ce),
+           |c AS (SELECT *,
+           |    (cumc * nt - k * totc) / (100.0 * nt) AS cusum FROM m),
+           |ab AS (SELECT *, abs(cusum) AS ca FROM c)
+           |SELECT ticker, count(*)::BIGINT AS n_bars,
+           |  (round((max(ca)) * 1000000.0) / 1000000.0 + 0.0) AS max_cusum,
+           |  (min(struct_pack(nca := -ca, t := t, event_id := event_id))).t
+           |    AS cp_t
+           |FROM ab GROUP BY ticker""".stripMargin,
+
+      "ts_twap" ->
+        s"""WITH bars AS (${EventBars.sqlBars}),
+           |d AS (SELECT *, t // 86400000000 AS day FROM bars),
+           |g AS (SELECT *, CAST(lead(t) OVER (PARTITION BY ticker, day
+           |    ORDER BY t, event_id) - t AS DOUBLE) AS dt FROM d)
+           |SELECT ticker, day, count(*)::BIGINT AS n_spans,
+           |  (round((sum(close * dt) / sum(dt)) * 1000000.0) / 1000000.0 + 0.0) AS twap
+           |FROM g WHERE dt IS NOT NULL
+           |GROUP BY ticker, day""".stripMargin,
+
+      "drift_psi" ->
+        """WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+          |e AS (SELECT least(9, CAST(floor((value - mn) / ((mx - mn) / 10.0))
+          |    AS BIGINT)) AS bin, event_id
+          |  FROM events, b),
+          |g AS (SELECT bin,
+          |    count(*) FILTER (WHERE event_id % 2 = 0)::BIGINT AS n_a,
+          |    count(*) FILTER (WHERE event_id % 2 <> 0)::BIGINT AS n_b
+          |  FROM e GROUP BY bin),
+          |t AS (SELECT *, sum(n_a) OVER () AS ta, sum(n_b) OVER () AS tb
+          |  FROM g),
+          |p AS (SELECT *, (n_a + 0.5) / (ta + 5.0) AS p,
+          |    (n_b + 0.5) / (tb + 5.0) AS q FROM t),
+          |c AS (SELECT *, (p - q) * ln(p / q) AS contrib FROM p)
+          |SELECT bin, n_a, n_b,
+          |  (round((contrib) * 1000000.0) / 1000000.0 + 0.0) AS psi_bin,
+          |  (round((sum(contrib) OVER ()) * 1000000.0) / 1000000.0 + 0.0) AS psi_total
+          |FROM c""".stripMargin,
+
+      "drift_ks" ->
+        """WITH g AS (SELECT value,
+          |    count(*) FILTER (WHERE event_type = 'click')::BIGINT AS ca,
+          |    count(*) FILTER (WHERE event_type = 'view')::BIGINT AS cb
+          |  FROM events WHERE event_type IN ('click', 'view')
+          |  GROUP BY value),
+          |t AS (SELECT *, sum(ca) OVER () AS na, sum(cb) OVER () AS nb,
+          |    sum(ca) OVER (ORDER BY value
+          |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+          |    sum(cb) OVER (ORDER BY value
+          |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+          |  FROM g),
+          |d AS (SELECT *, abs(cuma / na - cumb / nb) AS d FROM t),
+          |agg AS (SELECT first(na)::BIGINT AS n_a, first(nb)::BIGINT AS n_b,
+          |    (round((max(d)) * 1000000.0) / 1000000.0 + 0.0) AS ks_d,
+          |    (min(struct_pack(nd := -d, value := value))).value AS at_value
+          |  FROM d)
+          |SELECT * FROM agg WHERE n_a IS NOT NULL""".stripMargin)
+  }
+}

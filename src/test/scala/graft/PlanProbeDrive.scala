@@ -1,0 +1,24 @@
+package graft
+object PlanProbeDrive {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]").config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.001"
+    for (q <- Seq("ind_ema", "ts_acf", "ts_seasonality", "ts_cusum",
+        "drift_psi", "drift_ks", "text_pmi", "text_bm25", "key_skew",
+        "attr_touch", "behav_markov", "graph_degree", "seg_rfm",
+        "bin_equidepth", "dedup_editdist", "graph_triangles",
+        "ind_trix", "ind_stoch", "ts_twap")) {
+      val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      val ex = "Exchange hashpartitioning".r.findAllIn(p).length
+      val sp = "Exchange SinglePartition".r.findAllIn(p).length
+      val bc = "BroadcastExchange".r.findAllIn(p).length
+      val smj = "SortMergeJoin".r.findAllIn(p).length
+      val cgf = if (p.contains("CodegenFallback")) "CGFALLBACK" else ""
+      println(s"PLAN $q hash=$ex single=$sp bcast=$bc smj=$smj $cgf")
+    }
+    spark.stop()
+  }
+}

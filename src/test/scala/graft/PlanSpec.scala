@@ -223,4 +223,39 @@ class PlanSpec extends SparkSpec {
     // both filters are partition filters — nothing survives as a data filter
     assert(!p.contains("PushedFilters: [IsNotNull"))
   }
+
+  test("new ts/indicator suite rides ONE per-ticker exchange each") {
+    Seq("ind_ema", "ind_trix", "ind_stoch", "ind_cmf", "ind_donchian",
+      "ts_acf", "ts_cusum", "ts_twap").foreach { q =>
+      assert(shuffles(plan(q)) == 1, q)
+    }
+  }
+
+  test("key_skew: one events aggregation feeds rank/total/quantiles") {
+    assert(shuffles(plan("key_skew")) == 1)
+  }
+
+  test("text_bm25 reduces corpus stats to one broadcast row, no shuffle") {
+    val p = plan("text_bm25")
+    assert(shuffles(p) == 0)
+    assert(p.contains("BroadcastExchange"))
+  }
+
+  test("text_pmi broadcasts the unigram dictionary and totals") {
+    val p = plan("text_pmi")
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("drift_psi: broadcast bounds, 10-bin aggregate, no wide shuffle") {
+    val p = plan("drift_psi")
+    assert(shuffles(p) == 1)
+    assert(p.contains("BroadcastExchange"))
+  }
+
+  test("graph_triangles materializes the edge list once (checkpoint scan)") {
+    val p = plan("graph_triangles")
+    assert(p.contains("Scan ExistingRDD"))
+    assert(shuffles(p) <= 6, s"edge pipeline re-evaluated?\n$p")
+  }
 }
