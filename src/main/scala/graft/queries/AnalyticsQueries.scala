@@ -178,6 +178,42 @@ object AnalyticsQueries {
           .select(col("user_id"), lit("first_only").as("cohort")))
         .unionByName(second.except(first)
           .select(col("user_id"), lit("second_only").as("cohort")))
+    }),
+
+    // MERGE-INTO semantics (the write-side half of CDC, next to
+    // cdc_diff's read-side): apply a change log to a base snapshot —
+    // latest change wins per key, 'error' rows are tombstones
+    // (DELETE), everything else upserts. Base = latest pre-midpoint
+    // event per user; log = post-midpoint events. Both sides collapse
+    // to ONE row/key via argmax structs riding the partial aggregates
+    // (no per-key sort, no history shuffle), and the resolve join is
+    // exchange-aligned on the same user_id hash — the exact shape a
+    // lakehouse MERGE plans when the log is too big to broadcast.
+    // Deleted keys vanish from the output (resulting-table semantics);
+    // survivors carry the action that produced them.
+    "cdc_merge" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val mid = e.agg(min(col("t")).as("mn"), max(col("t")).as("mx"))
+        .select(expr("(mn + mx) div 2").as("mid"))
+      val withMid = e.crossJoin(broadcast(mid))
+      def latest(df: DataFrame) = df
+        .groupBy("user_id")
+        .agg(max(struct(col("t"), col("event_id"), col("event_type"),
+          col("value"))).as("x"))
+        .select(col("user_id"), col("x.t").as("t"),
+          col("x.event_type").as("event_type"), col("x.value").as("value"))
+      val base = latest(withMid.filter(col("t") <= col("mid")))
+      val log = latest(withMid.filter(col("t") > col("mid")))
+        .withColumn("op",
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+      base.as("b").join(log.as("l"), Seq("user_id"), "full_outer")
+        .filter(col("l.op").isNull || col("l.op") === "U")
+        .select(col("user_id"),
+          when(col("l.op").isNull, lit("KEPT"))
+            .when(col("b.t").isNull, lit("INSERTED"))
+            .otherwise(lit("UPDATED")).as("action"),
+          coalesce(col("l.t"), col("b.t")).as("version"),
+          Rounding.r6(coalesce(col("l.value"), col("b.value"))).as("value"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -268,5 +304,29 @@ object AnalyticsQueries {
         |UNION ALL
         |SELECT user_id, 'first_only' AS cohort FROM (SELECT user_id FROM f EXCEPT SELECT user_id FROM s)
         |UNION ALL
-        |SELECT user_id, 'second_only' AS cohort FROM (SELECT user_id FROM s EXCEPT SELECT user_id FROM f)""".stripMargin)
+        |SELECT user_id, 'second_only' AS cohort FROM (SELECT user_id FROM s EXCEPT SELECT user_id FROM f)""".stripMargin,
+
+    "cdc_merge" ->
+      """WITH e AS (SELECT event_id::BIGINT AS event_id,
+        |    user_id::BIGINT AS user_id, event_type, epoch_us(ts) AS t,
+        |    value FROM events),
+        |mid AS (SELECT (min(t) + max(t)) // 2 AS mid FROM e),
+        |base AS (SELECT user_id, t, event_type, value FROM (
+        |    SELECT e.*, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY t DESC, event_id DESC) AS rn
+        |    FROM e, mid WHERE t <= mid) WHERE rn = 1),
+        |log AS (SELECT user_id, t, value,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+        |  FROM (
+        |    SELECT e.*, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY t DESC, event_id DESC) AS rn
+        |    FROM e, mid WHERE t > mid) WHERE rn = 1)
+        |SELECT coalesce(b.user_id, l.user_id) AS user_id,
+        |  CASE WHEN l.op IS NULL THEN 'KEPT'
+        |       WHEN b.t IS NULL THEN 'INSERTED'
+        |       ELSE 'UPDATED' END AS action,
+        |  coalesce(l.t, b.t) AS version,
+        |  (round(coalesce(l.value, b.value), 6) + 0.0) AS value
+        |FROM base b FULL OUTER JOIN log l USING (user_id)
+        |WHERE l.op IS NULL OR l.op = 'U'""".stripMargin)
 }

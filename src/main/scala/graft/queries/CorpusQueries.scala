@@ -105,6 +105,15 @@ object CorpusQueries {
     // (band, value) buckets, and the exact bit_count(xor) check runs
     // per candidate only. The bounded-distance complement to the
     // jaccard-threshold MinHash LSH path.
+    //
+    // The signature table (doc_id, sig — 16 bytes/doc) materializes
+    // ONCE before the self-join: without the checkpoint each join side
+    // re-runs the tokenize→hash→simhash pipeline over the full corpus
+    // (2× the dominant cost; the [[graft.ext.PageRank]] edge-list
+    // treatment). The banded build side is then small enough to
+    // broadcast — sigs are ~16 B/doc, ~1.6 GB at 100M docs; beyond
+    // that drop the broadcast() hint and let the equi-join shuffle
+    // bucket keys only.
     "dedup_hamming" -> ((s, dir) => {
       GraftFunctions.register(s)
       val sg = docsT(s, dir)
@@ -113,6 +122,7 @@ object CorpusQueries {
         .filter(expr("size(wh) > 0"))
         .select(col("doc_id").cast("long").as("doc_id"),
           expr(s"graft_simhash(wh, $HamBits)").as("sig"))
+        .localCheckpoint()
       val banded = sg
         .select(col("doc_id"), col("sig"),
           explode(expr(s"sequence(0, ${HamBands - 1})")).as("j"))
@@ -126,7 +136,7 @@ object CorpusQueries {
           s"IF((shiftright(x.sig, ${b * 8}) & 255) = " +
             s"(shiftright(y.sig, ${b * 8}) & 255), ${1 << b}, 0)")
           .mkString("((", " + ", ") & (shiftleft(1, CAST(x.j AS INT)) - 1)) = 0")
-      banded.as("x").join(banded.as("y"),
+      banded.as("x").join(broadcast(banded.as("y")),
           col("x.j") === col("y.j") && col("x.bv") === col("y.bv")
             && col("x.doc_id") < col("y.doc_id"))
         .filter(expr(firstBandOnly))

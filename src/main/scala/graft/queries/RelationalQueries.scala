@@ -358,6 +358,44 @@ object RelationalQueries {
         .select(col("event_id"), col("t"), col("spike_start"), col("n_spike"))
     }),
 
+    // Interval-OVERLAP join (two interval sets, not point-in-interval):
+    // per-user daily activity intervals × per-type daily activity
+    // intervals, paired wherever they overlap in time. The non-equi
+    // overlap predicate (a.lo ≤ b.hi AND b.lo ≤ a.hi) would plan as a
+    // nested-loop join; instead both sides replicate to the 1-hour
+    // bins they touch and EQUI-join on the bin, with exact overlap as
+    // a residual. A pair overlapping k shared bins would surface k
+    // times — each pair is emitted only from the bin that contains
+    // greatest(lo_a, lo_b) (the overlap's first instant, which both
+    // sides' bin ranges provably cover), so no distinct() reshuffles
+    // the matches. Shuffle is O(intervals · bins-per-interval), never
+    // O(pairs); bin width trades replication against bucket fan-in.
+    "join_interval" -> ((s, dir) => {
+      val W = 3600000000L // 1-hour bins
+      val e = EventBars.events(s, dir)
+        .select(col("user_id").cast("long").as("user_id"),
+          col("event_type"), col("t"), expr("t div 86400000000").as("day"))
+      def spans(df: DataFrame, keys: Seq[String]) = df
+        .groupBy(keys.map(col): _*)
+        .agg(min(col("t")).as("lo"), max(col("t")).as("hi"),
+          count(lit(1)).as("n"))
+        .withColumn("bkt",
+          explode(expr(s"sequence(lo div $W, hi div $W)")))
+      val users = spans(e, Seq("user_id", "day"))
+        .select(col("bkt"), col("user_id"), col("lo").as("u_lo"),
+          col("hi").as("u_hi"), col("n").as("n_user"))
+      val types = spans(e, Seq("event_type", "day"))
+        .select(col("bkt"), col("event_type"), col("lo").as("t_lo"),
+          col("hi").as("t_hi"), col("n").as("n_type"))
+      users.join(types, "bkt")
+        .where(col("u_lo") <= col("t_hi") && col("t_lo") <= col("u_hi")
+          && col("bkt") === expr(s"greatest(u_lo, t_lo) div $W"))
+        .select(col("user_id"), col("event_type"),
+          col("u_lo"), col("u_hi"), col("n_user"), col("n_type"),
+          (least(col("u_hi"), col("t_hi"))
+            - greatest(col("u_lo"), col("t_lo"))).as("overlap_us"))
+    }),
+
     // Skew-salted JOIN (completing the skew toolkit agg_salted starts):
     // event_type has 5 values, so each key is ~20% of the big side — a
     // plain shuffle join puts a fifth of the table in one task. The
@@ -563,6 +601,19 @@ object RelationalQueries {
         |  FROM m, a WHERE n >= 2.0 * an)
         |SELECT e.event_id, e.t, s.spike_start, s.n_spike
         |FROM ev e JOIN sp s ON e.t >= s.lo AND e.t < s.hi""".stripMargin,
+
+    "join_interval" ->
+      """WITH e AS (SELECT user_id::BIGINT AS user_id, event_type,
+        |    epoch_us(ts) AS t, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |u AS (SELECT user_id, day, min(t) AS u_lo, max(t) AS u_hi,
+        |    count(*)::BIGINT AS n_user FROM e GROUP BY 1, 2),
+        |ty AS (SELECT event_type, day, min(t) AS t_lo, max(t) AS t_hi,
+        |    count(*)::BIGINT AS n_type FROM e GROUP BY 1, 2)
+        |SELECT u.user_id, ty.event_type, u.u_lo, u.u_hi, u.n_user,
+        |  ty.n_type, least(u.u_hi, ty.t_hi) - greatest(u.u_lo, ty.t_lo)
+        |    AS overlap_us
+        |FROM u JOIN ty ON u.u_lo <= ty.t_hi AND ty.t_lo <= u.u_hi""".stripMargin,
 
     "join_skew_salted" ->
       """WITH d AS (SELECT event_type, count(*) AS n_type

@@ -189,6 +189,12 @@ class PlanSpec extends SparkSpec {
     val p = plan("dedup_hamming")
     assert(!p.contains("BroadcastNestedLoop"))
     assert(!p.contains("CodegenFallback"))
+    // signature table materializes ONCE (checkpoint scan) and the
+    // banded build side broadcasts — the tokenize→simhash pipeline must
+    // not appear twice in the plan
+    assert(p.contains("Scan ExistingRDD"))
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("Scan parquet"), "join side re-read the corpus")
     // first-matching-band filter replaced the pair distinct(): the only
     // aggregates left are the per-doc simhash vote (none — it's native)
     // so no HashAggregate should follow the join
@@ -257,5 +263,19 @@ class PlanSpec extends SparkSpec {
     val p = plan("graph_triangles")
     assert(p.contains("Scan ExistingRDD"))
     assert(shuffles(p) <= 6, s"edge pipeline re-evaluated?\n$p")
+  }
+
+  test("cdc_merge: base and log aggregates feed an aligned full-outer join") {
+    val p = plan("cdc_merge")
+    // one user_id exchange per side, nothing between them and the join
+    assert(shuffles(p) == 2, p)
+    assert(p.contains("FullOuter"))
+  }
+
+  test("join_interval: binned equi-join, overlap residual, no nested loop") {
+    val p = plan("join_interval")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // the only hash exchanges are the two interval-building aggregates
+    assert(shuffles(p) == 2, p)
   }
 }
