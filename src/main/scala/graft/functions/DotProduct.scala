@@ -151,6 +151,10 @@ object GraftFunctions {
     ("graft_ema3_w", classOf[EmaTripleWindow],
       arity("graft_ema3_w", 2)(cs =>
         EmaTripleWindow(cs(0), litInt(cs(1), "graft_ema3_w")))),
+    ("graft_sar_w", classOf[SarWindow],
+      arity("graft_sar_w", 3)(cs => SarWindow(cs(0), cs(1), cs(2)))),
+    ("graft_adaptive_ema_w", classOf[AdaptiveEmaWindow],
+      arity("graft_adaptive_ema_w", 2)(cs => AdaptiveEmaWindow(cs(0), cs(1)))),
     ("graft_ind_w", classOf[IndicatorPackWindow],
       arity("graft_ind_w", 4, 5)(cs => IndicatorPackWindow(
         cs(0), cs(1), cs(2), cs(3),

@@ -206,6 +206,43 @@ case class WilderPairWindow(price: Expression, period: Int = 14)
   * same literal arithmetic (2.0/(p+1), 1.0 − 2.0/(p+1)) on both engines,
   * so every row is bit-identical before the r6 mask.
   */
+/** Adaptive exponential smoothing with a PER-ROW coefficient:
+  * y ← y + c·(x − y), seeded y = x at the first row whose coefficient
+  * is non-null (rows before that emit null). The general primitive
+  * behind KAMA (coefficient = squared Kaufman smoothing constant from
+  * the efficiency ratio), VIDYA (CMO-scaled α) and any
+  * volatility-gated EMA: the coefficient column is computed upstream
+  * with plain frame sums on the SAME window exchange, and the
+  * recursion itself is this one-value state machine.
+  */
+case class AdaptiveEmaWindow(x: Expression, c: Expression)
+    extends AggregateWindowFunction {
+
+  override def children: Seq[Expression] = Seq(x, c)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private val y = AttributeReference("y", DoubleType, nullable = true)()
+
+  override val aggBufferAttributes: Seq[AttributeReference] = Seq(y)
+  override val initialValues: Seq[Expression] =
+    Seq(Literal.create(null, DoubleType))
+
+  override val updateExpressions: Seq[Expression] = {
+    val xd = Cast(x, DoubleType)
+    val cd = Cast(c, DoubleType)
+    Seq(If(IsNull(cd), y,
+      If(IsNull(y), xd, Add(y, Multiply(cd, Subtract(xd, y))))))
+  }
+
+  override val evaluateExpression: Expression = y
+
+  override def prettyName: String = "graft_adaptive_ema_w"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): AdaptiveEmaWindow =
+    copy(x = newChildren(0), c = newChildren(1))
+}
+
 case class EmaTripleWindow(price: Expression, period: Int)
     extends AggregateWindowFunction {
 

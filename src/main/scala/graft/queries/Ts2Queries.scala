@@ -60,6 +60,19 @@ object Ts2Queries {
           r6(expr("try_divide(e3 - p3, p3)")).as("trix"))
     }),
 
+    // Parabolic SAR: the two-sided stop-and-reverse recursion
+    // (direction, extreme point, acceleration factor) as ONE
+    // incremental window state machine on the shared ticker exchange —
+    // see [[graft.functions.SarWindow]] for the exact recursion, which
+    // the oracle's recursive CTE mirrors operation-for-operation.
+    "ind_sar" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      EventBars.bars(s, dir)
+        .withColumn("x", expr("graft_sar_w(high, low, close)").over(w))
+        .select(col("ticker"), col("t"), col("event_id"),
+          r6(col("x.sar")).as("sar"), col("x.dir").as("dir"))
+    }),
+
     // Slow stochastic: fast %K over the TA-Lib 14-bar frame, then two
     // explicit 3-bar SMA layers (written as (x + lag1 + lag2)/3 — NOT
     // avg() over a frame — so warm-up nulls gate identically on both
@@ -111,6 +124,68 @@ object Ts2Queries {
           r6(when(col("rn") >= 20,
             (col("close") - col("dn")) / (col("up") - col("dn"))))
             .as("dc_pos"))
+    }),
+
+    // KAMA(10, 2, 30): Kaufman adaptive moving average. The efficiency
+    // ratio |close − close₋₁₀| / Σ₁₀|Δclose| and the squared smoothing
+    // constant are plain frame arithmetic on the shared exchange; the
+    // recursion kama ← kama + sc·(close − kama) is the one-value
+    // [[graft.functions.AdaptiveEmaWindow]] state machine, seeded at
+    // the first bar with a full ratio window (rn = 11). A flat window
+    // (Σ|Δ| = 0) forces close = close₋₁₀, so the ratio is defined as 0
+    // there (maximal smoothing) — spelled as the same CASE on both
+    // engines.
+    "ind_kama" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val rb = w.rowsBetween(-9, 0)
+      EventBars.bars(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("dif", abs(col("close") - lag(col("close"), 1).over(w)))
+        .withColumn("vol", sum(col("dif")).over(rb))
+        .withColumn("er", when(col("rn") >= 11,
+          when(col("vol") === 0.0, lit(0.0))
+            .otherwise(abs(col("close") - lag(col("close"), 10).over(w))
+              / col("vol"))))
+        .withColumn("sc0",
+          col("er") * (lit(2.0) / lit(3.0) - lit(2.0) / lit(31.0))
+            + lit(2.0) / lit(31.0))
+        .withColumn("sc", col("sc0") * col("sc0"))
+        .select(col("ticker"), col("t"), col("event_id"),
+          r6(expr("graft_adaptive_ema_w(close, sc)").over(w)).as("kama"))
+    }),
+
+    // Rolling OLS over the 14-bar frame — TA-Lib's regression family
+    // (LINEARREG = fit at the current bar, TSF = fit one bar ahead,
+    // slope, R²) from FIVE frame sums on the shared exchange. x is the
+    // GLOBAL row number: slope and the fit at the current bar are
+    // translation-invariant, so the result equals the local x=0..13
+    // formulation while every sum stays a plain windowed aggregate
+    // (fit(rn) = ȳ + slope·(rn − x̄), x̄ = rn − 6.5). The denominator
+    // n·Σx² − (Σx)² is the frame constant 14·819 − 91² = 3185 in the
+    // local frame; with global x both engines compute the identical
+    // shifted arithmetic, so the doubles stay bit-equal before r6.
+    "ind_linreg" -> ((s, dir) => {
+      val rb = w.rowsBetween(-13, 0)
+      val n = lit(14.0)
+      EventBars.bars(s, dir)
+        .withColumn("rn", row_number().over(w).cast("double"))
+        .withColumn("sy", sum(col("close")).over(rb))
+        .withColumn("syy", sum(col("close") * col("close")).over(rb))
+        .withColumn("sxy", sum(col("rn") * col("close")).over(rb))
+        .withColumn("sx", sum(col("rn")).over(rb))
+        .withColumn("sxx", sum(col("rn") * col("rn")).over(rb))
+        .withColumn("slope",
+          (n * col("sxy") - col("sx") * col("sy"))
+            / (n * col("sxx") - col("sx") * col("sx")))
+        .withColumn("fit",
+          col("sy") / n + col("slope") * (col("rn") - col("sx") / n))
+        .select(col("ticker"), col("t"), col("event_id"),
+          r6(when(col("rn") >= 14, col("slope"))).as("lr_slope"),
+          r6(when(col("rn") >= 14, col("fit"))).as("linreg"),
+          r6(when(col("rn") >= 14, col("fit") + col("slope"))).as("tsf"),
+          r6(when(col("rn") >= 14, expr(
+            "try_divide((14.0*sxy - sx*sy) * (14.0*sxy - sx*sy)," +
+              " (14.0*sxx - sx*sx) * (14.0*syy - sy*sy))"))).as("r2"))
     }),
 
     // Per-ticker autocorrelation at lags 1..5: ONE window pass emits all
@@ -278,7 +353,63 @@ object Ts2Queries {
          |    ON nb.ticker = r.ticker AND nb.rn = r.rn + 1)""".stripMargin
     }
 
+    // SAR recursion, spelled once and substituted textually so both
+    // engines run the identical operation sequence.
+    val sarRaw = "(r.sar + r.af * (r.ep - r.sar))"
+    val sarnL = s"least($sarRaw, nb.pl)"
+    val sarnS = s"greatest($sarRaw, nb.ph)"
+    val revL = s"nb.low < $sarnL"
+    val revS = s"nb.high > $sarnS"
+    val sarRec =
+      s"""nb AS (SELECT ticker, t, event_id, high, low, close,
+         |    row_number() OVER ($Over) AS rn,
+         |    lag(high) OVER ($Over) AS ph,
+         |    lag(low) OVER ($Over) AS pl,
+         |    lag(close) OVER ($Over) AS pc
+         |  FROM bars),
+         |rec AS (
+         |  SELECT ticker, t, event_id, rn,
+         |    (close >= pc) AS lng,
+         |    CASE WHEN close >= pc THEN pl ELSE ph END AS sar,
+         |    CASE WHEN close >= pc THEN high ELSE low END AS ep,
+         |    0.02 AS af
+         |  FROM nb WHERE rn = 2
+         |  UNION ALL
+         |  SELECT nb.ticker, nb.t, nb.event_id, nb.rn,
+         |    CASE WHEN r.lng THEN (CASE WHEN $revL THEN FALSE ELSE TRUE END)
+         |         ELSE (CASE WHEN $revS THEN TRUE ELSE FALSE END) END,
+         |    CASE WHEN r.lng THEN (CASE WHEN $revL THEN r.ep ELSE $sarnL END)
+         |         ELSE (CASE WHEN $revS THEN r.ep ELSE $sarnS END) END,
+         |    CASE WHEN r.lng
+         |      THEN (CASE WHEN $revL THEN nb.low
+         |        ELSE (CASE WHEN nb.high > r.ep THEN nb.high ELSE r.ep END) END)
+         |      ELSE (CASE WHEN $revS THEN nb.high
+         |        ELSE (CASE WHEN nb.low < r.ep THEN nb.low ELSE r.ep END) END)
+         |      END,
+         |    CASE WHEN r.lng
+         |      THEN (CASE WHEN $revL THEN 0.02
+         |        ELSE (CASE WHEN nb.high > r.ep
+         |          THEN least(r.af + 0.02, 0.2) ELSE r.af END) END)
+         |      ELSE (CASE WHEN $revS THEN 0.02
+         |        ELSE (CASE WHEN nb.low < r.ep
+         |          THEN least(r.af + 0.02, 0.2) ELSE r.af END) END)
+         |      END
+         |  FROM rec r JOIN nb
+         |    ON nb.ticker = r.ticker AND nb.rn = r.rn + 1)""".stripMargin
+
     Map(
+
+      "ind_sar" ->
+        s"""WITH RECURSIVE bars AS (${EventBars.sqlBars}),
+           |$sarRec
+           |SELECT ticker, t, event_id,
+           |  (round((sar) * 1000000.0) / 1000000.0 + 0.0) AS sar,
+           |  (CASE WHEN lng THEN 1 ELSE -1 END)::BIGINT AS dir
+           |FROM rec
+           |UNION ALL
+           |SELECT ticker, t, event_id, NULL::DOUBLE AS sar,
+           |  NULL::BIGINT AS dir
+           |FROM nb WHERE rn = 1""".stripMargin,
 
       "ind_ema" ->
         s"""WITH RECURSIVE bars AS (${EventBars.sqlBars}),
@@ -332,6 +463,66 @@ object Ts2Queries {
            |     / sum(volume) OVER ($Over ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
            |   END) * 1000000.0) / 1000000.0 + 0.0) AS cmf
            |FROM m""".stripMargin,
+
+      "ind_kama" ->
+        s"""WITH RECURSIVE bars AS (${EventBars.sqlBars}),
+           |n0 AS (SELECT ticker, t, event_id, close,
+           |    row_number() OVER ($Over) AS rn,
+           |    abs(close - lag(close, 1) OVER ($Over)) AS dif,
+           |    lag(close, 10) OVER ($Over) AS c10
+           |  FROM bars),
+           |nb AS (SELECT ticker, t, event_id, close, rn,
+           |    CASE WHEN rn >= 11 THEN
+           |      (CASE WHEN vol = 0 THEN 0.0
+           |        ELSE abs(close - c10) / vol END)
+           |      * (2.0/3.0 - 2.0/31.0) + 2.0/31.0
+           |    END AS sc0
+           |  FROM (SELECT *, sum(dif) OVER ($Over
+           |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vol FROM n0)),
+           |ns AS (SELECT *, sc0 * sc0 AS sc FROM nb),
+           |rec AS (
+           |  SELECT ticker, t, event_id, rn, close AS kama
+           |  FROM ns WHERE rn = 11
+           |  UNION ALL
+           |  SELECT ns.ticker, ns.t, ns.event_id, ns.rn,
+           |    r.kama + ns.sc * (ns.close - r.kama)
+           |  FROM rec r JOIN ns
+           |    ON ns.ticker = r.ticker AND ns.rn = r.rn + 1)
+           |SELECT ticker, t, event_id,
+           |  (round((kama) * 1000000.0) / 1000000.0 + 0.0) AS kama
+           |FROM rec
+           |UNION ALL
+           |SELECT ticker, t, event_id, NULL::DOUBLE AS kama
+           |FROM ns WHERE rn < 11""".stripMargin,
+
+      "ind_linreg" ->
+        s"""WITH bars AS (${EventBars.sqlBars}),
+           |nb AS (SELECT ticker, t, event_id, close,
+           |    CAST(row_number() OVER ($Over) AS DOUBLE) AS rn FROM bars),
+           |f AS (SELECT ticker, t, event_id, rn,
+           |    sum(close) OVER fr AS sy,
+           |    sum(close * close) OVER fr AS syy,
+           |    sum(rn * close) OVER fr AS sxy,
+           |    sum(rn) OVER fr AS sx,
+           |    sum(rn * rn) OVER fr AS sxx
+           |  FROM nb
+           |  WINDOW fr AS ($Over ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+           |g AS (SELECT *,
+           |    (14.0*sxy - sx*sy) / (14.0*sxx - sx*sx) AS slope FROM f),
+           |h AS (SELECT *, sy / 14.0 + slope * (rn - sx / 14.0) AS fit FROM g)
+           |SELECT ticker, t, event_id,
+           |  (round((CASE WHEN rn >= 14 THEN slope END) * 1000000.0)
+           |    / 1000000.0 + 0.0) AS lr_slope,
+           |  (round((CASE WHEN rn >= 14 THEN fit END) * 1000000.0)
+           |    / 1000000.0 + 0.0) AS linreg,
+           |  (round((CASE WHEN rn >= 14 THEN fit + slope END) * 1000000.0)
+           |    / 1000000.0 + 0.0) AS tsf,
+           |  (round((CASE WHEN rn >= 14 THEN
+           |      CASE WHEN (14.0*sxx - sx*sx) * (14.0*syy - sy*sy) = 0 THEN NULL
+           |        ELSE (14.0*sxy - sx*sy) * (14.0*sxy - sx*sy)
+           |          / ((14.0*sxx - sx*sx) * (14.0*syy - sy*sy)) END
+           |    END) * 1000000.0) / 1000000.0 + 0.0) AS r2
+           |FROM h""".stripMargin,
 
       "ind_donchian" ->
         s"""WITH bars AS (${EventBars.sqlBars}),

@@ -33,6 +33,94 @@ class OpsSpec2 extends SparkSpec {
     }
   }
 
+  test("graft_sar_w matches the hand SAR recursion, including reversals") {
+    graft.functions.GraftFunctions.register(spark)
+    // an up-leg then a sharp down-leg then recovery — forces at least
+    // one long→short and one short→long reversal
+    val closes = Seq(100.0, 101.0, 102.5, 104.0, 103.5, 99.0, 95.0,
+      94.0, 96.5, 99.5, 103.0, 104.5, 104.0, 105.5)
+    val hs = closes.map(_ + 1.0); val ls = closes.map(_ - 1.0)
+    // hand recursion (single-bar clamp variant, matching SarWindow)
+    var lng = false; var sar = 0.0; var ep = 0.0; var af = 0.0
+    val want = closes.indices.map { i =>
+      if (i == 0) None
+      else if (i == 1) {
+        lng = closes(1) >= closes(0)
+        sar = if (lng) ls(0) else hs(0)
+        ep = if (lng) hs(1) else ls(1)
+        af = 0.02
+        Some((sar, if (lng) 1L else -1L))
+      } else {
+        val raw = sar + af * (ep - sar)
+        if (lng) {
+          val sn = math.min(raw, ls(i - 1))
+          if (ls(i) < sn) { lng = false; sar = ep; ep = ls(i); af = 0.02 }
+          else {
+            sar = sn
+            if (hs(i) > ep) { af = math.min(af + 0.02, 0.2); ep = hs(i) }
+          }
+        } else {
+          val sn = math.max(raw, hs(i - 1))
+          if (hs(i) > sn) { lng = true; sar = ep; ep = hs(i); af = 0.02 }
+          else {
+            sar = sn
+            if (ls(i) < ep) { af = math.min(af + 0.02, 0.2); ep = ls(i) }
+          }
+        }
+        Some((sar, if (lng) 1L else -1L))
+      }
+    }
+    // the fixture must actually exercise both reversal directions
+    assert(want.flatten.map(_._2).distinct.size == 2)
+    import spark.implicits._
+    val got = closes.indices.map(i => (i.toLong, hs(i), ls(i), closes(i)))
+      .toDF("t", "high", "low", "close")
+      .selectExpr("'T' AS ticker", "t AS event_id", "t", "high", "low", "close")
+      .selectExpr("graft_sar_w(high, low, close) OVER " +
+        "(PARTITION BY ticker ORDER BY t, event_id) AS x")
+      .selectExpr("x.sar", "x.dir").collect()
+    got.zip(want).zipWithIndex.foreach {
+      case ((r, None), i) => assert(r.isNullAt(0) && r.isNullAt(1), s"row $i")
+      case ((r, Some((ws, wd))), i) =>
+        assert(r.getDouble(0) == ws && r.getLong(1) == wd, s"row $i")
+    }
+  }
+
+  test("ind_kama matches the hand Kaufman recursion") {
+    val rows = graft.queries.Ts2Queries.queries("ind_kama")(spark, sf)
+      .filter(col("ticker") === "7").orderBy("t", "event_id")
+      .select("kama").collect().map(r =>
+        if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    val closes = graft.queries.EventBars.bars(spark, sf)
+      .filter(col("ticker") === "7").orderBy("t", "event_id")
+      .select("close").collect().map(_.getDouble(0)).toSeq
+    assert(closes.length >= 12)
+    val fast = 2.0 / 3.0; val slow = 2.0 / 31.0
+    var kama = 0.0
+    val want = closes.indices.map { i =>
+      if (i < 10) None
+      else {
+        val vol = (i - 9 to i).map(j =>
+          math.abs(closes(j) - closes(j - 1))).sum
+        val er = if (vol == 0.0) 0.0
+          else math.abs(closes(i) - closes(i - 10)) / vol
+        val sc0 = er * (fast - slow) + slow
+        val sc = sc0 * sc0
+        kama = if (i == 10) closes(i) else kama + sc * (closes(i) - kama)
+        Some(kama)
+      }
+    }
+    rows.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      (g, w) match {
+        case (None, None) =>
+        case (Some(gv), Some(wv)) =>
+          // engine output is r6-rounded; hand value is not
+          assert(math.abs(gv - wv) < 2e-6, s"row $i: $gv vs $wv")
+        case other => fail(s"row $i: $other")
+      }
+    }
+  }
+
   test("drift_ks equals a driver-side two-sample ECDF sweep") {
     val row = graft.queries.Ts2Queries.queries("drift_ks")(spark, sf)
       .collect()(0)

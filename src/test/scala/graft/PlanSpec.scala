@@ -232,7 +232,8 @@ class PlanSpec extends SparkSpec {
 
   test("new ts/indicator suite rides ONE per-ticker exchange each") {
     Seq("ind_ema", "ind_trix", "ind_stoch", "ind_cmf", "ind_donchian",
-      "ts_acf", "ts_cusum", "ts_twap").foreach { q =>
+      "ind_sar", "ind_kama", "ind_linreg", "ts_acf", "ts_cusum",
+      "ts_twap").foreach { q =>
       assert(shuffles(plan(q)) == 1, q)
     }
   }
