@@ -104,6 +104,24 @@ object BehaviorQueries {
           / sum(col("n_trans")).over(Window.partitionBy("event_type")))
     }),
 
+    // 3-step path mining (the sequence generalization of the Markov
+    // pairs): every consecutive event-type triple per user via two
+    // leads on the SAME user window (one exchange + sort), then a
+    // count + distinct-users rollup per path. The path alphabet is
+    // bounded (|types|³), so the aggregate output is tiny no matter
+    // how large the log — counts stay exact longs.
+    "behav_path" -> ((s, dir) => {
+      val wu = Window.partitionBy("user_id").orderBy("t", "event_id")
+      ev(s, dir)
+        .withColumn("e2", lead(col("event_type"), 1).over(wu))
+        .withColumn("e3", lead(col("event_type"), 2).over(wu))
+        .filter(col("e3").isNotNull)
+        .groupBy(col("event_type").as("step1"), col("e2").as("step2"),
+          col("e3").as("step3"))
+        .agg(count(lit(1)).as("n_paths"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // Edit-distance verification of the LSH candidates — the exact
     // confirmation pass symmetric jaccard only approximates. Texts
     // shuffle only for candidate ids (two hash joins on doc_id).
@@ -328,6 +346,18 @@ object BehaviorQueries {
          |SELECT event_type, next_type, n_trans,
          |  n_trans / sum(n_trans) OVER (PARTITION BY event_type) AS p
          |FROM g""".stripMargin,
+
+    "behav_path" ->
+      s"""WITH $evDuck,
+         |n AS (SELECT user_id, event_type AS step1,
+         |    lead(event_type, 1) OVER w AS step2,
+         |    lead(event_type, 2) OVER w AS step3
+         |  FROM ev
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+         |SELECT step1, step2, step3, count(*)::BIGINT AS n_paths,
+         |  count(DISTINCT user_id)::BIGINT AS n_users
+         |FROM n WHERE step3 IS NOT NULL
+         |GROUP BY step1, step2, step3""".stripMargin,
 
     "dedup_editdist" ->
       s"""WITH ${ExtQueries.candPairsDuck},

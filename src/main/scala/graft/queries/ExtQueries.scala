@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ext.{AsOfJoin, ConnectedComponents, Multimodal, TextOps}
@@ -778,7 +779,52 @@ object ExtQueries {
         .groupBy("label", "dim")
         .agg(count(lit(1)).as("n"), Rounding.r6(avg(col("x"))).as("centroid"))
         .select(col("label"), col("dim").cast("long").as("dim"), col("n"),
-          col("centroid"))))
+          col("centroid"))),
+
+    // Training-mix allocation (the data-curation step after all the
+    // filters): exact per-source token totals, the natural sampling
+    // share p, the temperature-smoothed share w ∝ √p (temperature 0.5;
+    // √ because IEEE sqrt is correctly rounded on every platform,
+    // unlike pow), and the epochs of each source one pass of the
+    // smoothed mix consumes. Token counts collapse map-side to one
+    // long per source; the share normalization runs over the
+    // |sources|-row aggregate, never the corpus.
+    "corpus_mix" -> ((s, dir) => {
+      val wAll = Window.partitionBy()
+      docs(s, dir)
+        .withColumn("n_tok", expr(s"CAST(size($toksSpark) AS BIGINT)"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .withColumn("p", col("n_tokens").cast("double")
+          / sum(col("n_tokens")).over(wAll).cast("double"))
+        .withColumn("w", sqrt(col("p")) / sum(sqrt(col("p"))).over(wAll))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          Rounding.r6(col("p")).as("p"), Rounding.r6(col("w")).as("w"),
+          Rounding.r6(col("w") / col("p")).as("epochs"))
+    }),
+
+    // Per-label embedding outliers: squared distance to the label
+    // centroid, flagged against 2× the label's mean squared distance.
+    // The centroid is a per-(label, dim) window average over the
+    // posexploded components — NO join back to the vectors — and the
+    // distance re-assembles per vector in one aggregate; the outlier
+    // threshold is one more window over the |vectors|-row result. Three
+    // exchanges total (label·dim, vec, label), each over scalar rows.
+    "emb_outliers" -> ((s, dir) => {
+      val wLD = Window.partitionBy("label", "dim")
+      val wL = Window.partitionBy("label")
+      emb(s, dir)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("label").cast("long").as("label"),
+          posexplode(expr("CAST(embedding AS ARRAY<DOUBLE>)")).as(Seq("dim", "x")))
+        .withColumn("c", avg(col("x")).over(wLD))
+        .groupBy("vec_id", "label")
+        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("dist2"))
+        .withColumn("is_outlier",
+          col("dist2") > lit(2.0) * avg(col("dist2")).over(wL))
+        .select(col("vec_id"), col("label"), Rounding.r6(col("dist2")).as("dist2"),
+          col("is_outlier"))
+    }))
 
   // ---- DuckDB oracles ----
 
@@ -1316,5 +1362,30 @@ object ExtQueries {
         |  FROM embeddings)
         |SELECT label, dim::BIGINT AS dim, count(*)::BIGINT AS n,
         |  (round(avg(x), 6) + 0.0) AS centroid
-        |FROM x GROUP BY 1, 2""".stripMargin)
+        |FROM x GROUP BY 1, 2""".stripMargin,
+
+    "corpus_mix" ->
+      s"""WITH d AS (SELECT source,
+         |    len($toksDuck)::BIGINT AS n_tok FROM documents),
+         |g AS (SELECT source, count(*)::BIGINT AS n_docs,
+         |    sum(n_tok)::BIGINT AS n_tokens FROM d GROUP BY 1),
+         |pp AS (SELECT *, CAST(n_tokens AS DOUBLE)
+         |    / CAST(sum(n_tokens) OVER () AS DOUBLE) AS p FROM g),
+         |ww AS (SELECT *, sqrt(p) / sum(sqrt(p)) OVER () AS w FROM pp)
+         |SELECT source, n_docs, n_tokens,
+         |  (round(p, 6) + 0.0) AS p, (round(w, 6) + 0.0) AS w,
+         |  (round(w / p, 6) + 0.0) AS epochs
+         |FROM ww""".stripMargin,
+
+    "emb_outliers" ->
+      """WITH x AS (SELECT vec_id::BIGINT AS vec_id, label::BIGINT AS label,
+        |    unnest(embedding::DOUBLE[]) AS x,
+        |    generate_subscripts(embedding, 1) - 1 AS dim
+        |  FROM embeddings),
+        |c AS (SELECT *, avg(x) OVER (PARTITION BY label, dim) AS c FROM x),
+        |d AS (SELECT vec_id, label,
+        |    sum((x - c) * (x - c)) AS dist2 FROM c GROUP BY 1, 2)
+        |SELECT vec_id, label, (round(dist2, 6) + 0.0) AS dist2,
+        |  dist2 > 2.0 * avg(dist2) OVER (PARTITION BY label) AS is_outlier
+        |FROM d""".stripMargin)
 }

@@ -126,6 +126,39 @@ object Ts2Queries {
             .as("dc_pos"))
     }),
 
+    // Variance-ratio / Hurst diagnostic per ticker: Var(close_t −
+    // close_{t−k}) scales as k^{2H}, so vr_k = var_k / (k·var_1) is 1
+    // for a random walk, >1 trending, <1 mean-reverting, and
+    // H = 0.5 + ln(vr_8)/(2·ln 8). Lag differences ride the shared
+    // ticker window; the variances are three (n, Σ, Σx²) map-side
+    // triplets per ticker, spelled (ss − s·s/n)/n on both engines.
+    "ts_hurst" -> ((s, dir) => {
+      def va(k: String) =
+        (col(s"ss$k") - col(s"s$k") * col(s"s$k") / col(s"n$k").cast("double")) /
+          col(s"n$k").cast("double")
+      EventBars.bars(s, dir)
+        .withColumn("r1", col("close") - lag(col("close"), 1).over(w))
+        .withColumn("r2", col("close") - lag(col("close"), 2).over(w))
+        .withColumn("r8", col("close") - lag(col("close"), 8).over(w))
+        .groupBy("ticker")
+        .agg(count(col("r1")).as("n1"), sum(col("r1")).as("s1"),
+          sum(col("r1") * col("r1")).as("ss1"),
+          count(col("r2")).as("n2"), sum(col("r2")).as("s2"),
+          sum(col("r2") * col("r2")).as("ss2"),
+          count(col("r8")).as("n8"), sum(col("r8")).as("s8"),
+          sum(col("r8") * col("r8")).as("ss8"))
+        .filter(col("n8") >= 1)
+        .withColumn("var1", va("1"))
+        .withColumn("vr2", expr("try_divide(" +
+          "(ss2 - s2*s2/CAST(n2 AS DOUBLE))/CAST(n2 AS DOUBLE), 2.0 * var1)"))
+        .withColumn("vr8", expr("try_divide(" +
+          "(ss8 - s8*s8/CAST(n8 AS DOUBLE))/CAST(n8 AS DOUBLE), 8.0 * var1)"))
+        .select(col("ticker"), col("n1").as("n_ret"),
+          r6(col("vr2")).as("vr_2"), r6(col("vr8")).as("vr_8"),
+          r6(lit(0.5) + log(col("vr8")) / (lit(2.0) * log(lit(8.0))))
+            .as("hurst"))
+    }),
+
     // KAMA(10, 2, 30): Kaufman adaptive moving average. The efficiency
     // ratio |close − close₋₁₀| / Σ₁₀|Δclose| and the squared smoothing
     // constant are plain frame arithmetic on the shared exchange; the
@@ -463,6 +496,36 @@ object Ts2Queries {
            |     / sum(volume) OVER ($Over ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
            |   END) * 1000000.0) / 1000000.0 + 0.0) AS cmf
            |FROM m""".stripMargin,
+
+      "ts_hurst" ->
+        s"""WITH bars AS (${EventBars.sqlBars}),
+           |r AS (SELECT ticker,
+           |    close - lag(close, 1) OVER ($Over) AS r1,
+           |    close - lag(close, 2) OVER ($Over) AS r2,
+           |    close - lag(close, 8) OVER ($Over) AS r8
+           |  FROM bars),
+           |g AS (SELECT ticker,
+           |    count(r1)::BIGINT AS n1, sum(r1) AS s1, sum(r1*r1) AS ss1,
+           |    count(r2)::BIGINT AS n2, sum(r2) AS s2, sum(r2*r2) AS ss2,
+           |    count(r8)::BIGINT AS n8, sum(r8) AS s8, sum(r8*r8) AS ss8
+           |  FROM r GROUP BY 1),
+           |v AS (SELECT *,
+           |    (ss1 - s1*s1/CAST(n1 AS DOUBLE))/CAST(n1 AS DOUBLE) AS var1
+           |  FROM g WHERE n8 >= 1),
+           |q AS (SELECT *,
+           |    CASE WHEN 2.0 * var1 = 0 THEN NULL ELSE
+           |      ((ss2 - s2*s2/CAST(n2 AS DOUBLE))/CAST(n2 AS DOUBLE))
+           |        / (2.0 * var1) END AS vr2,
+           |    CASE WHEN 8.0 * var1 = 0 THEN NULL ELSE
+           |      ((ss8 - s8*s8/CAST(n8 AS DOUBLE))/CAST(n8 AS DOUBLE))
+           |        / (8.0 * var1) END AS vr8
+           |  FROM v)
+           |SELECT ticker, n1 AS n_ret,
+           |  (round((vr2) * 1000000.0) / 1000000.0 + 0.0) AS vr_2,
+           |  (round((vr8) * 1000000.0) / 1000000.0 + 0.0) AS vr_8,
+           |  (round((0.5 + ln(vr8) / (2.0 * ln(8.0))) * 1000000.0)
+           |    / 1000000.0 + 0.0) AS hurst
+           |FROM q""".stripMargin,
 
       "ind_kama" ->
         s"""WITH RECURSIVE bars AS (${EventBars.sqlBars}),

@@ -266,6 +266,27 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(p) <= 6, s"edge pipeline re-evaluated?\n$p")
   }
 
+  test("ts_hurst: the per-ticker variance rollup reuses the window exchange") {
+    assert(shuffles(plan("ts_hurst")) == 1)
+  }
+
+  test("behav_path: one user exchange + one bounded path aggregate") {
+    assert(shuffles(plan("behav_path")) == 2)
+  }
+
+  test("corpus_mix normalizes over the |sources|-row aggregate only") {
+    val p = plan("corpus_mix")
+    assert(shuffles(p) == 1)
+    // the single-partition window sees source rows, not the corpus
+    assert(p.contains("Exchange SinglePartition"))
+  }
+
+  test("emb_outliers: three scalar-row exchanges, no vector join-back") {
+    val p = plan("emb_outliers")
+    assert(shuffles(p) == 3)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
+  }
+
   test("cdc_merge: base and log aggregates feed an aligned full-outer join") {
     val p = plan("cdc_merge")
     // one user_id exchange per side, nothing between them and the join
