@@ -122,6 +122,75 @@ object BehaviorQueries {
           countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // Semi-structured extraction: pull the `$.k` attribute out of the
+    // raw JSON props column and roll it up per event type. The JSON
+    // parse is a per-row projection (native JsonPath expression — no
+    // UDF, no shuffle of the raw payload); everything downstream is
+    // one map-side-collapsing aggregate over exact longs. The distinct
+    // count rides the same exchange as a two-phase distinct aggregate.
+    "ev_json" -> ((s, dir) =>
+      EventBars.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
+          sum(col("k")).as("sum_k"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          countDistinct(col("k")).as("n_distinct_k"))
+        .withColumn("avg_k",
+          r6(expr("try_divide(CAST(sum_k AS DOUBLE), CAST(n_k AS DOUBLE))")))),
+
+    // Welch two-sample t-test per event type, arms assigned by user-id
+    // parity (the deterministic stand-in for an experiment flag). The
+    // per-arm moments are conditional sums over EXACT cent-integers
+    // (double sums would be summation-order-dependent across engines);
+    // the t statistic and Welch–Satterthwaite df are derived on the
+    // |event_types|-row aggregate with a mirrored expression tree, so
+    // the doubles are bit-equal. One exchange, map-side partials.
+    "ab_ttest" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .withColumn("arm", (col("user_id") % 2).cast("int"))
+        .withColumn("c", expr("CAST(round(value * 100) AS BIGINT)"))
+      // Every operand forced to DOUBLE explicitly: Spark parses a
+      // `100.0` literal as DECIMAL and would run this in decimal
+      // arithmetic, diverging from DuckDB's double ulps.
+      def v(n: String, sN: String, ssN: String) =
+        s"(CAST($ssN AS DOUBLE)/10000.0 - (CAST($sN AS DOUBLE)/100.0)" +
+          s"*(CAST($sN AS DOUBLE)/100.0)/CAST($n AS DOUBLE))" +
+          s"/(CAST($n AS DOUBLE) - 1.0)"
+      val va = v("n_a", "sa", "ssa")
+      val vb = v("n_b", "sb", "ssb")
+      e.groupBy("event_type")
+        .agg(
+          sum(when(col("arm") === 0, lit(1L)).otherwise(lit(0L))).as("n_a"),
+          sum(when(col("arm") === 0, col("c")).otherwise(lit(0L))).as("sa"),
+          sum(when(col("arm") === 0, col("c") * col("c"))
+            .otherwise(lit(0L))).as("ssa"),
+          sum(when(col("arm") === 1, lit(1L)).otherwise(lit(0L))).as("n_b"),
+          sum(when(col("arm") === 1, col("c")).otherwise(lit(0L))).as("sb"),
+          sum(when(col("arm") === 1, col("c") * col("c"))
+            .otherwise(lit(0L))).as("ssb"))
+        .filter(col("n_a") > 1 && col("n_b") > 1)
+        .withColumn("va", expr(va))
+        .withColumn("vb", expr(vb))
+        .withColumn("se2",
+          expr("va/CAST(n_a AS DOUBLE) + vb/CAST(n_b AS DOUBLE)"))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          r6(expr("(CAST(sa AS DOUBLE)/100.0)/CAST(n_a AS DOUBLE)"))
+            .as("mean_a"),
+          r6(expr("(CAST(sb AS DOUBLE)/100.0)/CAST(n_b AS DOUBLE)"))
+            .as("mean_b"),
+          r6(expr("try_divide((CAST(sa AS DOUBLE)/100.0)/CAST(n_a AS DOUBLE)" +
+            " - (CAST(sb AS DOUBLE)/100.0)/CAST(n_b AS DOUBLE), sqrt(se2))"))
+            .as("t_welch"),
+          r6(expr("try_divide(se2*se2, " +
+            "(va/CAST(n_a AS DOUBLE))*(va/CAST(n_a AS DOUBLE))" +
+            "/(CAST(n_a AS DOUBLE) - 1.0)" +
+            " + (vb/CAST(n_b AS DOUBLE))*(vb/CAST(n_b AS DOUBLE))" +
+            "/(CAST(n_b AS DOUBLE) - 1.0))"))
+            .as("df"))
+    }),
+
     // Edit-distance verification of the LSH candidates — the exact
     // confirmation pass symmetric jaccard only approximates. Texts
     // shuffle only for candidate ids (two hash joins on doc_id).
@@ -358,6 +427,63 @@ object BehaviorQueries {
          |  count(DISTINCT user_id)::BIGINT AS n_users
          |FROM n WHERE step3 IS NOT NULL
          |GROUP BY step1, step2, step3""".stripMargin,
+
+    "ev_json" ->
+      """WITH j AS (SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, count(*)::BIGINT AS n, count(k)::BIGINT AS n_k,
+        |  sum(k)::BIGINT AS sum_k, min(k)::BIGINT AS min_k,
+        |  max(k)::BIGINT AS max_k,
+        |  count(DISTINCT k)::BIGINT AS n_distinct_k,
+        |  (round((CASE WHEN count(k) = 0 THEN NULL
+        |     ELSE CAST(sum(k) AS DOUBLE) / CAST(count(k) AS DOUBLE) END)
+        |   * 1000000.0) / 1000000.0 + 0.0) AS avg_k
+        |FROM j GROUP BY 1""".stripMargin,
+
+    "ab_ttest" ->
+      s"""WITH $evDuck,
+         |c AS (SELECT event_type, user_id % 2 AS arm,
+         |    CAST(round(value * 100) AS BIGINT) AS c FROM ev),
+         |g AS (SELECT event_type,
+         |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         |    sum(CASE WHEN arm = 0 THEN c ELSE 0 END)::BIGINT AS sa,
+         |    sum(CASE WHEN arm = 0 THEN c*c ELSE 0 END)::BIGINT AS ssa,
+         |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+         |    sum(CASE WHEN arm = 1 THEN c ELSE 0 END)::BIGINT AS sb,
+         |    sum(CASE WHEN arm = 1 THEN c*c ELSE 0 END)::BIGINT AS ssb
+         |  FROM c GROUP BY 1
+         |  HAVING n_a > 1 AND n_b > 1),
+         |v AS (SELECT *,
+         |    (CAST(ssa AS DOUBLE)/10000.0 - (CAST(sa AS DOUBLE)/100.0)
+         |      *(CAST(sa AS DOUBLE)/100.0)/CAST(n_a AS DOUBLE))
+         |      /(CAST(n_a AS DOUBLE) - 1.0) AS va,
+         |    (CAST(ssb AS DOUBLE)/10000.0 - (CAST(sb AS DOUBLE)/100.0)
+         |      *(CAST(sb AS DOUBLE)/100.0)/CAST(n_b AS DOUBLE))
+         |      /(CAST(n_b AS DOUBLE) - 1.0) AS vb
+         |  FROM g),
+         |s2 AS (SELECT *,
+         |    va/CAST(n_a AS DOUBLE) + vb/CAST(n_b AS DOUBLE) AS se2 FROM v)
+         |SELECT event_type, n_a, n_b,
+         |  (round(((CAST(sa AS DOUBLE)/100.0)/CAST(n_a AS DOUBLE))
+         |   * 1000000.0) / 1000000.0 + 0.0) AS mean_a,
+         |  (round(((CAST(sb AS DOUBLE)/100.0)/CAST(n_b AS DOUBLE))
+         |   * 1000000.0) / 1000000.0 + 0.0) AS mean_b,
+         |  (round((CASE WHEN sqrt(se2) = 0 THEN NULL
+         |     ELSE ((CAST(sa AS DOUBLE)/100.0)/CAST(n_a AS DOUBLE)
+         |       - (CAST(sb AS DOUBLE)/100.0)/CAST(n_b AS DOUBLE))
+         |       / sqrt(se2) END)
+         |   * 1000000.0) / 1000000.0 + 0.0) AS t_welch,
+         |  (round((CASE WHEN (va/CAST(n_a AS DOUBLE))*(va/CAST(n_a AS DOUBLE))
+         |       /(CAST(n_a AS DOUBLE) - 1.0)
+         |       + (vb/CAST(n_b AS DOUBLE))*(vb/CAST(n_b AS DOUBLE))
+         |       /(CAST(n_b AS DOUBLE) - 1.0) = 0 THEN NULL
+         |     ELSE se2*se2 / ((va/CAST(n_a AS DOUBLE))*(va/CAST(n_a AS DOUBLE))
+         |       /(CAST(n_a AS DOUBLE) - 1.0)
+         |       + (vb/CAST(n_b AS DOUBLE))*(vb/CAST(n_b AS DOUBLE))
+         |       /(CAST(n_b AS DOUBLE) - 1.0)) END)
+         |   * 1000000.0) / 1000000.0 + 0.0) AS df
+         |FROM s2""".stripMargin,
 
     "dedup_editdist" ->
       s"""WITH ${ExtQueries.candPairsDuck},

@@ -824,7 +824,52 @@ object ExtQueries {
           col("dist2") > lit(2.0) * avg(col("dist2")).over(wL))
         .select(col("vec_id"), col("label"), Rounding.r6(col("dist2")).as("dist2"),
           col("is_outlier"))
-    }))
+    }),
+
+    // Deterministic train/valid/test split: the doc id's multiplicative
+    // hash picks a bucket in [0,100) → 98/1/1. The assignment is a
+    // per-row projection (reproducible on any engine, no RNG state);
+    // the report is one (source, split) aggregate plus a window over
+    // the |sources×3|-row result — the corpus itself never reshuffles.
+    "corpus_split" -> ((s, dir) => {
+      val wS = Window.partitionBy("source")
+      docs(s, dir)
+        .withColumn("n_tok", expr(s"CAST(size($toksSpark) AS BIGINT)"))
+        .withColumn("bucket",
+          expr(s"(((doc_id % ${P}L) * 2654435761L) % ${P}L) % 100"))
+        .withColumn("split",
+          when(col("bucket") < 98, lit("train"))
+            .when(col("bucket") === 98, lit("valid"))
+            .otherwise(lit("test")))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .withColumn("doc_share", Rounding.r6(
+          col("n_docs").cast("double")
+            / sum(col("n_docs")).over(wS).cast("double")))
+        .withColumn("tok_share", Rounding.r6(
+          col("n_tokens").cast("double")
+            / sum(col("n_tokens")).over(wS).cast("double")))
+    }),
+
+    // Corpus bigram counts (the pair-statistics pass a BPE-style
+    // tokenizer trainer starts from): adjacent token pairs materialize
+    // inline per document (codegen'd transform over an index sequence —
+    // no self-join, no positional window), collapse map-side in the
+    // count aggregate, and the global top-25 is a TakeOrdered — no
+    // single-partition exchange anywhere. Ties break on the bigram
+    // text so the cut line is a deterministic total order.
+    "corpus_ngrams" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("toks", expr(toksSpark))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+          .as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(25)))
 
   // ---- DuckDB oracles ----
 
@@ -1387,5 +1432,34 @@ object ExtQueries {
         |    sum((x - c) * (x - c)) AS dist2 FROM c GROUP BY 1, 2)
         |SELECT vec_id, label, (round(dist2, 6) + 0.0) AS dist2,
         |  dist2 > 2.0 * avg(dist2) OVER (PARTITION BY label) AS is_outlier
-        |FROM d""".stripMargin)
+        |FROM d""".stripMargin,
+
+    "corpus_split" ->
+      s"""WITH d AS (SELECT source, doc_id::BIGINT AS doc_id,
+         |    len($toksDuck)::BIGINT AS n_tok FROM documents),
+         |b AS (SELECT source, n_tok,
+         |    (((doc_id % $P) * 2654435761) % $P) % 100 AS bucket FROM d),
+         |sp AS (SELECT source, n_tok,
+         |    CASE WHEN bucket < 98 THEN 'train'
+         |         WHEN bucket = 98 THEN 'valid'
+         |         ELSE 'test' END AS split FROM b),
+         |g AS (SELECT source, split, count(*)::BIGINT AS n_docs,
+         |    sum(n_tok)::BIGINT AS n_tokens FROM sp GROUP BY 1, 2)
+         |SELECT source, split, n_docs, n_tokens,
+         |  (round((CAST(n_docs AS DOUBLE)
+         |    / CAST(sum(n_docs) OVER (PARTITION BY source) AS DOUBLE))
+         |   * 1000000.0) / 1000000.0 + 0.0) AS doc_share,
+         |  (round((CAST(n_tokens AS DOUBLE)
+         |    / CAST(sum(n_tokens) OVER (PARTITION BY source) AS DOUBLE))
+         |   * 1000000.0) / 1000000.0 + 0.0) AS tok_share
+         |FROM g""".stripMargin,
+
+    "corpus_ngrams" ->
+      s"""WITH t AS (SELECT $toksDuck AS toks FROM documents),
+         |f AS (SELECT toks FROM t WHERE len(toks) >= 2),
+         |bg AS (SELECT unnest(list_transform(
+         |    generate_series(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i + 1])) AS bigram FROM f)
+         |SELECT bigram, count(*)::BIGINT AS n FROM bg GROUP BY 1
+         |ORDER BY n DESC, bigram LIMIT 25""".stripMargin)
 }

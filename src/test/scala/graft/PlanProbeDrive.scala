@@ -6,11 +6,7 @@ object PlanProbeDrive {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.001"
-    for (q <- Seq("ind_ema", "ts_acf", "ts_seasonality", "ts_cusum",
-        "drift_psi", "drift_ks", "text_pmi", "text_bm25", "key_skew",
-        "attr_touch", "behav_markov", "graph_degree", "seg_rfm",
-        "bin_equidepth", "dedup_editdist", "graph_triangles",
-        "ind_trix", "ind_stoch", "ts_twap")) {
+    for (q <- Seq("ev_json", "ab_ttest", "corpus_split", "corpus_ngrams")) {
       val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
       val ex = "Exchange hashpartitioning".r.findAllIn(p).length
       val sp = "Exchange SinglePartition".r.findAllIn(p).length

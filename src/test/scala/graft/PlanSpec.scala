@@ -287,6 +287,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
   }
 
+  test("ab_ttest: both arms' moments collapse in ONE event_type exchange") {
+    assert(shuffles(plan("ab_ttest")) == 1)
+  }
+
+  test("ev_json: JSON extraction is a projection; distinct agg = 2 exchanges") {
+    val p = plan("ev_json")
+    assert(shuffles(p) == 2)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("corpus_split: corpus aggregates once; shares window over the rollup") {
+    assert(shuffles(plan("corpus_split")) == 2)
+  }
+
+  test("corpus_ngrams: inline pair explode + TakeOrdered, no global sort") {
+    val p = plan("corpus_ngrams")
+    assert(shuffles(p) == 1)
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
   test("cdc_merge: base and log aggregates feed an aligned full-outer join") {
     val p = plan("cdc_merge")
     // one user_id exchange per side, nothing between them and the join
