@@ -869,7 +869,46 @@ object ExtQueries {
         .groupBy("bigram")
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram"))
-        .limit(25)))
+        .limit(25)),
+
+    // DSIR-style importance weights: score every document by how much
+    // its hashed-token feature distribution looks like the target
+    // domain (lang='en') vs the raw corpus. Per-bucket importance
+    // ratios use add-one smoothing and stay EXACT integer products
+    // until one deterministic division, then quantize to micro-units so
+    // the per-doc mean is an exact long sum (shuffle-order-proof). The
+    // 1024-row ratio table broadcasts; the corpus shuffles only
+    // (bucket)- and (doc_id)-keyed partial aggregates, never text.
+    // At extreme corpus sizes the long products need HUGEINT-style
+    // widening — swap the two products to DECIMAL(38,0) then.
+    "text_dsir" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          expr(s"transform($whS, h -> h % 1024)").as("f"))
+        .filter(size(col("f")) > 0)
+      val wAll = Window.partitionBy()
+      val stats = d.select(col("lang"), explode(col("f")).as("b"))
+        .groupBy("b")
+        .agg(count(lit(1)).as("n_all"),
+          sum(when(col("lang") === "en", lit(1L)).otherwise(lit(0L)))
+            .as("n_t"))
+        .withColumn("tot_all", sum(col("n_all")).over(wAll))
+        .withColumn("tot_t", sum(col("n_t")).over(wAll))
+        .select(col("b"), expr("CAST(round(" +
+          "CAST((n_t + 1) * (tot_all + 1024) AS DOUBLE)" +
+          " / CAST((n_all + 1) * (tot_t + 1024) AS DOUBLE)" +
+          " * 1000000.0) AS BIGINT)").as("r_i6"))
+      d.select(col("doc_id"), col("lang"), explode(col("f")).as("b"))
+        .join(broadcast(stats), Seq("b"))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_f"), sum(col("r_i6")).as("sr"))
+        .select(col("doc_id"), col("lang"), col("n_f"),
+          Rounding.r6(expr(
+            "CAST(sr AS DOUBLE) / CAST(n_f AS DOUBLE) / 1000000.0"))
+            .as("dsir_w"),
+          expr("CAST(sr AS DOUBLE) / CAST(n_f AS DOUBLE) / 1000000.0 > 1.0")
+            .as("keep"))
+    }))
 
   // ---- DuckDB oracles ----
 
@@ -1461,5 +1500,31 @@ object ExtQueries {
          |    generate_series(1, len(toks) - 1),
          |    i -> toks[i] || ' ' || toks[i + 1])) AS bigram FROM f)
          |SELECT bigram, count(*)::BIGINT AS n FROM bg GROUP BY 1
-         |ORDER BY n DESC, bigram LIMIT 25""".stripMargin)
+         |ORDER BY n DESC, bigram LIMIT 25""".stripMargin,
+
+    "text_dsir" ->
+      s"""WITH dt AS (SELECT doc_id::BIGINT AS doc_id, lang,
+         |    $toksDuck AS toks FROM documents),
+         |dh AS (SELECT doc_id, lang,
+         |    list_transform(${wordHashesDuck("toks")}, h -> h % 1024) AS f
+         |  FROM dt WHERE len(toks) > 0),
+         |ex AS (SELECT lang, unnest(f) AS b FROM dh),
+         |cnt AS (SELECT b, count(*)::BIGINT AS n_all,
+         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_t
+         |  FROM ex GROUP BY 1),
+         |st AS (SELECT b, CAST(round(
+         |    CAST((n_t + 1) * (sum(n_all) OVER () + 1024) AS DOUBLE)
+         |    / CAST((n_all + 1) * (sum(n_t) OVER () + 1024) AS DOUBLE)
+         |    * 1000000.0) AS BIGINT) AS r_i6
+         |  FROM cnt),
+         |dx AS (SELECT doc_id, lang, unnest(f) AS b FROM dh),
+         |j AS (SELECT dx.doc_id, dx.lang, st.r_i6
+         |  FROM dx JOIN st USING (b)),
+         |g AS (SELECT doc_id, lang, count(*)::BIGINT AS n_f,
+         |    sum(r_i6)::BIGINT AS sr FROM j GROUP BY 1, 2)
+         |SELECT doc_id, lang, n_f,
+         |  (round((CAST(sr AS DOUBLE) / CAST(n_f AS DOUBLE) / 1000000.0)
+         |   * 1000000.0) / 1000000.0 + 0.0) AS dsir_w,
+         |  CAST(sr AS DOUBLE) / CAST(n_f AS DOUBLE) / 1000000.0 > 1.0 AS keep
+         |FROM g""".stripMargin)
 }

@@ -159,6 +159,108 @@ object Ts2Queries {
             .as("hurst"))
     }),
 
+    // Vortex indicator (14): VI± = Σ|high − lag(low)| / ΣTR over the
+    // frame (uptrend/downtrend movement vs total range). Pure sliding
+    // frame sums on the shared ticker exchange — the same one-exchange
+    // shape as the rest of the frame suite. TR ≥ 1 by the bar
+    // synthesis; try_divide still mirrors the oracle's CASE guard.
+    "ind_vortex" -> ((s, dir) => {
+      val rb = w.rowsBetween(-13, 0)
+      EventBars.bars(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("tr",
+          greatest(col("high"), coalesce(lag(col("close"), 1).over(w), col("high")))
+            - least(col("low"), coalesce(lag(col("close"), 1).over(w), col("low"))))
+        .withColumn("vmp", abs(col("high") - lag(col("low"), 1).over(w)))
+        .withColumn("vmm", abs(col("low") - lag(col("high"), 1).over(w)))
+        .withColumn("str", sum(col("tr")).over(rb))
+        .withColumn("svp", sum(col("vmp")).over(rb))
+        .withColumn("svm", sum(col("vmm")).over(rb))
+        .select(col("ticker"), col("t"), col("event_id"),
+          r6(when(col("rn") >= 15, try_divide(col("svp"), col("str"))))
+            .as("vi_plus"),
+          r6(when(col("rn") >= 15, try_divide(col("svm"), col("str"))))
+            .as("vi_minus"))
+    }),
+
+    // Keltner channels, SMA variant (20-bar typical-price mid, ±2× the
+    // 10-bar mean true range — the EMA/ATR flavor lives in the
+    // recursive suite; this is the frame-arithmetic formulation).
+    // Explicit Σ/n instead of avg() so both engines run the identical
+    // sliding-sum expression.
+    "ind_keltner" -> ((s, dir) => {
+      val rb20 = w.rowsBetween(-19, 0)
+      val rb10 = w.rowsBetween(-9, 0)
+      EventBars.bars(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("tp",
+          (col("high") + col("low") + col("close")) / lit(3.0))
+        .withColumn("tr",
+          greatest(col("high"), coalesce(lag(col("close"), 1).over(w), col("high")))
+            - least(col("low"), coalesce(lag(col("close"), 1).over(w), col("low"))))
+        .withColumn("mid", sum(col("tp")).over(rb20) / lit(20.0))
+        .withColumn("rng", sum(col("tr")).over(rb10) / lit(10.0))
+        .select(col("ticker"), col("t"), col("event_id"),
+          r6(when(col("rn") >= 20, col("mid"))).as("kc_mid"),
+          r6(when(col("rn") >= 20, col("mid") + lit(2.0) * col("rng")))
+            .as("kc_up"),
+          r6(when(col("rn") >= 20, col("mid") - lit(2.0) * col("rng")))
+            .as("kc_dn"))
+    }),
+
+    // Per-ticker market beta/alpha/correlation against the equal-weight
+    // market daily return. Everything that crosses a shuffle is an
+    // EXACT integer: daily closes collapse to cent-longs (argmax
+    // structs), daily returns quantize to micro-units, the per-day
+    // market mean re-quantizes, and the per-ticker comoment sums are
+    // long arithmetic — only the final beta/alpha/corr divisions run in
+    // (deterministic, exactly-derived) doubles. Four exchanges, each
+    // over the DAILY rollup, never the raw bars.
+    "ts_beta" -> ((s, dir) => {
+      val wt = Window.partitionBy("ticker").orderBy("day")
+      val wd = Window.partitionBy("day")
+      EventBars.bars(s, dir)
+        .withColumn("day", expr("t div 86400000000"))
+        .withColumn("c", expr("CAST(round(close * 100) AS BIGINT)"))
+        .groupBy("ticker", "day")
+        .agg(max(struct(col("t"), col("event_id"), col("c"))).as("lc"))
+        .select(col("ticker"), col("day"), col("lc.c").as("c"))
+        .withColumn("prev", lag(col("c"), 1).over(wt))
+        // returns winsorized at ±1000% — a penny-stock prev close would
+        // otherwise blow the micro-unit square past Long range (and
+        // dominate the moments); robust beta clips it on both engines
+        .withColumn("r", expr("greatest(least(" +
+          "CAST(round(try_divide(CAST(c AS DOUBLE), " +
+          "CAST(prev AS DOUBLE)) * 1000000.0 - 1000000.0) AS BIGINT), " +
+          "10000000L), -10000000L)"))
+        .filter(col("r").isNotNull)
+        .withColumn("mkt", expr("CAST(round(CAST(sum(r) OVER " +
+          "(PARTITION BY day) AS DOUBLE) / CAST(count(r) OVER " +
+          "(PARTITION BY day) AS DOUBLE)) AS BIGINT)"))
+        .groupBy("ticker")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("r")).as("sx"), sum(col("mkt")).as("sy"),
+          sum(col("r") * col("mkt")).as("sxy"),
+          sum(col("r") * col("r")).as("sxx"),
+          sum(col("mkt") * col("mkt")).as("syy"))
+        .filter(col("n_days") >= 3)
+        .withColumn("beta", expr("try_divide(" +
+          "CAST(n_days AS DOUBLE)*CAST(sxy AS DOUBLE)" +
+          " - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE), " +
+          "CAST(n_days AS DOUBLE)*CAST(syy AS DOUBLE)" +
+          " - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))"))
+        .select(col("ticker"), col("n_days"), r6(col("beta")).as("beta"),
+          r6(expr("(CAST(sx AS DOUBLE) - beta*CAST(sy AS DOUBLE))" +
+            "/CAST(n_days AS DOUBLE)/1000000.0")).as("alpha"),
+          r6(expr("try_divide(" +
+            "CAST(n_days AS DOUBLE)*CAST(sxy AS DOUBLE)" +
+            " - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE), " +
+            "sqrt((CAST(n_days AS DOUBLE)*CAST(sxx AS DOUBLE)" +
+            " - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))" +
+            " * (CAST(n_days AS DOUBLE)*CAST(syy AS DOUBLE)" +
+            " - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))))")).as("corr"))
+    }),
+
     // KAMA(10, 2, 30): Kaufman adaptive moving average. The efficiency
     // ratio |close − close₋₁₀| / Σ₁₀|Δclose| and the squared smoothing
     // constant are plain frame arithmetic on the shared exchange; the
@@ -526,6 +628,108 @@ object Ts2Queries {
            |  (round((0.5 + ln(vr8) / (2.0 * ln(8.0))) * 1000000.0)
            |    / 1000000.0 + 0.0) AS hurst
            |FROM q""".stripMargin,
+
+      "ind_vortex" ->
+        s"""WITH bars AS (${EventBars.sqlBars}),
+           |f AS (SELECT ticker, t, event_id,
+           |    row_number() OVER ($Over) AS rn,
+           |    greatest(high, coalesce(lag(close) OVER ($Over), high))
+           |      - least(low, coalesce(lag(close) OVER ($Over), low)) AS tr,
+           |    abs(high - lag(low) OVER ($Over)) AS vmp,
+           |    abs(low - lag(high) OVER ($Over)) AS vmm
+           |  FROM bars),
+           |g AS (SELECT ticker, t, event_id, rn,
+           |    sum(tr) OVER ($Over
+           |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS str,
+           |    sum(vmp) OVER ($Over
+           |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS svp,
+           |    sum(vmm) OVER ($Over
+           |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS svm
+           |  FROM f)
+           |SELECT ticker, t, event_id,
+           |  (round((CASE WHEN rn >= 15 THEN
+           |     CASE WHEN str = 0 THEN NULL ELSE svp / str END END)
+           |   * 1000000.0) / 1000000.0 + 0.0) AS vi_plus,
+           |  (round((CASE WHEN rn >= 15 THEN
+           |     CASE WHEN str = 0 THEN NULL ELSE svm / str END END)
+           |   * 1000000.0) / 1000000.0 + 0.0) AS vi_minus
+           |FROM g""".stripMargin,
+
+      "ind_keltner" ->
+        s"""WITH bars AS (${EventBars.sqlBars}),
+           |f AS (SELECT ticker, t, event_id,
+           |    row_number() OVER ($Over) AS rn,
+           |    (high + low + close) / 3.0 AS tp,
+           |    greatest(high, coalesce(lag(close) OVER ($Over), high))
+           |      - least(low, coalesce(lag(close) OVER ($Over), low)) AS tr
+           |  FROM bars),
+           |g AS (SELECT ticker, t, event_id, rn,
+           |    sum(tp) OVER ($Over
+           |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) / 20.0 AS mid,
+           |    sum(tr) OVER ($Over
+           |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) / 10.0 AS rng
+           |  FROM f)
+           |SELECT ticker, t, event_id,
+           |  (round((CASE WHEN rn >= 20 THEN mid END)
+           |   * 1000000.0) / 1000000.0 + 0.0) AS kc_mid,
+           |  (round((CASE WHEN rn >= 20 THEN mid + 2.0 * rng END)
+           |   * 1000000.0) / 1000000.0 + 0.0) AS kc_up,
+           |  (round((CASE WHEN rn >= 20 THEN mid - 2.0 * rng END)
+           |   * 1000000.0) / 1000000.0 + 0.0) AS kc_dn
+           |FROM g""".stripMargin,
+
+      "ts_beta" ->
+        s"""WITH bars AS (${EventBars.sqlBars}),
+           |db AS (SELECT ticker, t // 86400000000 AS day, t, event_id,
+           |    CAST(round(close * 100) AS BIGINT) AS c FROM bars),
+           |dc AS (SELECT ticker, day, last(c ORDER BY t, event_id) AS c
+           |  FROM db GROUP BY 1, 2),
+           |rr AS (SELECT ticker, day, c,
+           |    lag(c) OVER (PARTITION BY ticker ORDER BY day) AS prev
+           |  FROM dc),
+           |r2 AS (SELECT ticker, day,
+           |    greatest(least(
+           |      CAST(round((CASE WHEN prev = 0 THEN NULL
+           |        ELSE CAST(c AS DOUBLE) / CAST(prev AS DOUBLE) END)
+           |        * 1000000.0 - 1000000.0) AS BIGINT),
+           |      10000000), -10000000) AS r
+           |  FROM rr),
+           |r3 AS (SELECT * FROM r2 WHERE r IS NOT NULL),
+           |m AS (SELECT *,
+           |    CAST(round(CAST(sum(r) OVER (PARTITION BY day) AS DOUBLE)
+           |      / CAST(count(r) OVER (PARTITION BY day) AS DOUBLE))
+           |      AS BIGINT) AS mkt
+           |  FROM r3),
+           |g AS (SELECT ticker, count(*)::BIGINT AS n_days,
+           |    sum(r)::BIGINT AS sx, sum(mkt)::BIGINT AS sy,
+           |    sum(r * mkt)::BIGINT AS sxy, sum(r * r)::BIGINT AS sxx,
+           |    sum(mkt * mkt)::BIGINT AS syy
+           |  FROM m GROUP BY 1 HAVING count(*) >= 3),
+           |b AS (SELECT *,
+           |    CASE WHEN CAST(n_days AS DOUBLE)*CAST(syy AS DOUBLE)
+           |        - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) = 0 THEN NULL
+           |      ELSE (CAST(n_days AS DOUBLE)*CAST(sxy AS DOUBLE)
+           |        - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+           |        / (CAST(n_days AS DOUBLE)*CAST(syy AS DOUBLE)
+           |        - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)) END AS beta
+           |  FROM g)
+           |SELECT ticker, n_days,
+           |  (round((beta) * 1000000.0) / 1000000.0 + 0.0) AS beta,
+           |  (round(((CAST(sx AS DOUBLE) - beta*CAST(sy AS DOUBLE))
+           |    /CAST(n_days AS DOUBLE)/1000000.0)
+           |   * 1000000.0) / 1000000.0 + 0.0) AS alpha,
+           |  (round((CASE WHEN sqrt((CAST(n_days AS DOUBLE)*CAST(sxx AS DOUBLE)
+           |      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+           |      * (CAST(n_days AS DOUBLE)*CAST(syy AS DOUBLE)
+           |      - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) = 0 THEN NULL
+           |    ELSE (CAST(n_days AS DOUBLE)*CAST(sxy AS DOUBLE)
+           |      - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+           |      / sqrt((CAST(n_days AS DOUBLE)*CAST(sxx AS DOUBLE)
+           |      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+           |      * (CAST(n_days AS DOUBLE)*CAST(syy AS DOUBLE)
+           |      - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) END)
+           |   * 1000000.0) / 1000000.0 + 0.0) AS corr
+           |FROM b""".stripMargin,
 
       "ind_kama" ->
         s"""WITH RECURSIVE bars AS (${EventBars.sqlBars}),

@@ -308,6 +308,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"))
   }
 
+  test("ind_vortex / ind_keltner ride the ONE shared ticker exchange") {
+    Seq("ind_vortex", "ind_keltner").foreach { q =>
+      assert(shuffles(plan(q)) == 1, q)
+    }
+  }
+
+  test("ts_beta: all four exchanges carry the daily rollup, no joins") {
+    val p = plan("ts_beta")
+    assert(shuffles(p) == 4)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
+  }
+
+  test("text_dsir: ratio table broadcasts; corpus never joins shuffled") {
+    val p = plan("text_dsir")
+    assert("BroadcastExchange".r.findAllIn(p).length == 1)
+    assert(!p.contains("SortMergeJoin"))
+    // bucket-count + per-doc aggregates only
+    assert(shuffles(p) == 2)
+  }
+
   test("cdc_merge: base and log aggregates feed an aligned full-outer join") {
     val p = plan("cdc_merge")
     // one user_id exchange per side, nothing between them and the join
