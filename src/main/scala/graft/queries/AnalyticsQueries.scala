@@ -59,6 +59,27 @@ object AnalyticsQueries {
         Rounding.r6(lead(col("value"), 1).over(w)).as("next_value"))
     }),
 
+    // The frame-clause family the ranking suite doesn't touch: a
+    // time-RANGE sliding frame (trailing 1 h — peers included by VALUE,
+    // so timestamp ties can't make it order-dependent) plus
+    // first/nth_value over the total-order ROWS frame. The ranged sum
+    // runs over exact cent-longs; both specs share the one user_id
+    // exchange.
+    "rel_window_frames" -> ((s, dir) => {
+      val wr = Window.partitionBy("user_id").orderBy(col("t"))
+        .rangeBetween(-3600000000L, 0)
+      val wf = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      ev(s, dir)
+        .withColumn("c", expr("CAST(round(value * 100) AS BIGINT)"))
+        .select(col("user_id"), col("t"), col("event_id"),
+          Rounding.r6(sum(col("c")).over(wr).cast("double") / lit(100.0))
+            .as("sum_1h"),
+          count(lit(1)).over(wr).cast("long").as("n_1h"),
+          Rounding.r6(first(col("value")).over(wf)).as("first_seen"),
+          Rounding.r6(nth_value(col("value"), 3).over(wf)).as("third_seen"))
+    }),
+
     // Weekly cohort retention: users bucketed by their FIRST active
     // week; each later active week increments that cohort's
     // week-offset cell. Shape: distinct (user, week) partials first
@@ -234,6 +255,25 @@ object AnalyticsQueries {
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id),
         |  wt AS (PARTITION BY user_id ORDER BY t)""".stripMargin,
+
+    "rel_window_frames" ->
+      """WITH e AS (SELECT event_id::BIGINT AS event_id,
+        |    user_id::BIGINT AS user_id, epoch_us(ts) AS t, value,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events)
+        |SELECT user_id, t, event_id,
+        |  (round((CAST(sum(c) OVER wr AS DOUBLE) / 100.0)
+        |   * 1000000.0) / 1000000.0 + 0.0) AS sum_1h,
+        |  count(*) OVER wr::BIGINT AS n_1h,
+        |  (round(first_value(value) OVER wf * 1000000.0)
+        |   / 1000000.0 + 0.0) AS first_seen,
+        |  (round(nth_value(value, 3) OVER wf * 1000000.0)
+        |   / 1000000.0 + 0.0) AS third_seen
+        |FROM e
+        |WINDOW wr AS (PARTITION BY user_id ORDER BY t
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+        |  wf AS (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "agg_retention" ->
       """WITH uw AS (SELECT DISTINCT user_id::BIGINT AS user_id,

@@ -908,7 +908,33 @@ object ExtQueries {
             .as("dsir_w"),
           expr("CAST(sr AS DOUBLE) / CAST(n_f AS DOUBLE) / 1000000.0 > 1.0")
             .as("keep"))
-    }))
+    }),
+
+    // Flesch reading-ease / FK grade per document from three exact
+    // integer counts (words, sentence enders, ASCII vowel-group
+    // syllable proxy) — a per-row projection, no shuffle; the score
+    // doubles derive from exact longs so they're deterministic. The
+    // vowel regex is ASCII-only on purpose: non-Latin scripts score 0
+    // syllables rather than betting on unicode case-fold parity.
+    "text_readability" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          expr(s"CAST(size($toksSpark) AS BIGINT)").as("n_words"),
+          expr("CAST(greatest(size(regexp_extract_all(text, '[.!?]', 0)), 1)" +
+            " AS BIGINT)").as("n_sents"),
+          expr("CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0))" +
+            " AS BIGINT)").as("n_syll"))
+        .filter(col("n_words") > 0)
+        .withColumn("wps",
+          expr("CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE)"))
+        .withColumn("spw",
+          expr("CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)"))
+        .select(col("doc_id"), col("lang"), col("n_words"), col("n_sents"),
+          col("n_syll"),
+          Rounding.r6(expr("206.835 - 1.015 * wps - 84.6 * spw"))
+            .as("flesch"),
+          Rounding.r6(expr("0.39 * wps + 11.8 * spw - 15.59"))
+            .as("fk_grade"))))
 
   // ---- DuckDB oracles ----
 
@@ -1526,5 +1552,24 @@ object ExtQueries {
          |  (round((CAST(sr AS DOUBLE) / CAST(n_f AS DOUBLE) / 1000000.0)
          |   * 1000000.0) / 1000000.0 + 0.0) AS dsir_w,
          |  CAST(sr AS DOUBLE) / CAST(n_f AS DOUBLE) / 1000000.0 > 1.0 AS keep
-         |FROM g""".stripMargin)
+         |FROM g""".stripMargin,
+
+    "text_readability" ->
+      s"""WITH d AS (SELECT doc_id::BIGINT AS doc_id, lang,
+         |    len($toksDuck)::BIGINT AS n_words,
+         |    greatest(len(regexp_extract_all(text, '[.!?]')), 1)::BIGINT
+         |      AS n_sents,
+         |    len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+         |      AS n_syll
+         |  FROM documents),
+         |f AS (SELECT *,
+         |    CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE) AS wps,
+         |    CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE) AS spw
+         |  FROM d WHERE n_words > 0)
+         |SELECT doc_id, lang, n_words, n_sents, n_syll,
+         |  (round((206.835 - 1.015 * wps - 84.6 * spw)
+         |   * 1000000.0) / 1000000.0 + 0.0) AS flesch,
+         |  (round((0.39 * wps + 11.8 * spw - 15.59)
+         |   * 1000000.0) / 1000000.0 + 0.0) AS fk_grade
+         |FROM f""".stripMargin)
 }

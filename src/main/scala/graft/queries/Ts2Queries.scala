@@ -261,6 +261,53 @@ object Ts2Queries {
             " - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))))")).as("corr"))
     }),
 
+    // Ichimoku cloud (9/26/52): every line is frame max/min arithmetic
+    // or a pure shift on the ONE ticker exchange — the leading spans
+    // displace 26 bars forward (lag of the gated midpoints), the
+    // lagging span 26 back (lead of close). Nulls before each line's
+    // warm-up, identical on both engines.
+    "ind_ichimoku" -> ((s, dir) => {
+      val rb9 = w.rowsBetween(-8, 0)
+      val rb26 = w.rowsBetween(-25, 0)
+      val rb52 = w.rowsBetween(-51, 0)
+      EventBars.bars(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("tenkan", when(col("rn") >= 9,
+          (max(col("high")).over(rb9) + min(col("low")).over(rb9)) / lit(2.0)))
+        .withColumn("kijun", when(col("rn") >= 26,
+          (max(col("high")).over(rb26) + min(col("low")).over(rb26)) / lit(2.0)))
+        .withColumn("spb", when(col("rn") >= 52,
+          (max(col("high")).over(rb52) + min(col("low")).over(rb52)) / lit(2.0)))
+        .select(col("ticker"), col("t"), col("event_id"),
+          r6(col("tenkan")).as("tenkan"),
+          r6(col("kijun")).as("kijun"),
+          r6(lag((col("tenkan") + col("kijun")) / lit(2.0), 26).over(w))
+            .as("senkou_a"),
+          r6(lag(col("spb"), 26).over(w)).as("senkou_b"),
+          r6(lead(col("close"), 26).over(w)).as("chikou"))
+    }),
+
+    // Rolling exact median + IQR over a 21-bar frame. Quantiles
+    // interpolate over CENT-LONGS, so every interpolated value is an
+    // exact multiple of 0.25 cents — Spark's (1−f)·a + f·b and
+    // DuckDB's a + (b−a)·f are bit-equal on exact inputs, which they
+    // are NOT on arbitrary doubles (that 1-ulp formula gap is why the
+    // frame feeds integers). One exchange; the sort amortizes across
+    // all three quantiles.
+    "ts_rolling_median" -> ((s, dir) => {
+      val rb = w.rowsBetween(-20, 0)
+      EventBars.bars(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("c", expr("CAST(round(close * 100) AS BIGINT)"))
+        .withColumn("med", expr("percentile(c, 0.5D)").over(rb))
+        .withColumn("q1", expr("percentile(c, 0.25D)").over(rb))
+        .withColumn("q3", expr("percentile(c, 0.75D)").over(rb))
+        .select(col("ticker"), col("t"), col("event_id"),
+          r6(when(col("rn") >= 21, col("med") / lit(100.0))).as("roll_med"),
+          r6(when(col("rn") >= 21, (col("q3") - col("q1")) / lit(100.0)))
+            .as("roll_iqr"))
+    }),
+
     // KAMA(10, 2, 30): Kaufman adaptive moving average. The efficiency
     // ratio |close − close₋₁₀| / Σ₁₀|Δclose| and the squared smoothing
     // constant are plain frame arithmetic on the shared exchange; the
@@ -730,6 +777,60 @@ object Ts2Queries {
            |      - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) END)
            |   * 1000000.0) / 1000000.0 + 0.0) AS corr
            |FROM b""".stripMargin,
+
+      "ind_ichimoku" ->
+        s"""WITH bars AS (${EventBars.sqlBars}),
+           |f AS (SELECT ticker, t, event_id, close,
+           |    row_number() OVER ($Over) AS rn,
+           |    (max(high) OVER ($Over
+           |      ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)
+           |     + min(low) OVER ($Over
+           |      ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)) / 2.0 AS tk0,
+           |    (max(high) OVER ($Over
+           |      ROWS BETWEEN 25 PRECEDING AND CURRENT ROW)
+           |     + min(low) OVER ($Over
+           |      ROWS BETWEEN 25 PRECEDING AND CURRENT ROW)) / 2.0 AS kj0,
+           |    (max(high) OVER ($Over
+           |      ROWS BETWEEN 51 PRECEDING AND CURRENT ROW)
+           |     + min(low) OVER ($Over
+           |      ROWS BETWEEN 51 PRECEDING AND CURRENT ROW)) / 2.0 AS sb0
+           |  FROM bars),
+           |g AS (SELECT ticker, t, event_id, close, rn,
+           |    CASE WHEN rn >= 9 THEN tk0 END AS tenkan,
+           |    CASE WHEN rn >= 26 THEN kj0 END AS kijun,
+           |    CASE WHEN rn >= 52 THEN sb0 END AS spb
+           |  FROM f)
+           |SELECT ticker, t, event_id,
+           |  (round((tenkan) * 1000000.0) / 1000000.0 + 0.0) AS tenkan,
+           |  (round((kijun) * 1000000.0) / 1000000.0 + 0.0) AS kijun,
+           |  (round((lag((tenkan + kijun) / 2.0, 26) OVER ($Over))
+           |   * 1000000.0) / 1000000.0 + 0.0) AS senkou_a,
+           |  (round((lag(spb, 26) OVER ($Over))
+           |   * 1000000.0) / 1000000.0 + 0.0) AS senkou_b,
+           |  (round((lead(close, 26) OVER ($Over))
+           |   * 1000000.0) / 1000000.0 + 0.0) AS chikou
+           |FROM g""".stripMargin,
+
+      "ts_rolling_median" ->
+        s"""WITH bars AS (${EventBars.sqlBars}),
+           |f AS (SELECT ticker, t, event_id,
+           |    row_number() OVER ($Over) AS rn,
+           |    quantile_cont(CAST(round(close * 100) AS BIGINT), 0.5)
+           |      OVER ($Over
+           |      ROWS BETWEEN 20 PRECEDING AND CURRENT ROW) AS med,
+           |    quantile_cont(CAST(round(close * 100) AS BIGINT), 0.25)
+           |      OVER ($Over
+           |      ROWS BETWEEN 20 PRECEDING AND CURRENT ROW) AS q1,
+           |    quantile_cont(CAST(round(close * 100) AS BIGINT), 0.75)
+           |      OVER ($Over
+           |      ROWS BETWEEN 20 PRECEDING AND CURRENT ROW) AS q3
+           |  FROM bars)
+           |SELECT ticker, t, event_id,
+           |  (round((CASE WHEN rn >= 21 THEN med / 100.0 END)
+           |   * 1000000.0) / 1000000.0 + 0.0) AS roll_med,
+           |  (round((CASE WHEN rn >= 21 THEN (q3 - q1) / 100.0 END)
+           |   * 1000000.0) / 1000000.0 + 0.0) AS roll_iqr
+           |FROM f""".stripMargin,
 
       "ind_kama" ->
         s"""WITH RECURSIVE bars AS (${EventBars.sqlBars}),

@@ -328,6 +328,16 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(p) == 2)
   }
 
+  test("frame-window family shares ONE partition exchange") {
+    Seq("rel_window_frames", "ind_ichimoku", "ts_rolling_median").foreach { q =>
+      assert(shuffles(plan(q)) == 1, q)
+    }
+  }
+
+  test("text_readability is a pure projection: zero exchanges") {
+    assert(shuffles(plan("text_readability")) == 0)
+  }
+
   test("cdc_merge: base and log aggregates feed an aligned full-outer join") {
     val p = plan("cdc_merge")
     // one user_id exchange per side, nothing between them and the join
