@@ -910,6 +910,41 @@ object ExtQueries {
             .as("keep"))
     }),
 
+    // K-means (k=8, two Lloyd iterations, deterministic init = the 8
+    // lowest vec_ids). Distances expand to three sequential-fold dot
+    // products (bit-equal across engines); centroid UPDATES are the
+    // only cross-partition float reduction, so component sums run over
+    // micro-quantized longs and the new centroids re-quantize — every
+    // float either never crosses a shuffle or is exact when it does.
+    // Centroids broadcast both rounds; the vectors shuffle only as
+    // (vec_id | cluster·dim)-keyed aggregate partials.
+    "emb_kmeans" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").cast("long").as("vec_id"),
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+      def assign(cents: DataFrame): DataFrame =
+        e.crossJoin(broadcast(cents))
+          .withColumn("d2", expr(
+            "graft_dot(v, v) - 2.0 * graft_dot(v, c) + graft_dot(c, c)"))
+          .groupBy("vec_id")
+          .agg(min(struct(col("d2"), col("cluster"), col("v"))).as("m"))
+          .select(col("vec_id"), col("m.cluster").as("cluster"),
+            col("m.d2").as("d2"), col("m.v").as("v"))
+      val c0 = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cluster"), col("v").as("c"))
+      val c1 = assign(c0)
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .withColumn("xi", expr("CAST(round(x * 1000000.0) AS BIGINT)"))
+        .groupBy("cluster", "dim")
+        .agg(sum(col("xi")).as("sx"), count(lit(1)).as("n"))
+        .withColumn("cx", expr("CAST(CAST(round(CAST(sx AS DOUBLE)" +
+          " / CAST(n AS DOUBLE)) AS BIGINT) AS DOUBLE) / 1000000.0"))
+        .groupBy("cluster")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, cx)))," +
+          " s -> s.cx)").as("c"))
+      assign(c1)
+        .select(col("vec_id"), col("cluster"), Rounding.r6(col("d2")).as("d2"))
+    }),
+
     // Flesch reading-ease / FK grade per document from three exact
     // integer counts (words, sentence enders, ASCII vowel-group
     // syllable proxy) — a per-row projection, no shuffle; the score
@@ -1553,6 +1588,40 @@ object ExtQueries {
          |   * 1000000.0) / 1000000.0 + 0.0) AS dsir_w,
          |  CAST(sr AS DOUBLE) / CAST(n_f AS DOUBLE) / 1000000.0 > 1.0 AS keep
          |FROM g""".stripMargin,
+
+    "emb_kmeans" ->
+      s"""WITH e AS (SELECT vec_id::BIGINT AS vec_id,
+         |    embedding::DOUBLE[] AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cluster, v AS c FROM e WHERE vec_id < 8),
+         |x1 AS (SELECT e.vec_id, e.v, c0.cluster,
+         |    ${dotD("e.v", "e.v")} - 2.0 * ${dotD("e.v", "c0.c")}
+         |      + ${dotD("c0.c", "c0.c")} AS d2
+         |  FROM e CROSS JOIN c0),
+         |a1 AS (SELECT vec_id, v, cluster, d2 FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d2, cluster) AS rk FROM x1)
+         |  WHERE rk = 1),
+         |p1 AS (SELECT cluster,
+         |    generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x FROM a1),
+         |s1 AS (SELECT cluster, dim,
+         |    sum(CAST(round(x * 1000000.0) AS BIGINT))::BIGINT AS sx,
+         |    count(*)::BIGINT AS n
+         |  FROM p1 GROUP BY 1, 2),
+         |c1 AS (SELECT cluster,
+         |    list(CAST(CAST(round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+         |      AS BIGINT) AS DOUBLE) / 1000000.0 ORDER BY dim) AS c
+         |  FROM s1 GROUP BY 1),
+         |x2 AS (SELECT e.vec_id, c1.cluster,
+         |    ${dotD("e.v", "e.v")} - 2.0 * ${dotD("e.v", "c1.c")}
+         |      + ${dotD("c1.c", "c1.c")} AS d2
+         |  FROM e CROSS JOIN c1),
+         |a2 AS (SELECT vec_id, cluster, d2 FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d2, cluster) AS rk FROM x2)
+         |  WHERE rk = 1)
+         |SELECT vec_id, cluster,
+         |  (round((d2) * 1000000.0) / 1000000.0 + 0.0) AS d2
+         |FROM a2""".stripMargin,
 
     "text_readability" ->
       s"""WITH d AS (SELECT doc_id::BIGINT AS doc_id, lang,

@@ -86,6 +86,32 @@ object RelationalQueries {
           count(lit(1)).as("n_lineitems"))
     }),
 
+    // TPC-H Q7 shape — cross-nation trade flow: supplier nation ≠
+    // customer nation, revenue per (supp_nation, cust_nation,
+    // ship-year). Same posture as q5: every dimension broadcasts, the
+    // single shuffle is the final rollup.
+    "q7_nation_trade" -> ((s, dir) => {
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      val sup = t(s, dir, "supplier")
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(ord), li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sk"))
+        .join(broadcast(n2), col("c_nationkey") === col("ck"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(Rounding.r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue"),
+          count(lit(1)).as("n_lineitems"))
+    }),
+
     // Grouping-sets/rollup surface (free from Spark SQL; SURVEY.md §2).
     // ROLLUP/CUBE/GROUPING SETS all pre-aggregate to the LEAF groups
     // first, then expand only the partials: a naive .cube() plans
@@ -448,6 +474,21 @@ object RelationalQueries {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    "q7_nation_trade" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  (round(sum(l_extendedprice * (1.0 - l_discount)), 4) + 0.0)
+        |    AS revenue,
+        |  count(*) AS n_lineitems
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "q5_nation_revenue" ->
       """SELECT n_name,

@@ -308,6 +308,22 @@ object Ts2Queries {
             .as("roll_iqr"))
     }),
 
+    // RiskMetrics-style EWMA volatility, λ = 0.9 (= the EMA(19) decay,
+    // so the shared single-state kernel drives it): v_t = λ·v_{t−1} +
+    // (1−λ)·r², seeded 0 at each ticker's first bar (no return yet).
+    // One exchange; the recursion runs in the same
+    // AggregateWindowFunction state machine as the EMA family.
+    "ts_ewm_vol" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      EventBars.bars(s, dir)
+        .withColumn("r", col("close") - lag(col("close"), 1).over(w))
+        .withColumn("x", coalesce(col("r") * col("r"), lit(0.0)))
+        .withColumn("v", expr("graft_ema3_w(x, 19)").over(w).getField("e1"))
+        .select(col("ticker"), col("t"), col("event_id"),
+          r6(col("v")).as("ewm_var"),
+          r6(sqrt(col("v"))).as("ewm_vol"))
+    }),
+
     // KAMA(10, 2, 30): Kaufman adaptive moving average. The efficiency
     // ratio |close − close₋₁₀| / Σ₁₀|Δclose| and the squared smoothing
     // constant are plain frame arithmetic on the shared exchange; the
@@ -831,6 +847,27 @@ object Ts2Queries {
            |  (round((CASE WHEN rn >= 21 THEN (q3 - q1) / 100.0 END)
            |   * 1000000.0) / 1000000.0 + 0.0) AS roll_iqr
            |FROM f""".stripMargin,
+
+      "ts_ewm_vol" ->
+        s"""WITH RECURSIVE bars AS (${EventBars.sqlBars}),
+           |nb0 AS (SELECT ticker, t, event_id,
+           |    row_number() OVER ($Over) AS rn,
+           |    close - lag(close) OVER ($Over) AS r
+           |  FROM bars),
+           |nb AS (SELECT ticker, t, event_id, rn,
+           |    coalesce(r * r, 0.0) AS x FROM nb0),
+           |rec AS (
+           |  SELECT ticker, t, event_id, rn, x AS v
+           |  FROM nb WHERE rn = 1
+           |  UNION ALL
+           |  SELECT nb.ticker, nb.t, nb.event_id, nb.rn,
+           |    (2.0/20.0)*nb.x + (1.0 - 2.0/20.0)*r.v
+           |  FROM rec r JOIN nb
+           |    ON nb.ticker = r.ticker AND nb.rn = r.rn + 1)
+           |SELECT ticker, t, event_id,
+           |  (round((v) * 1000000.0) / 1000000.0 + 0.0) AS ewm_var,
+           |  (round(sqrt(v) * 1000000.0) / 1000000.0 + 0.0) AS ewm_vol
+           |FROM rec""".stripMargin,
 
       "ind_kama" ->
         s"""WITH RECURSIVE bars AS (${EventBars.sqlBars}),

@@ -6,7 +6,7 @@ object PlanProbeDrive {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.001"
-    for (q <- Seq("rel_window_frames", "ind_ichimoku", "ts_rolling_median", "text_readability")) {
+    for (q <- Seq("q7_nation_trade", "ts_ewm_vol", "emb_kmeans")) {
       val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
       val ex = "Exchange hashpartitioning".r.findAllIn(p).length
       val sp = "Exchange SinglePartition".r.findAllIn(p).length

@@ -338,6 +338,24 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(plan("text_readability")) == 0)
   }
 
+  test("q7: five broadcasts, one shuffle — the q5 posture") {
+    val p = plan("q7_nation_trade")
+    assert("BroadcastExchange".r.findAllIn(p).length == 5)
+    assert(shuffles(p) == 1)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("ts_ewm_vol rides the one ticker exchange") {
+    assert(shuffles(plan("ts_ewm_vol")) == 1)
+  }
+
+  test("emb_kmeans: centroids broadcast both rounds, no vector SMJ") {
+    val p = plan("emb_kmeans")
+    assert("BroadcastExchange".r.findAllIn(p).length == 2)
+    assert(!p.contains("SortMergeJoin"))
+    assert(shuffles(p) == 4)
+  }
+
   test("cdc_merge: base and log aggregates feed an aligned full-outer join") {
     val p = plan("cdc_merge")
     // one user_id exchange per side, nothing between them and the join
