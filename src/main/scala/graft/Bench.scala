@@ -52,20 +52,27 @@ object Bench {
       if (s.endsWith(".0")) s.dropRight(2) else s
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    def line(fmt: Double => String): String =
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":""" +
-        results.toSeq.sortBy(_._1)
+    // The stdout line must fit the driver's ~2000-char tail window: at
+    // 150+ queries even one-decimal entries overflow it, so the line
+    // carries the TOTAL over every query plus the 40 slowest
+    // individually; the full-precision full map lands in
+    // target/bench_detail.json.
+    def line(fmt: Double => String, keys: Set[String]): String =
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec",""" +
+        s""""n_queries":${results.size},"queries":""" +
+        results.toSeq.filter(kv => keys(kv._1)).sortBy(_._1)
           .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
           .mkString("{", ",", "}") +
         s""","sf":"${new java.io.File(sfDir).getName}"}"""
+    val slowest40 = results.toSeq.sortBy(-_._2).take(40).map(_._1).toSet
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("target/bench_detail.json"),
-      line(f2).getBytes("UTF-8"))
+      line(f2, results.keySet.toSet).getBytes("UTF-8"))
     catch { case _: Throwable => () }
     // Silence shutdown logging BEFORE stop(): a late stderr flush
     // landing after the JSON line would push it out of the tail window.
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
-    println(line(f1))
+    println(line(f1, slowest40))
   }
 }
