@@ -324,6 +324,49 @@ object Ts2Queries {
           r6(sqrt(col("v"))).as("ewm_vol"))
     }),
 
+    // APO(12, 26): EMA12 − EMA26 of close. Two instances of the same
+    // single-state EMA machine on the one ticker exchange; the oracle
+    // runs ONE recursion carrying both states.
+    "ind_apo" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      EventBars.bars(s, dir)
+        .withColumn("e12", expr("graft_ema3_w(close, 12)").over(w).getField("e1"))
+        .withColumn("e26", expr("graft_ema3_w(close, 26)").over(w).getField("e1"))
+        .select(col("ticker"), col("t"), col("event_id"),
+          r6(col("e12") - col("e26")).as("apo"))
+    }),
+
+    // ADXR(14): (ADX + ADX₁₄ bars ago)/2 — one lag over the same
+    // exchange the ADX state machine already runs on.
+    "ind_adxr" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      EventBars.bars(s, dir)
+        .withColumn("adx", expr("graft_adx_w(high, low, close)").over(w))
+        .select(col("ticker"), col("t"), col("event_id"),
+          r6((col("adx") + lag(col("adx"), 14).over(w)) / lit(2.0))
+            .as("adxr"))
+    }),
+
+    // Chaikin A/D oscillator (3, 10): money-flow volume accumulates as
+    // MICRO-QUANTIZED longs (a raw double running sum would pit
+    // Spark's sequential fold against DuckDB's segment tree), then
+    // EMA3 − EMA10 of the exact A/D line — one dual-state machine.
+    "ind_adosc" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      EventBars.bars(s, dir)
+        .withColumn("mfv", expr("CAST(round(" +
+          "((close - low) - (high - close)) / (high - low) * volume" +
+          " * 1000000.0) AS BIGINT)"))
+        .withColumn("ad", expr("CAST(sum(mfv) OVER (" +
+          "PARTITION BY ticker ORDER BY t, event_id" +
+          " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)" +
+          " AS DOUBLE) / 1000000.0"))
+        .withColumn("e3", expr("graft_ema3_w(ad, 3)").over(w).getField("e1"))
+        .withColumn("e10", expr("graft_ema3_w(ad, 10)").over(w).getField("e1"))
+        .select(col("ticker"), col("t"), col("event_id"),
+          r6(col("e3") - col("e10")).as("adosc"))
+    }),
+
     // KAMA(10, 2, 30): Kaufman adaptive moving average. The efficiency
     // ratio |close − close₋₁₀| / Σ₁₀|Δclose| and the squared smoothing
     // constant are plain frame arithmetic on the shared exchange; the
@@ -867,6 +910,57 @@ object Ts2Queries {
            |SELECT ticker, t, event_id,
            |  (round((v) * 1000000.0) / 1000000.0 + 0.0) AS ewm_var,
            |  (round(sqrt(v) * 1000000.0) / 1000000.0 + 0.0) AS ewm_vol
+           |FROM rec""".stripMargin,
+
+      "ind_apo" ->
+        s"""WITH RECURSIVE bars AS (${EventBars.sqlBars}),
+           |nb AS (SELECT ticker, t, event_id, close,
+           |    row_number() OVER ($Over) AS rn FROM bars),
+           |rec AS (
+           |  SELECT ticker, t, event_id, rn, close AS ea, close AS eb
+           |  FROM nb WHERE rn = 1
+           |  UNION ALL
+           |  SELECT nb.ticker, nb.t, nb.event_id, nb.rn,
+           |    (2.0/13.0)*nb.close + (1.0 - 2.0/13.0)*r.ea,
+           |    (2.0/27.0)*nb.close + (1.0 - 2.0/27.0)*r.eb
+           |  FROM rec r JOIN nb
+           |    ON nb.ticker = r.ticker AND nb.rn = r.rn + 1)
+           |SELECT ticker, t, event_id,
+           |  (round((ea - eb) * 1000000.0) / 1000000.0 + 0.0) AS apo
+           |FROM rec""".stripMargin,
+
+      "ind_adxr" ->
+        s"""WITH RECURSIVE bars AS (${EventBars.sqlBars}),
+           |${graft.ind.RecursiveIndicators.sqlStages("bars",
+              Seq("ticker"), Seq("t", "event_id"))}
+           |SELECT ticker, t, event_id,
+           |  (round(((adx + lag(adx, 14) OVER ($Over)) / 2.0)
+           |   * 1000000.0) / 1000000.0 + 0.0) AS adxr
+           |FROM ri_final""".stripMargin,
+
+      "ind_adosc" ->
+        s"""WITH RECURSIVE bars AS (${EventBars.sqlBars}),
+           |ml AS (SELECT ticker, t, event_id,
+           |    CAST(round(((close - low) - (high - close)) / (high - low)
+           |      * volume * 1000000.0) AS BIGINT) AS mfv
+           |  FROM bars),
+           |ad0 AS (SELECT ticker, t, event_id,
+           |    row_number() OVER ($Over) AS rn,
+           |    CAST(sum(mfv) OVER ($Over
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS DOUBLE) / 1000000.0 AS ad
+           |  FROM ml),
+           |rec AS (
+           |  SELECT ticker, t, event_id, rn, ad AS ea, ad AS eb
+           |  FROM ad0 WHERE rn = 1
+           |  UNION ALL
+           |  SELECT nb.ticker, nb.t, nb.event_id, nb.rn,
+           |    (2.0/4.0)*nb.ad + (1.0 - 2.0/4.0)*r.ea,
+           |    (2.0/11.0)*nb.ad + (1.0 - 2.0/11.0)*r.eb
+           |  FROM rec r JOIN ad0 nb
+           |    ON nb.ticker = r.ticker AND nb.rn = r.rn + 1)
+           |SELECT ticker, t, event_id,
+           |  (round((ea - eb) * 1000000.0) / 1000000.0 + 0.0) AS adosc
            |FROM rec""".stripMargin,
 
       "ind_kama" ->

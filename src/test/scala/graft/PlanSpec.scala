@@ -349,6 +349,12 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(plan("ts_ewm_vol")) == 1)
   }
 
+  test("EMA-kernel composites (apo/adxr/adosc) stay on one exchange") {
+    Seq("ind_apo", "ind_adxr", "ind_adosc").foreach { q =>
+      assert(shuffles(plan(q)) == 1, q)
+    }
+  }
+
   test("emb_kmeans: centroids broadcast both rounds, no vector SMJ") {
     val p = plan("emb_kmeans")
     assert("BroadcastExchange".r.findAllIn(p).length == 2)
