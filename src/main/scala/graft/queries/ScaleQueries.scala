@@ -139,23 +139,30 @@ object ScaleQueries {
     // into the rebuild. Docs that lose everything (or had no tokens)
     // still appear, with an empty clean_text.
     "dedup_lines" -> ((s, dir) => {
-      val sg = segments(s, dir)
-      val first = sg.groupBy("h")
-        .agg(min(struct(col("doc_id"), col("seg_idx"))).as("m"))
-      val kept = sg.join(first, "h")
-        .filter(col("doc_id") === col("m.doc_id") &&
-          col("seg_idx") === col("m.seg_idx"))
-      val totals = sg.groupBy("doc_id").agg(count(lit(1)).as("n_segs"))
+      // The segment pipeline (tokenize → hash → explode) runs ONCE:
+      // the keep-first argmin struct carries the winning segment's
+      // text through the partial aggregates — no join back to the
+      // exploded segments — and per-doc totals come straight from the
+      // token count (⌈|wh|/8⌉), a projection, not a second explode.
+      val kept = segments(s, dir)
+        .groupBy("h")
+        .agg(min(struct(col("doc_id"), col("seg_idx"), col("seg"))).as("m"))
+        .select(col("m.doc_id").as("doc_id"), col("m.seg_idx").as("seg_idx"),
+          col("m.seg").as("seg"))
+      val totals = docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          expr(s"size($toksSpark)").as("nw"))
+        .select(col("doc_id"),
+          expr(s"CAST(CASE WHEN nw > 0 THEN (nw - 1) DIV $SegTok + 1" +
+            " ELSE 0 END AS BIGINT)").as("n_segs"))
       val rebuilt = kept.groupBy("doc_id").agg(
         count(lit(1)).as("n_kept"),
         concat_ws(" ", expr(
           "transform(array_sort(collect_list(struct(seg_idx, seg))), x -> x.seg)"))
           .as("clean_text"))
-      docs(s, dir).select(col("doc_id").cast("long").as("doc_id"))
-        .join(totals, Seq("doc_id"), "left")
+      totals
         .join(rebuilt, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+        .select(col("doc_id"), col("n_segs"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           coalesce(col("clean_text"), lit("")).as("clean_text"))
     }),
