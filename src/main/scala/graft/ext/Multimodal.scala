@@ -101,6 +101,40 @@ object Multimodal {
     }(Encoders.row(frameSchema))
   }
 
+  private val rmsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", LongType),
+    StructField("n_samples", LongType),
+    StructField("energy", LongType)))
+
+  /** "Audio RMS": per-frame energy over the payload treated as 8-bit
+    * PCM samples (STUB for audio decode — the real pipeline would
+    * decompress first; the frame/energy plumbing is the real shape).
+    * Energy folds as EXACT long sums inside the scan task; only
+    * (doc_id, frame_idx, two longs) ever leave it. */
+  def audioRms(media: DataFrame, frameSize: Int): DataFrame = {
+    val idIdx = media.schema.fieldIndex("doc_id")
+    val plIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { it: Iterator[Row] =>
+      it.flatMap { r =>
+        val id = r.getAs[Number](idIdx).longValue
+        val raw = r.getAs[Array[Byte]](plIdx)
+        val bytes = if (raw == null) Array.emptyByteArray else raw
+        val n = (bytes.length + frameSize - 1) / frameSize
+        (0 until n).iterator.map { f =>
+          val start = f * frameSize
+          val len = math.min(frameSize, bytes.length - start)
+          var e = 0L
+          var i = start
+          while (i < start + len) {
+            val v = (bytes(i) & 0xff).toLong; e += v * v; i += 1
+          }
+          Row(id, f.toLong, len.toLong, e)
+        }
+      }
+    }(Encoders.row(rmsSchema))
+  }
+
   private val phashSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("phash", LongType)))

@@ -250,6 +250,32 @@ object BehaviorQueries {
         .filter(col("n_edges") > 0) // empty-in → empty-out
     }),
 
+    // Neighbor-overlap link scoring on the near-dup graph: per edge,
+    // common-neighbor count and neighborhood Jaccard (the classic
+    // link-prediction feature). Everything is equi-joins over the ONCE-
+    // materialized edge list (the localCheckpoint treatment — the LSH
+    // pipeline is far heavier than the edges); counts are exact longs.
+    "graph_jaccard" -> ((s, dir) => {
+      val ed = edges(s, dir).localCheckpoint()
+      val sym = ed.select(col("a").as("u"), col("b").as("v"))
+        .union(ed.select(col("b").as("u"), col("a").as("v")))
+      val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
+      val cn = ed.as("e")
+        .join(sym.as("x"), col("e.a") === col("x.u"))
+        .join(sym.as("y"),
+          col("e.b") === col("y.u") && col("x.v") === col("y.v"))
+        .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+        .agg(count(lit(1)).as("nc0"))
+      ed.join(cn, Seq("a", "b"), "left")
+        .join(deg.select(col("u").as("a"), col("d").as("deg_a")), Seq("a"))
+        .join(deg.select(col("u").as("b"), col("d").as("deg_b")), Seq("b"))
+        .withColumn("n_common", coalesce(col("nc0"), lit(0L)))
+        .select(col("a"), col("b"), col("n_common"), col("deg_a"),
+          col("deg_b"),
+          r6(expr("try_divide(CAST(n_common AS DOUBLE), " +
+            "CAST(deg_a + deg_b - 2 - n_common AS DOUBLE))")).as("jaccard"))
+    }),
+
     // Adjacent-bigram PMI over the corpus (count ≥ 5): bigram counts
     // collapse map-side; the unigram dictionary and corpus totals are
     // broadcast (bounded vocabulary). All inputs to ln() are exact
@@ -522,6 +548,27 @@ object BehaviorQueries {
          |  CASE WHEN n_wedges > 0
          |    THEN (3.0 * n_triangles) / n_wedges END AS clustering
          |FROM ne, tr, wg WHERE n_edges > 0""".stripMargin,
+
+    "graph_jaccard" ->
+      s"""WITH ${ExtQueries.lshPairsDuck},
+         |sym AS (SELECT a AS u, b AS v FROM pr
+         |  UNION ALL SELECT b, a FROM pr),
+         |deg AS (SELECT u, count(*)::BIGINT AS d FROM sym GROUP BY 1),
+         |cn AS (SELECT e.a, e.b, count(*)::BIGINT AS nc0
+         |  FROM pr e JOIN sym x ON e.a = x.u
+         |  JOIN sym y ON e.b = y.u AND x.v = y.v
+         |  GROUP BY 1, 2)
+         |SELECT e.a, e.b, coalesce(cn.nc0, 0)::BIGINT AS n_common,
+         |  da.d AS deg_a, db2.d AS deg_b,
+         |  (round((CASE
+         |     WHEN da.d + db2.d - 2 - coalesce(cn.nc0, 0) = 0 THEN NULL
+         |     ELSE CAST(coalesce(cn.nc0, 0) AS DOUBLE)
+         |       / CAST(da.d + db2.d - 2 - coalesce(cn.nc0, 0) AS DOUBLE)
+         |   END) * 1000000.0) / 1000000.0 + 0.0) AS jaccard
+         |FROM pr e
+         |LEFT JOIN cn ON e.a = cn.a AND e.b = cn.b
+         |JOIN deg da ON e.a = da.u
+         |JOIN deg db2 ON e.b = db2.u""".stripMargin,
 
     "text_pmi" ->
       s"""WITH dtt AS (SELECT doc_id::BIGINT AS doc_id,

@@ -530,6 +530,15 @@ object ExtQueries {
     "mm_frames" -> ((s, dir) =>
       Multimodal.frameSample(Multimodal.mediaTable(docs(s, dir)), 64)),
 
+    // Audio-energy stub: 256-sample frames, exact integer energy folds
+    // inside the scan task (mapPartitions), RMS derived from the two
+    // exact longs afterwards — the Σx² never crosses an engine as a
+    // float.
+    "mm_audio_rms" -> ((s, dir) =>
+      Multimodal.audioRms(Multimodal.mediaTable(docs(s, dir)), 256)
+        .withColumn("rms", Rounding.r6(expr(
+          "sqrt(CAST(energy AS DOUBLE) / CAST(n_samples AS DOUBLE))")))),
+
     // Media near-dup via average-hash: per-payload 32-pixel fingerprint
     // (mapPartitions, bytes never leave the scan task), then duplicate
     // groups = one count window over the 8-byte hash — the only
@@ -764,6 +773,35 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_toks"),
           Rounding.r6(avg(log10(col("c").cast("double") / col("nt"))))
             .as("avg_lp"))
+    }),
+
+    // Bigram-LM quality score with add-one smoothing: score(doc) =
+    // mean over positions of log10 P(w₂|w₁), P = (c(w₁w₂)+1)/(c(w₁)+V).
+    // Counts and V are exact longs, so every log input is an exact
+    // ratio; the per-doc fold runs in explode order (same trick as the
+    // unigram scorer). Dictionaries broadcast; documents never shuffle.
+    "text_bigram_lp" -> ((s, dir) => {
+      val dt = docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          expr(toksSpark).as("toks"))
+      val tk = dt.select(col("doc_id"), explode(col("toks")).as("tok"))
+      val c1 = tk.groupBy("tok").agg(count(lit(1)).as("c1"))
+      val vsize = c1.agg(count(lit(1)).cast("double").as("v"))
+      val bg = dt.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(element_at(toks, i) AS w1," +
+            " element_at(toks, i + 1) AS w2))")).as(Seq("pos", "b")))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      bg.join(broadcast(c2), Seq("w1", "w2"))
+        .join(broadcast(c1.withColumnRenamed("tok", "w1")), Seq("w1"))
+        .crossJoin(broadcast(vsize))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          Rounding.r6(avg(log10(
+            (col("c2").cast("double") + lit(1.0))
+              / (col("c1").cast("double") + col("v"))))).as("avg_lp"))
     }),
 
     // Per-label embedding centroids — the "domain mean vector" used
@@ -1622,6 +1660,39 @@ object ExtQueries {
          |SELECT vec_id, cluster,
          |  (round((d2) * 1000000.0) / 1000000.0 + 0.0) AS d2
          |FROM a2""".stripMargin,
+
+    "mm_audio_rms" ->
+      """WITH d AS (SELECT doc_id::BIGINT AS doc_id, text,
+        |    octet_length(coalesce(text, '')::BLOB) AS n FROM documents),
+        |p AS (SELECT doc_id, text, n,
+        |    unnest(generate_series(1, n)) AS pos FROM d),
+        |b AS (SELECT doc_id, (pos - 1) // 256 AS frame_idx,
+        |    unicode(substr(text, pos::INT, 1))::BIGINT AS v FROM p),
+        |g AS (SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+        |    count(*)::BIGINT AS n_samples, sum(v * v)::BIGINT AS energy
+        |  FROM b GROUP BY 1, 2)
+        |SELECT doc_id, frame_idx, n_samples, energy,
+        |  (round(sqrt(CAST(energy AS DOUBLE) / CAST(n_samples AS DOUBLE))
+        |   * 1000000.0) / 1000000.0 + 0.0) AS rms
+        |FROM g""".stripMargin,
+
+    "text_bigram_lp" ->
+      s"""WITH $docToks,
+         |tk AS (SELECT doc_id, unnest(toks) AS tok FROM dt),
+         |c1 AS (SELECT tok AS w1, count(*)::BIGINT AS c1 FROM tk GROUP BY 1),
+         |vs AS (SELECT count(*)::DOUBLE AS v FROM c1),
+         |bg AS (SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, len(toks) - 1),
+         |      i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS b
+         |  FROM dt WHERE len(toks) >= 2),
+         |b2 AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+         |c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2
+         |  FROM b2 GROUP BY 1, 2)
+         |SELECT b2.doc_id, count(*)::BIGINT AS n_bigrams,
+         |  (round(avg(log10((CAST(c2.c2 AS DOUBLE) + 1.0)
+         |    / (CAST(c1.c1 AS DOUBLE) + vs.v))), 6) + 0.0) AS avg_lp
+         |FROM b2 JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vs
+         |GROUP BY 1""".stripMargin,
 
     "text_readability" ->
       s"""WITH d AS (SELECT doc_id::BIGINT AS doc_id, lang,

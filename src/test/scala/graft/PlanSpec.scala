@@ -362,6 +362,23 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(p) == 4)
   }
 
+  test("text_bigram_lp: dictionaries broadcast, docs never sort-merge") {
+    val p = plan("text_bigram_lp")
+    assert("BroadcastExchange".r.findAllIn(p).length == 3)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("mm_audio_rms: energy folds inside the scan task, zero exchanges") {
+    assert(shuffles(plan("mm_audio_rms")) == 0)
+  }
+
+  test("graph_jaccard joins run over the checkpointed edge list only") {
+    // localCheckpoint truncates lineage: the LSH candidate pipeline
+    // (shingle/minhash exprs) must not appear anywhere in the plan
+    val p = plan("graph_jaccard")
+    assert(!p.contains("graft_minhash") && !p.contains("graft_shingles"))
+  }
+
   test("cdc_merge: base and log aggregates feed an aligned full-outer join") {
     val p = plan("cdc_merge")
     // one user_id exchange per side, nothing between them and the join
