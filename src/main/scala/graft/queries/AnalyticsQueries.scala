@@ -80,6 +80,25 @@ object AnalyticsQueries {
           Rounding.r6(nth_value(col("value"), 3).over(wf)).as("third_seen"))
     }),
 
+    // Feature hashing (the hashing trick): the user×event-type cross
+    // hashed into 1024 buckets — unbounded categorical crosses become a
+    // fixed-width feature space. The hash is the corpus's polynomial
+    // char fold; bucket stats are one exchange of exact longs.
+    "feat_hashed_cross" -> ((s, dir) => {
+      val P = graft.ext.TextOps.P
+      ev(s, dir)
+        .withColumn("ht", expr(
+          "aggregate(transform(regexp_extract_all(event_type, '.', 0), " +
+            s"c -> CAST(ascii(c) AS BIGINT)), 7L, (a, b) -> (a*131 + b) % ${P}L)"))
+        .withColumn("bucket",
+          expr(s"((ht * 31 + user_id % ${P}L) % ${P}L) % 1024"))
+        .withColumn("c", expr("CAST(round(value * 100) AS BIGINT)"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("c")).as("sum_cents"))
+    }),
+
     // Weekly cohort retention: users bucketed by their FIRST active
     // week; each later active week increments that cohort's
     // week-offset cell. Shape: distinct (user, week) partials first
@@ -274,6 +293,24 @@ object AnalyticsQueries {
         |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
         |  wf AS (PARTITION BY user_id ORDER BY t, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "feat_hashed_cross" ->
+      s"""WITH e AS (SELECT user_id::BIGINT AS user_id, event_type, value
+         |  FROM events),
+         |h AS (SELECT *,
+         |    list_reduce(list_prepend(7::BIGINT,
+         |      list_transform(regexp_extract_all(event_type, '.'),
+         |        c -> unicode(c)::BIGINT)),
+         |      (a, b) -> (a*131 + b) % ${graft.ext.TextOps.P}) AS ht
+         |  FROM e),
+         |b AS (SELECT
+         |    ((ht * 31 + user_id % ${graft.ext.TextOps.P})
+         |      % ${graft.ext.TextOps.P}) % 1024 AS bucket,
+         |    user_id, CAST(round(value * 100) AS BIGINT) AS c FROM h)
+         |SELECT bucket, count(*)::BIGINT AS n_events,
+         |  count(DISTINCT user_id)::BIGINT AS n_users,
+         |  sum(c)::BIGINT AS sum_cents
+         |FROM b GROUP BY 1""".stripMargin,
 
     "agg_retention" ->
       """WITH uw AS (SELECT DISTINCT user_id::BIGINT AS user_id,

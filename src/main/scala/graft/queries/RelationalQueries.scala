@@ -112,6 +112,26 @@ object RelationalQueries {
           count(lit(1)).as("n_lineitems"))
     }),
 
+    // TPC-H Q10 shape — top returned-revenue customers: returnflag='R'
+    // lineitems joined through orders to customer+nation, top 20 by
+    // revenue. Dims broadcast; the one shuffle is the customer rollup;
+    // the top-20 is a TakeOrdered with a full deterministic tiebreak.
+    "q10_returned_items" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val nation = t(s, dir, "nation")
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      li.join(broadcast(ord), li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(Rounding.r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // Grouping-sets/rollup surface (free from Spark SQL; SURVEY.md §2).
     // ROLLUP/CUBE/GROUPING SETS all pre-aggregate to the LEAF groups
     // first, then expand only the partials: a naive .cube() plans
@@ -474,6 +494,20 @@ object RelationalQueries {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  (round(sum(l_extendedprice * (1.0 - l_discount)), 4) + 0.0)
+        |    AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
 
     "q7_nation_trade" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -338,6 +338,19 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(plan("text_readability")) == 0)
   }
 
+  test("q10: dims broadcast, one shuffle, top-20 is a TakeOrdered") {
+    val p = plan("q10_returned_items")
+    assert("BroadcastExchange".r.findAllIn(p).length == 3)
+    assert(shuffles(p) == 1)
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("feat_hashed_cross: char-fold hash stays in one exchange pair") {
+    val p = plan("feat_hashed_cross")
+    assert(shuffles(p) == 2) // count-distinct two-phase over 1024 buckets
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q7: five broadcasts, one shuffle — the q5 posture") {
     val p = plan("q7_nation_trade")
     assert("BroadcastExchange".r.findAllIn(p).length == 5)
