@@ -983,6 +983,61 @@ object ExtQueries {
         .select(col("vec_id"), col("cluster"), Rounding.r6(col("d2")).as("d2"))
     }),
 
+    // PCA first principal component by power iteration — every number
+    // that crosses an engine boundary is an exact integer. Components
+    // micro-quantize; the dim means and the 64×64 centered covariance
+    // reduce as exact long sums (the covariance is FIXED-SIZE whatever
+    // the corpus, so collecting it to the driver is the broadcast-
+    // build-side posture, not a data-sized collect); 12 power-iteration
+    // rounds run in arbitrary-precision integers (Scala BigInt here,
+    // HUGEINT in the mirrored unrolled-CTE oracle) with a
+    // truncate-toward-zero max-norm requantize each round and a
+    // first-nonzero-positive sign canon; the projection folds exact
+    // long products per vector. At corpora where a cov cell exceeds
+    // int64 (~1e18 micro²·rows), widen the cell sums to DECIMAL(38,0).
+    "emb_pca1" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").cast("long").as("vec_id"),
+        expr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+          "x -> CAST(round(x * 1000000.0) AS BIGINT))").as("xi"))
+      val meansRows = e.select(posexplode(col("xi")).as(Seq("dim", "x")))
+        .groupBy("dim")
+        .agg(expr("CAST(round(CAST(sum(x) AS DOUBLE) / CAST(count(1) AS DOUBLE))" +
+          " AS BIGINT)").as("m"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      val mArr =
+        if (meansRows.isEmpty) "CAST(array() AS ARRAY<BIGINT>)"
+        else meansRows.map(_._2 + "L").mkString("array(", ",", ")")
+      val centered = e.withColumn("c",
+        expr(s"zip_with(xi, $mArr, (x, m) -> x - m)"))
+      val covRows = centered
+        .select(explode(expr("flatten(transform(c, (xi, i) -> " +
+          "transform(c, (xj, j) -> struct(i AS i, j AS j, xi * xj AS p))))"))
+          .as("z"))
+        .groupBy(col("z.i").as("i"), col("z.j").as("j"))
+        .agg(sum(col("z.p")).as("mij"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      val d = if (meansRows.isEmpty) 0 else meansRows.length
+      val M = Array.fill(d, d)(BigInt(0))
+      covRows.foreach { case (i, j, v) => M(i)(j) = BigInt(v) }
+      var v = Array.fill(d)(BigInt(1000000))
+      for (_ <- 1 to 12) {
+        val wv = Array.tabulate(d)(i =>
+          (0 until d).map(j => M(i)(j) * v(j)).foldLeft(BigInt(0))(_ + _))
+        val mx = if (d == 0) BigInt(0) else wv.map(_.abs).max
+        if (mx > 0)
+          v = wv.map(t =>
+            if (t >= 0) t * 1000000 / mx else -((-t) * 1000000 / mx))
+      }
+      if (v.exists(_ != 0) && v.find(_ != 0).get < 0) v = v.map(-_)
+      val vArr =
+        if (d == 0) "CAST(array() AS ARRAY<BIGINT>)"
+        else v.map(_.toString + "L").mkString("array(", ",", ")")
+      centered.select(col("vec_id"),
+        Rounding.r6(expr(s"CAST(aggregate(zip_with(c, $vArr, " +
+          "(x, w) -> x * w), 0L, (a, b) -> a + b) AS DOUBLE)" +
+          " / 1000000000000.0")).as("pc1"))
+    }),
+
     // Flesch reading-ease / FK grade per document from three exact
     // integer counts (words, sentence enders, ASCII vowel-group
     // syllable proxy) — a per-row projection, no shuffle; the score
@@ -1660,6 +1715,52 @@ object ExtQueries {
          |SELECT vec_id, cluster,
          |  (round((d2) * 1000000.0) / 1000000.0 + 0.0) AS d2
          |FROM a2""".stripMargin,
+
+    "emb_pca1" -> {
+      // 12 unrolled power-iteration layers; HUGEINT keeps every
+      // product exact, mirroring the Scala BigInt loop bit-for-bit.
+      // MATERIALIZED everywhere: DuckDB inlines plain CTEs per
+      // reference, and 12 chained layers each referencing the previous
+      // twice would expand exponentially (symptom: "Too many open
+      // files" from re-scanning the parquet thousands of times).
+      val iters = (1 to 12).map { k =>
+        val (pv, w, x, nv) = (s"v${k - 1}", s"w$k", s"x$k", s"v$k")
+        s"""$w AS MATERIALIZED (SELECT m.i, sum(m.mij * $pv.q) AS w
+           |  FROM mm m JOIN $pv ON m.j = $pv.i GROUP BY 1),
+           |$x AS MATERIALIZED (SELECT max(abs(w)) AS mx FROM $w),
+           |$nv AS MATERIALIZED (SELECT $w.i,
+           |    CASE WHEN $x.mx = 0 THEN $pv.q
+           |      WHEN $w.w >= 0 THEN ($w.w * 1000000) // $x.mx
+           |      ELSE -(((-$w.w) * 1000000) // $x.mx) END AS q
+           |  FROM $w JOIN $pv ON $w.i = $pv.i CROSS JOIN $x)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (SELECT vec_id::BIGINT AS vec_id,
+         |    list_transform(embedding::DOUBLE[],
+         |      x -> CAST(round(x * 1000000.0) AS BIGINT)) AS xi
+         |  FROM embeddings),
+         |px AS MATERIALIZED (SELECT vec_id, unnest(xi) AS x,
+         |    generate_subscripts(xi, 1) - 1 AS dim FROM e),
+         |mn AS MATERIALIZED (SELECT dim,
+         |    CAST(round(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+         |      AS BIGINT) AS m
+         |  FROM px GROUP BY 1),
+         |cx AS MATERIALIZED (SELECT vec_id, dim, x - m AS c
+         |  FROM px JOIN mn USING (dim)),
+         |mm AS MATERIALIZED (SELECT a.dim AS i, b.dim AS j,
+         |    sum(a.c::HUGEINT * b.c) AS mij
+         |  FROM cx a JOIN cx b USING (vec_id) GROUP BY 1, 2),
+         |v0 AS MATERIALIZED (SELECT dim AS i, 1000000::HUGEINT AS q FROM mn),
+         |$iters,
+         |sg AS (SELECT coalesce((SELECT CASE WHEN q < 0 THEN -1 ELSE 1 END
+         |    FROM v12 WHERE q <> 0 ORDER BY i LIMIT 1), 1) AS s),
+         |vf AS (SELECT i, q * (SELECT s FROM sg) AS q FROM v12),
+         |proj AS (SELECT cx.vec_id, sum(cx.c::HUGEINT * vf.q) AS p
+         |  FROM cx JOIN vf ON cx.dim = vf.i GROUP BY 1)
+         |SELECT vec_id,
+         |  (round((CAST(p AS DOUBLE) / 1000000000000.0)
+         |   * 1000000.0) / 1000000.0 + 0.0) AS pc1
+         |FROM proj""".stripMargin
+    },
 
     "mm_audio_rms" ->
       """WITH d AS (SELECT doc_id::BIGINT AS doc_id, text,

@@ -192,6 +192,26 @@ class OpsSpec2 extends SparkSpec {
       }
   }
 
+  test("emb_pca1 projection variance dominates every coordinate axis") {
+    // PC1 maximizes variance over unit directions, so (up to the
+    // micro-quantization of the iterate) its projection variance must
+    // beat the best single coordinate's variance.
+    val pc = graft.queries.ExtQueries.queries("emb_pca1")(spark, sf)
+      .collect().map(_.getAs[Double]("pc1"))
+    assert(pc.nonEmpty)
+    val pcVar = {
+      val m = pc.sum / pc.length
+      pc.map(x => (x - m) * (x - m)).sum / pc.length
+    }
+    val axisVar = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("posexplode(CAST(embedding AS ARRAY<DOUBLE>)) AS (dim, x)")
+      .groupBy("dim")
+      .agg((avg(col("x") * col("x")) - avg(col("x")) * avg(col("x"))).as("v"))
+      .agg(max(col("v"))).collect()(0).getDouble(0)
+    assert(pcVar >= axisVar * 0.999,
+      s"pc1 var $pcVar < best axis var $axisVar")
+  }
+
   test("ts_twap stays inside each day's [min close, max close]") {
     val tw = graft.queries.Ts2Queries.queries("ts_twap")(spark, sf)
     val bounds = graft.queries.EventBars.bars(spark, sf)
