@@ -180,6 +180,27 @@ object AnalyticsQueries {
         lead(col("t"), 1).over(w).isNull.as("is_current"))
     }),
 
+    // Point-in-time (PIT) join against the SCD-2 dimension: each
+    // purchase picks the click-value version in effect at its
+    // timestamp ([valid_from, valid_to) interval containment —
+    // intervals are disjoint per user, so exactly one version wins,
+    // no argmax needed). Both sides hash on user_id, so the range
+    // predicate evaluates inside one aligned join.
+    "join_scd2_pit" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val dim = queries("cdc_scd2")(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("du"), col("valid_from"),
+          col("valid_to"), col("value").as("click_value"))
+      e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("t"), col("event_id"))
+        .join(dim, col("user_id") === col("du")
+          && col("t") >= col("valid_from")
+          && (col("valid_to").isNull || col("t") < col("valid_to")))
+        .select(col("user_id"), col("t"), col("event_id"),
+          col("click_value"), col("valid_from"))
+    }),
+
     // Equi-width histogram of `value` into 20 global buckets. The
     // min/max bounds are a single broadcast row; bucketing is one
     // per-row projection, so the only shuffle carries 20 bucket ids.
@@ -361,6 +382,22 @@ object AnalyticsQueries {
         |FROM e
         |WINDOW w AS (PARTITION BY user_id, event_type
         |  ORDER BY t, event_id)""".stripMargin,
+
+    "join_scd2_pit" ->
+      """WITH e AS (SELECT event_id::BIGINT AS event_id,
+        |    user_id::BIGINT AS user_id, event_type, epoch_us(ts) AS t,
+        |    value FROM events),
+        |dim AS (SELECT user_id AS du, t AS valid_from,
+        |    lead(t, 1) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY t, event_id) AS valid_to,
+        |    (round(value, 6) + 0.0) AS click_value
+        |  FROM e WHERE event_type = 'click'),
+        |fact AS (SELECT user_id, t, event_id FROM e
+        |  WHERE event_type = 'purchase')
+        |SELECT f.user_id, f.t, f.event_id, d.click_value, d.valid_from
+        |FROM fact f JOIN dim d ON f.user_id = d.du
+        |  AND f.t >= d.valid_from
+        |  AND (d.valid_to IS NULL OR f.t < d.valid_to)""".stripMargin,
 
     "agg_histogram" ->
       """WITH e AS (SELECT value FROM events),

@@ -6,7 +6,7 @@ object PlanProbeDrive {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.001"
-    for (q <- Seq("graph_jaccard", "text_bigram_lp", "mm_audio_rms")) {
+    for (q <- Seq("join_scd2_pit")) {
       val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
       val ex = "Exchange hashpartitioning".r.findAllIn(p).length
       val sp = "Exchange SinglePartition".r.findAllIn(p).length

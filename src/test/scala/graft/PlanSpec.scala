@@ -351,6 +351,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("join_scd2_pit: equi-join on user_id carries the range predicate") {
+    val p = plan("join_scd2_pit")
+    assert(!p.contains("BroadcastNestedLoop"))
+    assert(shuffles(p) <= 2)
+  }
+
   test("q7: five broadcasts, one shuffle — the q5 posture") {
     val p = plan("q7_nation_trade")
     assert("BroadcastExchange".r.findAllIn(p).length == 5)
