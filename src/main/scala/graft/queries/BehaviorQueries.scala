@@ -250,6 +250,20 @@ object BehaviorQueries {
         .filter(col("n_edges") > 0) // empty-in → empty-out
     }),
 
+    // Per-user modal event type — mode as an argmax struct over the
+    // (user, type) count rollup, tie broken to the lexicographically
+    // largest type so the pick is deterministic. Two exchanges, both
+    // over count partials.
+    "agg_mode" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(max(struct(col("n"), col("event_type"))).as("m"),
+          sum(col("n")).as("n_events"))
+        .select(col("user_id"), col("m.event_type").as("mode_type"),
+          col("m.n").as("n_mode"), col("n_events"))),
+
     // Neighbor-overlap link scoring on the near-dup graph: per edge,
     // common-neighbor count and neighborhood Jaccard (the classic
     // link-prediction feature). Everything is equi-joins over the ONCE-
@@ -548,6 +562,17 @@ object BehaviorQueries {
          |  CASE WHEN n_wedges > 0
          |    THEN (3.0 * n_triangles) / n_wedges END AS clustering
          |FROM ne, tr, wg WHERE n_edges > 0""".stripMargin,
+
+    "agg_mode" ->
+      s"""WITH $evDuck,
+         |g AS (SELECT user_id, event_type, count(*)::BIGINT AS n
+         |  FROM ev GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY n DESC, event_type DESC) AS rk,
+         |    sum(n) OVER (PARTITION BY user_id)::BIGINT AS n_events
+         |  FROM g)
+         |SELECT user_id, event_type AS mode_type, n AS n_mode, n_events
+         |FROM r WHERE rk = 1""".stripMargin,
 
     "graph_jaccard" ->
       s"""WITH ${ExtQueries.lshPairsDuck},

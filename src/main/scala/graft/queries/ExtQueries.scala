@@ -1038,6 +1038,31 @@ object ExtQueries {
           " / 1000000000000.0")).as("pc1"))
     }),
 
+    // Character-entropy quality signal: H = Σ (n/N)·log₂(N/n) over the
+    // doc's character frequencies. Each term derives from two exact
+    // longs and quantizes to micro-units BEFORE the per-doc sum, so
+    // the cross-partition reduction is exact integers (the log itself
+    // can't land on a rounding boundary — transcendental outputs
+    // don't hit exact .5 micros).
+    "text_entropy" -> ((s, dir) => {
+      val wD = Window.partitionBy("doc_id")
+      docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          explode(expr("regexp_extract_all(text, '.', 0)")).as("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("nn", sum(col("n")).over(wD))
+        .withColumn("term", expr("CAST(round(" +
+          "(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE))" +
+          " * log2(CAST(nn AS DOUBLE) / CAST(n AS DOUBLE))" +
+          " * 1000000.0) AS BIGINT)"))
+        .groupBy("doc_id")
+        .agg(max(col("nn")).as("n_chars"),
+          count(lit(1)).as("n_distinct"),
+          Rounding.r6(expr("CAST(sum(term) AS DOUBLE) / 1000000.0"))
+            .as("entropy"))
+    }),
+
     // Flesch reading-ease / FK grade per document from three exact
     // integer counts (words, sentence enders, ASCII vowel-group
     // syllable proxy) — a per-row projection, no shuffle; the score
@@ -1794,6 +1819,24 @@ object ExtQueries {
          |    / (CAST(c1.c1 AS DOUBLE) + vs.v))), 6) + 0.0) AS avg_lp
          |FROM b2 JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vs
          |GROUP BY 1""".stripMargin,
+
+    "text_entropy" ->
+      """WITH c AS (SELECT doc_id::BIGINT AS doc_id,
+        |    unnest(regexp_extract_all(text, '.')) AS ch FROM documents),
+        |g AS (SELECT doc_id, ch, count(*)::BIGINT AS n
+        |  FROM c GROUP BY 1, 2),
+        |t AS (SELECT doc_id, n,
+        |    sum(n) OVER (PARTITION BY doc_id)::BIGINT AS nn FROM g),
+        |q AS (SELECT doc_id, nn,
+        |    CAST(round((CAST(n AS DOUBLE) / CAST(nn AS DOUBLE))
+        |      * log2(CAST(nn AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS term
+        |  FROM t)
+        |SELECT doc_id, max(nn)::BIGINT AS n_chars,
+        |  count(*)::BIGINT AS n_distinct,
+        |  (round((CAST(sum(term) AS DOUBLE) / 1000000.0)
+        |   * 1000000.0) / 1000000.0 + 0.0) AS entropy
+        |FROM q GROUP BY 1""".stripMargin,
 
     "text_readability" ->
       s"""WITH d AS (SELECT doc_id::BIGINT AS doc_id, lang,

@@ -367,6 +367,31 @@ object Ts2Queries {
           r6(col("e3") - col("e10")).as("adosc"))
     }),
 
+    // Event-driven VOLUME bars (the information-driven sampling
+    // alternative to time bars): a bar closes every 10 000 shares.
+    // Volumes are integer-valued, so the running total and the bar
+    // assignment are exact integer arithmetic; OHLC per bar is the
+    // argmin/argmax-struct rollup riding the same ticker exchange.
+    "ts_volume_bars" -> ((s, dir) => {
+      val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+      EventBars.bars(s, dir)
+        .withColumn("cv", sum(col("volume")).over(cum).cast("long"))
+        .withColumn("bar",
+          expr("(cv - CAST(volume AS BIGINT)) div 10000"))
+        .groupBy("ticker", "bar")
+        .agg(
+          min(struct(col("t"), col("event_id"), col("open"))).as("o"),
+          max(struct(col("t"), col("event_id"), col("close"))).as("c"),
+          max(col("high")).as("mx"), min(col("low")).as("mn"),
+          sum(col("volume")).cast("long").as("bar_volume"),
+          count(lit(1)).as("n_events"),
+          min(col("t")).as("t_open"), max(col("t")).as("t_close"))
+        .select(col("ticker"), col("bar"),
+          r6(col("o.open")).as("open"), r6(col("mx")).as("high"),
+          r6(col("mn")).as("low"), r6(col("c.close")).as("close"),
+          col("bar_volume"), col("n_events"), col("t_open"), col("t_close"))
+    }),
+
     // KAMA(10, 2, 30): Kaufman adaptive moving average. The efficiency
     // ratio |close − close₋₁₀| / Σ₁₀|Δclose| and the squared smoothing
     // constant are plain frame arithmetic on the shared exchange; the
@@ -962,6 +987,25 @@ object Ts2Queries {
            |SELECT ticker, t, event_id,
            |  (round((ea - eb) * 1000000.0) / 1000000.0 + 0.0) AS adosc
            |FROM rec""".stripMargin,
+
+      "ts_volume_bars" ->
+        s"""WITH bars AS (${EventBars.sqlBars}),
+           |cv AS (SELECT *, CAST(sum(volume) OVER ($Over
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |    AS BIGINT) AS cv FROM bars),
+           |bb AS (SELECT *,
+           |    (cv - CAST(volume AS BIGINT)) // 10000 AS bar FROM cv)
+           |SELECT ticker, bar,
+           |  (round(first(open ORDER BY t, event_id) * 1000000.0)
+           |   / 1000000.0 + 0.0) AS open,
+           |  (round(max(high) * 1000000.0) / 1000000.0 + 0.0) AS high,
+           |  (round(min(low) * 1000000.0) / 1000000.0 + 0.0) AS low,
+           |  (round(last(close ORDER BY t, event_id) * 1000000.0)
+           |   / 1000000.0 + 0.0) AS close,
+           |  CAST(sum(volume) AS BIGINT) AS bar_volume,
+           |  count(*)::BIGINT AS n_events,
+           |  min(t) AS t_open, max(t) AS t_close
+           |FROM bb GROUP BY 1, 2""".stripMargin,
 
       "ind_kama" ->
         s"""WITH RECURSIVE bars AS (${EventBars.sqlBars}),

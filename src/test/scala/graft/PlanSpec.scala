@@ -368,6 +368,18 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(plan("ts_ewm_vol")) == 1)
   }
 
+  test("ts_volume_bars: bar rollup reuses the cumulative-sum exchange") {
+    assert(shuffles(plan("ts_volume_bars")) == 1)
+  }
+
+  test("text_entropy / agg_mode: two count-partial exchanges, no joins") {
+    Seq("text_entropy", "agg_mode").foreach { q =>
+      val p = plan(q)
+      assert(shuffles(p) == 2, q)
+      assert(!p.contains("SortMergeJoin"), q)
+    }
+  }
+
   test("EMA-kernel composites (apo/adxr/adosc) stay on one exchange") {
     Seq("ind_apo", "ind_adxr", "ind_adosc").foreach { q =>
       assert(shuffles(plan(q)) == 1, q)
