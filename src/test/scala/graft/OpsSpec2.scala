@@ -192,6 +192,42 @@ class OpsSpec2 extends SparkSpec {
       }
   }
 
+  test("ts_volume_bars partitions the volume exactly; bars cap at 10k+max") {
+    val bars = graft.queries.Ts2Queries.queries("ts_volume_bars")(spark, sf)
+      .collect()
+    val total = graft.queries.EventBars.bars(spark, sf)
+      .agg(sum("volume")).collect()(0).getDouble(0).toLong
+    assert(bars.map(_.getAs[Long]("bar_volume")).sum == total)
+    // a bar overshoots 10k by at most one event's volume (< 197)
+    bars.foreach { r =>
+      assert(r.getAs[Long]("bar_volume") < 10000 + 197)
+      assert(r.getAs[Long]("t_open") <= r.getAs[Long]("t_close"))
+    }
+  }
+
+  test("text_entropy is bounded by log2(distinct chars)") {
+    graft.queries.ExtQueries.queries("text_entropy")(spark, sf)
+      .collect().foreach { r =>
+        val h = r.getAs[Double]("entropy")
+        val d = r.getAs[Long]("n_distinct").toDouble
+        assert(h >= -1e-9 && h <= math.log(d) / math.log(2.0) + 1e-6)
+      }
+  }
+
+  test("agg_mode picks a true argmax of the per-user type counts") {
+    val got = graft.queries.BehaviorQueries.queries("agg_mode")(spark, sf)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[String]("mode_type"), r.getAs[Long]("n_mode"))).toMap
+    val counts = graft.queries.EventBars.events(spark, sf)
+      .groupBy(col("user_id").cast("long").as("u"), col("event_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .groupBy(_.getAs[Long]("u"))
+    counts.foreach { case (u, rows) =>
+      val best = rows.map(_.getAs[Long]("n")).max
+      assert(got(u)._2 == best, s"user $u")
+    }
+  }
+
   test("emb_pca1 projection variance dominates every coordinate axis") {
     // PC1 maximizes variance over unit directions, so (up to the
     // micro-quantization of the iterate) its projection variance must
