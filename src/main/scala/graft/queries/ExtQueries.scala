@@ -1009,12 +1009,37 @@ object ExtQueries {
         else meansRows.map(_._2 + "L").mkString("array(", ",", ")")
       val centered = e.withColumn("c",
         expr(s"zip_with(xi, $mArr, (x, m) -> x - m)"))
-      val covRows = centered
-        .select(explode(expr("flatten(transform(c, (xi, i) -> " +
-          "transform(c, (xj, j) -> struct(i AS i, j AS j, xi * xj AS p))))"))
-          .as("z"))
-        .groupBy(col("z.i").as("i"), col("z.j").as("j"))
-        .agg(sum(col("z.p")).as("mij"))
+      // cov cells accumulate in a per-partition long array (exact) and
+      // shuffle d²·partitions rows — NOT the d²·vectors an inline pair
+      // explode would move; the merged sums are the same integers.
+      val covSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("i",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("j",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("p",
+          org.apache.spark.sql.types.LongType)))
+      val covRows = centered.select(col("c"))
+        .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+          var acc: Array[Long] = null
+          var dd = 0
+          it.foreach { r =>
+            // one unbox per component — the d² inner loop then runs on
+            // a primitive array (boxed Seq indexing costs ~10× here)
+            val c: Array[Long] = r.getSeq[Long](0).toArray
+            if (acc == null) { dd = c.length; acc = new Array[Long](dd * dd) }
+            var i = 0
+            while (i < dd) {
+              val ci = c(i); var j = 0
+              while (j < dd) { acc(i * dd + j) += ci * c(j); j += 1 }
+              i += 1
+            }
+          }
+          if (acc == null) Iterator.empty
+          else (0 until dd * dd).iterator.map(k =>
+            org.apache.spark.sql.Row(k / dd, k % dd, acc(k)))
+        }(org.apache.spark.sql.Encoders.row(covSchema))
+        .groupBy("i", "j").agg(sum(col("p")).as("mij"))
         .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
       val d = if (meansRows.isEmpty) 0 else meansRows.length
       val M = Array.fill(d, d)(BigInt(0))

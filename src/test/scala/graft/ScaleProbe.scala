@@ -94,6 +94,27 @@ object ScaleProbe {
     println(f"EVENTS=$nEv FUNNEL_SEC=${timeE("agg_funnel")}%.2f " +
       f"RANGE_JOIN_SEC=${timeE("join_range_points")}%.2f " +
       f"ASOF_SEC=${timeE("asof_tolerance")}%.2f")
+
+    // Vector ML family at 20× the sf0.1 embeddings (40k × 64d):
+    // k-means stays broadcast-centroid shaped; PCA's covariance
+    // accumulates per-partition long arrays (d²·partitions shuffled
+    // rows), so vector count scales the scan, not the shuffle.
+    val emb0 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    emb0.crossJoin(spark.range(20).select(col("id").as("rep")))
+      .withColumn("vec_id", col("vec_id") * 20 + col("rep"))
+      .drop("rep")
+      .write.mode("overwrite").parquet("/tmp/scale_emb/embeddings.parquet")
+    val nV = spark.read.parquet("/tmp/scale_emb/embeddings.parquet").count()
+    def timeV(name: String): Double = {
+      val t = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, "/tmp/scale_emb")
+        .queryExecution.toRdd.count()
+      (System.nanoTime() - t) / 1e9
+    }
+    timeV("emb_kmeans") // warm
+    println(f"VECTORS=$nV KMEANS_SEC=${timeV("emb_kmeans")}%.2f " +
+      f"PCA1_SEC=${timeV("emb_pca1")}%.2f " +
+      f"IVF_SEC=${timeV("sim_ivf")}%.2f")
     spark.stop()
   }
 }
