@@ -250,6 +250,31 @@ object BehaviorQueries {
         .filter(col("n_edges") > 0) // empty-in → empty-out
     }),
 
+    // Per-user lifetime summary (the LTV rollup): first/last touch via
+    // argmin/argmax structs, purchase totals as exact cents, tenure
+    // from the exact epoch extremes — ONE exchange, every aggregate a
+    // map-side-collapsing partial.
+    "behav_ltv" -> ((s, dir) =>
+      ev(s, dir)
+        .withColumn("c", expr("CAST(round(value * 100) AS BIGINT)"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(struct(col("t"), col("event_id"), col("event_type")))
+            .getField("event_type").as("first_type"),
+          max(struct(col("t"), col("event_id"), col("event_type")))
+            .getField("event_type").as("last_type"),
+          min(col("t")).as("t_first"), max(col("t")).as("t_last"),
+          sum(when(col("event_type") === "purchase", col("c"))
+            .otherwise(lit(0L))).as("purch_cents"),
+          sum(when(col("event_type") === "purchase", lit(1L))
+            .otherwise(lit(0L))).as("n_purchases"))
+        .select(col("user_id"), col("n_events"), col("first_type"),
+          col("last_type"),
+          r6(expr("CAST(t_last - t_first AS DOUBLE) / 86400000000.0"))
+            .as("tenure_days"),
+          r6(expr("CAST(purch_cents AS DOUBLE) / 100.0")).as("ltv"),
+          col("n_purchases"))),
+
     // Per-user modal event type — mode as an argmax struct over the
     // (user, type) count rollup, tie broken to the lexicographically
     // largest type so the pick is deterministic. Two exchanges, both
@@ -562,6 +587,21 @@ object BehaviorQueries {
          |  CASE WHEN n_wedges > 0
          |    THEN (3.0 * n_triangles) / n_wedges END AS clustering
          |FROM ne, tr, wg WHERE n_edges > 0""".stripMargin,
+
+    "behav_ltv" ->
+      s"""WITH $evDuck,
+         |c AS (SELECT *, CAST(round(value * 100) AS BIGINT) AS c FROM ev)
+         |SELECT user_id, count(*)::BIGINT AS n_events,
+         |  first(event_type ORDER BY t, event_id) AS first_type,
+         |  last(event_type ORDER BY t, event_id) AS last_type,
+         |  (round((CAST(max(t) - min(t) AS DOUBLE) / 86400000000.0)
+         |   * 1000000.0) / 1000000.0 + 0.0) AS tenure_days,
+         |  (round((CAST(sum(CASE WHEN event_type = 'purchase' THEN c
+         |      ELSE 0 END) AS DOUBLE) / 100.0)
+         |   * 1000000.0) / 1000000.0 + 0.0) AS ltv,
+         |  sum(CASE WHEN event_type = 'purchase' THEN 1
+         |    ELSE 0 END)::BIGINT AS n_purchases
+         |FROM c GROUP BY 1""".stripMargin,
 
     "agg_mode" ->
       s"""WITH $evDuck,

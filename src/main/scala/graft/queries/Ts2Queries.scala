@@ -392,6 +392,28 @@ object Ts2Queries {
           col("bar_volume"), col("n_events"), col("t_open"), col("t_close"))
     }),
 
+    // Per-day realized volatility: √Σ r² over each day's intraday
+    // returns. Returns quantize to micro-longs (winsorized ±1000% —
+    // the ts_beta treatment), so the squared sum crossing the shuffle
+    // is exact; the root runs on the |ticker·day|-row rollup.
+    "ts_realized_vol" -> ((s, dir) => {
+      val wd = Window.partitionBy("ticker", "day").orderBy("t", "event_id")
+      EventBars.bars(s, dir)
+        .withColumn("day", expr("t div 86400000000"))
+        .withColumn("c", expr("CAST(round(close * 100) AS BIGINT)"))
+        .withColumn("prev", lag(col("c"), 1).over(wd))
+        .withColumn("r", expr("greatest(least(" +
+          "CAST(round(try_divide(CAST(c AS DOUBLE), " +
+          "CAST(prev AS DOUBLE)) * 1000000.0 - 1000000.0) AS BIGINT), " +
+          "10000000L), -10000000L)"))
+        .filter(col("r").isNotNull)
+        .groupBy("ticker", "day")
+        .agg(count(lit(1)).as("n_ret"),
+          sum(col("r") * col("r")).as("ss"))
+        .select(col("ticker"), col("day"), col("n_ret"),
+          r6(expr("sqrt(CAST(ss AS DOUBLE)) / 1000000.0")).as("rv"))
+    }),
+
     // KAMA(10, 2, 30): Kaufman adaptive moving average. The efficiency
     // ratio |close − close₋₁₀| / Σ₁₀|Δclose| and the squared smoothing
     // constant are plain frame arithmetic on the shared exchange; the
@@ -1006,6 +1028,29 @@ object Ts2Queries {
            |  count(*)::BIGINT AS n_events,
            |  min(t) AS t_open, max(t) AS t_close
            |FROM bb GROUP BY 1, 2""".stripMargin,
+
+      "ts_realized_vol" ->
+        s"""WITH bars AS (${EventBars.sqlBars}),
+           |db AS (SELECT ticker, t // 86400000000 AS day, t, event_id,
+           |    CAST(round(close * 100) AS BIGINT) AS c FROM bars),
+           |rr AS (SELECT ticker, day,
+           |    lag(c) OVER (PARTITION BY ticker, day
+           |      ORDER BY t, event_id) AS prev, c
+           |  FROM db),
+           |r2 AS (SELECT ticker, day,
+           |    greatest(least(
+           |      CAST(round((CASE WHEN prev = 0 THEN NULL
+           |        ELSE CAST(c AS DOUBLE) / CAST(prev AS DOUBLE) END)
+           |        * 1000000.0 - 1000000.0) AS BIGINT),
+           |      10000000), -10000000) AS r
+           |  FROM rr),
+           |g AS (SELECT ticker, day, count(*)::BIGINT AS n_ret,
+           |    sum(r * r)::BIGINT AS ss
+           |  FROM r2 WHERE r IS NOT NULL GROUP BY 1, 2)
+           |SELECT ticker, day, n_ret,
+           |  (round((sqrt(CAST(ss AS DOUBLE)) / 1000000.0)
+           |   * 1000000.0) / 1000000.0 + 0.0) AS rv
+           |FROM g""".stripMargin,
 
       "ind_kama" ->
         s"""WITH RECURSIVE bars AS (${EventBars.sqlBars}),

@@ -372,6 +372,12 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(plan("ts_volume_bars")) == 1)
   }
 
+  test("ts_realized_vol / behav_ltv collapse in ONE exchange") {
+    Seq("ts_realized_vol", "behav_ltv").foreach { q =>
+      assert(shuffles(plan(q)) == 1, q)
+    }
+  }
+
   test("text_entropy / agg_mode: two count-partial exchanges, no joins") {
     Seq("text_entropy", "agg_mode").foreach { q =>
       val p = plan(q)
