@@ -255,6 +255,64 @@ object ExtQueries {
         expr("regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>'), '  +', ' ')")
           .as("scrubbed"))),
 
+    // PII exposure report (the audit companion to text_scrub's
+    // redaction): per-doc counts of email-shaped tokens, long digit
+    // runs, and all number runs — RE2-safe patterns, identical both
+    // engines, pure per-row projection.
+    "text_pii_report" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+        expr("CAST(size(regexp_extract_all(text, " +
+          "'[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', 0)) AS BIGINT)").as("n_emails"),
+        expr("CAST(size(regexp_extract_all(text, '[0-9]{7,}', 0)) AS BIGINT)")
+          .as("n_long_digits"),
+        expr("CAST(size(regexp_extract_all(text, '[0-9]+', 0)) AS BIGINT)")
+          .as("n_nums"))
+        .withColumn("has_pii",
+          col("n_emails") + col("n_long_digits") > 0)),
+
+    // Per-source dedup retention — the curation dashboard number: how
+    // much of each source survives exact and near dedup. Keeper id
+    // sets reuse the oracle-gated dedup operators; rates derive from
+    // exact counts.
+    "corpus_retention_by_source" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"))
+      val ek = docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          md5(col("text")).as("h"))
+        .groupBy("h").agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val nk = queries("dedup_keep")(s, dir).select("doc_id")
+      val tot = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val ne = d.join(ek, Seq("doc_id"), "left_semi")
+        .groupBy("source").agg(count(lit(1)).as("n_exact_kept"))
+      val nn = d.join(nk, Seq("doc_id"), "left_semi")
+        .groupBy("source").agg(count(lit(1)).as("n_near_kept"))
+      tot.join(ne, Seq("source"), "left").join(nn, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_exact_kept"), lit(0L)).as("n_exact_kept"),
+          coalesce(col("n_near_kept"), lit(0L)).as("n_near_kept"),
+          Rounding.r6(expr("CAST(coalesce(n_exact_kept, 0) AS DOUBLE)" +
+            " / CAST(n_docs AS DOUBLE)")).as("exact_rate"),
+          Rounding.r6(expr("CAST(coalesce(n_near_kept, 0) AS DOUBLE)" +
+            " / CAST(n_docs AS DOUBLE)")).as("near_rate"))
+    }),
+
+    // Language-ID confusion matrix: predicted marker class × labeled
+    // lang, with the share within each label (the quality report for
+    // the langid heuristic). Tiny output, two aggregate exchanges.
+    "text_lang_confusion" -> ((s, dir) => {
+      val wL = Window.partitionBy("lang")
+      queries("text_langid")(s, dir).select(col("doc_id"), col("pred"))
+        .join(docs(s, dir)
+          .select(col("doc_id").cast("long").as("doc_id"), col("lang")),
+          Seq("doc_id"))
+        .groupBy("lang", "pred")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share", Rounding.r6(
+          col("n").cast("double") / sum(col("n")).over(wL).cast("double")))
+    }),
+
     // Corpus vocabulary: token document-frequency + total count, top 50.
     "text_wordfreq" -> ((s, dir) =>
       docs(s, dir)
@@ -1262,6 +1320,67 @@ object ExtQueries {
          |  CASE WHEN s_determiner >= s_relational AND s_determiner >= s_scan THEN 'determiner'
          |    WHEN s_relational >= s_scan THEN 'relational' ELSE 'scan' END AS pred
          |FROM t2""".stripMargin,
+
+    "text_pii_report" ->
+      """SELECT doc_id::BIGINT AS doc_id,
+        |  len(regexp_extract_all(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(text, '[0-9]{7,}'))::BIGINT
+        |    AS n_long_digits,
+        |  len(regexp_extract_all(text, '[0-9]+'))::BIGINT AS n_nums,
+        |  len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+'))
+        |    + len(regexp_extract_all(text, '[0-9]{7,}')) > 0 AS has_pii
+        |FROM documents""".stripMargin,
+
+    "corpus_retention_by_source" ->
+      s"""WITH $lshPairsDuck,
+         |d AS (SELECT doc_id::BIGINT AS doc_id, source FROM documents),
+         |ek AS (SELECT min(doc_id::BIGINT) AS doc_id
+         |  FROM (SELECT doc_id, md5(text) AS h FROM documents)
+         |  GROUP BY h),
+         |losers AS (SELECT DISTINCT b AS doc_id FROM pr),
+         |nk AS (SELECT doc_id FROM d
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+         |tot AS (SELECT source, count(*)::BIGINT AS n_docs
+         |  FROM d GROUP BY 1),
+         |ne AS (SELECT source, count(*)::BIGINT AS n_exact_kept FROM d
+         |  WHERE doc_id IN (SELECT doc_id FROM ek) GROUP BY 1),
+         |nn AS (SELECT source, count(*)::BIGINT AS n_near_kept FROM d
+         |  WHERE doc_id IN (SELECT doc_id FROM nk) GROUP BY 1)
+         |SELECT tot.source, tot.n_docs,
+         |  coalesce(ne.n_exact_kept, 0)::BIGINT AS n_exact_kept,
+         |  coalesce(nn.n_near_kept, 0)::BIGINT AS n_near_kept,
+         |  (round((CAST(coalesce(ne.n_exact_kept, 0) AS DOUBLE)
+         |    / CAST(tot.n_docs AS DOUBLE))
+         |   * 1000000.0) / 1000000.0 + 0.0) AS exact_rate,
+         |  (round((CAST(coalesce(nn.n_near_kept, 0) AS DOUBLE)
+         |    / CAST(tot.n_docs AS DOUBLE))
+         |   * 1000000.0) / 1000000.0 + 0.0) AS near_rate
+         |FROM tot
+         |LEFT JOIN ne ON tot.source = ne.source
+         |LEFT JOIN nn ON tot.source = nn.source""".stripMargin,
+
+    "text_lang_confusion" ->
+      s"""WITH $docToks,
+         |t2 AS (SELECT doc_id,
+         |  ${LangMarkers.map { case (n, ms) => s"${langScoreDuck("toks", ms)}::BIGINT AS s_$n" }.mkString(",\n  ")}
+         |  FROM dt),
+         |p AS (SELECT doc_id,
+         |    CASE WHEN s_determiner >= s_relational AND s_determiner >= s_scan
+         |      THEN 'determiner'
+         |      WHEN s_relational >= s_scan THEN 'relational'
+         |      ELSE 'scan' END AS pred
+         |  FROM t2),
+         |j AS (SELECT d.lang, p.pred FROM p
+         |  JOIN (SELECT doc_id::BIGINT AS doc_id, lang FROM documents) d
+         |  USING (doc_id)),
+         |g AS (SELECT lang, pred, count(*)::BIGINT AS n
+         |  FROM j GROUP BY 1, 2)
+         |SELECT lang, pred, n,
+         |  (round((CAST(n AS DOUBLE)
+         |    / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE))
+         |   * 1000000.0) / 1000000.0 + 0.0) AS share
+         |FROM g""".stripMargin,
 
     "text_fingerprint" ->
       s"""WITH $docHashes

@@ -338,6 +338,16 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(plan("text_readability")) == 0)
   }
 
+  test("text_pii_report is a pure projection: zero exchanges") {
+    assert(shuffles(plan("text_pii_report")) == 0)
+  }
+
+  test("curation reports never plan a nested-loop join") {
+    Seq("corpus_retention_by_source", "text_lang_confusion").foreach { q =>
+      assert(!plan(q).contains("BroadcastNestedLoop"), q)
+    }
+  }
+
   test("q10: dims broadcast, one shuffle, top-20 is a TakeOrdered") {
     val p = plan("q10_returned_items")
     assert("BroadcastExchange".r.findAllIn(p).length == 3)
