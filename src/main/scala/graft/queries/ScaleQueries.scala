@@ -365,6 +365,38 @@ object ScaleQueries {
           Rounding.r4(col("raw")).as("est_distinct"))
     }),
 
+    // Hourly unique users, exact AND sketched side by side — the
+    // windowed-uniques report a warehouse serves from merged HLL
+    // registers when exact distinct stops scaling. Register maxima
+    // collapse map-side; the estimate's power-of-two sums are dyadic →
+    // exact cross-engine.
+    "agg_hourly_uniques" -> ((s, dir) => {
+      val hashed = EventBars.events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .select(expr("t div 3600000000").as("hour"),
+          col("user_id").cast("long").as("uid"),
+          expr(s"((user_id % ${P}L) * 2654435761L) % ${P}L").as("h"))
+      val regs = hashed
+        .select(col("hour"), (col("h") % 64).as("reg"),
+          expr("h DIV 64").as("v"))
+        .withColumn("rho",
+          when(col("v") === 0, lit(25L))
+            .otherwise(lit(25L) - length(bin(col("v"))).cast("long")))
+        .groupBy("hour", "reg").agg(max(col("rho")).as("m"))
+      val est = regs.groupBy("hour")
+        .agg(sum(pow(lit(2.0), -col("m"))).as("sp"),
+          count(lit(1)).as("nr"))
+        .select(col("hour"),
+          (lit(0.709 * 64.0 * 64.0) /
+            (col("sp") + (lit(64L) - col("nr")).cast("double"))).as("raw"))
+      val exact = hashed.groupBy("hour")
+        .agg(countDistinct(col("uid")).as("n_exact"),
+          count(lit(1)).as("n_events"))
+      exact.join(est, "hour")
+        .select(col("hour"), col("n_events"), col("n_exact"),
+          Rounding.r4(col("raw")).as("est_distinct"))
+    }),
+
     // MAD outlier detection: per event_type, flag rows whose absolute
     // deviation from the median exceeds 3× the median absolute
     // deviation — the robust data-quality screen that, unlike z-score,
@@ -733,6 +765,25 @@ object ScaleQueries {
          |  (round(0.709 * 64.0 * 64.0 / (e.sp + (64 - e.nr)::DOUBLE), 4) + 0.0)
          |    AS est_distinct
          |FROM x JOIN e USING (event_type)""".stripMargin,
+
+    "agg_hourly_uniques" ->
+      s"""WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hour,
+         |    user_id::BIGINT AS uid,
+         |    ((user_id % ${P}) * 2654435761) % ${P} AS h
+         |  FROM events WHERE user_id IS NOT NULL),
+         |r AS (SELECT hour, h % 64 AS reg, h // 64 AS v FROM h),
+         |m AS (SELECT hour, reg,
+         |    max(CASE WHEN v = 0 THEN 25
+         |      ELSE 25 - length(bin(v)) END)::BIGINT AS m
+         |  FROM r GROUP BY 1, 2),
+         |e AS (SELECT hour, sum(power(2.0, -m)) AS sp,
+         |    count(*)::BIGINT AS nr FROM m GROUP BY 1),
+         |x AS (SELECT hour, count(DISTINCT uid)::BIGINT AS n_exact,
+         |    count(*)::BIGINT AS n_events FROM h GROUP BY 1)
+         |SELECT x.hour, x.n_events, x.n_exact,
+         |  (round(0.709 * 64.0 * 64.0 / (e.sp + (64 - e.nr)::DOUBLE), 4)
+         |   + 0.0) AS est_distinct
+         |FROM x JOIN e USING (hour)""".stripMargin,
 
     "anomaly_mad" ->
       """WITH e AS (SELECT event_id::BIGINT AS event_id, event_type, value

@@ -414,6 +414,36 @@ object Ts2Queries {
           r6(expr("sqrt(CAST(ss AS DOUBLE)) / 1000000.0")).as("rv"))
     }),
 
+    // Corwin-Schultz bid-ask spread estimator from daily high/low
+    // ranges (the classic low-frequency spread proxy). Daily extremes
+    // are exact max/min picks; the two-day β/γ/α chain is per-row
+    // transcendental math over those exact inputs with the guard
+    // CASEs mirrored verbatim (ln of a non-positive low must be NULL
+    // on both engines, not a NaN/-inf disagreement).
+    "ts_spread_cs" -> ((s, dir) => {
+      val wt = Window.partitionBy("ticker").orderBy("day")
+      val beta = "CASE WHEN l0 > 0 AND l1 > 0 THEN " +
+        "ln(h1/l1)*ln(h1/l1) + ln(h0/l0)*ln(h0/l0) END"
+      val gamma = "CASE WHEN least(l0, l1) > 0 THEN " +
+        "ln(greatest(h0, h1)/least(l0, l1))" +
+        "*ln(greatest(h0, h1)/least(l0, l1)) END"
+      val alpha = "(sqrt(2.0*beta) - sqrt(beta))/(3.0 - 2.0*sqrt(2.0))" +
+        " - sqrt(gamma/(3.0 - 2.0*sqrt(2.0)))"
+      EventBars.bars(s, dir)
+        .withColumn("day", expr("t div 86400000000"))
+        .groupBy("ticker", "day")
+        .agg(max(col("high")).as("h0"), min(col("low")).as("l0"))
+        .withColumn("h1", lag(col("h0"), 1).over(wt))
+        .withColumn("l1", lag(col("l0"), 1).over(wt))
+        .withColumn("beta", expr(beta))
+        .withColumn("gamma", expr(gamma))
+        .withColumn("alpha", expr(alpha))
+        .select(col("ticker"), col("day"),
+          r6(col("beta")).as("beta"), r6(col("gamma")).as("gamma"),
+          r6(expr("2.0*(exp(alpha) - 1.0)/(1.0 + exp(alpha))"))
+            .as("cs_spread"))
+    }),
+
     // KAMA(10, 2, 30): Kaufman adaptive moving average. The efficiency
     // ratio |close − close₋₁₀| / Σ₁₀|Δclose| and the squared smoothing
     // constant are plain frame arithmetic on the shared exchange; the
@@ -1051,6 +1081,33 @@ object Ts2Queries {
            |  (round((sqrt(CAST(ss AS DOUBLE)) / 1000000.0)
            |   * 1000000.0) / 1000000.0 + 0.0) AS rv
            |FROM g""".stripMargin,
+
+      "ts_spread_cs" ->
+        s"""WITH bars AS (${EventBars.sqlBars}),
+           |d AS (SELECT ticker, t // 86400000000 AS day,
+           |    max(high) AS h0, min(low) AS l0
+           |  FROM bars GROUP BY 1, 2),
+           |lg AS (SELECT *,
+           |    lag(h0) OVER (PARTITION BY ticker ORDER BY day) AS h1,
+           |    lag(l0) OVER (PARTITION BY ticker ORDER BY day) AS l1
+           |  FROM d),
+           |bg AS (SELECT *,
+           |    CASE WHEN l0 > 0 AND l1 > 0 THEN
+           |      ln(h1/l1)*ln(h1/l1) + ln(h0/l0)*ln(h0/l0) END AS beta,
+           |    CASE WHEN least(l0, l1) > 0 THEN
+           |      ln(greatest(h0, h1)/least(l0, l1))
+           |      *ln(greatest(h0, h1)/least(l0, l1)) END AS gamma
+           |  FROM lg),
+           |al AS (SELECT *,
+           |    (sqrt(2.0*beta) - sqrt(beta))/(3.0 - 2.0*sqrt(2.0))
+           |      - sqrt(gamma/(3.0 - 2.0*sqrt(2.0))) AS alpha
+           |  FROM bg)
+           |SELECT ticker, day,
+           |  (round((beta) * 1000000.0) / 1000000.0 + 0.0) AS beta,
+           |  (round((gamma) * 1000000.0) / 1000000.0 + 0.0) AS gamma,
+           |  (round((2.0*(exp(alpha) - 1.0)/(1.0 + exp(alpha)))
+           |   * 1000000.0) / 1000000.0 + 0.0) AS cs_spread
+           |FROM al""".stripMargin,
 
       "ind_kama" ->
         s"""WITH RECURSIVE bars AS (${EventBars.sqlBars}),

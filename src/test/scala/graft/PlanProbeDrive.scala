@@ -6,7 +6,7 @@ object PlanProbeDrive {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.001"
-    for (q <- Seq("text_pii_report", "corpus_retention_by_source", "text_lang_confusion")) {
+    for (q <- Seq("ts_spread_cs", "agg_hourly_uniques")) {
       val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
       val ex = "Exchange hashpartitioning".r.findAllIn(p).length
       val sp = "Exchange SinglePartition".r.findAllIn(p).length

@@ -388,6 +388,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ts_spread_cs: daily rollup then one ticker window, no joins") {
+    val p = plan("ts_spread_cs")
+    assert(shuffles(p) == 2)
+    assert(!p.contains("Join"))
+  }
+
+  test("agg_hourly_uniques: register maxima collapse before the estimate") {
+    val p = plan("agg_hourly_uniques")
+    assert(!p.contains("SortMergeJoin"))
+    assert(shuffles(p) <= 4)
+  }
+
   test("text_entropy / agg_mode: two count-partial exchanges, no joins") {
     Seq("text_entropy", "agg_mode").foreach { q =>
       val p = plan(q)
