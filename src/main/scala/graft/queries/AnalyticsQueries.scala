@@ -241,6 +241,32 @@ object AnalyticsQueries {
           .select(col("user_id"), lit("second_only").as("cohort")))
     }),
 
+    // Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL) over each
+    // half's (user, event_type) multiset — multiplicities survive, so
+    // "both" rows appear min(n₁,n₂) times and the EXCEPT ALL sides
+    // carry the count differences. Rolled up per (user, op) so the
+    // output is deterministic counts, not row soup.
+    "rel_setops_all" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val mid = e.agg(min(col("t")).as("mn"), max(col("t")).as("mx"))
+        .select(expr("(mn + mx) div 2").as("mid"))
+      val withMid = e.crossJoin(broadcast(mid))
+      val first = withMid.filter(col("t") <= col("mid"))
+        .select("user_id", "event_type")
+      val second = withMid.filter(col("t") > col("mid"))
+        .select("user_id", "event_type")
+      first.intersectAll(second)
+        .select(col("user_id"), col("event_type"), lit("common").as("op"))
+        .unionByName(first.exceptAll(second)
+          .select(col("user_id"), col("event_type"),
+            lit("first_extra").as("op")))
+        .unionByName(second.exceptAll(first)
+          .select(col("user_id"), col("event_type"),
+            lit("second_extra").as("op")))
+        .groupBy("user_id", "event_type", "op")
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // MERGE-INTO semantics (the write-side half of CDC, next to
     // cdc_diff's read-side): apply a change log to a base snapshot —
     // latest change wins per key, 'error' rows are tombstones
@@ -419,6 +445,24 @@ object AnalyticsQueries {
         |SELECT user_id, 'first_only' AS cohort FROM (SELECT user_id FROM f EXCEPT SELECT user_id FROM s)
         |UNION ALL
         |SELECT user_id, 'second_only' AS cohort FROM (SELECT user_id FROM s EXCEPT SELECT user_id FROM f)""".stripMargin,
+
+    "rel_setops_all" ->
+      """WITH e AS (SELECT user_id::BIGINT AS user_id, event_type,
+        |    epoch_us(ts) AS t FROM events),
+        |mid AS (SELECT (min(t) + max(t)) // 2 AS mid FROM e),
+        |f AS (SELECT user_id, event_type FROM e, mid WHERE t <= mid),
+        |s AS (SELECT user_id, event_type FROM e, mid WHERE t > mid),
+        |u AS (
+        |  SELECT user_id, event_type, 'common' AS op FROM
+        |    (SELECT * FROM f INTERSECT ALL SELECT * FROM s)
+        |  UNION ALL
+        |  SELECT user_id, event_type, 'first_extra' FROM
+        |    (SELECT * FROM f EXCEPT ALL SELECT * FROM s)
+        |  UNION ALL
+        |  SELECT user_id, event_type, 'second_extra' FROM
+        |    (SELECT * FROM s EXCEPT ALL SELECT * FROM f))
+        |SELECT user_id, event_type, op, count(*)::BIGINT AS n
+        |FROM u GROUP BY 1, 2, 3""".stripMargin,
 
     "cdc_merge" ->
       """WITH e AS (SELECT event_id::BIGINT AS event_id,

@@ -1041,6 +1041,27 @@ object ExtQueries {
         .select(col("vec_id"), col("cluster"), Rounding.r6(col("d2")).as("d2"))
     }),
 
+    // ANN quality evaluation — recall@3 of the LSH index against the
+    // brute-force ground truth, per query vector (the measurement a
+    // vector store publishes before anyone trusts the approximate
+    // path). Pure composition of the two oracle-gated similarity
+    // queries; hits resolve by an exchange-aligned left join on
+    // (q_id, n_id), counts exact.
+    "sim_recall" -> ((s, dir) => {
+      val exact = queries("sim_topk")(s, dir)
+        .filter(col("rank") <= 3).select(col("q_id"), col("n_id"))
+      val ann = queries("sim_ann_lsh")(s, dir)
+        .filter(col("q_id") % 10 === 0)
+        .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+      exact.join(ann, Seq("q_id", "n_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("q_id"), col("k"), col("n_hits"),
+          Rounding.r6(expr("CAST(n_hits AS DOUBLE) / CAST(k AS DOUBLE)"))
+            .as("recall"))
+    }),
+
     // PCA first principal component by power iteration — every number
     // that crosses an engine boundary is an exact integer. Components
     // micro-quantize; the dim means and the 64×64 centered covariance
@@ -1578,6 +1599,34 @@ object ExtQueries {
          |  FROM es x JOIN es y ON x.sig = y.sig AND x.vec_id <> y.vec_id),
          |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)::BIGINT AS rank FROM sims)
          |SELECT q_id, n_id, rank, (round(sim, 6) + 0.0) AS sim FROM rk WHERE rank <= 3""".stripMargin,
+
+    "sim_recall" ->
+      s"""WITH $embBase,
+         |qs AS (SELECT * FROM en WHERE vec_id % 10 = 0),
+         |sims AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
+         |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+         |  FROM qs x JOIN en y ON x.vec_id <> y.vec_id),
+         |rk AS (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY sim DESC, n_id)::BIGINT AS rank
+         |  FROM sims),
+         |ex AS (SELECT q_id, n_id FROM rk WHERE rank <= 3),
+         |es AS (SELECT *, $sigD AS sig FROM en),
+         |sims2 AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
+         |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+         |  FROM es x JOIN es y ON x.sig = y.sig AND x.vec_id <> y.vec_id),
+         |rk2 AS (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY sim DESC, n_id)::BIGINT AS rank
+         |  FROM sims2),
+         |an AS (SELECT q_id, n_id FROM rk2
+         |  WHERE rank <= 3 AND q_id % 10 = 0),
+         |j AS (SELECT ex.q_id,
+         |    CASE WHEN an.n_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM ex LEFT JOIN an
+         |    ON ex.q_id = an.q_id AND ex.n_id = an.n_id)
+         |SELECT q_id, count(*)::BIGINT AS k, sum(hit)::BIGINT AS n_hits,
+         |  (round((CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+         |   * 1000000.0) / 1000000.0 + 0.0) AS recall
+         |FROM j GROUP BY 1""".stripMargin,
 
     "emb_neardup_lsh" ->
       s"""WITH $embBase,

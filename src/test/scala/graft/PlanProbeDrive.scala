@@ -6,7 +6,7 @@ object PlanProbeDrive {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.001"
-    for (q <- Seq("ts_spread_cs", "agg_hourly_uniques")) {
+    for (q <- Seq("rel_setops_all", "sim_recall")) {
       val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
       val ex = "Exchange hashpartitioning".r.findAllIn(p).length
       val sp = "Exchange SinglePartition".r.findAllIn(p).length

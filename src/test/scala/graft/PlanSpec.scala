@@ -343,7 +343,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("curation reports never plan a nested-loop join") {
-    Seq("corpus_retention_by_source", "text_lang_confusion").foreach { q =>
+    Seq("corpus_retention_by_source", "text_lang_confusion",
+      "rel_setops_all", "sim_recall").foreach { q =>
       assert(!plan(q).contains("BroadcastNestedLoop"), q)
     }
   }
