@@ -275,6 +275,29 @@ object BehaviorQueries {
           r6(expr("CAST(purch_cents AS DOUBLE) / 100.0")).as("ltv"),
           col("n_purchases"))),
 
+    // Gini coefficient of per-user purchase spend — the inequality
+    // number behind "whales drive revenue". Per-user totals are exact
+    // cents; the rank·value cross terms stay exact longs; the single-
+    // partition ranking window sees |users| rows, not events (the
+    // agg_quantiles posture — swap in a sketch when exact ranks stop
+    // mattering). G = (2Σi·xᵢ − (n+1)Σx) / (nΣx), x ascending.
+    "agg_gini" -> ((s, dir) => {
+      val wO = Window.orderBy(col("x"), col("user_id"))
+      ev(s, dir).filter(col("event_type") === "purchase")
+        .withColumn("c", expr("CAST(round(value * 100) AS BIGINT)"))
+        .groupBy("user_id").agg(sum(col("c")).as("x"))
+        .withColumn("i", row_number().over(wO).cast("long"))
+        .agg(count(lit(1)).as("n_users"), sum(col("x")).as("sx"),
+          sum(col("i") * col("x")).as("sixi"))
+        .filter(col("n_users") > 0)
+        .select(col("n_users"),
+          r6(expr("CAST(sx AS DOUBLE) / 100.0")).as("total_spend"),
+          r6(expr("try_divide(" +
+            "2.0*CAST(sixi AS DOUBLE)" +
+            " - (CAST(n_users AS DOUBLE) + 1.0)*CAST(sx AS DOUBLE), " +
+            "CAST(n_users AS DOUBLE)*CAST(sx AS DOUBLE))")).as("gini"))
+    }),
+
     // Per-user modal event type — mode as an argmax struct over the
     // (user, type) count rollup, tie broken to the lexicographically
     // largest type so the pick is deterministic. Two exchanges, both
@@ -587,6 +610,26 @@ object BehaviorQueries {
          |  CASE WHEN n_wedges > 0
          |    THEN (3.0 * n_triangles) / n_wedges END AS clustering
          |FROM ne, tr, wg WHERE n_edges > 0""".stripMargin,
+
+    "agg_gini" ->
+      s"""WITH $evDuck,
+         |u AS (SELECT user_id,
+         |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS x
+         |  FROM ev WHERE event_type = 'purchase' GROUP BY 1),
+         |r AS (SELECT x,
+         |    row_number() OVER (ORDER BY x, user_id)::BIGINT AS i FROM u),
+         |g AS (SELECT count(*)::BIGINT AS n_users, sum(x)::BIGINT AS sx,
+         |    sum(i * x)::BIGINT AS sixi FROM r)
+         |SELECT n_users,
+         |  (round((CAST(sx AS DOUBLE) / 100.0)
+         |   * 1000000.0) / 1000000.0 + 0.0) AS total_spend,
+         |  (round((CASE WHEN CAST(n_users AS DOUBLE)*CAST(sx AS DOUBLE) = 0
+         |     THEN NULL
+         |     ELSE (2.0*CAST(sixi AS DOUBLE)
+         |       - (CAST(n_users AS DOUBLE) + 1.0)*CAST(sx AS DOUBLE))
+         |       / (CAST(n_users AS DOUBLE)*CAST(sx AS DOUBLE)) END)
+         |   * 1000000.0) / 1000000.0 + 0.0) AS gini
+         |FROM g WHERE n_users > 0""".stripMargin,
 
     "behav_ltv" ->
       s"""WITH $evDuck,

@@ -444,6 +444,57 @@ object Ts2Queries {
             .as("cs_spread"))
     }),
 
+    // Mean-reversion half-life via the AR(1) regression Δc = α + β·c₋₁:
+    // β from exact cent-integer comoments (the ts_beta treatment), then
+    // halflife = −ln2 / ln(1+β) for the mean-reverting branch
+    // (−1 < β < 0); NULL otherwise. One ticker window + one exchange.
+    "ts_ou_halflife" -> ((s, dir) => {
+      EventBars.bars(s, dir)
+        .withColumn("c", expr("CAST(round(close * 100) AS BIGINT)"))
+        .withColumn("p", lag(col("c"), 1).over(w))
+        .filter(col("p").isNotNull)
+        .withColumn("d", col("c") - col("p"))
+        .groupBy("ticker")
+        .agg(count(lit(1)).as("n"),
+          sum(col("p")).as("sx"), sum(col("d")).as("sy"),
+          sum(col("p") * col("d")).as("sxy"),
+          sum(col("p") * col("p")).as("sxx"))
+        .filter(col("n") >= 3)
+        .withColumn("beta", expr("try_divide(" +
+          "CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)" +
+          " - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE), " +
+          "CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)" +
+          " - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))"))
+        .select(col("ticker"), col("n").as("n_obs"),
+          r6(col("beta")).as("ar1_beta"),
+          r6(expr("CASE WHEN beta > -1.0 AND beta < 0.0 " +
+            "THEN -ln(2.0) / ln(1.0 + beta) END")).as("halflife"))
+    }),
+
+    // Classic floor-trader pivot levels from the PREVIOUS day's OHLC
+    // extremes: P=(H+L+C)/3, R1=2P−L, S1=2P−H, R2=P+(H−L), S2=P−(H−L).
+    // Daily rollup (argmax close, exact max/min) + one lag — the same
+    // two-exchange shape as the other daily diagnostics.
+    "ind_pivot_points" -> ((s, dir) => {
+      val wt = Window.partitionBy("ticker").orderBy("day")
+      EventBars.bars(s, dir)
+        .withColumn("day", expr("t div 86400000000"))
+        .groupBy("ticker", "day")
+        .agg(max(col("high")).as("h"), min(col("low")).as("mn"),
+          max(struct(col("t"), col("event_id"), col("close")))
+            .getField("close").as("c"))
+        .withColumn("ph", lag(col("h"), 1).over(wt))
+        .withColumn("pl", lag(col("mn"), 1).over(wt))
+        .withColumn("pc", lag(col("c"), 1).over(wt))
+        .withColumn("pv", expr("(ph + pl + pc) / 3.0"))
+        .select(col("ticker"), col("day"),
+          r6(col("pv")).as("pivot"),
+          r6(expr("2.0 * pv - pl")).as("r1"),
+          r6(expr("2.0 * pv - ph")).as("s1"),
+          r6(expr("pv + (ph - pl)")).as("r2"),
+          r6(expr("pv - (ph - pl)")).as("s2"))
+    }),
+
     // KAMA(10, 2, 30): Kaufman adaptive moving average. The efficiency
     // ratio |close − close₋₁₀| / Σ₁₀|Δclose| and the squared smoothing
     // constant are plain frame arithmetic on the shared exchange; the
@@ -1108,6 +1159,53 @@ object Ts2Queries {
            |  (round((2.0*(exp(alpha) - 1.0)/(1.0 + exp(alpha)))
            |   * 1000000.0) / 1000000.0 + 0.0) AS cs_spread
            |FROM al""".stripMargin,
+
+      "ts_ou_halflife" ->
+        s"""WITH bars AS (${EventBars.sqlBars}),
+           |cb AS (SELECT ticker, t, event_id,
+           |    CAST(round(close * 100) AS BIGINT) AS c FROM bars),
+           |lg AS (SELECT ticker, c,
+           |    lag(c) OVER ($Over) AS p FROM cb),
+           |dd AS (SELECT ticker, p, c - p AS d FROM lg
+           |  WHERE p IS NOT NULL),
+           |g AS (SELECT ticker, count(*)::BIGINT AS n,
+           |    sum(p)::BIGINT AS sx, sum(d)::BIGINT AS sy,
+           |    sum(p * d)::BIGINT AS sxy, sum(p * p)::BIGINT AS sxx
+           |  FROM dd GROUP BY 1 HAVING count(*) >= 3),
+           |b AS (SELECT *,
+           |    CASE WHEN CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+           |        - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) = 0 THEN NULL
+           |      ELSE (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+           |        - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+           |        / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+           |        - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) END AS beta
+           |  FROM g)
+           |SELECT ticker, n AS n_obs,
+           |  (round((beta) * 1000000.0) / 1000000.0 + 0.0) AS ar1_beta,
+           |  (round((CASE WHEN beta > -1.0 AND beta < 0.0
+           |    THEN -ln(2.0) / ln(1.0 + beta) END)
+           |   * 1000000.0) / 1000000.0 + 0.0) AS halflife
+           |FROM b""".stripMargin,
+
+      "ind_pivot_points" ->
+        s"""WITH bars AS (${EventBars.sqlBars}),
+           |d AS (SELECT ticker, t // 86400000000 AS day,
+           |    max(high) AS h, min(low) AS mn,
+           |    last(close ORDER BY t, event_id) AS c
+           |  FROM bars GROUP BY 1, 2),
+           |lg AS (SELECT ticker, day,
+           |    lag(h) OVER (PARTITION BY ticker ORDER BY day) AS ph,
+           |    lag(mn) OVER (PARTITION BY ticker ORDER BY day) AS pl,
+           |    lag(c) OVER (PARTITION BY ticker ORDER BY day) AS pc
+           |  FROM d),
+           |p AS (SELECT *, (ph + pl + pc) / 3.0 AS pv FROM lg)
+           |SELECT ticker, day,
+           |  (round((pv) * 1000000.0) / 1000000.0 + 0.0) AS pivot,
+           |  (round((2.0 * pv - pl) * 1000000.0) / 1000000.0 + 0.0) AS r1,
+           |  (round((2.0 * pv - ph) * 1000000.0) / 1000000.0 + 0.0) AS s1,
+           |  (round((pv + (ph - pl)) * 1000000.0) / 1000000.0 + 0.0) AS r2,
+           |  (round((pv - (ph - pl)) * 1000000.0) / 1000000.0 + 0.0) AS s2
+           |FROM p""".stripMargin,
 
       "ind_kama" ->
         s"""WITH RECURSIVE bars AS (${EventBars.sqlBars}),

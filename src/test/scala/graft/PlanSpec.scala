@@ -391,6 +391,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("daily-diagnostic family: rollup + lag window, no joins") {
+    Seq("ind_pivot_points", "ts_ou_halflife").foreach { q =>
+      val p = plan(q)
+      assert(shuffles(p) <= 2, q)
+      assert(!p.contains("Join"), q)
+    }
+  }
+
   test("ts_spread_cs: daily rollup then one ticker window, no joins") {
     val p = plan("ts_spread_cs")
     assert(shuffles(p) == 2)
