@@ -365,6 +365,49 @@ object ScaleQueries {
           Rounding.r4(col("raw")).as("est_distinct"))
     }),
 
+    // Expectations-suite DQ (the declarative cousin of dq_rules'
+    // violation report): every expectation's observed statistic
+    // computes as a conditional count in ONE aggregate pass over the
+    // log, then unpivots to (expectation, observed, pass) rows —
+    // whole-table assertions at the cost of a single scan.
+    "dq_expectations" -> ((s, dir) =>
+      EventBars.events(s, dir)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("user_id").isNull, lit(1L)).otherwise(lit(0L)))
+            .as("n_null_user"),
+          sum(when(!col("event_type").isin(
+            "click", "view", "purchase", "signup", "error"), lit(1L))
+            .otherwise(lit(0L))).as("n_unknown_type"),
+          sum(when(col("value") < 0.0, lit(1L)).otherwise(lit(0L)))
+            .as("n_neg_value"),
+          sum(when(col("t") < lit(1704067200000000L)
+            || col("t") >= lit(1893456000000000L), lit(1L))
+            .otherwise(lit(0L))).as("n_ts_oor"))
+        .selectExpr("stack(5, " +
+          "'row_count_positive', n_rows, n_rows > 0, " +
+          "'null_user_rate_le_1pct', n_null_user, " +
+          "n_null_user * 100 <= n_rows, " +
+          "'event_types_known', n_unknown_type, n_unknown_type = 0, " +
+          "'value_non_negative', n_neg_value, n_neg_value = 0, " +
+          "'ts_in_2024_2029', n_ts_oor, n_ts_oor = 0) " +
+          "AS (expectation, observed, pass)")),
+
+    // Day-of-week × hour activity matrix (the calendar heatmap) from
+    // pure integer epoch arithmetic — no timezone/date-function parity
+    // bet; value averages derive from exact cent sums. One exchange of
+    // a ≤168-key rollup.
+    "agg_dow_hour" -> ((s, dir) =>
+      EventBars.events(s, dir)
+        .select(expr("((t div 86400000000) + 3) % 7").as("dow"),
+          expr("(t % 86400000000) div 3600000000").as("hour"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+        .groupBy("dow", "hour")
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+        .select(col("dow"), col("hour"), col("n"),
+          Rounding.r6(expr(
+            "CAST(sc AS DOUBLE) / 100.0 / CAST(n AS DOUBLE)"))
+            .as("avg_value"))),
+
     // Hourly unique users, exact AND sketched side by side — the
     // windowed-uniques report a warehouse serves from merged HLL
     // registers when exact distinct stops scaling. Register maxima
@@ -765,6 +808,43 @@ object ScaleQueries {
          |  (round(0.709 * 64.0 * 64.0 / (e.sp + (64 - e.nr)::DOUBLE), 4) + 0.0)
          |    AS est_distinct
          |FROM x JOIN e USING (event_type)""".stripMargin,
+
+    "dq_expectations" ->
+      """WITH e AS (SELECT user_id, event_type, value,
+        |    epoch_us(ts) AS t FROM events),
+        |a AS (SELECT count(*)::BIGINT AS n_rows,
+        |    sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_null_user,
+        |    sum(CASE WHEN event_type NOT IN
+        |      ('click', 'view', 'purchase', 'signup', 'error')
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_unknown_type,
+        |    sum(CASE WHEN value < 0.0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_neg_value,
+        |    sum(CASE WHEN t < 1704067200000000
+        |      OR t >= 1893456000000000 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_ts_oor
+        |  FROM e)
+        |SELECT 'row_count_positive' AS expectation, n_rows AS observed,
+        |  n_rows > 0 AS pass FROM a
+        |UNION ALL SELECT 'null_user_rate_le_1pct', n_null_user,
+        |  n_null_user * 100 <= n_rows FROM a
+        |UNION ALL SELECT 'event_types_known', n_unknown_type,
+        |  n_unknown_type = 0 FROM a
+        |UNION ALL SELECT 'value_non_negative', n_neg_value,
+        |  n_neg_value = 0 FROM a
+        |UNION ALL SELECT 'ts_in_2024_2029', n_ts_oor,
+        |  n_ts_oor = 0 FROM a""".stripMargin,
+
+    "agg_dow_hour" ->
+      """WITH e AS (SELECT epoch_us(ts) AS t, value FROM events),
+        |b AS (SELECT ((t // 86400000000) + 3) % 7 AS dow,
+        |    (t % 86400000000) // 3600000000 AS hour,
+        |    CAST(round(value * 100) AS BIGINT) AS c FROM e)
+        |SELECT dow, hour, count(*)::BIGINT AS n,
+        |  (round((CAST(sum(c) AS DOUBLE) / 100.0
+        |    / CAST(count(*) AS DOUBLE))
+        |   * 1000000.0) / 1000000.0 + 0.0) AS avg_value
+        |FROM b GROUP BY 1, 2""".stripMargin,
 
     "agg_hourly_uniques" ->
       s"""WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hour,
