@@ -275,6 +275,26 @@ object BehaviorQueries {
           r6(expr("CAST(purch_cents AS DOUBLE) / 100.0")).as("ltv"),
           col("n_purchases"))),
 
+    // LTV by acquisition cohort: users bucket by their FIRST-event
+    // week, spend stays exact cents until the final per-cohort
+    // averages. Two exchanges, both over per-user rollups.
+    "behav_cohort_ltv" -> ((s, dir) =>
+      ev(s, dir)
+        .withColumn("c", expr("CAST(round(value * 100) AS BIGINT)"))
+        .groupBy("user_id")
+        .agg(min(expr("t div 604800000000")).as("cohort_wk"),
+          sum(when(col("event_type") === "purchase", col("c"))
+            .otherwise(lit(0L))).as("pc"),
+          count(lit(1)).as("ne"))
+        .groupBy("cohort_wk")
+        .agg(count(lit(1)).as("n_users"), sum(col("pc")).as("spc"),
+          sum(col("ne")).as("sne"))
+        .select(col("cohort_wk"), col("n_users"),
+          r6(expr("CAST(spc AS DOUBLE) / 100.0 / CAST(n_users AS DOUBLE)"))
+            .as("avg_ltv"),
+          r6(expr("CAST(sne AS DOUBLE) / CAST(n_users AS DOUBLE)"))
+            .as("avg_events"))),
+
     // Gini coefficient of per-user purchase spend — the inequality
     // number behind "whales drive revenue". Per-user totals are exact
     // cents; the rank·value cross terms stay exact longs; the single-
@@ -610,6 +630,23 @@ object BehaviorQueries {
          |  CASE WHEN n_wedges > 0
          |    THEN (3.0 * n_triangles) / n_wedges END AS clustering
          |FROM ne, tr, wg WHERE n_edges > 0""".stripMargin,
+
+    "behav_cohort_ltv" ->
+      s"""WITH $evDuck,
+         |u AS (SELECT user_id,
+         |    min(t // 604800000000) AS cohort_wk,
+         |    sum(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(round(value * 100) AS BIGINT)
+         |      ELSE 0 END)::BIGINT AS pc,
+         |    count(*)::BIGINT AS ne
+         |  FROM ev GROUP BY 1)
+         |SELECT cohort_wk, count(*)::BIGINT AS n_users,
+         |  (round((CAST(sum(pc) AS DOUBLE) / 100.0
+         |    / CAST(count(*) AS DOUBLE))
+         |   * 1000000.0) / 1000000.0 + 0.0) AS avg_ltv,
+         |  (round((CAST(sum(ne) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+         |   * 1000000.0) / 1000000.0 + 0.0) AS avg_events
+         |FROM u GROUP BY 1""".stripMargin,
 
     "agg_gini" ->
       s"""WITH $evDuck,

@@ -495,6 +495,46 @@ object Ts2Queries {
           r6(expr("pv - (ph - pl)")).as("s2"))
     }),
 
+    // Ulcer index per ticker: √mean(drawdown%²) against the running
+    // peak. Drawdowns quantize to micro-percent BEFORE the squared
+    // sum crosses the shuffle (exact longs); running max is
+    // order-insensitive. One exchange.
+    "ts_ulcer" -> ((s, dir) => {
+      val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+      EventBars.bars(s, dir)
+        .withColumn("pk", max(col("close")).over(cum))
+        .withColumn("dd", expr("CAST(round(" +
+          "try_divide(close, pk) * 1000000.0 - 1000000.0)" +
+          " AS BIGINT)"))
+        .filter(col("dd").isNotNull)
+        .groupBy("ticker")
+        .agg(count(lit(1)).as("n_bars"),
+          sum(col("dd") * col("dd")).as("ss"))
+        .select(col("ticker"), col("n_bars"),
+          r6(expr("sqrt(CAST(ss AS DOUBLE) / CAST(n_bars AS DOUBLE))" +
+            " / 1000000.0")).as("ulcer"))
+    }),
+
+    // Chandelier exit (22, 3): trailing long stop = 22-bar high −
+    // 3 × mean true range over the same frame. Frame arithmetic on
+    // the shared exchange, explicit Σ/22 instead of avg().
+    "ind_chandelier" -> ((s, dir) => {
+      val rb = w.rowsBetween(-21, 0)
+      EventBars.bars(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("tr",
+          greatest(col("high"), coalesce(lag(col("close"), 1).over(w), col("high")))
+            - least(col("low"), coalesce(lag(col("close"), 1).over(w), col("low"))))
+        .withColumn("hh", max(col("high")).over(rb))
+        .withColumn("atr", sum(col("tr")).over(rb) / lit(22.0))
+        .select(col("ticker"), col("t"), col("event_id"),
+          r6(when(col("rn") >= 22, col("hh") - lit(3.0) * col("atr")))
+            .as("chandelier_long"),
+          r6(when(col("rn") >= 22,
+            min(col("low")).over(rb) + lit(3.0) * col("atr")))
+            .as("chandelier_short"))
+    }),
+
     // KAMA(10, 2, 30): Kaufman adaptive moving average. The efficiency
     // ratio |close − close₋₁₀| / Σ₁₀|Δclose| and the squared smoothing
     // constant are plain frame arithmetic on the shared exchange; the
@@ -1159,6 +1199,48 @@ object Ts2Queries {
            |  (round((2.0*(exp(alpha) - 1.0)/(1.0 + exp(alpha)))
            |   * 1000000.0) / 1000000.0 + 0.0) AS cs_spread
            |FROM al""".stripMargin,
+
+      "ts_ulcer" ->
+        s"""WITH bars AS (${EventBars.sqlBars}),
+           |pk AS (SELECT ticker, close,
+           |    max(close) OVER ($Over
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pk
+           |  FROM bars),
+           |dd AS (SELECT ticker,
+           |    CAST(round((CASE WHEN pk = 0 THEN NULL
+           |      ELSE close / pk END) * 1000000.0 - 1000000.0)
+           |      AS BIGINT) AS dd
+           |  FROM pk),
+           |g AS (SELECT ticker, count(*)::BIGINT AS n_bars,
+           |    sum(dd * dd)::BIGINT AS ss
+           |  FROM dd WHERE dd IS NOT NULL GROUP BY 1)
+           |SELECT ticker, n_bars,
+           |  (round((sqrt(CAST(ss AS DOUBLE) / CAST(n_bars AS DOUBLE))
+           |    / 1000000.0) * 1000000.0) / 1000000.0 + 0.0) AS ulcer
+           |FROM g""".stripMargin,
+
+      "ind_chandelier" ->
+        s"""WITH bars AS (${EventBars.sqlBars}),
+           |f AS (SELECT ticker, t, event_id,
+           |    row_number() OVER ($Over) AS rn,
+           |    greatest(high, coalesce(lag(close) OVER ($Over), high))
+           |      - least(low, coalesce(lag(close) OVER ($Over), low)) AS tr,
+           |    high, low
+           |  FROM bars),
+           |g AS (SELECT ticker, t, event_id, rn,
+           |    max(high) OVER ($Over
+           |      ROWS BETWEEN 21 PRECEDING AND CURRENT ROW) AS hh,
+           |    min(low) OVER ($Over
+           |      ROWS BETWEEN 21 PRECEDING AND CURRENT ROW) AS ll,
+           |    sum(tr) OVER ($Over
+           |      ROWS BETWEEN 21 PRECEDING AND CURRENT ROW) / 22.0 AS atr
+           |  FROM f)
+           |SELECT ticker, t, event_id,
+           |  (round((CASE WHEN rn >= 22 THEN hh - 3.0 * atr END)
+           |   * 1000000.0) / 1000000.0 + 0.0) AS chandelier_long,
+           |  (round((CASE WHEN rn >= 22 THEN ll + 3.0 * atr END)
+           |   * 1000000.0) / 1000000.0 + 0.0) AS chandelier_short
+           |FROM g""".stripMargin,
 
       "ts_ou_halflife" ->
         s"""WITH bars AS (${EventBars.sqlBars}),

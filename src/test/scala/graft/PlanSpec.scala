@@ -391,6 +391,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("one-exchange rollup family (ulcer, chandelier, dow-hour)") {
+    Seq("ts_ulcer", "ind_chandelier", "agg_dow_hour").foreach { q =>
+      assert(shuffles(plan(q)) == 1, q)
+    }
+  }
+
+  test("dq_expectations: one scan, one single-row aggregate") {
+    val p = plan("dq_expectations")
+    assert(shuffles(p) == 0)
+    assert(p.contains("Exchange SinglePartition"))
+  }
+
   test("daily-diagnostic family: rollup + lag window, no joins") {
     Seq("ind_pivot_points", "ts_ou_halflife").foreach { q =>
       val p = plan(q)
