@@ -295,6 +295,29 @@ object BehaviorQueries {
           r6(expr("CAST(sne AS DOUBLE) / CAST(n_users AS DOUBLE)"))
             .as("avg_events"))),
 
+    // Pareto concentration: the spend share of the top 10% of users
+    // (⌈n/10⌉ by rank). Rides the same single-partition ranking over
+    // the |users| rollup as agg_gini; every sum is exact cents.
+    "agg_pareto" -> ((s, dir) => {
+      val wO = Window.orderBy(col("x").desc, col("user_id"))
+      val wAll = Window.partitionBy()
+      ev(s, dir).filter(col("event_type") === "purchase")
+        .withColumn("c", expr("CAST(round(value * 100) AS BIGINT)"))
+        .groupBy("user_id").agg(sum(col("c")).as("x"))
+        .withColumn("rk", row_number().over(wO).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("ntop", expr("(n + 9) div 10"))
+        .agg(max(col("n")).as("n_users"), max(col("ntop")).as("n_top"),
+          sum(col("x")).as("sx"),
+          sum(when(col("rk") <= col("ntop"), col("x")).otherwise(lit(0L)))
+            .as("tx"))
+        .filter(col("n_users").isNotNull)
+        .select(col("n_users"), col("n_top"),
+          r6(expr("CAST(sx AS DOUBLE) / 100.0")).as("total_spend"),
+          r6(expr("try_divide(CAST(tx AS DOUBLE), CAST(sx AS DOUBLE))"))
+            .as("top10_share"))
+    }),
+
     // Gini coefficient of per-user purchase spend — the inequality
     // number behind "whales drive revenue". Per-user totals are exact
     // cents; the rank·value cross terms stay exact longs; the single-
@@ -647,6 +670,27 @@ object BehaviorQueries {
          |  (round((CAST(sum(ne) AS DOUBLE) / CAST(count(*) AS DOUBLE))
          |   * 1000000.0) / 1000000.0 + 0.0) AS avg_events
          |FROM u GROUP BY 1""".stripMargin,
+
+    "agg_pareto" ->
+      s"""WITH $evDuck,
+         |u AS (SELECT user_id,
+         |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS x
+         |  FROM ev WHERE event_type = 'purchase' GROUP BY 1),
+         |r AS (SELECT x,
+         |    row_number() OVER (ORDER BY x DESC, user_id)::BIGINT AS rk,
+         |    count(*) OVER ()::BIGINT AS n FROM u),
+         |r2 AS (SELECT *, (n + 9) // 10 AS ntop FROM r),
+         |g AS (SELECT max(n)::BIGINT AS n_users,
+         |    max(ntop)::BIGINT AS n_top, sum(x)::BIGINT AS sx,
+         |    sum(CASE WHEN rk <= ntop THEN x ELSE 0 END)::BIGINT AS tx
+         |  FROM r2)
+         |SELECT n_users, n_top,
+         |  (round((CAST(sx AS DOUBLE) / 100.0)
+         |   * 1000000.0) / 1000000.0 + 0.0) AS total_spend,
+         |  (round((CASE WHEN sx = 0 THEN NULL
+         |     ELSE CAST(tx AS DOUBLE) / CAST(sx AS DOUBLE) END)
+         |   * 1000000.0) / 1000000.0 + 0.0) AS top10_share
+         |FROM g WHERE n_users IS NOT NULL""".stripMargin,
 
     "agg_gini" ->
       s"""WITH $evDuck,

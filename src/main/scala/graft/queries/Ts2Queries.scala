@@ -495,6 +495,38 @@ object Ts2Queries {
           r6(expr("pv - (ph - pl)")).as("s2"))
     }),
 
+    // Annualized Sharpe ratio from daily closes: mean/σ of the exact
+    // micro-quantized daily returns (winsorized, the ts_beta
+    // treatment) × √252. Variance spelled (Σx² − (Σx)²/n)/(n−1) from
+    // exact longs on both engines.
+    "ts_sharpe" -> ((s, dir) => {
+      val wt = Window.partitionBy("ticker").orderBy("day")
+      EventBars.bars(s, dir)
+        .withColumn("day", expr("t div 86400000000"))
+        .withColumn("c", expr("CAST(round(close * 100) AS BIGINT)"))
+        .groupBy("ticker", "day")
+        .agg(max(struct(col("t"), col("event_id"), col("c")))
+          .getField("c").as("c"))
+        .withColumn("prev", lag(col("c"), 1).over(wt))
+        .withColumn("r", expr("greatest(least(" +
+          "CAST(round(try_divide(CAST(c AS DOUBLE), " +
+          "CAST(prev AS DOUBLE)) * 1000000.0 - 1000000.0) AS BIGINT), " +
+          "10000000L), -10000000L)"))
+        .filter(col("r").isNotNull)
+        .groupBy("ticker")
+        .agg(count(lit(1)).as("n"), sum(col("r")).as("sx"),
+          sum(col("r") * col("r")).as("ss"))
+        .filter(col("n") >= 3)
+        .withColumn("mu", expr("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)"))
+        .withColumn("sd", expr("sqrt((CAST(ss AS DOUBLE)" +
+          " - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/CAST(n AS DOUBLE))" +
+          "/(CAST(n AS DOUBLE) - 1.0))"))
+        .select(col("ticker"), col("n").as("n_days"),
+          r6(expr("mu / 1000000.0")).as("mean_ret"),
+          r6(expr("sd / 1000000.0")).as("sd_ret"),
+          r6(expr("try_divide(mu, sd) * sqrt(252.0)")).as("sharpe"))
+    }),
+
     // Ulcer index per ticker: √mean(drawdown%²) against the running
     // peak. Drawdowns quantize to micro-percent BEFORE the squared
     // sum crosses the shuffle (exact longs); running max is
@@ -1199,6 +1231,41 @@ object Ts2Queries {
            |  (round((2.0*(exp(alpha) - 1.0)/(1.0 + exp(alpha)))
            |   * 1000000.0) / 1000000.0 + 0.0) AS cs_spread
            |FROM al""".stripMargin,
+
+      "ts_sharpe" ->
+        s"""WITH bars AS (${EventBars.sqlBars}),
+           |db AS (SELECT ticker, t // 86400000000 AS day, t, event_id,
+           |    CAST(round(close * 100) AS BIGINT) AS c FROM bars),
+           |dc AS (SELECT ticker, day, last(c ORDER BY t, event_id) AS c
+           |  FROM db GROUP BY 1, 2),
+           |rr AS (SELECT ticker, c,
+           |    lag(c) OVER (PARTITION BY ticker ORDER BY day) AS prev
+           |  FROM dc),
+           |r2 AS (SELECT ticker,
+           |    greatest(least(
+           |      CAST(round((CASE WHEN prev = 0 THEN NULL
+           |        ELSE CAST(c AS DOUBLE) / CAST(prev AS DOUBLE) END)
+           |        * 1000000.0 - 1000000.0) AS BIGINT),
+           |      10000000), -10000000) AS r
+           |  FROM rr),
+           |g AS (SELECT ticker, count(*)::BIGINT AS n,
+           |    sum(r)::BIGINT AS sx, sum(r * r)::BIGINT AS ss
+           |  FROM r2 WHERE r IS NOT NULL GROUP BY 1
+           |  HAVING count(*) >= 3),
+           |m AS (SELECT *,
+           |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+           |    sqrt((CAST(ss AS DOUBLE)
+           |      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/CAST(n AS DOUBLE))
+           |      /(CAST(n AS DOUBLE) - 1.0)) AS sd
+           |  FROM g)
+           |SELECT ticker, n AS n_days,
+           |  (round((mu / 1000000.0) * 1000000.0) / 1000000.0 + 0.0)
+           |    AS mean_ret,
+           |  (round((sd / 1000000.0) * 1000000.0) / 1000000.0 + 0.0)
+           |    AS sd_ret,
+           |  (round((CASE WHEN sd = 0 THEN NULL ELSE mu / sd END
+           |    * sqrt(252.0)) * 1000000.0) / 1000000.0 + 0.0) AS sharpe
+           |FROM m""".stripMargin,
 
       "ts_ulcer" ->
         s"""WITH bars AS (${EventBars.sqlBars}),
