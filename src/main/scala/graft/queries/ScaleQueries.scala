@@ -383,6 +383,9 @@ object ScaleQueries {
           sum(when(col("t") < lit(1704067200000000L)
             || col("t") >= lit(1893456000000000L), lit(1L))
             .otherwise(lit(0L))).as("n_ts_oor"))
+        // empty-in → empty-out (the repo-wide convention): an absent
+        // log yields an absent report, not five vacuous rows
+        .filter(col("n_rows") > 0)
         .selectExpr("stack(5, " +
           "'row_count_positive', n_rows, n_rows > 0, " +
           "'null_user_rate_le_1pct', n_null_user, " +
@@ -823,17 +826,18 @@ object ScaleQueries {
         |    sum(CASE WHEN t < 1704067200000000
         |      OR t >= 1893456000000000 THEN 1 ELSE 0 END)::BIGINT
         |      AS n_ts_oor
-        |  FROM e)
+        |  FROM e),
+        |an AS (SELECT * FROM a WHERE n_rows > 0)
         |SELECT 'row_count_positive' AS expectation, n_rows AS observed,
-        |  n_rows > 0 AS pass FROM a
+        |  n_rows > 0 AS pass FROM an
         |UNION ALL SELECT 'null_user_rate_le_1pct', n_null_user,
-        |  n_null_user * 100 <= n_rows FROM a
+        |  n_null_user * 100 <= n_rows FROM an
         |UNION ALL SELECT 'event_types_known', n_unknown_type,
-        |  n_unknown_type = 0 FROM a
+        |  n_unknown_type = 0 FROM an
         |UNION ALL SELECT 'value_non_negative', n_neg_value,
-        |  n_neg_value = 0 FROM a
+        |  n_neg_value = 0 FROM an
         |UNION ALL SELECT 'ts_in_2024_2029', n_ts_oor,
-        |  n_ts_oor = 0 FROM a""".stripMargin,
+        |  n_ts_oor = 0 FROM an""".stripMargin,
 
     "agg_dow_hour" ->
       """WITH e AS (SELECT epoch_us(ts) AS t, value FROM events),
