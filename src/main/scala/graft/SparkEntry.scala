@@ -19,7 +19,7 @@ object SparkEntry {
     RelationalQueries.queries ++ IndicatorQueries.queries ++
       EtlQueries.queries ++ ExtQueries.queries ++ AnalyticsQueries.queries ++
       ScaleQueries.queries ++ TsQueries.queries ++ CorpusQueries.queries ++
-      Ts2Queries.queries ++ BehaviorQueries.queries
+      Ts2Queries.queries ++ BehaviorQueries.queries ++ Ts3Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +27,5 @@ object SparkEntry {
     RelationalQueries.oracles ++ IndicatorQueries.oracles ++
       EtlQueries.oracles ++ ExtQueries.oracles ++ AnalyticsQueries.oracles ++
       ScaleQueries.oracles ++ TsQueries.oracles ++ CorpusQueries.oracles ++
-      Ts2Queries.oracles ++ BehaviorQueries.oracles
+      Ts2Queries.oracles ++ BehaviorQueries.oracles ++ Ts3Queries.oracles
 }

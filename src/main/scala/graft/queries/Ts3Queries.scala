@@ -1,0 +1,284 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.GraftFunctions
+import graft.ind.RecursiveIndicators
+
+/** Third round-4 indicator batch: the remaining TA-Lib-recognizable
+  * overlap/momentum functions the reference's indicator surface implies
+  * but does not call directly (indicators.py keeps the TA-Lib import
+  * surface open, stockdata/indicators.py:1-30): WMA, TRIMA, AROON
+  * up/down, MIDPOINT/MIDPRICE, BOP, ROCR/ROCR100, true range + NATR,
+  * and STOCHRSI.
+  *
+  * Scale notes: every query here is the indicator suite's shared shape —
+  * ONE `hash(ticker)` exchange + one sort, then frame arithmetic that
+  * stays inside whole-stage codegen (the NATR/STOCHRSI recursions ride
+  * the existing custom AggregateWindowFunction kernels). No joins, no
+  * second shuffle, no driver collection; at 100 TB the cost is the one
+  * repartition every per-ticker operator already pays.
+  *
+  * Float parity: weighted/triangular sums are written as explicit
+  * fixed-order lag arithmetic (identical text both engines — frame
+  * sums and left-to-right folds agree bit-for-bit); AROON is integer
+  * arithmetic until one final divide; divisions are `try_divide`
+  * mirrored by CASE-guards; every double output is r6'd.
+  */
+object Ts3Queries {
+
+  private def w = Window.partitionBy("ticker").orderBy("t", "event_id")
+  private val Over = "PARTITION BY ticker ORDER BY t, event_id"
+
+  private val r6 = Rounding.r6 _
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // True range (per-row) + normalized ATR: 100*ATR(14)/close, the
+    // scale-free volatility TA-Lib exposes as NATR. ATR is the existing
+    // Wilder AggregateWindowFunction kernel — no extra exchange.
+    "ind_natr" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val pc = lag(col("close"), 1).over(w)
+      EventBars.bars(s, dir)
+        .withColumn("atr", expr("graft_atr_w(high, low, close)").over(w))
+        .select(col("ticker"), col("t"), col("event_id"),
+          r6(greatest(col("high"), coalesce(pc, col("high")))
+            - least(col("low"), coalesce(pc, col("low")))).as("trange"),
+          r6(try_divide(col("atr") * lit(100.0), col("close"))).as("natr"))
+    }),
+
+    // WMA(10): linearly-weighted MA as an explicit fixed-order lag sum
+    // (10*c + 9*c[-1] + ... + 1*c[-9]) / 55 — the identical expression
+    // text runs on both engines, so the double fold order matches.
+    "ind_wma" -> ((s, dir) => {
+      val terms = (0 until 10).map { i =>
+        if (i == 0) lit(10.0) * col("close")
+        else lit((10 - i).toDouble) * lag(col("close"), i).over(w)
+      }
+      EventBars.bars(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("wsum", terms.reduce(_ + _))
+        .select(col("ticker"), col("t"), col("event_id"),
+          r6(when(col("rn") >= 10, col("wsum") / lit(55.0))).as("wma"))
+    }),
+
+    // TRIMA(10): triangular MA = SMA(6) of SMA(5), folded to one
+    // rational form (sum of the 6 trailing 5-bar sums) / 30 so only a
+    // single final divide touches floating point.
+    "ind_trima" -> ((s, dir) => {
+      EventBars.bars(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("s5", sum(col("close")).over(w.rowsBetween(-4, 0)))
+        .withColumn("s55", sum(col("s5")).over(w.rowsBetween(-5, 0)))
+        .select(col("ticker"), col("t"), col("event_id"),
+          r6(when(col("rn") >= 10, col("s55") / lit(30.0))).as("trima"))
+    }),
+
+    // AROON(14) up/down: 100 * (period - bars since extreme) / period.
+    // TA-Lib keeps the MOST RECENT extreme on ties — max(struct(v, rn))
+    // falls ties through to the larger rn (mirrored by DuckDB
+    // struct_pack max). Integer arithmetic until the final divide.
+    "ind_aroon" -> ((s, dir) => {
+      val rb = w.rowsBetween(-14, 0)
+      EventBars.bars(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("hi_rn",
+          max(struct(col("high").as("v"), col("rn").as("rn"))).over(rb)
+            .getField("rn"))
+        .withColumn("lo_rn",
+          max(struct((-col("low")).as("v"), col("rn").as("rn"))).over(rb)
+            .getField("rn"))
+        .select(col("ticker"), col("t"), col("event_id"),
+          r6(when(col("rn") >= 15,
+            (lit(100.0) * (lit(14) - (col("rn") - col("hi_rn"))).cast("double"))
+              / lit(14.0))).as("aroon_up"),
+          r6(when(col("rn") >= 15,
+            (lit(100.0) * (lit(14) - (col("rn") - col("lo_rn"))).cast("double"))
+              / lit(14.0))).as("aroon_down"))
+    }),
+
+    // MIDPOINT(14) on close + MIDPRICE(14) on high/low: midpoint of the
+    // trailing extreme band — frame min/max only, one final /2.
+    "ind_midprice" -> ((s, dir) => {
+      val rb = w.rowsBetween(-13, 0)
+      EventBars.bars(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .select(col("ticker"), col("t"), col("event_id"),
+          r6(when(col("rn") >= 14,
+            (max(col("close")).over(rb) + min(col("close")).over(rb))
+              / lit(2.0))).as("midpoint"),
+          r6(when(col("rn") >= 14,
+            (max(col("high")).over(rb) + min(col("low")).over(rb))
+              / lit(2.0))).as("midprice"))
+    }),
+
+    // Balance of power. The synthetic bars carry open == close (the
+    // events table is a single value series), so the conventional
+    // (close - open) numerator degenerates to 0; we use the standard
+    // synthesized-bar convention open := previous close. try_divide
+    // guards the (rare) high == low bar.
+    "ind_bop" -> ((s, dir) => {
+      EventBars.bars(s, dir)
+        .select(col("ticker"), col("t"), col("event_id"),
+          r6(try_divide(col("close") - lag(col("close"), 1).over(w),
+            col("high") - col("low"))).as("bop"))
+    }),
+
+    // ROCR(10) and ROCR100(10): price ratio vs 10 bars ago.
+    "ind_rocr" -> ((s, dir) => {
+      EventBars.bars(s, dir)
+        .withColumn("rocr", try_divide(col("close"), lag(col("close"), 10).over(w)))
+        .select(col("ticker"), col("t"), col("event_id"),
+          r6(col("rocr")).as("rocr"),
+          r6(col("rocr") * lit(100.0)).as("rocr100"))
+    }),
+
+    // STOCHRSI(14, 14): fast %K of the RSI series. RSI comes from the
+    // Wilder window kernel (first valid at rn = 15); the stochastic
+    // band is valid once the trailing 14-bar frame holds only non-null
+    // RSI values (rn >= 28), so null-skipping min/max can't diverge.
+    "ind_stochrsi" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val rb = w.rowsBetween(-13, 0)
+      EventBars.bars(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rsi", expr("graft_rsi_w(close)").over(w))
+        .withColumn("minr", min(col("rsi")).over(rb))
+        .withColumn("maxr", max(col("rsi")).over(rb))
+        .select(col("ticker"), col("t"), col("event_id"),
+          r6(when(col("rn") >= 28,
+            try_divide(col("rsi") - col("minr"), col("maxr") - col("minr"))
+              * lit(100.0))).as("stochrsi"))
+    }))
+
+  private def bars = EventBars.sqlBars
+
+  val oracles: Map[String, String] = Map(
+
+    "ind_natr" ->
+      s"""WITH RECURSIVE bars AS ($bars),
+         |ab AS (
+         |  SELECT ticker, t, event_id, close,
+         |    row_number() OVER ($Over) AS rn,
+         |    greatest(high, coalesce(lag(close) OVER ($Over), high))
+         |      - least(low, coalesce(lag(close) OVER ($Over), low)) AS tr
+         |  FROM bars),
+         |atr_rec AS (
+         |  SELECT ticker, t, event_id, close, rn, tr AS trsum,
+         |    CAST(NULL AS DOUBLE) AS atr
+         |  FROM ab WHERE rn = 1
+         |  UNION ALL
+         |  SELECT b.ticker, b.t, b.event_id, b.close, b.rn,
+         |    CASE WHEN b.rn <= 14 THEN r.trsum + b.tr ELSE r.trsum END,
+         |    CASE WHEN b.rn < 14 THEN CAST(NULL AS DOUBLE)
+         |         WHEN b.rn = 14 THEN (r.trsum + b.tr) / 14.0
+         |         ELSE (r.atr * 13.0 + b.tr) / 14.0 END
+         |  FROM atr_rec r JOIN ab b
+         |    ON b.ticker = r.ticker AND b.rn = r.rn + 1)
+         |SELECT a.ticker, a.t, a.event_id,
+         |  (round(ab.tr, 6) + 0.0) AS trange,
+         |  (round(CASE WHEN a.close <> 0
+         |     THEN a.atr * 100.0 / a.close END, 6) + 0.0) AS natr
+         |FROM atr_rec a JOIN ab
+         |  ON ab.ticker = a.ticker AND ab.rn = a.rn""".stripMargin,
+
+    "ind_wma" -> {
+      val terms = (0 until 10).map { i =>
+        if (i == 0) "10.0 * close"
+        else s"${(10 - i).toDouble} * lag(close, $i) OVER ($Over)"
+      }.mkString(" + ")
+      s"""WITH bars AS ($bars),
+         |f AS (SELECT *, row_number() OVER ($Over) AS rn,
+         |    $terms AS wsum FROM bars)
+         |SELECT ticker, t, event_id,
+         |  (round(CASE WHEN rn >= 10 THEN wsum / 55.0 END, 6) + 0.0) AS wma
+         |FROM f""".stripMargin
+    },
+
+    "ind_trima" ->
+      s"""WITH bars AS ($bars),
+         |f AS (SELECT *, row_number() OVER ($Over) AS rn,
+         |    sum(close) OVER ($Over
+         |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS s5 FROM bars),
+         |g AS (SELECT *, sum(s5) OVER ($Over
+         |      ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS s55 FROM f)
+         |SELECT ticker, t, event_id,
+         |  (round(CASE WHEN rn >= 10 THEN s55 / 30.0 END, 6) + 0.0) AS trima
+         |FROM g""".stripMargin,
+
+    "ind_aroon" ->
+      s"""WITH bars AS ($bars),
+         |f AS (SELECT *, row_number() OVER ($Over) AS rn FROM bars),
+         |g AS (SELECT *,
+         |    (max(struct_pack(v := high, rn := rn)) OVER ($Over
+         |      ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)).rn AS hi_rn,
+         |    (max(struct_pack(v := -low, rn := rn)) OVER ($Over
+         |      ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)).rn AS lo_rn
+         |  FROM f)
+         |SELECT ticker, t, event_id,
+         |  (round(CASE WHEN rn >= 15
+         |    THEN (100.0 * CAST(14 - (rn - hi_rn) AS DOUBLE)) / 14.0 END, 6)
+         |    + 0.0) AS aroon_up,
+         |  (round(CASE WHEN rn >= 15
+         |    THEN (100.0 * CAST(14 - (rn - lo_rn) AS DOUBLE)) / 14.0 END, 6)
+         |    + 0.0) AS aroon_down
+         |FROM g""".stripMargin,
+
+    "ind_midprice" ->
+      s"""WITH bars AS ($bars),
+         |f AS (SELECT *, row_number() OVER ($Over) AS rn,
+         |    max(close) OVER ($Over
+         |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS hc,
+         |    min(close) OVER ($Over
+         |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS lc,
+         |    max(high) OVER ($Over
+         |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS hh,
+         |    min(low) OVER ($Over
+         |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS ll
+         |  FROM bars)
+         |SELECT ticker, t, event_id,
+         |  (round(CASE WHEN rn >= 14 THEN (hc + lc) / 2.0 END, 6) + 0.0)
+         |    AS midpoint,
+         |  (round(CASE WHEN rn >= 14 THEN (hh + ll) / 2.0 END, 6) + 0.0)
+         |    AS midprice
+         |FROM f""".stripMargin,
+
+    "ind_bop" ->
+      s"""WITH bars AS ($bars)
+         |SELECT ticker, t, event_id,
+         |  (round(CASE WHEN high - low <> 0
+         |    THEN (close - lag(close, 1) OVER ($Over)) / (high - low) END, 6)
+         |    + 0.0) AS bop
+         |FROM bars""".stripMargin,
+
+    "ind_rocr" ->
+      s"""WITH bars AS ($bars),
+         |f AS (SELECT *,
+         |    CASE WHEN lag(close, 10) OVER ($Over) <> 0
+         |      THEN close / lag(close, 10) OVER ($Over) END AS rocr
+         |  FROM bars)
+         |SELECT ticker, t, event_id,
+         |  (round(rocr, 6) + 0.0) AS rocr,
+         |  (round(rocr * 100.0, 6) + 0.0) AS rocr100
+         |FROM f""".stripMargin,
+
+    "ind_stochrsi" ->
+      s"""WITH RECURSIVE bars AS ($bars),
+         |${RecursiveIndicators.sqlStages("bars", Seq("ticker"), Seq("t", "event_id"))},
+         |f AS (SELECT ticker, t, event_id, rsi,
+         |    row_number() OVER ($Over) AS rn,
+         |    min(rsi) OVER ($Over
+         |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS minr,
+         |    max(rsi) OVER ($Over
+         |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS maxr
+         |  FROM ri_final)
+         |SELECT ticker, t, event_id,
+         |  (round(CASE WHEN rn >= 28 THEN
+         |    (CASE WHEN maxr - minr <> 0
+         |       THEN (rsi - minr) / (maxr - minr) END) * 100.0 END, 6)
+         |    + 0.0) AS stochrsi
+         |FROM f""".stripMargin)
+}
