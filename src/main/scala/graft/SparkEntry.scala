@@ -19,7 +19,8 @@ object SparkEntry {
     RelationalQueries.queries ++ IndicatorQueries.queries ++
       EtlQueries.queries ++ ExtQueries.queries ++ AnalyticsQueries.queries ++
       ScaleQueries.queries ++ TsQueries.queries ++ CorpusQueries.queries ++
-      Ts2Queries.queries ++ BehaviorQueries.queries ++ Ts3Queries.queries
+      Ts2Queries.queries ++ BehaviorQueries.queries ++ Ts3Queries.queries ++
+      TsRiskQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
     RelationalQueries.oracles ++ IndicatorQueries.oracles ++
       EtlQueries.oracles ++ ExtQueries.oracles ++ AnalyticsQueries.oracles ++
       ScaleQueries.oracles ++ TsQueries.oracles ++ CorpusQueries.oracles ++
-      Ts2Queries.oracles ++ BehaviorQueries.oracles ++ Ts3Queries.oracles
+      Ts2Queries.oracles ++ BehaviorQueries.oracles ++ Ts3Queries.oracles ++
+      TsRiskQueries.oracles
 }

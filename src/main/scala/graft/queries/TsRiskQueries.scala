@@ -1,0 +1,272 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Round-4 risk/microstructure batch: the portfolio- and execution-risk
+  * reports a bar warehouse serves next to the indicator surface —
+  * historical VaR/CVaR, Amihud illiquidity, Roll's implied spread,
+  * weekday calendar effects, and drawdown-spell (underwater) analysis.
+  * The reference stops at per-bar indicators (indicators.py); these are
+  * the per-ticker rollups built from the same return series.
+  *
+  * Scale notes: every query is one `hash(ticker)` exchange for the
+  * return window, then a per-ticker (or per-weekday) aggregate that
+  * collapses map-side — outputs are O(tickers) or O(7) rows. No
+  * all-pairs work, no driver collection.
+  *
+  * Float parity: returns are winsorized at ±1000% and micro-quantized
+  * to longs BEFORE any unordered aggregate (cross-partition long sums
+  * are exact; |rq| ≤ 1e7 so even double-buffered averages stay below
+  * 2^53 and are order-independent). CVaR tail membership is RANK-based
+  * (k smallest), not threshold-based, so no interpolated-quantile ulp
+  * can flip a row across engines. Roll's covariance folds exact long
+  * sums with a textually-mirrored scalar expression; sqrt is correctly
+  * rounded on both engines.
+  */
+object TsRiskQueries {
+
+  private def w = Window.partitionBy("ticker").orderBy("t", "event_id")
+  private val Over = "PARTITION BY ticker ORDER BY t, event_id"
+
+  private val r6 = Rounding.r6 _
+
+  /** Per-bar winsorized micro-quantized return (`rq`, long). */
+  private def rets(s: SparkSession, dir: String): DataFrame = {
+    val pc = lag(col("close"), 1).over(w)
+    EventBars.bars(s, dir)
+      .withColumn("ret", try_divide(col("close") - pc, pc))
+      .filter(col("ret").isNotNull)
+      .withColumn("rq",
+        round(greatest(least(col("ret"), lit(10.0)), lit(-10.0)) * lit(1e6))
+          .cast("long"))
+  }
+
+  private val SqlRets =
+    s"""r AS (
+       |  SELECT ticker, t, event_id, close, volume,
+       |    CASE WHEN lag(close, 1) OVER ($Over) <> 0
+       |      THEN (close - lag(close, 1) OVER ($Over))
+       |           / lag(close, 1) OVER ($Over) END AS ret
+       |  FROM bars),
+       |rq AS (
+       |  SELECT ticker, t, event_id, close, volume, ret,
+       |    CAST(round(greatest(least(ret, 10.0), -10.0) * 1e6) AS BIGINT) AS rq
+       |  FROM r WHERE ret IS NOT NULL)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Historical VaR(95)/CVaR(95) per ticker. VaR = interpolated 5th
+    // percentile (shared quantile_cont-bit-equal kernel); CVaR = mean
+    // of the k = floor((n-1)*0.05)+1 SMALLEST returns — rank-based, so
+    // the tail set is crisp even when the quantile falls on a tie.
+    "ts_var_cvar" -> ((s, dir) => {
+      val r = rets(s, dir).withColumn("rqd", col("rq").cast("double"))
+      val q = ExactQuantile.grouped(r, "ticker", "rqd", Seq(0.05 -> "q05"))
+      val wq = Window.partitionBy("ticker").orderBy("rq", "t", "event_id")
+      val tail = r
+        .withColumn("_rn0", row_number().over(wq).cast("long") - 1L)
+        .withColumn("_n", count(lit(1)).over(Window.partitionBy("ticker")))
+        .withColumn("k",
+          floor((col("_n") - 1L).cast("double") * lit(0.05)).cast("long"))
+        .groupBy("ticker").agg(
+          count(lit(1)).as("n"),
+          (max(col("k")) + 1L).as("n_tail"),
+          sum(when(col("_rn0") <= col("k"), col("rq"))).as("tail_sum"))
+      tail.join(broadcast(q), "ticker")
+        .select(col("ticker"), col("n"), col("n_tail"),
+          r6(-col("q05") / lit(1e6)).as("var95"),
+          r6(-(col("tail_sum").cast("double")
+            / col("n_tail").cast("double")) / lit(1e6)).as("cvar95"))
+    }),
+
+    // Amihud illiquidity: mean |return| per unit of dollar volume.
+    // The per-bar ratio is winsorized at 1.0 and nano-quantized before
+    // the cross-partition mean (exact long sums).
+    "ts_amihud" -> ((s, dir) =>
+      rets(s, dir)
+        .withColumn("illiq",
+          try_divide(abs(col("ret")), col("close") * col("volume")))
+        .filter(col("illiq").isNotNull)
+        .withColumn("qi", round(least(col("illiq"), lit(1.0)) * lit(1e9))
+          .cast("long"))
+        .groupBy("ticker").agg(
+          count(lit(1)).as("n"),
+          (sum(col("qi")).cast("double")
+            / count(lit(1)).cast("double") / lit(1e9)).as("amihud_raw"))
+        .select(col("ticker"), col("n"), r6(col("amihud_raw")).as("amihud"))),
+
+    // Roll's implied effective spread: 2·sqrt(−cov(Δp_t, Δp_{t−1}))
+    // when the serial covariance is negative (else 0). Δp is
+    // micro-quantized; the covariance folds the exact long sums in a
+    // textually-mirrored scalar expression.
+    "ts_roll_spread" -> ((s, dir) => {
+      val dp = col("close") - lag(col("close"), 1).over(w)
+      // least/greatest SKIP nulls on both engines, so guard the first
+      // bar's null Δp explicitly or it would clamp to a fake ±1000.
+      val r = EventBars.bars(s, dir)
+        .withColumn("d",
+          when(dp.isNotNull,
+            round(greatest(least(dp, lit(1000.0)), lit(-1000.0)) * lit(1e6))
+              .cast("long")))
+        .withColumn("dprev", lag(col("d"), 1).over(w))
+        .filter(col("d").isNotNull && col("dprev").isNotNull)
+      r.groupBy("ticker").agg(
+          count(lit(1)).as("n"),
+          sum(col("d") * col("dprev")).as("sxy"),
+          sum(col("d")).as("sx"),
+          sum(col("dprev")).as("sy"))
+        .withColumn("cov",
+          (col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double")
+              / col("n").cast("double")) / col("n").cast("double"))
+        .select(col("ticker"), col("n"),
+          r6(col("cov") / lit(1e12)).as("serial_cov"),
+          r6(when(col("cov") < 0.0,
+            lit(2.0) * sqrt(-col("cov")) / lit(1e6)).otherwise(lit(0.0)))
+            .as("roll_spread"))
+    }),
+
+    // Calendar effects: mean return and up-bar share by day-of-week
+    // (integer weekday from the epoch-micro grid; 0 = Thursday epoch
+    // anchor folded to ISO-ish 0=Mon via +3). O(7) output rows.
+    "ts_calendar" -> ((s, dir) =>
+      rets(s, dir)
+        .withColumn("dow", expr("(t div 86400000000 + 3) % 7"))
+        .groupBy("dow").agg(
+          count(lit(1)).as("n"),
+          (sum(col("rq")).cast("double")
+            / count(lit(1)).cast("double") / lit(1e6)).as("mean_raw"),
+          (count(when(col("rq") > 0L, lit(1))).cast("double")
+            / count(lit(1)).cast("double")).as("win_raw"))
+        .select(col("dow"), col("n"),
+          r6(col("mean_raw")).as("mean_ret"),
+          r6(col("win_raw")).as("win_rate"))),
+
+    // Drawdown spells: gaps-and-islands over the underwater flag
+    // (close below its running max). Per-ticker report: spell count,
+    // longest spell in bars and in elapsed micros, total underwater
+    // bars — all integer arithmetic.
+    "ts_dd_duration" -> ((s, dir) => {
+      val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+      val flagged = EventBars.bars(s, dir)
+        .withColumn("runmax", max(col("close")).over(cum))
+        .withColumn("uw", col("close") < col("runmax"))
+        .withColumn("grp",
+          sum(when(col("uw"), lit(0)).otherwise(lit(1))).over(cum))
+      flagged.filter(col("uw"))
+        .groupBy("ticker", "grp").agg(
+          count(lit(1)).as("len"),
+          (max(col("t")) - min(col("t"))).as("dur"))
+        .groupBy("ticker").agg(
+          count(lit(1)).as("n_spells"),
+          max(col("len")).as("max_spell_bars"),
+          max(col("dur")).as("max_spell_us"),
+          sum(col("len")).as("underwater_bars"))
+    }))
+
+  private def bars = EventBars.sqlBars
+
+  val oracles: Map[String, String] = Map(
+
+    "ts_var_cvar" ->
+      s"""WITH bars AS ($bars),
+         |$SqlRets,
+         |rk AS (
+         |  SELECT ticker, rq,
+         |    row_number() OVER (PARTITION BY ticker ORDER BY rq, t, event_id)
+         |      - 1 AS rn0,
+         |    count(*) OVER (PARTITION BY ticker) AS n
+         |  FROM rq),
+         |agg AS (
+         |  SELECT ticker,
+         |    quantile_cont(CAST(rq AS DOUBLE), 0.05) AS q05,
+         |    count(*) AS n,
+         |    CAST(floor(CAST(max(n) - 1 AS DOUBLE) * 0.05) AS BIGINT) + 1
+         |      AS n_tail,
+         |    sum(CASE WHEN rn0 <= floor(CAST(n - 1 AS DOUBLE) * 0.05)
+         |      THEN rq END) AS tail_sum
+         |  FROM rk GROUP BY ticker)
+         |SELECT ticker, n, n_tail,
+         |  (round(-q05 / 1e6, 6) + 0.0) AS var95,
+         |  (round(-(CAST(tail_sum AS DOUBLE) / CAST(n_tail AS DOUBLE)) / 1e6, 6)
+         |    + 0.0) AS cvar95
+         |FROM agg""".stripMargin,
+
+    "ts_amihud" ->
+      s"""WITH bars AS ($bars),
+         |$SqlRets,
+         |il AS (
+         |  SELECT ticker,
+         |    CAST(round(least(
+         |      CASE WHEN close * volume <> 0
+         |        THEN abs(ret) / (close * volume) END, 1.0) * 1e9) AS BIGINT)
+         |      AS qi
+         |  FROM rq
+         |  WHERE (CASE WHEN close * volume <> 0
+         |    THEN abs(ret) / (close * volume) END) IS NOT NULL)
+         |SELECT ticker, count(*) AS n,
+         |  (round(CAST(sum(qi) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e9, 6)
+         |    + 0.0) AS amihud
+         |FROM il GROUP BY ticker""".stripMargin,
+
+    "ts_roll_spread" ->
+      s"""WITH bars AS ($bars),
+         |d0 AS (
+         |  SELECT ticker, t, event_id,
+         |    CASE WHEN lag(close, 1) OVER ($Over) IS NOT NULL
+         |      THEN CAST(round(greatest(least(close - lag(close, 1) OVER ($Over),
+         |        1000.0), -1000.0) * 1e6) AS BIGINT) END AS d
+         |  FROM bars),
+         |d1 AS (
+         |  SELECT ticker, d, lag(d, 1) OVER ($Over) AS dprev
+         |  FROM d0),
+         |agg AS (
+         |  SELECT ticker, count(*) AS n,
+         |    sum(d * dprev) AS sxy, sum(d) AS sx, sum(dprev) AS sy
+         |  FROM d1 WHERE d IS NOT NULL AND dprev IS NOT NULL
+         |  GROUP BY ticker),
+         |c AS (
+         |  SELECT *, (CAST(sxy AS DOUBLE)
+         |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+         |    / CAST(n AS DOUBLE) AS cov
+         |  FROM agg)
+         |SELECT ticker, n,
+         |  (round(cov / 1e12, 6) + 0.0) AS serial_cov,
+         |  (round(CASE WHEN cov < 0.0 THEN 2.0 * sqrt(-cov) / 1e6
+         |    ELSE 0.0 END, 6) + 0.0) AS roll_spread
+         |FROM c""".stripMargin,
+
+    "ts_calendar" ->
+      s"""WITH bars AS ($bars),
+         |$SqlRets,
+         |g AS (
+         |  SELECT ((t // 86400000000) + 3) % 7 AS dow, rq
+         |  FROM rq)
+         |SELECT dow, count(*) AS n,
+         |  (round(CAST(sum(rq) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6, 6)
+         |    + 0.0) AS mean_ret,
+         |  (round(CAST(count(CASE WHEN rq > 0 THEN 1 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 6) + 0.0) AS win_rate
+         |FROM g GROUP BY dow""".stripMargin,
+
+    "ts_dd_duration" ->
+      s"""WITH bars AS ($bars),
+         |f AS (
+         |  SELECT ticker, t, event_id, close,
+         |    max(close) OVER ($Over
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+         |  FROM bars),
+         |g AS (
+         |  SELECT *, close < runmax AS uw,
+         |    sum(CASE WHEN close < runmax THEN 0 ELSE 1 END) OVER ($Over
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |  FROM f),
+         |sp AS (
+         |  SELECT ticker, grp, count(*) AS len, max(t) - min(t) AS dur
+         |  FROM g WHERE uw GROUP BY ticker, grp)
+         |SELECT ticker, count(*) AS n_spells, max(len) AS max_spell_bars,
+         |  max(dur) AS max_spell_us, CAST(sum(len) AS BIGINT) AS underwater_bars
+         |FROM sp GROUP BY ticker""".stripMargin)
+}

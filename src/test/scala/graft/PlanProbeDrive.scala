@@ -6,7 +6,7 @@ object PlanProbeDrive {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.001"
-    for (q <- Seq("rel_setops_all", "sim_recall")) {
+    for (q <- Seq("ind_wma", "ind_aroon", "ind_stochrsi", "ind_natr", "ts_var_cvar", "ts_amihud", "ts_roll_spread", "ts_calendar", "ts_dd_duration")) {
       val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
       val ex = "Exchange hashpartitioning".r.findAllIn(p).length
       val sp = "Exchange SinglePartition".r.findAllIn(p).length

@@ -474,4 +474,26 @@ class PlanSpec extends SparkSpec {
     // the only hash exchanges are the two interval-building aggregates
     assert(shuffles(p) == 2, p)
   }
+
+  test("ts3 indicator batch keeps the shared one-exchange shape") {
+    Seq("ind_wma", "ind_trima", "ind_aroon", "ind_midprice", "ind_bop",
+      "ind_rocr", "ind_natr", "ind_stochrsi").foreach { q =>
+      assert(shuffles(plan(q)) == 1, q)
+    }
+  }
+
+  test("risk rollups reuse the ticker window exchange for their aggregate") {
+    // window partitioning == groupBy key ⇒ the per-ticker aggregate
+    // rides the same exchange; dd_duration's two-level groupBy too
+    Seq("ts_amihud", "ts_roll_spread", "ts_dd_duration").foreach { q =>
+      assert(shuffles(plan(q)) == 1, q)
+    }
+  }
+
+  test("ts_var_cvar: quantiles broadcast back, two branch exchanges") {
+    val p = plan("ts_var_cvar")
+    assert(shuffles(p) == 2, p)
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("SortMergeJoin"))
+  }
 }
