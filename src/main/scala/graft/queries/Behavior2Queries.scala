@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Second behavioral batch: the engagement/health dashboard layer —
+  * DAU/WAU/MAU with stickiness, weekly churn states, power-user
+  * deciles, market-basket brand affinity, and inter-event-time
+  * distributions.
+  *
+  * Scale notes: active-user counts collapse to DISTINCT (user, day)
+  * pairs FIRST, then the trailing 7/30-day windows come from a bounded
+  * calendar explode of those pairs (×7/×30 of the already-collapsed
+  * pair set — never of raw events); the day-keyed rollup joins are
+  * broadcast. Churn and inter-event windows ride one user exchange.
+  * Basket pairs distinct (order, brand) before the self-join, so the
+  * pair blowup is bounded by the brand alphabet (~25), not basket
+  * size; the deciles/summary tables rank already-aggregated key-level
+  * rows. Everything crossing a shuffle is an exact integer; divisions
+  * are textually mirrored double casts of those integers.
+  */
+object Behavior2Queries {
+
+  private val r6 = Rounding.r6 _
+
+  private val DayUs = 86400000000L
+  private val WeekUs = 604800000000L
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    EventBars.events(s, dir).select(
+      col("user_id").cast("long").as("user_id"), col("t"),
+      col("event_id"), col("event_type"))
+
+  private val evDuck =
+    """ev AS (SELECT user_id::BIGINT AS user_id, epoch_us(ts) AS t,
+      |  event_id, event_type FROM events)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // DAU / trailing-7 WAU / trailing-30 MAU / stickiness per active
+    // day. The ×7 and ×30 calendar explodes run over distinct
+    // (user, day) pairs; rollups join broadcast on the day key.
+    "behav_dau_mau" -> ((s, dir) => {
+      val ud = ev(s, dir)
+        .select(col("user_id"), expr(s"t div $DayUs").as("day")).distinct()
+      def trailing(k: Int, out: String): DataFrame = ud
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + lit(k - 1))).as("day"))
+        .distinct()
+        .groupBy("day").agg(count(lit(1)).as(out))
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      dau
+        .join(broadcast(trailing(7, "wau")), "day")
+        .join(broadcast(trailing(30, "mau")), "day")
+        .select(col("day"), col("dau"), col("wau"), col("mau"),
+          r6(col("dau").cast("double") / col("mau").cast("double"))
+            .as("stickiness"))
+    }),
+
+    // Weekly lifecycle states: per week, active / new / retained /
+    // resurrected counts, plus how many of this week's actives churn
+    // (no activity next week). All integer arithmetic; the final
+    // lead() runs on the O(weeks) aggregate.
+    "behav_churn" -> ((s, dir) => {
+      val uw = ev(s, dir)
+        .select(col("user_id"), expr(s"t div $WeekUs").as("wk")).distinct()
+      val st = uw
+        .withColumn("prev",
+          lag(col("wk"), 1).over(Window.partitionBy("user_id").orderBy("wk")))
+      val weekly = st.groupBy("wk").agg(
+        count(lit(1)).as("n_active"),
+        count(when(col("prev").isNull, lit(1))).as("n_new"),
+        count(when(col("prev") === col("wk") - 1L, lit(1))).as("n_retained"),
+        count(when(col("prev").isNotNull && col("prev") < col("wk") - 1L,
+          lit(1))).as("n_resurrected"))
+      weekly.withColumn("n_churned",
+        col("n_active")
+          - lead(col("n_retained"), 1).over(Window.orderBy("wk")))
+    }),
+
+    // Power-user deciles: users ranked by event count into 10 buckets
+    // (total order via (n, user_id) so ntile is deterministic); per
+    // decile, user count, event mass, and share of all events.
+    "behav_power_users" -> ((s, dir) => {
+      val uc = ev(s, dir).groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"))
+      val d = uc.withColumn("decile",
+        ntile(10).over(Window.orderBy(col("n_events"), col("user_id"))))
+      d.groupBy("decile").agg(
+          count(lit(1)).as("n_users"),
+          sum(col("n_events")).as("events"))
+        .withColumn("total", sum(col("events")).over(Window.partitionBy()))
+        .select(col("decile"), col("n_users"), col("events"),
+          r6(col("events").cast("double") / col("total").cast("double"))
+            .as("event_share"))
+    }),
+
+    // Market-basket brand affinity over orders: ONE order-key exchange
+    // builds each order's sorted distinct brand set (broadcast part
+    // join feeds it), then pairs are generated IN-ROW from the array
+    // (codegen'd transform/slice HOFs — no self-join, so no second big
+    // exchange at 100 TB); support and lift from exact counts.
+    "basket_pairs" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val pt = s.read.parquet(s"$dir/part.parquet")
+      val ob = li.join(broadcast(pt),
+          li("l_partkey") === pt("p_partkey"))
+        .groupBy(col("l_orderkey").as("okey"))
+        .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+      val nOrders = ob.agg(count(lit(1)).as("n_orders"))
+      val nb = ob.select(explode(col("bs")).as("p_brand"))
+        .groupBy("p_brand").agg(count(lit(1)).as("n_b"))
+      ob.select(explode(expr(
+          "flatten(transform(bs, (x, i) -> transform(" +
+            "slice(bs, i + 2, size(bs)), y -> named_struct('a', x, 'b', y))))"))
+          .as("p"))
+        .select(col("p.a").as("brand_a"), col("p.b").as("brand_b"))
+        .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("n_ab"))
+        .join(broadcast(nb.select(col("p_brand").as("brand_a"),
+          col("n_b").as("n_a"))), "brand_a")
+        .join(broadcast(nb.select(col("p_brand").as("brand_b"),
+          col("n_b").as("n_bb"))), "brand_b")
+        .crossJoin(broadcast(nOrders))
+        .select(col("brand_a"), col("brand_b"), col("n_ab"),
+          r6(col("n_ab").cast("double") / col("n_orders").cast("double"))
+            .as("support"),
+          r6(col("n_ab").cast("double") * col("n_orders").cast("double")
+            / (col("n_a").cast("double") * col("n_bb").cast("double")))
+            .as("lift"))
+    }),
+
+    // Inter-event-time distribution per event type: consecutive-event
+    // gaps within each user's stream (exact integer micros), then the
+    // shared quantile_cont-bit-equal kernel; seconds conversion happens
+    // AFTER interpolation so the r6 gate sits far above quantile ulps.
+    "behav_interevent" -> ((s, dir) => {
+      val g = ev(s, dir)
+        .withColumn("gap",
+          col("t") - lag(col("t"), 1)
+            .over(Window.partitionBy("user_id").orderBy("t", "event_id")))
+        .filter(col("gap").isNotNull)
+        .withColumn("gapd", col("gap").cast("double"))
+      val q = ExactQuantile.grouped(g, "event_type", "gapd",
+        Seq(0.5 -> "q50", 0.9 -> "q90", 0.99 -> "q99"))
+      g.groupBy("event_type").agg(count(lit(1)).as("n"))
+        .join(broadcast(q), "event_type")
+        .select(col("event_type"), col("n"),
+          r6(col("q50") / lit(1e6)).as("p50_s"),
+          r6(col("q90") / lit(1e6)).as("p90_s"),
+          r6(col("q99") / lit(1e6)).as("p99_s"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+
+    "behav_dau_mau" ->
+      s"""WITH $evDuck,
+         |ud AS (SELECT DISTINCT user_id, t // $DayUs AS day FROM ev),
+         |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+         |w7 AS (SELECT DISTINCT user_id, day + unnest(range(0, 7)) AS day
+         |  FROM ud),
+         |wau AS (SELECT day, count(*) AS wau FROM w7 GROUP BY day),
+         |w30 AS (SELECT DISTINCT user_id, day + unnest(range(0, 30)) AS day
+         |  FROM ud),
+         |mau AS (SELECT day, count(*) AS mau FROM w30 GROUP BY day)
+         |SELECT dau.day, dau, wau, mau,
+         |  (round(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE), 6) + 0.0)
+         |    AS stickiness
+         |FROM dau JOIN wau ON dau.day = wau.day
+         |JOIN mau ON dau.day = mau.day""".stripMargin,
+
+    "behav_churn" ->
+      s"""WITH $evDuck,
+         |uw AS (SELECT DISTINCT user_id, t // $WeekUs AS wk FROM ev),
+         |st AS (SELECT *, lag(wk) OVER (PARTITION BY user_id ORDER BY wk)
+         |    AS prev FROM uw),
+         |weekly AS (
+         |  SELECT wk, count(*) AS n_active,
+         |    count(CASE WHEN prev IS NULL THEN 1 END) AS n_new,
+         |    count(CASE WHEN prev = wk - 1 THEN 1 END) AS n_retained,
+         |    count(CASE WHEN prev IS NOT NULL AND prev < wk - 1 THEN 1 END)
+         |      AS n_resurrected
+         |  FROM st GROUP BY wk)
+         |SELECT wk, n_active, n_new, n_retained, n_resurrected,
+         |  n_active - lead(n_retained) OVER (ORDER BY wk) AS n_churned
+         |FROM weekly""".stripMargin,
+
+    "behav_power_users" ->
+      s"""WITH $evDuck,
+         |uc AS (SELECT user_id, count(*) AS n_events FROM ev
+         |  GROUP BY user_id),
+         |d AS (SELECT *, ntile(10) OVER (ORDER BY n_events, user_id)
+         |    AS decile FROM uc),
+         |g AS (SELECT decile, count(*) AS n_users,
+         |    CAST(sum(n_events) AS BIGINT) AS events
+         |  FROM d GROUP BY decile)
+         |SELECT decile, n_users, events,
+         |  (round(CAST(events AS DOUBLE)
+         |    / CAST(CAST(sum(events) OVER () AS BIGINT) AS DOUBLE), 6) + 0.0)
+         |    AS event_share
+         |FROM g""".stripMargin,
+
+    "basket_pairs" ->
+      """WITH ob AS (
+        |  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |n AS (SELECT count(DISTINCT okey) AS n_orders FROM ob),
+        |nb AS (SELECT p_brand, count(*) AS n_b FROM ob GROUP BY p_brand),
+        |pr AS (
+        |  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+        |    count(*) AS n_ab
+        |  FROM ob a JOIN ob b ON a.okey = b.okey
+        |    AND a.p_brand < b.p_brand
+        |  GROUP BY 1, 2)
+        |SELECT brand_a, brand_b, n_ab,
+        |  (round(CAST(n_ab AS DOUBLE) / CAST(n.n_orders AS DOUBLE), 6) + 0.0)
+        |    AS support,
+        |  (round(CAST(n_ab AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+        |    / (CAST(na.n_b AS DOUBLE) * CAST(nbb.n_b AS DOUBLE)), 6) + 0.0)
+        |    AS lift
+        |FROM pr CROSS JOIN n
+        |JOIN nb na ON na.p_brand = pr.brand_a
+        |JOIN nb nbb ON nbb.p_brand = pr.brand_b""".stripMargin,
+
+    "behav_interevent" ->
+      s"""WITH $evDuck,
+         |g AS (
+         |  SELECT event_type,
+         |    CAST(t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+         |      AS DOUBLE) AS gapd
+         |  FROM ev),
+         |f AS (SELECT * FROM g WHERE gapd IS NOT NULL)
+         |SELECT event_type, count(*) AS n,
+         |  (round(quantile_cont(gapd, 0.5) / 1e6, 6) + 0.0) AS p50_s,
+         |  (round(quantile_cont(gapd, 0.9) / 1e6, 6) + 0.0) AS p90_s,
+         |  (round(quantile_cont(gapd, 0.99) / 1e6, 6) + 0.0) AS p99_s
+         |FROM f GROUP BY event_type""".stripMargin)
+}

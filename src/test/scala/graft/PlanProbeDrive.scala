@@ -6,8 +6,9 @@ object PlanProbeDrive {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.001"
-    for (q <- Seq("ind_wma", "ind_aroon", "ind_stochrsi", "ind_natr", "ts_var_cvar", "ts_amihud", "ts_roll_spread", "ts_calendar", "ts_dd_duration")) {
+    for (q <- Seq("basket_pairs")) {
       val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      println(p.linesIterator.filter(_.contains("Join")).mkString("\n"))
       val ex = "Exchange hashpartitioning".r.findAllIn(p).length
       val sp = "Exchange SinglePartition".r.findAllIn(p).length
       val bc = "BroadcastExchange".r.findAllIn(p).length

@@ -496,4 +496,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"))
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("basket_pairs: in-row pair generation — no self-join") {
+    // the only nested loop allowed is the 1-row n_orders scalar cross
+    val p = plan("basket_pairs")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1)
+  }
+
+  test("engagement rollups broadcast their day/type-keyed joins") {
+    Seq("behav_dau_mau", "behav_interevent").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastExchange"), q)
+      assert(!p.contains("SortMergeJoin"), q)
+    }
+  }
+
+  test("behav_power_users: one user exchange, ranking on aggregated rows") {
+    val p = plan("behav_power_users")
+    assert(shuffles(p) == 1, p)
+  }
 }
