@@ -6,9 +6,9 @@ object PlanProbeDrive {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.001"
-    for (q <- Seq("basket_pairs")) {
+    for (q <- Seq("q6_forecast", "q14_promo_share", "q18_big_orders", "feat_target_encode", "feat_minmax", "corpus_gopher")) {
       val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
-      println(p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+      println(p.linesIterator.filter(l => l.contains("PushedFilters") && q == "q6_forecast").take(2).mkString("\n"))
       val ex = "Exchange hashpartitioning".r.findAllIn(p).length
       val sp = "Exchange SinglePartition".r.findAllIn(p).length
       val bc = "BroadcastExchange".r.findAllIn(p).length

@@ -516,4 +516,34 @@ class PlanSpec extends SparkSpec {
     val p = plan("behav_power_users")
     assert(shuffles(p) == 1, p)
   }
+
+  test("q6: zero shuffles, filters pushed to the scan, 4-column read") {
+    val p = plan("q6_forecast")
+    assert(shuffles(p) == 0, p)
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+    assert(p.contains(
+      "ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+        "l_discount:double,l_shipdate:timestamp_ntz>"), p)
+  }
+
+  test("q14/q18: dims broadcast; lineitem shuffles at most once") {
+    assert(shuffles(plan("q14_promo_share")) == 0)
+    val p18 = plan("q18_big_orders")
+    assert(shuffles(p18) == 1, p18)
+    assert("BroadcastExchange".r.findAllIn(p18).length == 2)
+    assert(!p18.contains("SortMergeJoin"))
+  }
+
+  test("feature encoders: one type exchange, stats broadcast back") {
+    Seq("feat_target_encode", "feat_minmax").foreach { q =>
+      val p = plan(q)
+      assert(shuffles(p) == 1, q)
+      assert(p.contains("BroadcastExchange"), q)
+    }
+  }
+
+  test("corpus_gopher: one source exchange, rule flags codegen'd") {
+    val p = plan("corpus_gopher")
+    assert(shuffles(p) == 1, p)
+  }
 }
