@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Graph-structure batch 2 + seasonal decomposition: k-core peeling and
+  * a component-size census over the embedding near-dup graph, and an
+  * STL-style trend/seasonal/residual split of the bar series.
+  *
+  * Scale notes: the 2-core peel is a FIXED number of exchange-aligned
+  * semi-join rounds over a once-checkpointed symmetric edge list (each
+  * round is degree-count + two semi-joins on the same key; bounded
+  * rounds ⇒ bounded lineage — the same posture as the PageRank loop);
+  * the census aggregates the CC labels twice (labels only, never
+  * vectors). The STL split is one ticker exchange for the centered-MA
+  * window plus a broadcast join of the O(tickers×24) seasonal means.
+  *
+  * Float parity: peeling is pure integer degree logic; the census is
+  * integer counts; STL's seasonal means cross the shuffle as
+  * micro-quantized longs, and the residual is assembled with the same
+  * textual expression on both engines.
+  */
+object GraphStlQueries {
+
+  private val r6 = Rounding.r6 _
+
+  /** Fixed peel rounds — enough for the fixpoint on any graph whose
+    * chains are shorter than 2^6; identical on both engines either
+    * way, converged or not. */
+  private val PeelRounds = 6
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // 2-core of the embedding near-dup graph: drop degree-<2 nodes,
+    // re-count, repeat (fixed rounds). Output = surviving nodes with
+    // their in-core degree.
+    "graph_kcore" -> ((s, dir) => {
+      val pairs = ExtQueries.queries("emb_neardup_lsh")(s, dir)
+        .select(col("a"), col("b"))
+      var e = pairs
+        .union(pairs.select(col("b").as("a"), col("a").as("b")))
+        .localCheckpoint()
+      for (_ <- 1 to PeelRounds) {
+        val good = e.groupBy("a").agg(count(lit(1)).as("d"))
+          .filter(col("d") >= 2).select(col("a"))
+        e = e.join(good, Seq("a"), "left_semi")
+          .join(good.select(col("a").as("b")), Seq("b"), "left_semi")
+          .localCheckpoint()
+      }
+      e.groupBy(col("a").as("vec_id"))
+        .agg(count(lit(1)).as("core_degree"))
+    }),
+
+    // Component-size census of the semantic-dup clusters: how many
+    // components of each size (plus the singleton mass) — the shape of
+    // the duplicate graph at a glance. Label arithmetic only.
+    "graph_cc_hist" -> ((s, dir) => {
+      val sizes = ScaleQueries.queries("dedup_semantic")(s, dir)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      sizes.groupBy(col("sz").as("component_size"))
+        .agg(count(lit(1)).as("n_components"))
+    }),
+
+    // STL-style decomposition: trend = 25-bar centered MA (frame sums
+    // — engines agree bit-for-bit), seasonal = hour-of-day mean of the
+    // micro-quantized detrended series (exact long sums, broadcast
+    // back), residual = detrended − seasonal.
+    "ts_stl" -> ((s, dir) => {
+      val w = Window.partitionBy("ticker").orderBy("t", "event_id")
+      val b = EventBars.bars(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("ticker")))
+        .withColumn("trend",
+          when(col("rn") >= 13 && col("rn") <= col("n") - 12,
+            avg(col("close")).over(w.rowsBetween(-12, 12))))
+        .withColumn("detr", col("close") - col("trend"))
+        .withColumn("hr", expr("(t div 3600000000) % 24"))
+        .withColumn("dq",
+          when(col("detr").isNotNull,
+            round(col("detr") * lit(1e6)).cast("long")))
+      val seas = b.filter(col("dq").isNotNull)
+        .groupBy("ticker", "hr")
+        .agg((sum(col("dq")).cast("double")
+          / count(lit(1)).cast("double") / lit(1e6)).as("seasonal_raw"))
+      b.join(broadcast(seas), Seq("ticker", "hr"), "left")
+        .select(col("ticker"), col("t"), col("event_id"),
+          r6(col("trend")).as("trend"),
+          r6(when(col("trend").isNotNull, col("seasonal_raw"))).as("seasonal"),
+          r6(when(col("trend").isNotNull,
+            col("detr") - col("seasonal_raw"))).as("resid"))
+    }))
+
+  private def kcoreRoundsDuck: String =
+    (1 to PeelRounds).map { i =>
+      val prev = s"e${i - 1}"
+      s"""d$i AS (SELECT a, count(*) AS c FROM $prev GROUP BY a),
+         |e$i AS (SELECT e.a, e.b FROM $prev e
+         |  JOIN d$i x ON x.a = e.a AND x.c >= 2
+         |  JOIN d$i y ON y.a = e.b AND y.c >= 2)""".stripMargin
+    }.mkString(",\n")
+
+  val oracles: Map[String, String] = Map(
+
+    "graph_kcore" ->
+      s"""WITH ${ExtQueries.embPairsDuck},
+         |e0 AS (SELECT a, b FROM epr UNION ALL SELECT b, a FROM epr),
+         |$kcoreRoundsDuck
+         |SELECT a AS vec_id, count(*) AS core_degree
+         |FROM e$PeelRounds GROUP BY a""".stripMargin,
+
+    "graph_cc_hist" ->
+      s"""WITH RECURSIVE ${ExtQueries.embPairsDuck},
+         |e AS (SELECT a, b FROM epr UNION SELECT b, a FROM epr),
+         |reach(id, lbl) AS (
+         |  SELECT vec_id::BIGINT, vec_id::BIGINT FROM embeddings
+         |  UNION
+         |  SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.id),
+         |cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |sizes AS (SELECT cluster_id, count(*) AS sz FROM cc
+         |  GROUP BY cluster_id)
+         |SELECT sz AS component_size, count(*) AS n_components
+         |FROM sizes GROUP BY sz""".stripMargin,
+
+    "ts_stl" ->
+      s"""WITH bars AS (${EventBars.sqlBars}),
+         |f AS (
+         |  SELECT ticker, t, event_id, close,
+         |    row_number() OVER (PARTITION BY ticker ORDER BY t, event_id)
+         |      AS rn,
+         |    count(*) OVER (PARTITION BY ticker) AS n,
+         |    avg(close) OVER (PARTITION BY ticker ORDER BY t, event_id
+         |      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS ma
+         |  FROM bars),
+         |g AS (
+         |  SELECT *,
+         |    CASE WHEN rn >= 13 AND rn <= n - 12 THEN ma END AS trend,
+         |    (t // 3600000000) % 24 AS hr
+         |  FROM f),
+         |h AS (
+         |  SELECT *, close - trend AS detr,
+         |    CASE WHEN close - trend IS NOT NULL
+         |      THEN CAST(round((close - trend) * 1e6) AS BIGINT) END AS dq
+         |  FROM g),
+         |seas AS (
+         |  SELECT ticker, hr,
+         |    CAST(sum(dq) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6
+         |      AS seasonal_raw
+         |  FROM h WHERE dq IS NOT NULL GROUP BY ticker, hr)
+         |SELECT h.ticker, h.t, h.event_id,
+         |  (round(trend, 6) + 0.0) AS trend,
+         |  (round(CASE WHEN trend IS NOT NULL THEN seasonal_raw END, 6) + 0.0)
+         |    AS seasonal,
+         |  (round(CASE WHEN trend IS NOT NULL THEN detr - seasonal_raw END, 6)
+         |    + 0.0) AS resid
+         |FROM h LEFT JOIN seas ON h.ticker = seas.ticker AND h.hr = seas.hr"""
+        .stripMargin)
+}

@@ -6,7 +6,7 @@ object PlanProbeDrive {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.001"
-    for (q <- Seq("q6_forecast", "q14_promo_share", "q18_big_orders", "feat_target_encode", "feat_minmax", "corpus_gopher")) {
+    for (q <- Seq("ts_stl")) {
       val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
       println(p.linesIterator.filter(l => l.contains("PushedFilters") && q == "q6_forecast").take(2).mkString("\n"))
       val ex = "Exchange hashpartitioning".r.findAllIn(p).length

@@ -546,4 +546,11 @@ class PlanSpec extends SparkSpec {
     val p = plan("corpus_gopher")
     assert(shuffles(p) == 1, p)
   }
+
+  test("ts_stl: window exchange + seasonal-mean exchange, means broadcast") {
+    val p = plan("ts_stl")
+    assert(shuffles(p) == 2, p)
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("SortMergeJoin"))
+  }
 }
