@@ -45,9 +45,13 @@ object TpchFeatQueries {
           && col("l_shipdate") < lit("1998-01-01").cast("timestamp")
           && col("l_discount") >= lit(0.03) && col("l_discount") <= lit(0.07)
           && col("l_quantity") < lit(24.0))
+        // constant-group so empty input yields ZERO rows (engine-wide
+        // empty-in → empty-out invariant), not a null scalar row
+        .groupBy(lit(true).as("_g"))
         .agg(
           r4(sum(col("l_extendedprice") * col("l_discount"))).as("revenue"),
-          count(lit(1)).as("n_items"))),
+          count(lit(1)).as("n_items"))
+        .drop("_g")),
 
     // TPC-H Q14 shape: promo revenue share in one ship month; `part`
     // broadcast, single scalar output.
@@ -58,6 +62,7 @@ object TpchFeatQueries {
       val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
       li.join(broadcast(t(s, dir, "part")),
           col("l_partkey") === col("p_partkey"))
+        .groupBy(lit(true).as("_g"))
         .agg(
           r4(sum(when(col("p_type") === "ECONOMY", rev).otherwise(lit(0.0))))
             .as("promo_revenue"),
@@ -66,6 +71,7 @@ object TpchFeatQueries {
             * sum(when(col("p_type") === "ECONOMY", rev).otherwise(lit(0.0)))
             / sum(rev)).as("promo_share"),
           count(lit(1)).as("n_items"))
+        .drop("_g")
     }),
 
     // TPC-H Q18 shape: large-volume orders. The having-filtered order
@@ -165,7 +171,8 @@ object TpchFeatQueries {
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
         |  AND l_discount >= 0.03 AND l_discount <= 0.07
-        |  AND l_quantity < 24.0""".stripMargin,
+        |  AND l_quantity < 24.0
+        |GROUP BY (1 = 1)""".stripMargin,
 
     "q14_promo_share" ->
       """SELECT
@@ -181,7 +188,8 @@ object TpchFeatQueries {
         |  count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
-        |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin,
+        |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+        |GROUP BY (1 = 1)""".stripMargin,
 
     "q18_big_orders" ->
       """WITH big AS (
