@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.functions.GraftFunctions
+
 /** Round-4 risk/microstructure batch: the portfolio- and execution-risk
   * reports a bar warehouse serves next to the indicator surface —
   * historical VaR/CVaR, Amihud illiquidity, Roll's implied spread,
@@ -164,6 +166,51 @@ object TsRiskQueries {
           max(col("len")).as("max_spell_bars"),
           max(col("dur")).as("max_spell_us"),
           sum(col("len")).as("underwater_bars"))
+    }),
+
+    // 1-D Kalman level filter via the custom AggregateWindowFunction
+    // kernel — runs inside the Window operator on the shared ticker
+    // exchange; the oracle's recursive CTE spells the identical IEEE
+    // op sequence, so outputs are bit-equal (r6 is belt-and-braces).
+    "ts_kalman" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      EventBars.bars(s, dir)
+        .withColumn("level", expr("graft_kalman_w(close)").over(w))
+        .select(col("ticker"), col("t"), col("event_id"),
+          r6(col("level")).as("level"),
+          r6(col("close") - col("level")).as("resid"))
+    }),
+
+    // Volatility regime spells: 20-bar realized variance from the
+    // micro-quantized returns (exact long frame sums), split at the
+    // per-ticker median (shared quantile kernel, broadcast back), then
+    // gaps-and-islands over the high/low flag. Integer spell output.
+    "ts_regime" -> ((s, dir) => {
+      val r = rets(s, dir)
+        .withColumn("sq", col("rq") * col("rq"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("v20",
+          when(col("rn") >= 20, sum(col("sq")).over(w.rowsBetween(-19, 0))))
+      val med = ExactQuantile.grouped(
+        r.filter(col("v20").isNotNull)
+          .withColumn("v20d", col("v20").cast("double")),
+        "ticker", "v20d", Seq(0.5 -> "med"))
+      val flagged = r.join(broadcast(med), "ticker")
+        .filter(col("v20").isNotNull)
+        .withColumn("regime",
+          when(col("v20").cast("double") > col("med"), lit("high"))
+            .otherwise(lit("low")))
+        .withColumn("chg",
+          when(lag(col("regime"), 1).over(w).isNull
+            || lag(col("regime"), 1).over(w) =!= col("regime"), lit(1))
+            .otherwise(lit(0)))
+        .withColumn("rid",
+          sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      flagged.groupBy("ticker", "rid", "regime").agg(
+          count(lit(1)).as("n_bars"),
+          min(col("t")).as("start_t"),
+          max(col("t")).as("end_t"))
+        .drop("rid")
     }))
 
   private def bars = EventBars.sqlBars
@@ -268,5 +315,60 @@ object TsRiskQueries {
          |  FROM g WHERE uw GROUP BY ticker, grp)
          |SELECT ticker, count(*) AS n_spells, max(len) AS max_spell_bars,
          |  max(dur) AS max_spell_us, CAST(sum(len) AS BIGINT) AS underwater_bars
-         |FROM sp GROUP BY ticker""".stripMargin)
+         |FROM sp GROUP BY ticker""".stripMargin,
+
+    "ts_kalman" ->
+      s"""WITH RECURSIVE bars AS ($bars),
+         |kb AS (
+         |  SELECT ticker, t, event_id, close,
+         |    row_number() OVER ($Over) AS rn
+         |  FROM bars),
+         |kal AS (
+         |  SELECT ticker, t, event_id, close, rn,
+         |    close AS x, CAST(1.0 AS DOUBLE) AS p
+         |  FROM kb WHERE rn = 1
+         |  UNION ALL
+         |  SELECT b.ticker, b.t, b.event_id, b.close, b.rn,
+         |    r.x + ((r.p + 0.001) / ((r.p + 0.001) + 0.01)) * (b.close - r.x),
+         |    (1.0 - ((r.p + 0.001) / ((r.p + 0.001) + 0.01))) * (r.p + 0.001)
+         |  FROM kal r JOIN kb b
+         |    ON b.ticker = r.ticker AND b.rn = r.rn + 1)
+         |SELECT ticker, t, event_id,
+         |  (round(x, 6) + 0.0) AS level,
+         |  (round(close - x, 6) + 0.0) AS resid
+         |FROM kal""".stripMargin,
+
+    "ts_regime" ->
+      s"""WITH bars AS ($bars),
+         |$SqlRets,
+         |k AS (
+         |  SELECT ticker, t, event_id, rq, rq * rq AS sq,
+         |    row_number() OVER ($Over) AS rn
+         |  FROM rq),
+         |v AS (
+         |  SELECT *, CASE WHEN rn >= 20 THEN sum(sq) OVER ($Over
+         |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) END AS v20
+         |  FROM k),
+         |med AS (
+         |  SELECT ticker, quantile_cont(CAST(v20 AS DOUBLE), 0.5) AS med
+         |  FROM v WHERE v20 IS NOT NULL GROUP BY ticker),
+         |f AS (
+         |  SELECT v.*, med FROM v JOIN med USING (ticker)
+         |  WHERE v20 IS NOT NULL),
+         |g AS (
+         |  SELECT *, CASE WHEN CAST(v20 AS DOUBLE) > med
+         |    THEN 'high' ELSE 'low' END AS regime
+         |  FROM f),
+         |h AS (
+         |  SELECT *, CASE WHEN lag(regime) OVER ($Over) IS NULL
+         |      OR lag(regime) OVER ($Over) <> regime
+         |    THEN 1 ELSE 0 END AS chg
+         |  FROM g),
+         |i AS (
+         |  SELECT *, sum(chg) OVER ($Over
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+         |  FROM h)
+         |SELECT ticker, regime, count(*) AS n_bars,
+         |  min(t) AS start_t, max(t) AS end_t
+         |FROM i GROUP BY ticker, rid, regime""".stripMargin)
 }

@@ -33,6 +33,31 @@ class OpsSpec2 extends SparkSpec {
     }
   }
 
+  test("graft_kalman_w matches the hand Kalman recursion exactly") {
+    graft.functions.GraftFunctions.register(spark)
+    val xs = (1 to 50).map(i => 50.0 + 20.0 * math.sin(i * 0.3) + (i % 7))
+    var x = 0.0; var p = 0.0
+    val want = xs.zipWithIndex.map { case (z, i) =>
+      if (i == 0) { x = z; p = 1.0 }
+      else {
+        val pp = p + 0.001; val k = pp / (pp + 0.01)
+        x = x + k * (z - x); p = (1.0 - k) * pp
+      }
+      x
+    }
+    import spark.implicits._
+    val got = xs.zipWithIndex.map { case (z, i) => (i.toLong, z) }
+      .toDF("t", "close")
+      .selectExpr("'T' AS ticker", "t AS event_id", "t", "close")
+      .selectExpr("graft_kalman_w(close) OVER " +
+        "(PARTITION BY ticker ORDER BY t, event_id) AS x")
+      .collect().map(_.getDouble(0))
+    assert(got.length == want.length)
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g == w, s"row $i: $g != $w")
+    }
+  }
+
   test("graft_sar_w matches the hand SAR recursion, including reversals") {
     graft.functions.GraftFunctions.register(spark)
     // an up-leg then a sharp down-leg then recovery — forces at least

@@ -549,6 +549,18 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(p) == 1, p)
   }
 
+  test("ts_kalman: the filter runs inside the one-exchange Window op") {
+    val p = plan("ts_kalman")
+    assert(shuffles(p) == 1, p)
+    assert(p.contains("graft_kalman_w"), p)
+  }
+
+  test("ts_regime: exact long frame sums + broadcast median, no SMJ") {
+    val p = plan("ts_regime")
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("ts_stl: window exchange + seasonal-mean exchange, means broadcast") {
     val p = plan("ts_stl")
     assert(shuffles(p) == 2, p)
