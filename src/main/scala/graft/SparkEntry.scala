@@ -20,7 +20,8 @@ object SparkEntry {
       EtlQueries.queries ++ ExtQueries.queries ++ AnalyticsQueries.queries ++
       ScaleQueries.queries ++ TsQueries.queries ++ CorpusQueries.queries ++
       Ts2Queries.queries ++ BehaviorQueries.queries ++ Ts3Queries.queries ++
-      TsRiskQueries.queries ++ Behavior2Queries.queries ++ TpchFeatQueries.queries ++ GraphStlQueries.queries
+      TsRiskQueries.queries ++ Behavior2Queries.queries ++ TpchFeatQueries.queries ++ GraphStlQueries.queries ++
+      Tpch2Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
       EtlQueries.oracles ++ ExtQueries.oracles ++ AnalyticsQueries.oracles ++
       ScaleQueries.oracles ++ TsQueries.oracles ++ CorpusQueries.oracles ++
       Ts2Queries.oracles ++ BehaviorQueries.oracles ++ Ts3Queries.oracles ++
-      TsRiskQueries.oracles ++ Behavior2Queries.oracles ++ TpchFeatQueries.oracles ++ GraphStlQueries.oracles
+      TsRiskQueries.oracles ++ Behavior2Queries.oracles ++ TpchFeatQueries.oracles ++ GraphStlQueries.oracles ++
+      Tpch2Queries.oracles
 }

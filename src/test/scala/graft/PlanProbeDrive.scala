@@ -6,7 +6,7 @@ object PlanProbeDrive {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.001"
-    for (q <- Seq("ts_stl")) {
+    for (q <- Seq("q22_idle_customers")) {
       val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
       println(p.linesIterator.filter(l => l.contains("PushedFilters") && q == "q6_forecast").take(2).mkString("\n"))
       val ex = "Exchange hashpartitioning".r.findAllIn(p).length

@@ -549,6 +549,40 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(p) == 1, p)
   }
 
+  test("q8: dims broadcast, no sort-merge or nested-loop join") {
+    val p = plan("q8_market_share")
+    assert(shuffles(p) <= 3, p)
+    assert("BroadcastExchange".r.findAllIn(p).length >= 4, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("q13: two key shuffles (custkey rollup + count histogram)") {
+    val p = plan("q13_order_dist")
+    assert(shuffles(p) == 2, p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q15: one rollup exchange; supplier broadcast") {
+    val p = plan("q15_top_supplier")
+    assert(shuffles(p) == 1, p)
+    assert(p.contains("BroadcastExchange"))
+  }
+
+  test("q17: brand filter + thresholds all broadcast, two exchanges") {
+    val p = plan("q17_small_qty_revenue")
+    assert(shuffles(p) == 2, p)
+    assert("BroadcastExchange".r.findAllIn(p).length == 3, p)
+  }
+
+  test("q22: scalar average broadcast; anti-join shuffles on custkey") {
+    val p = plan("q22_idle_customers")
+    assert(shuffles(p) == 3, p)
+    // the scalar-average cross join is a legitimate 1-row-build-side
+    // BroadcastNestedLoopJoin (same posture as rel_setops_all's bounds)
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("ts_kalman: the filter runs inside the one-exchange Window op") {
     val p = plan("ts_kalman")
     assert(shuffles(p) == 1, p)
