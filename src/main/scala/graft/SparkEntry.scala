@@ -21,7 +21,7 @@ object SparkEntry {
       ScaleQueries.queries ++ TsQueries.queries ++ CorpusQueries.queries ++
       Ts2Queries.queries ++ BehaviorQueries.queries ++ Ts3Queries.queries ++
       TsRiskQueries.queries ++ Behavior2Queries.queries ++ TpchFeatQueries.queries ++ GraphStlQueries.queries ++
-      Tpch2Queries.queries
+      Tpch2Queries.queries ++ CandleQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +31,5 @@ object SparkEntry {
       ScaleQueries.oracles ++ TsQueries.oracles ++ CorpusQueries.oracles ++
       Ts2Queries.oracles ++ BehaviorQueries.oracles ++ Ts3Queries.oracles ++
       TsRiskQueries.oracles ++ Behavior2Queries.oracles ++ TpchFeatQueries.oracles ++ GraphStlQueries.oracles ++
-      Tpch2Queries.oracles
+      Tpch2Queries.oracles ++ CandleQueries.oracles
 }

@@ -160,7 +160,9 @@ object GraftFunctions {
         cs(0), cs(1), cs(2), cs(3),
         if (cs.length > 4) litInt(cs(4), "graft_ind_w") else 14))),
     ("graft_kalman_w", classOf[KalmanWindow],
-      arity("graft_kalman_w", 1)(cs => KalmanWindow(cs(0)))))
+      arity("graft_kalman_w", 1)(cs => KalmanWindow(cs(0)))),
+    ("graft_holt_w", classOf[HoltWindow],
+      arity("graft_holt_w", 1)(cs => HoltWindow(cs(0)))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
