@@ -30,7 +30,9 @@ import org.apache.spark.sql.types._
   * window buffer.
   *
   * Output: struct(sar DOUBLE, dir BIGINT — +1 long / −1 short), null
-  * for bar 1.
+  * for bar 1. Bars with any null price are transparent: the state
+  * machine runs over the non-null subsequence and such rows emit the
+  * carried state.
   */
 case class SarWindow(high: Expression, low: Expression, close: Expression)
     extends AggregateWindowFunction {
@@ -95,11 +97,22 @@ case class SarWindow(high: Expression, low: Expression, close: Expression)
     // Catalyst `If` treats a null predicate as false, so without the
     // explicit first-row branch the step expressions would coerce the
     // null seed state into concrete (wrong) values on bar 1.
-    Seq(rn1, h, l, c,
-      CaseWhen(Seq((first, nullB), (second, long2)), lngN),
-      CaseWhen(Seq((first, nullD), (second, sar2)), sarN),
-      CaseWhen(Seq((first, nullD), (second, ep2)), epN),
-      CaseWhen(Seq((first, nullD), (second, AfStep)), afN))
+    //
+    // A bar with ANY null input is transparent: every buffer slot
+    // (including the bar counter) carries, so the recursion runs over
+    // the non-null subsequence and the row emits the carried state.
+    // Without the guard, null prices would poison ph/pl/pc and a null
+    // seed comparison would flip `lng` via null-as-false — state
+    // corruption no all-non-null fixture can catch.
+    val anyNull = Or(Or(IsNull(h), IsNull(l)), IsNull(c))
+    def guarded(buf: Expression, next: Expression): Expression =
+      If(anyNull, buf, next)
+    Seq(
+      guarded(rn, rn1), guarded(ph, h), guarded(pl, l), guarded(pc, c),
+      guarded(lng, CaseWhen(Seq((first, nullB), (second, long2)), lngN)),
+      guarded(sar, CaseWhen(Seq((first, nullD), (second, sar2)), sarN)),
+      guarded(ep, CaseWhen(Seq((first, nullD), (second, ep2)), epN)),
+      guarded(af, CaseWhen(Seq((first, nullD), (second, AfStep)), afN)))
   }
 
   override val evaluateExpression: Expression =

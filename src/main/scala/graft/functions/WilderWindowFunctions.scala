@@ -207,8 +207,9 @@ case class WilderPairWindow(price: Expression, period: Int = 14)
   * so every row is bit-identical before the r6 mask.
   */
 /** Adaptive exponential smoothing with a PER-ROW coefficient:
-  * y ← y + c·(x − y), seeded y = x at the first row whose coefficient
-  * is non-null (rows before that emit null). The general primitive
+  * y ← y + c·(x − y), seeded y = x at the first row where both the
+  * value and the coefficient are non-null (rows before that emit
+  * null; a mid-stream null in either is transparent — state carries). The general primitive
   * behind KAMA (coefficient = squared Kaufman smoothing constant from
   * the efficiency ratio), VIDYA (CMO-scaled α) and any
   * volatility-gated EMA: the coefficient column is computed upstream
@@ -231,7 +232,12 @@ case class AdaptiveEmaWindow(x: Expression, c: Expression)
   override val updateExpressions: Seq[Expression] = {
     val xd = Cast(x, DoubleType)
     val cd = Cast(c, DoubleType)
-    Seq(If(IsNull(cd), y,
+    // A null observation (x OR c) is transparent: state carries, the
+    // row emits the carried value. Without the IsNull(xd) guard a
+    // mid-stream null x would null the buffer and the NEXT row would
+    // silently re-seed the recursion — a latent divergence no
+    // all-non-null fixture can catch.
+    Seq(If(Or(IsNull(cd), IsNull(xd)), y,
       If(IsNull(y), xd, Add(y, Multiply(cd, Subtract(xd, y))))))
   }
 

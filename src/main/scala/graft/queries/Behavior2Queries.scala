@@ -60,8 +60,11 @@ object Behavior2Queries {
 
     // Weekly lifecycle states: per week, active / new / retained /
     // resurrected counts, plus how many of this week's actives churn
-    // (no activity next week). All integer arithmetic; the final
-    // lead() runs on the O(weeks) aggregate.
+    // (no activity next week). All integer arithmetic; the O(weeks)
+    // aggregate materializes once and "next week's retained" is a
+    // broadcast self-join on wk+1 — the lead() without the
+    // unpartitioned window (a join miss IS the null lead of the last
+    // week).
     "behav_churn" -> ((s, dir) => {
       val uw = ev(s, dir)
         .select(col("user_id"), expr(s"t div $WeekUs").as("wk")).distinct()
@@ -74,26 +77,34 @@ object Behavior2Queries {
         count(when(col("prev") === col("wk") - 1L, lit(1))).as("n_retained"),
         count(when(col("prev").isNotNull && col("prev") < col("wk") - 1L,
           lit(1))).as("n_resurrected"))
-      weekly.withColumn("n_churned",
-        col("n_active")
-          - lead(col("n_retained"), 1).over(Window.orderBy("wk")))
+        .localCheckpoint()
+      val nxt = weekly.select((col("wk") - 1L).as("wk"),
+        col("n_retained").as("_nr_next"))
+      weekly.join(broadcast(nxt), Seq("wk"), "left")
+        .withColumn("n_churned", col("n_active") - col("_nr_next"))
+        .drop("_nr_next")
     }),
 
     // Power-user deciles: users ranked by event count into 10 buckets
-    // (total order via (n, user_id) so ntile is deterministic); per
-    // decile, user count, event mass, and share of all events.
+    // via the distributed exact rank (bit-equal to ntile over
+    // (n, user_id), range-bucketed so no single-partition stage); per
+    // decile, user count, event mass, and share of all events (the
+    // event total is a free by-product of the rank's offsets job —
+    // a driver literal, not a window).
     "behav_power_users" -> ((s, dir) => {
       val uc = ev(s, dir).groupBy("user_id")
         .agg(count(lit(1)).as("n_events"))
-      val d = uc.withColumn("decile",
-        ntile(10).over(Window.orderBy(col("n_events"), col("user_id"))))
-      d.groupBy("decile").agg(
+        .localCheckpoint()
+      val r = DistRank.rowNumber(uc, "_rk", col("n_events"),
+        Seq(col("n_events"), col("user_id")), totalCols = Seq("n_events"))
+      r.df
+        .withColumn("decile", DistRank.ntileOf(col("_rk"), r.n, 10))
+        .groupBy("decile").agg(
           count(lit(1)).as("n_users"),
           sum(col("n_events")).as("events"))
-        .withColumn("total", sum(col("events")).over(Window.partitionBy()))
         .select(col("decile"), col("n_users"), col("events"),
-          r6(col("events").cast("double") / col("total").cast("double"))
-            .as("event_share"))
+          r6(col("events").cast("double")
+            / lit(r.sums("n_events")).cast("double")).as("event_share"))
     }),
 
     // Market-basket brand affinity over orders: ONE order-key exchange

@@ -72,18 +72,29 @@ object BehaviorQueries {
     }),
 
     // RFM segmentation: user-level recency/frequency/monetary, quartile
-    // scores via ntile over (metric, user_id) — the tiebreak makes the
-    // bucketing deterministic, and monetary runs in exact cents so the
-    // sort key is cross-engine identical.
+    // scores via the distributed exact rank (bit-equal to ntile over
+    // (metric, user_id) — the tiebreak makes the bucketing
+    // deterministic, and monetary runs in exact cents so the sort key
+    // is cross-engine identical). The rollup materializes once
+    // (|users| rows); each metric then ranks on its own partitioned
+    // range-bucket window — no single-partition stage.
     "seg_rfm" -> ((s, dir) => {
       val u = ev(s, dir)
         .withColumn("cents", round(col("value") * lit(100.0), 0).cast("long"))
         .groupBy("user_id")
         .agg(max(col("t")).as("rec"), count(lit(1)).as("freq"),
           sum(col("cents")).as("mc"))
-      u.withColumn("r_q", ntile(4).over(Window.orderBy(col("rec"), col("user_id"))))
-        .withColumn("f_q", ntile(4).over(Window.orderBy(col("freq"), col("user_id"))))
-        .withColumn("m_q", ntile(4).over(Window.orderBy(col("mc"), col("user_id"))))
+        .localCheckpoint()
+      val rr = DistRank.rowNumber(u, "_rr", col("rec"),
+        Seq(col("rec"), col("user_id")))
+      val rf = DistRank.rowNumber(rr.df, "_rf", col("freq"),
+        Seq(col("freq"), col("user_id")))
+      val rm = DistRank.rowNumber(rf.df, "_rm", col("mc"),
+        Seq(col("mc"), col("user_id")))
+      rm.df
+        .withColumn("r_q", DistRank.ntileOf(col("_rr"), rr.n, 4))
+        .withColumn("f_q", DistRank.ntileOf(col("_rf"), rr.n, 4))
+        .withColumn("m_q", DistRank.ntileOf(col("_rm"), rr.n, 4))
         .select(col("user_id"), col("rec"), col("freq"),
           (col("mc") / lit(100.0)).as("monetary"),
           col("r_q"), col("f_q"), col("m_q"),
@@ -296,23 +307,24 @@ object BehaviorQueries {
             .as("avg_events"))),
 
     // Pareto concentration: the spend share of the top 10% of users
-    // (⌈n/10⌉ by rank). Rides the same single-partition ranking over
-    // the |users| rollup as agg_gini; every sum is exact cents.
+    // (⌈n/10⌉ by rank). Distributed exact rank over the |users|
+    // rollup (descending spend — the bucket key is the negated
+    // metric); n and the top cut become driver literals, so the final
+    // pass is one scalar aggregate. Every sum is exact cents.
     "agg_pareto" -> ((s, dir) => {
-      val wO = Window.orderBy(col("x").desc, col("user_id"))
-      val wAll = Window.partitionBy()
-      ev(s, dir).filter(col("event_type") === "purchase")
+      val u = ev(s, dir).filter(col("event_type") === "purchase")
         .withColumn("c", expr("CAST(round(value * 100) AS BIGINT)"))
         .groupBy("user_id").agg(sum(col("c")).as("x"))
-        .withColumn("rk", row_number().over(wO).cast("long"))
-        .withColumn("n", count(lit(1)).over(wAll))
-        .withColumn("ntop", expr("(n + 9) div 10"))
-        .agg(max(col("n")).as("n_users"), max(col("ntop")).as("n_top"),
-          sum(col("x")).as("sx"),
-          sum(when(col("rk") <= col("ntop"), col("x")).otherwise(lit(0L)))
+        .localCheckpoint()
+      val r = DistRank.rowNumber(u, "rk", negate(col("x")),
+        Seq(col("x").desc, col("user_id")))
+      val ntop = (r.n + 9L) / 10L
+      r.df
+        .agg(count(lit(1)).as("nz"), sum(col("x")).as("sx"),
+          sum(when(col("rk") <= lit(ntop), col("x")).otherwise(lit(0L)))
             .as("tx"))
-        .filter(col("n_users").isNotNull)
-        .select(col("n_users"), col("n_top"),
+        .filter(col("nz") > 0)
+        .select(lit(r.n).as("n_users"), lit(ntop).as("n_top"),
           r6(expr("CAST(sx AS DOUBLE) / 100.0")).as("total_spend"),
           r6(expr("try_divide(CAST(tx AS DOUBLE), CAST(sx AS DOUBLE))"))
             .as("top10_share"))
@@ -320,16 +332,16 @@ object BehaviorQueries {
 
     // Gini coefficient of per-user purchase spend — the inequality
     // number behind "whales drive revenue". Per-user totals are exact
-    // cents; the rank·value cross terms stay exact longs; the single-
-    // partition ranking window sees |users| rows, not events (the
-    // agg_quantiles posture — swap in a sketch when exact ranks stop
-    // mattering). G = (2Σi·xᵢ − (n+1)Σx) / (nΣx), x ascending.
+    // cents; the rank·value cross terms stay exact longs; ranks come
+    // from the distributed exact rank over the |users| rollup — no
+    // single-partition window at any scale.
+    // G = (2Σi·xᵢ − (n+1)Σx) / (nΣx), x ascending.
     "agg_gini" -> ((s, dir) => {
-      val wO = Window.orderBy(col("x"), col("user_id"))
-      ev(s, dir).filter(col("event_type") === "purchase")
+      val u = ev(s, dir).filter(col("event_type") === "purchase")
         .withColumn("c", expr("CAST(round(value * 100) AS BIGINT)"))
         .groupBy("user_id").agg(sum(col("c")).as("x"))
-        .withColumn("i", row_number().over(wO).cast("long"))
+        .localCheckpoint()
+      DistRank.rowNumber(u, "i", col("x"), Seq(col("x"), col("user_id"))).df
         .agg(count(lit(1)).as("n_users"), sum(col("x")).as("sx"),
           sum(col("i") * col("x")).as("sixi"))
         .filter(col("n_users") > 0)
@@ -446,16 +458,21 @@ object BehaviorQueries {
           r6(col("score")).as("bm25"))
     }),
 
-    // Equi-depth (decile) binning of lineitem prices: ntile over the
-    // (price, orderkey, linenumber) total order — deterministic bucket
-    // edges; per-bin stats in exact cents. The ranking window sees the
-    // price column only.
+    // Equi-depth (decile) binning of lineitem prices: the distributed
+    // exact rank over the (price, orderkey, linenumber) total order
+    // (bit-equal to ntile(10), but range-bucketed — the biggest fact
+    // table never collapses to one partition); deterministic bucket
+    // edges; per-bin stats in exact cents. The three passes (bounds,
+    // offsets, rank) each read only the pruned 3-column projection
+    // straight off the parquet scan — cheaper than materializing.
     "bin_equidepth" -> ((s, dir) => {
-      s.read.parquet(s"$dir/lineitem.parquet")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
         .select(col("l_extendedprice").as("price"),
           col("l_orderkey"), col("l_linenumber"))
-        .withColumn("bin", ntile(10).over(
-          Window.orderBy(col("price"), col("l_orderkey"), col("l_linenumber"))))
+      val r = DistRank.rowNumber(li, "_rk", col("price"),
+        Seq(col("price"), col("l_orderkey"), col("l_linenumber")))
+      r.df
+        .withColumn("bin", DistRank.ntileOf(col("_rk"), r.n, 10))
         .withColumn("cents", round(col("price") * lit(100.0), 0).cast("long"))
         .groupBy("bin")
         .agg(count(lit(1)).as("n_rows"),
@@ -469,36 +486,44 @@ object BehaviorQueries {
     // each key's ratio to the median — the report that decides whether
     // a join needs salting. Group sizes collapse map-side first.
     "key_skew" -> ((s, dir) => {
-      // Everything AFTER the one events→sizes groupBy rides windows
-      // over the (small, already-aggregated) key-size table: the
-      // ranking, the totals, and the quantiles share the same
-      // single-partition stage instead of three re-aggregations of the
-      // raw events. Quantile arithmetic is the ExactQuantile /
-      // quantile_cont bit-equal form: pos=(n−1)p, v_lo(1−f)+v_hi·f.
-      val wAll = Window.partitionBy()
+      // Everything AFTER the one events→sizes groupBy rides the
+      // distributed exact rank over the materialized key-size table:
+      // the row count and event total become driver literals, so the
+      // quantile POSITIONS are literals too — the p50/p99 lookup is a
+      // 4-row filter + scalar aggregate broadcast back over the top-10.
+      // Quantile arithmetic is the ExactQuantile / quantile_cont
+      // bit-equal form: pos=(n−1)p, v_lo(1−f)+v_hi·f.
       val sizes = ev(s, dir).groupBy("user_id")
         .agg(count(lit(1)).as("n"))
         .withColumn("nd", col("n").cast("double"))
-        .withColumn("rn0",
-          row_number().over(Window.orderBy("nd", "user_id")).cast("long") - 1L)
-        .withColumn("cnt", count(lit(1)).over(wAll))
-        .withColumn("total", sum(col("n")).over(wAll))
-      def quant(p: Double) = {
-        val pos = (col("cnt") - 1L).cast("double") * lit(p)
-        val lo = floor(pos).cast("long")
-        val vl = max(when(col("rn0") === lo, col("nd"))).over(wAll)
-        val vh = max(when(col("rn0") === lo + 1L, col("nd"))).over(wAll)
-        val frac = pos - floor(pos)
-        when(frac === 0.0, vl).otherwise(vl * (lit(1.0) - frac) + vh * frac)
+        .localCheckpoint()
+      val r = DistRank.rowNumber(sizes, "_rn1", col("nd"),
+        Seq(col("nd"), col("user_id")), totalCols = Seq("n"))
+      val cnt = r.n
+      val total = r.sums("n")
+      val rn0 = col("_rn1") - 1L
+      def quant(p: Double, out: String) = {
+        val pos = (cnt - 1L).toDouble * p
+        val lo = math.floor(pos).toLong
+        val frac = pos - math.floor(pos)
+        val vl = max(when(rn0 === lit(lo), col("nd")))
+        val vh = max(when(rn0 === lit(lo + 1L), col("nd")))
+        (if (frac == 0.0) vl
+         else vl * lit(1.0 - frac) + vh * lit(frac)).as(out)
       }
-      sizes
-        .withColumn("p50_size", quant(0.5))
-        .withColumn("p99_size", quant(0.99))
-        .withColumn("rnk", row_number().over(
-          Window.orderBy(col("n").desc, col("user_id"))))
-        .filter(col("rnk") <= 10)
-        .select(col("rnk"), col("user_id"), col("n").as("n_events"),
-          r6(col("n") / col("total")).as("share"),
+      val los = Seq(0.5, 0.99).flatMap { p =>
+        val lo = math.floor((cnt - 1L).toDouble * p).toLong
+        Seq(lo, lo + 1L)
+      }
+      val qrow = r.df.filter(rn0.isin(los: _*))
+        .agg(quant(0.5, "p50_size"), quant(0.99, "p99_size"))
+      DistRank.rowNumber(r.df, "_rnk", negate(col("n")),
+          Seq(col("n").desc, col("user_id"))).df
+        .filter(col("_rnk") <= 10L)
+        .crossJoin(broadcast(qrow))
+        .select(col("_rnk").cast("int").as("rnk"), col("user_id"),
+          col("n").as("n_events"),
+          r6(col("n") / lit(total)).as("share"),
           col("p50_size"), col("p99_size"),
           r6(col("nd") / col("p50_size")).as("ratio_to_p50"))
     }))

@@ -110,40 +110,13 @@ object CorpusQueries {
     // ONCE before the self-join: without the checkpoint each join side
     // re-runs the tokenize→hash→simhash pipeline over the full corpus
     // (2× the dominant cost; the [[graft.ext.PageRank]] edge-list
-    // treatment). The banded build side is then small enough to
-    // broadcast — sigs are ~16 B/doc, ~1.6 GB at 100M docs; beyond
-    // that drop the broadcast() hint and let the equi-join shuffle
-    // bucket keys only.
-    "dedup_hamming" -> ((s, dir) => {
-      GraftFunctions.register(s)
-      val sg = docsT(s, dir)
-        .withColumn("toks", expr(TextOps.toksSpark))
-        .withColumn("wh", expr(TextOps.wordHashesSpark("toks")))
-        .filter(expr("size(wh) > 0"))
-        .select(col("doc_id").cast("long").as("doc_id"),
-          expr(s"graft_simhash(wh, $HamBits)").as("sig"))
-        .localCheckpoint()
-      val banded = sg
-        .select(col("doc_id"), col("sig"),
-          explode(expr(s"sequence(0, ${HamBands - 1})")).as("j"))
-        .withColumn("bv", expr("shiftright(sig, j * 8) & 255"))
-      // A pair matching on k bands would surface k times; instead of a
-      // distinct() (a full extra shuffle of every candidate row), each
-      // pair is emitted ONLY from its lowest matching band — the match
-      // mask is four integer compares on the sigs already in hand.
-      val firstBandOnly =
-        (0 until HamBands).map(b =>
-          s"IF((shiftright(x.sig, ${b * 8}) & 255) = " +
-            s"(shiftright(y.sig, ${b * 8}) & 255), ${1 << b}, 0)")
-          .mkString("((", " + ", ") & (shiftleft(1, CAST(x.j AS INT)) - 1)) = 0")
-      banded.as("x").join(broadcast(banded.as("y")),
-          col("x.j") === col("y.j") && col("x.bv") === col("y.bv")
-            && col("x.doc_id") < col("y.doc_id"))
-        .filter(expr(firstBandOnly))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          expr("CAST(bit_count(x.sig ^ y.sig) AS BIGINT)").as("hamming"))
-        .filter(col("hamming") <= HamMax)
-    }),
+    // treatment). The broadcast is SIZE-GATED on the checkpointed doc
+    // count (free — the checkpoint is already materialized): under
+    // [[HamBroadcastMaxDocs]] the banded side ships to every executor;
+    // above it the same plan falls back to a shuffle-hash equi-join on
+    // the (band, value) bucket key — both sides exchange 28-byte
+    // bucket rows, never text, so the fallback survives any corpus.
+    "dedup_hamming" -> ((s, dir) => dedupHamming(s, dir)),
 
     // Chi-square token-frequency drift between the even- and
     // odd-numbered source halves: per-token 2×2 occurrence test against
@@ -186,6 +159,51 @@ object CorpusQueries {
   /** DuckDB CTE chain computing the 32-bit simhash per doc; exposes
     * `sg(doc_id, sig)` — the dedup_simhash oracle's vote rule at
     * [[HamBits]] width. */
+  /** Banded side fits one executor comfortably below this: 4 bands ×
+    * ~28 B/row ≈ 112 MB at the cap. Above it, broadcast would OOM the
+    * executors long before 100 TB — the gate swaps in a shuffle-hash
+    * join on the same (band, value) equi-keys. */
+  private[graft] val HamBroadcastMaxDocs = 1000000L
+
+  /** `dedup_hamming` body; `broadcastMaxDocs` is exposed so PlanSpec
+    * can pin BOTH plan shapes on the same small fixture. */
+  private[graft] def dedupHamming(s: SparkSession, dir: String,
+      broadcastMaxDocs: Long = HamBroadcastMaxDocs): DataFrame = {
+    GraftFunctions.register(s)
+    val sg = docsT(s, dir)
+      .withColumn("toks", expr(TextOps.toksSpark))
+      .withColumn("wh", expr(TextOps.wordHashesSpark("toks")))
+      .filter(expr("size(wh) > 0"))
+      .select(col("doc_id").cast("long").as("doc_id"),
+        expr(s"graft_simhash(wh, $HamBits)").as("sig"))
+      .localCheckpoint()
+    val banded = sg
+      .select(col("doc_id"), col("sig"),
+        explode(expr(s"sequence(0, ${HamBands - 1})")).as("j"))
+      .withColumn("bv", expr("shiftright(sig, j * 8) & 255"))
+    // A pair matching on k bands would surface k times; instead of a
+    // distinct() (a full extra shuffle of every candidate row), each
+    // pair is emitted ONLY from its lowest matching band — the match
+    // mask is four integer compares on the sigs already in hand.
+    val firstBandOnly =
+      (0 until HamBands).map(b =>
+        s"IF((shiftright(x.sig, ${b * 8}) & 255) = " +
+          s"(shiftright(y.sig, ${b * 8}) & 255), ${1 << b}, 0)")
+        .mkString("((", " + ", ") & (shiftleft(1, CAST(x.j AS INT)) - 1)) = 0")
+    val cond = col("x.j") === col("y.j") && col("x.bv") === col("y.bv") &&
+      col("x.doc_id") < col("y.doc_id")
+    val joined =
+      if (sg.count() <= broadcastMaxDocs)
+        banded.as("x").join(broadcast(banded.as("y")), cond)
+      else
+        banded.as("x").join(banded.as("y").hint("shuffle_hash"), cond)
+    joined
+      .filter(expr(firstBandOnly))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        expr("CAST(bit_count(x.sig ^ y.sig) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= HamMax)
+  }
+
   private val sigDuck: String = {
     val whD = TextOps.wordHashesDuck(TextOps.toksDuck)
     val sums = (0 until HamBits).map(b =>

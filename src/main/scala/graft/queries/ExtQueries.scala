@@ -883,17 +883,21 @@ object ExtQueries {
     // √ because IEEE sqrt is correctly rounded on every platform,
     // unlike pow), and the epochs of each source one pass of the
     // smoothed mix consumes. Token counts collapse map-side to one
-    // long per source; the share normalization runs over the
-    // |sources|-row aggregate, never the corpus.
+    // long per source; the |sources|-row aggregate materializes once
+    // and both normalizations are scalar aggregates broadcast back
+    // over it — never the corpus, never an unpartitioned window.
     "corpus_mix" -> ((s, dir) => {
-      val wAll = Window.partitionBy()
-      docs(s, dir)
+      val src = docs(s, dir)
         .withColumn("n_tok", expr(s"CAST(size($toksSpark) AS BIGINT)"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .localCheckpoint()
+      val wp = src
+        .crossJoin(broadcast(src.agg(sum(col("n_tokens")).as("tt"))))
         .withColumn("p", col("n_tokens").cast("double")
-          / sum(col("n_tokens")).over(wAll).cast("double"))
-        .withColumn("w", sqrt(col("p")) / sum(sqrt(col("p"))).over(wAll))
+          / col("tt").cast("double"))
+      wp.crossJoin(broadcast(wp.agg(sum(sqrt(col("p"))).as("sw"))))
+        .withColumn("w", sqrt(col("p")) / col("sw"))
         .select(col("source"), col("n_docs"), col("n_tokens"),
           Rounding.r6(col("p")).as("p"), Rounding.r6(col("w")).as("w"),
           Rounding.r6(col("w") / col("p")).as("epochs"))
@@ -982,14 +986,18 @@ object ExtQueries {
         .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
           expr(s"transform($whS, h -> h % 1024)").as("f"))
         .filter(size(col("f")) > 0)
-      val wAll = Window.partitionBy()
-      val stats = d.select(col("lang"), explode(col("f")).as("b"))
+      // The 1024-row bucket table materializes once; its exact-long
+      // totals come from a scalar aggregate broadcast back over it —
+      // no unpartitioned window.
+      val bstats = d.select(col("lang"), explode(col("f")).as("b"))
         .groupBy("b")
         .agg(count(lit(1)).as("n_all"),
           sum(when(col("lang") === "en", lit(1L)).otherwise(lit(0L)))
             .as("n_t"))
-        .withColumn("tot_all", sum(col("n_all")).over(wAll))
-        .withColumn("tot_t", sum(col("n_t")).over(wAll))
+        .localCheckpoint()
+      val stats = bstats
+        .crossJoin(broadcast(bstats.agg(sum(col("n_all")).as("tot_all"),
+          sum(col("n_t")).as("tot_t"))))
         .select(col("b"), expr("CAST(round(" +
           "CAST((n_t + 1) * (tot_all + 1024) AS DOUBLE)" +
           " / CAST((n_all + 1) * (tot_t + 1024) AS DOUBLE)" +

@@ -98,9 +98,9 @@ object Tpch2Queries {
           && col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
         .groupBy(col("l_suppkey"))
         .agg(sum(rev4).as("rev4"))
+        .localCheckpoint() // |suppliers| rows; one lineitem scan
       rev
-        .withColumn("max4", max(col("rev4")).over(
-          Window.partitionBy(lit(true))))
+        .crossJoin(broadcast(rev.agg(max(col("rev4")).as("max4"))))
         .filter(col("rev4") === col("max4"))
         .join(broadcast(t(s, dir, "supplier")),
           col("l_suppkey") === col("s_suppkey"))

@@ -22,8 +22,8 @@ import graft.functions.GraftFunctions
   * tiny per-ticker reports; `drift_psi` aggregates to 10 bins against
   * broadcast bounds; `drift_ks` first collapses to the DISTINCT value
   * domain (bounded for quantized/price-like columns — cents at 100 TB)
-  * so the single-partition ECDF window runs over the domain, not the
-  * rows. Every double output is r6'd; formulas are mirrored
+  * and the [[DistRank]] range-bucketed running sums give the ECDF over
+  * the domain — no unpartitioned window at any scale. Every double output is r6'd; formulas are mirrored
   * token-for-token in [[Ts2Queries.oracles]].
   */
 object Ts2Queries {
@@ -725,52 +725,58 @@ object Ts2Queries {
     // Population-stability-index drift between the two deterministic
     // event halves (event_id parity), 10 equal-width bins over broadcast
     // global bounds, Laplace-smoothed shares ((c+0.5)/(n+5)) so empty
-    // bins stay finite. 10-group shuffle; totals ride a window over the
-    // bin rows.
+    // bins stay finite. 10-group shuffle; the 10-bin table materializes
+    // once and the totals ride scalar aggregates broadcast back over
+    // it — no unpartitioned window.
     "drift_psi" -> ((s, dir) => {
       val e = EventBars.events(s, dir)
       val bounds = e.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
-      val wAll = Window.partitionBy()
-      e.crossJoin(broadcast(bounds))
+      val bins = e.crossJoin(broadcast(bounds))
         .withColumn("bin", least(lit(9L),
           floor((col("value") - col("mn")) / ((col("mx") - col("mn")) / lit(10.0)))))
         .groupBy("bin")
         .agg(count(when(col("event_id") % 2 === 0, lit(1))).as("n_a"),
           count(when(col("event_id") % 2 =!= 0, lit(1))).as("n_b"))
-        .withColumn("ta", sum(col("n_a")).over(wAll))
-        .withColumn("tb", sum(col("n_b")).over(wAll))
+        .localCheckpoint()
+      val tot = bins.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+      val wc = bins.crossJoin(broadcast(tot))
         .withColumn("p", (col("n_a") + lit(0.5)) / (col("ta") + lit(5.0)))
         .withColumn("q", (col("n_b") + lit(0.5)) / (col("tb") + lit(5.0)))
         .withColumn("contrib", (col("p") - col("q")) * log(col("p") / col("q")))
+      wc.crossJoin(broadcast(wc.agg(sum(col("contrib")).as("pt"))))
         .select(col("bin"), col("n_a"), col("n_b"),
           r6(col("contrib")).as("psi_bin"),
-          r6(sum(col("contrib")).over(wAll)).as("psi_total"))
+          r6(col("pt")).as("psi_total"))
     }),
 
     // Two-sample Kolmogorov–Smirnov over the click/view value
     // distributions. Collapses to the DISTINCT value domain first
-    // (bounded for quantized columns), then one ECDF window over the
-    // domain; counts are exact integers, so D is bit-identical across
-    // engines before any rounding. Ties in D break to the smallest value.
+    // (bounded for quantized columns), then the distributed exact
+    // running sums give the ECDF over the domain — range-bucketed, no
+    // single-partition window; counts are exact integers, so D is
+    // bit-identical across engines before any rounding. Ties in D
+    // break to the smallest value.
     "drift_ks" -> ((s, dir) => {
-      val wv = Window.orderBy("value")
-        .rangeBetween(Window.unboundedPreceding, 0)
-      val wAll = Window.partitionBy()
-      EventBars.events(s, dir)
+      val g = EventBars.events(s, dir)
         .filter(col("event_type").isin("click", "view"))
         .groupBy("value")
         .agg(count(when(col("event_type") === "click", lit(1))).as("ca"),
           count(when(col("event_type") === "view", lit(1))).as("cb"))
-        .withColumn("na", sum(col("ca")).over(wAll))
-        .withColumn("nb", sum(col("cb")).over(wAll))
+        .localCheckpoint()
+      val r = DistRank.rowNumber(g, "_rk", col("value"), Seq(col("value")),
+        runSumCols = Seq("ca", "cb"))
+      val na = r.sums("ca")
+      val nb = r.sums("cb")
+      r.df
         .withColumn("d",
-          abs(sum(col("ca")).over(wv) / col("na")
-            - sum(col("cb")).over(wv) / col("nb")))
-        .agg(first(col("na")).as("n_a"), first(col("nb")).as("n_b"),
+          abs(col("run_ca") / lit(na) - col("run_cb") / lit(nb)))
+        .agg(count(lit(1)).as("nz"),
           r6(max(col("d"))).as("ks_d"),
           min(struct(negate(col("d")), col("value")))
             .getField("value").as("at_value"))
-        .filter(col("n_a").isNotNull) // empty-in → empty-out
+        .filter(col("nz") > 0) // empty-in → empty-out
+        .select(lit(na).as("n_a"), lit(nb).as("n_b"),
+          col("ks_d"), col("at_value"))
     }))
 
   val oracles: Map[String, String] = {

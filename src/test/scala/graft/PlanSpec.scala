@@ -205,6 +205,18 @@ class PlanSpec extends SparkSpec {
       "no pair-level distinct above the band join")
   }
 
+  test("hamming broadcast size-gate: above the cap, shuffle-hash join") {
+    // force the fallback path on the same fixture: with the cap at 0
+    // the banded self-join must plan a ShuffledHashJoin on the
+    // (band, value) equi-keys — no broadcast of the banded side, no
+    // sort-merge, no nested-loop
+    val p = queries.CorpusQueries.dedupHamming(spark, sf, 0L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("time-series indicator suite runs on the single ticker exchange") {
     Seq("ind_atr", "ind_obv", "ind_willr", "ind_bbands", "ts_rolling_corr")
       .foreach { q => assert(shuffles(plan(q)) == 1, q) }
@@ -238,8 +250,11 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("key_skew: one events aggregation feeds rank/total/quantiles") {
-    assert(shuffles(plan("key_skew")) == 1)
+  test("key_skew: two DistRank bucket exchanges over the size rollup") {
+    // the events→sizes groupBy runs once inside the localCheckpoint;
+    // the final plan is the asc + desc DistRank bucket exchanges (the
+    // quantile row rides a 4-row scalar aggregate, broadcast back)
+    assert(shuffles(plan("key_skew")) == 2)
   }
 
   test("text_bm25 reduces corpus stats to one broadcast row, no shuffle") {
@@ -255,9 +270,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("drift_psi: broadcast bounds, 10-bin aggregate, no wide shuffle") {
+    // the events scan + bin groupBy materialize once in the
+    // localCheckpoint job; the final plan is pure broadcast
+    // composition over the 10-bin ExistingRDD — zero hash exchanges
     val p = plan("drift_psi")
-    assert(shuffles(p) == 1)
+    assert(shuffles(p) == 0)
     assert(p.contains("BroadcastExchange"))
+    assert(p.contains("Scan ExistingRDD"))
   }
 
   test("graph_triangles materializes the edge list once (checkpoint scan)") {
@@ -275,10 +294,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("corpus_mix normalizes over the |sources|-row aggregate only") {
+    // corpus scan + source rollup run once in the localCheckpoint job;
+    // both normalizations are scalar aggregates broadcast back over
+    // the |sources|-row ExistingRDD — no unpartitioned window
     val p = plan("corpus_mix")
-    assert(shuffles(p) == 1)
-    // the single-partition window sees source rows, not the corpus
-    assert(p.contains("Exchange SinglePartition"))
+    assert(shuffles(p) == 0)
+    assert(p.contains("BroadcastExchange"))
+    assert(p.contains("Scan ExistingRDD"))
   }
 
   test("emb_outliers: three scalar-row exchanges, no vector join-back") {
@@ -322,10 +344,12 @@ class PlanSpec extends SparkSpec {
 
   test("text_dsir: ratio table broadcasts; corpus never joins shuffled") {
     val p = plan("text_dsir")
-    assert("BroadcastExchange".r.findAllIn(p).length == 1)
+    // ratio-table broadcast + its nested totals broadcast (the 1024-row
+    // bucket table itself materializes once in the localCheckpoint job)
+    assert("BroadcastExchange".r.findAllIn(p).length == 2)
     assert(!p.contains("SortMergeJoin"))
-    // bucket-count + per-doc aggregates only
-    assert(shuffles(p) == 2)
+    // the per-doc aggregate is the only corpus shuffle
+    assert(shuffles(p) == 1)
   }
 
   test("frame-window family shares ONE partition exchange") {
@@ -512,9 +536,11 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("behav_power_users: one user exchange, ranking on aggregated rows") {
+  test("behav_power_users: DistRank bucket exchange + decile rollup") {
+    // the events→users groupBy runs once inside the localCheckpoint;
+    // the final plan is the rank's bucket exchange + the 10-decile agg
     val p = plan("behav_power_users")
-    assert(shuffles(p) == 1, p)
+    assert(shuffles(p) == 2, p)
   }
 
   test("q6: filters pushed to the scan, 4-column read, scalar shuffle only") {
@@ -562,10 +588,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("q15: one rollup exchange; supplier broadcast") {
+  test("q15: rollup materialized once; max + supplier both broadcast") {
+    // the lineitem scan + supplier rollup run once in the
+    // localCheckpoint job; the scalar max and the supplier dimension
+    // broadcast over the |suppliers|-row ExistingRDD
     val p = plan("q15_top_supplier")
-    assert(shuffles(p) == 1, p)
+    assert(shuffles(p) == 0, p)
     assert(p.contains("BroadcastExchange"))
+    assert(p.contains("Scan ExistingRDD"))
   }
 
   test("q17: brand filter + thresholds all broadcast, two exchanges") {
@@ -600,5 +630,24 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(p) == 2, p)
     assert(p.contains("BroadcastExchange"))
     assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("NO query in the suite plans an unpartitioned Window") {
+    // The scale invariant behind DistRank: a Window with an empty
+    // partitionSpec collapses ALL rows into one task — correct at
+    // sf0.1, dead at 100 TB. Every global ranking/running-total in the
+    // suite must ride the range-bucketed two-pass exact rank (or a
+    // scalar-aggregate broadcast) instead. Checked on the OPTIMIZED
+    // logical plan of every registered query, so a refactor cannot
+    // reintroduce one anywhere.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val bad = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }
+      if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"unpartitioned Window in: $offenders")
   }
 }
