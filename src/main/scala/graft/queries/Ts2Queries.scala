@@ -73,6 +73,42 @@ object Ts2Queries {
           r6(col("x.sar")).as("sar"), col("x.dir").as("dir"))
     }),
 
+    // SAR over a gappy series: deterministic mid-stream nulls in each
+    // price column. Pins the kernel's null-transparency — a null bar
+    // carries ALL state (including the bar counter) and emits the
+    // carried state; the recursion runs over the non-null subsequence.
+    // The oracle replays the same recursion over the filtered rows and
+    // carries the last emitted state forward to the gap rows.
+    "ind_sar_gaps" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      EventBars.bars(s, dir)
+        .withColumn("gh", when(col("event_id") % 31 === 0,
+          lit(null).cast("double")).otherwise(col("high")))
+        .withColumn("gl", when(col("event_id") % 37 === 0,
+          lit(null).cast("double")).otherwise(col("low")))
+        .withColumn("gc", when(col("event_id") % 23 === 0,
+          lit(null).cast("double")).otherwise(col("close")))
+        .withColumn("x", expr("graft_sar_w(gh, gl, gc)").over(w))
+        .select(col("ticker"), col("t"), col("event_id"),
+          r6(col("x.sar")).as("sar"), col("x.dir").as("dir"))
+    }),
+
+    // Adaptive EMA over a gappy series: nulls in BOTH the value and
+    // the coefficient stream. Pins [[graft.functions.AdaptiveEmaWindow]]
+    // null-transparency: y carries through any null (x OR c) instead of
+    // silently re-seeding — the oracle recursion spells the identical
+    // three-way CASE.
+    "ind_adema_gaps" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      EventBars.bars(s, dir)
+        .withColumn("gx", when(col("event_id") % 17 === 0,
+          lit(null).cast("double")).otherwise(col("close")))
+        .withColumn("gc", when(col("event_id") % 13 === 0,
+          lit(null).cast("double")).otherwise(lit(0.25)))
+        .select(col("ticker"), col("t"), col("event_id"),
+          r6(expr("graft_adaptive_ema_w(gx, gc)").over(w)).as("adema"))
+    }),
+
     // Slow stochastic: fast %K over the TA-Lib 14-bar frame, then two
     // explicit 3-bar SMA layers (written as (x + lag1 + lag2)/3 — NOT
     // avg() over a frame — so warm-up nulls gate identically on both
@@ -857,6 +893,60 @@ object Ts2Queries {
            |SELECT ticker, t, event_id, NULL::DOUBLE AS sar,
            |  NULL::BIGINT AS dir
            |FROM nb WHERE rn = 1""".stripMargin,
+
+      // Same recursion as ind_sar but over the NON-NULL subsequence of
+      // the gapped bars ("bars" below is pre-filtered); gap rows then
+      // carry the last emitted state forward (bar-1's emitted state is
+      // NULL, so gaps before bar 2 stay null — exactly the kernel).
+      "ind_sar_gaps" ->
+        s"""WITH RECURSIVE rawbars AS (${EventBars.sqlBars}),
+           |gb AS (SELECT ticker, t, event_id,
+           |    CASE WHEN event_id % 31 = 0 THEN NULL ELSE high END AS high,
+           |    CASE WHEN event_id % 37 = 0 THEN NULL ELSE low END AS low,
+           |    CASE WHEN event_id % 23 = 0 THEN NULL ELSE close END AS close
+           |  FROM rawbars),
+           |bars AS (SELECT * FROM gb WHERE high IS NOT NULL
+           |  AND low IS NOT NULL AND close IS NOT NULL),
+           |$sarRec,
+           |st AS (SELECT ticker, t, event_id,
+           |    struct_pack(sar := sar, lng := lng) AS o FROM rec),
+           |allr AS (SELECT g.ticker, g.t, g.event_id, st.o
+           |  FROM gb g LEFT JOIN st ON st.ticker = g.ticker
+           |    AND st.t = g.t AND st.event_id = g.event_id),
+           |cf AS (SELECT ticker, t, event_id,
+           |    last_value(o IGNORE NULLS) OVER ($Over
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS co
+           |  FROM allr)
+           |SELECT ticker, t, event_id,
+           |  (round((co.sar) * 1000000.0) / 1000000.0 + 0.0) AS sar,
+           |  (CASE WHEN co.lng IS NULL THEN NULL
+           |     WHEN co.lng THEN 1 ELSE -1 END)::BIGINT AS dir
+           |FROM cf""".stripMargin,
+
+      // Token-for-token mirror of AdaptiveEmaWindow.updateExpressions:
+      // null x or c -> carry y; null y -> seed with x; else smooth.
+      "ind_adema_gaps" ->
+        s"""WITH RECURSIVE bars AS (${EventBars.sqlBars}),
+           |nb AS (SELECT ticker, t, event_id,
+           |    CASE WHEN event_id % 17 = 0 THEN NULL ELSE close END AS x,
+           |    CASE WHEN event_id % 13 = 0 THEN NULL
+           |      ELSE CAST(0.25 AS DOUBLE) END AS c,
+           |    row_number() OVER ($Over) AS rn
+           |  FROM bars),
+           |rec AS (
+           |  SELECT ticker, t, event_id, rn,
+           |    CASE WHEN c IS NULL OR x IS NULL THEN NULL ELSE x END AS y
+           |  FROM nb WHERE rn = 1
+           |  UNION ALL
+           |  SELECT nb.ticker, nb.t, nb.event_id, nb.rn,
+           |    CASE WHEN nb.c IS NULL OR nb.x IS NULL THEN r.y
+           |      WHEN r.y IS NULL THEN nb.x
+           |      ELSE r.y + nb.c * (nb.x - r.y) END
+           |  FROM rec r JOIN nb
+           |    ON nb.ticker = r.ticker AND nb.rn = r.rn + 1)
+           |SELECT ticker, t, event_id,
+           |  (round((y) * 1000000.0) / 1000000.0 + 0.0) AS adema
+           |FROM rec""".stripMargin,
 
       "ind_ema" ->
         s"""WITH RECURSIVE bars AS (${EventBars.sqlBars}),
