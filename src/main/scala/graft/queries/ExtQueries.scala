@@ -448,6 +448,30 @@ object ExtQueries {
         Rounding.r6(expr("graft_minhash_est(mha, mhb)")).as("est_sim"),
         Rounding.r6(jaccardExpr).as("jaccard"))),
 
+    // The silent-cap REPORT next to the banded LSH family: how many
+    // band buckets exceed [[MaxBandBucket]] (their rows are dropped
+    // from candidate pairing as exact-dup-shaped floods) and how many
+    // banded rows that removes. One row always — zeros on a healthy
+    // corpus — so the cap is never invisible: pipelines gate on
+    // n_rows_dropped before trusting dedup_minhash_lsh's recall.
+    "dedup_lsh_skipped" -> ((s, dir) => {
+      val sizes = docs(s, dir)
+        .withColumn("toks", expr(toksSpark))
+        .withColumn("wh", expr(whS))
+        .withColumn("sh", expr(shS))
+        .filter(expr("size(sh) > 0"))
+        .withColumn("mh", expr(mhS))
+        .withColumn("bands", expr(bandsS))
+        .select(explode(expr(bkS)).as("bk"))
+        .groupBy("bk").agg(count(lit(1)).as("n"))
+      sizes.agg(
+        coalesce(sum(col("n")), lit(0L)).as("n_rows_total"),
+        count(when(col("n") > MaxBandBucket, lit(1)))
+          .as("n_buckets_capped"),
+        coalesce(sum(when(col("n") > MaxBandBucket, col("n"))
+          .otherwise(lit(0L))), lit(0L)).as("n_rows_dropped"))
+    }),
+
     // The kept corpus — what a pipeline actually materializes after
     // near-dup detection: greedy keep-lowest-id (every pair's higher id
     // is dropped when jaccard clears the threshold; the `a < b` pair
@@ -1185,9 +1209,13 @@ object ExtQueries {
       docs(s, dir)
         .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
           expr(s"CAST(size($toksSpark) AS BIGINT)").as("n_words"),
-          expr("CAST(greatest(size(regexp_extract_all(text, '[.!?]', 0)), 1)" +
+          // regexp_count, not size(regexp_extract_all(...)): counting
+          // matches without materializing the match arrays — this is
+          // the hottest text scan in the suite and the arrays were
+          // pure allocation.
+          expr("CAST(greatest(regexp_count(text, '[.!?]'), 1)" +
             " AS BIGINT)").as("n_sents"),
-          expr("CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0))" +
+          expr("CAST(regexp_count(lower(text), '[aeiouy]+')" +
             " AS BIGINT)").as("n_syll"))
         .filter(col("n_words") > 0)
         .withColumn("wps",
@@ -1457,6 +1485,20 @@ object ExtQueries {
          |SELECT doc_id,
          |  (${(0 until SimBits).map(b => s"(CASE WHEN s$b >= 0 THEN ${1L << b}::BIGINT ELSE 0::BIGINT END)").mkString(" + ")}) AS simhash
          |FROM sm""".stripMargin,
+
+    "dedup_lsh_skipped" ->
+      s"""WITH $docHashes,
+         |df AS (SELECT * FROM ds WHERE len(sh) > 0),
+         |dm AS (SELECT *, $mhD AS mh FROM df),
+         |db AS (SELECT *, $bandsD AS mbands FROM dm),
+         |dk0 AS (SELECT doc_id, unnest($bkD) AS bk FROM db),
+         |g AS (SELECT bk, count(*)::BIGINT AS n FROM dk0 GROUP BY 1)
+         |SELECT coalesce(sum(n), 0)::BIGINT AS n_rows_total,
+         |  count(CASE WHEN n > $MaxBandBucket THEN 1 END)::BIGINT
+         |    AS n_buckets_capped,
+         |  coalesce(sum(CASE WHEN n > $MaxBandBucket THEN n END), 0)::BIGINT
+         |    AS n_rows_dropped
+         |FROM g""".stripMargin,
 
     "dedup_minhash_lsh" ->
       s"""WITH $docHashes,

@@ -66,7 +66,14 @@ object Tpch2Queries {
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("o_year"), col("supp_nation"))
-        .agg(sum(rev4).as("rev4"), count(lit(1)).as("n_items"))
+        // DECIMAL(38,0) accumulator: per-line rev4 is ~5e8 in 1e-4
+        // units, so a LONG per-year total sits within ~1.4× of
+        // Long.MaxValue around 1e10 matching rows — real 100 TB
+        // territory. The decimal sum is exact to 1e38 (mirrors
+        // DuckDB's HUGEINT sum) and converts to the identical double
+        // downstream, so the hash is unchanged at every SF.
+        .agg(sum(rev4.cast("decimal(38,0)")).as("rev4"),
+          count(lit(1)).as("n_items"))
       byNation
         .withColumn("tot4", sum(col("rev4"))
           .over(Window.partitionBy(col("o_year"))))
@@ -97,7 +104,8 @@ object Tpch2Queries {
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
           && col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
         .groupBy(col("l_suppkey"))
-        .agg(sum(rev4).as("rev4"))
+        // decimal(38,0) for the same Long-headroom reason as q8
+        .agg(sum(rev4.cast("decimal(38,0)")).as("rev4"))
         .localCheckpoint() // |suppliers| rows; one lineitem scan
       rev
         .crossJoin(broadcast(rev.agg(max(col("rev4")).as("max4"))))
@@ -173,7 +181,7 @@ object Tpch2Queries {
          |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
          |bynat AS (
          |  SELECT o_year, n_name AS supp_nation,
-         |    CAST(sum($rev4Sql) AS BIGINT) AS rev4,
+         |    sum($rev4Sql) AS rev4,
          |    count(*) AS n_items
          |  FROM lineitem
          |  JOIN ord ON l_orderkey = o_orderkey
@@ -196,7 +204,7 @@ object Tpch2Queries {
 
     "q15_top_supplier" ->
       s"""WITH rev AS (
-         |  SELECT l_suppkey, CAST(sum($rev4Sql) AS BIGINT) AS rev4
+         |  SELECT l_suppkey, sum($rev4Sql) AS rev4
          |  FROM lineitem
          |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
          |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
