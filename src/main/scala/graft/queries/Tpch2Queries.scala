@@ -4,10 +4,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-/** The remaining TPC-H shapes expressible on this schema (no partsupp /
-  * shipmode / phone columns in the driver's tables): Q8 market share,
-  * Q13 order-count distribution, Q15 top supplier, Q17 small-quantity
-  * revenue, Q22 idle customers.
+/** The remaining TPC-H shapes expressed on this schema (no partsupp /
+  * shipmode / phone / commit-receipt columns in the driver's tables;
+  * where TPC-H needs one, the nearest present column stands in and the
+  * header of each query names the substitution): Q2 min-cost supplier,
+  * Q4 priority returns, Q8 market share, Q9 product profit, Q11
+  * important stock, Q12 late shipments, Q13 order-count distribution,
+  * Q15 top supplier, Q16 supplier counts, Q17 small-quantity revenue,
+  * Q19 disjunctive revenue, Q20 heavy shippers, Q21 waiting supplier,
+  * Q22 idle customers.
   *
   * Scale notes: the only big⋈big join in the family is Q8's
   * lineitem⋈orders, which shuffles each side once on l_orderkey /
@@ -164,6 +169,224 @@ object Tpch2Queries {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("numcust"),
           r4(sum(col("bc")).cast("double") / lit(100.0)).as("totacctbal"))
+    }),
+
+    // TPC-H Q2 shape: the cheapest EUROPE supplier per SMALL part. No
+    // partsupp in this schema, so the offer table is lineitem's
+    // (part, supplier) min-price rollup — ONE fact exchange,
+    // materialized once; part and supplier⋈nation⋈region dims
+    // broadcast into it, and the per-part min broadcasts back
+    // (|parts|-bounded). Prices compare as exact cents.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region").filter(col("r_name") === "EUROPE")
+      val supEur = t(s, dir, "supplier")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("n_name"))
+      val pt = t(s, dir, "part").filter(col("p_type") === "SMALL")
+        .select(col("p_partkey"), col("p_name"))
+      val offers = t(s, dir, "lineitem")
+        .withColumn("pc", round(col("l_extendedprice") * lit(100.0))
+          .cast("long"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("pc")).as("cost_c"))
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supEur), col("l_suppkey") === col("s_suppkey"))
+        .localCheckpoint()
+      val minPer = offers.groupBy(col("p_partkey").as("m_partkey"))
+        .agg(min(col("cost_c")).as("min_c"))
+      offers.join(broadcast(minPer),
+          col("p_partkey") === col("m_partkey")
+            && col("cost_c") === col("min_c"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"),
+          r4(col("cost_c").cast("double") / lit(100.0)).as("min_price"))
+    }),
+
+    // TPC-H Q4 shape: order-priority counts over quarter orders with
+    // ≥1 RETURNED lineitem (returnflag stands in for the schema's
+    // missing commit/receipt dates). Orderkey semi-join — each side
+    // shuffles once; the priority rollup is 5 rows.
+    "q4_priority_returns" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        .join(t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))),
+
+    // TPC-H Q9 shape: per-nation per-year profit on 'gear' parts;
+    // profit = revenue − retailprice·qty, per-line in exact 1e-4
+    // longs, accumulated in DECIMAL(38,0) (the Q8 headroom posture).
+    // lineitem⋈orders is the one big join; part and supplier⋈nation
+    // broadcast.
+    "q9_product_profit" -> ((s, dir) => {
+      val pt = t(s, dir, "part").filter(col("p_name").like("%gear%"))
+        .withColumn("rp2", round(col("p_retailprice") * lit(100.0))
+          .cast("long"))
+        .select(col("p_partkey"), col("rp2"))
+      val supNat = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      t(s, dir, "lineitem")
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("qc2", round(col("l_quantity") * lit(100.0))
+          .cast("long"))
+        .withColumn("profit4", rev4 - col("rp2") * col("qc2"))
+        .groupBy(col("n_name"), col("o_year"))
+        .agg(sum(col("profit4").cast("decimal(38,0)")).as("p4"),
+          count(lit(1)).as("n_items"))
+        .select(col("n_name"), col("o_year"), col("n_items"),
+          r4(col("p4").cast("double") / lit(10000.0)).as("amount"))
+    }),
+
+    // TPC-H Q11 shape: "important stock" — per-part shipped value from
+    // NATION_7's suppliers, keeping parts above 0.1% of the nation
+    // total. Value sums decimal-exact; the scalar total broadcasts
+    // over the |parts|-bounded rollup (materialized once).
+    "q11_important_parts" -> ((s, dir) => {
+      val supN = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .filter(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val perPart = t(s, dir, "lineitem")
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(rev4.cast("decimal(38,0)")).as("v4"))
+        .localCheckpoint()
+      val tot = perPart.groupBy(lit(true).as("_g"))
+        .agg(sum(col("v4")).as("t4")).select(col("t4"))
+      perPart.crossJoin(broadcast(tot))
+        .filter(col("v4").cast("double") > col("t4").cast("double")
+          * lit(0.001))
+        .select(col("l_partkey"),
+          r4(col("v4").cast("double") / lit(10000.0)).as("part_value"))
+    }),
+
+    // TPC-H Q12 shape: late shipments (> 60 days after order date) by
+    // returnflag class with the high/low priority split — returnflag
+    // stands in for the schema's missing shipmode. One orderkey join;
+    // integer counts only.
+    "q12_late_shipments" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate")
+          > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            lit(1))).as("high_line_count"),
+          count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            lit(1))).as("low_line_count"))),
+
+    // TPC-H Q16 shape: distinct-supplier counts per (brand, type,
+    // size) from lineitem's distinct offer pairs (no partsupp);
+    // negative-balance suppliers excluded (the complaints stand-in),
+    // one brand and the ECONOMY type cut. One (part, supplier)
+    // distinct exchange; dims broadcast; count-distinct two-phase.
+    "q16_supplier_cnt" -> ((s, dir) => {
+      val pt = t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "ECONOMY"
+          && col("p_size") <= 25)
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
+          col("p_size"))
+      val okSup = t(s, dir, "supplier").filter(col("s_acctbal") >= 0.0)
+        .select(col("s_suppkey"))
+      t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(okSup), col("l_suppkey") === col("s_suppkey"),
+          "left_semi")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    // TPC-H Q19 shape: the three-way disjunctive brand/size/quantity
+    // predicate against the broadcast part dim; one exact revenue sum
+    // (constant-group keeps empty-in → empty-out).
+    "q19_disjunctive_revenue" -> ((s, dir) => {
+      val cond =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 10)
+          && col("l_quantity").between(1.0, 11.0)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 20)
+            && col("l_quantity").between(10.0, 20.0)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 30)
+            && col("l_quantity").between(20.0, 30.0))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(cond)
+        .groupBy(lit(true).as("_g"))
+        .agg(sum(rev4.cast("decimal(38,0)")).as("r4s"),
+          count(lit(1)).as("n_items"))
+        .select(r4(col("r4s").cast("double") / lit(10000.0)).as("revenue"),
+          col("n_items"))
+    }),
+
+    // TPC-H Q20 shape: heavy shippers of 'bolt' parts in 1997 —
+    // suppliers whose shipped quantity tops 1.5× the mean over
+    // shipping suppliers (the availqty stand-in). Per-supplier rollup
+    // is |suppliers|-bounded and materializes once; the mean and the
+    // name dims broadcast.
+    "q20_heavy_shippers" -> ((s, dir) => {
+      val perSup = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(t(s, dir, "part")
+          .filter(col("p_name").like("%bolt%")).select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .withColumn("qc2", round(col("l_quantity") * lit(100.0))
+          .cast("long"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("qc2")).as("q2s"))
+        .localCheckpoint()
+      val avg2 = perSup.groupBy(lit(true).as("_g"))
+        .agg(sum(col("q2s")).as("s"), count(lit(1)).as("n"))
+        .select((col("s").cast("double") / col("n").cast("double"))
+          .as("avg2"))
+      perSup.crossJoin(broadcast(avg2))
+        .filter(col("q2s").cast("double") > col("avg2") * lit(1.5))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), col("n_name"),
+          r4(col("q2s").cast("double") / lit(100.0)).as("qty_shipped"))
+    }),
+
+    // TPC-H Q21 shape: the LONE returned supplier per multi-supplier
+    // finished order (returnflag ≙ the missing receipt/commit lag).
+    // ONE orderkey-grouped pass computes the distinct-supplier counts
+    // and the unique returned supplier — replacing the reference
+    // query's exists/not-exists join pair with aggregates that
+    // collapse map-side; name resolution broadcasts.
+    "q21_waiting_supplier" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+      li.groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+            .as("n_ret"),
+          max(when(col("l_returnflag") === "R", col("l_suppkey")))
+            .as("ret_supp"))
+        .filter(col("n_supp") >= 2L && col("n_ret") === 1L)
+        .groupBy(col("ret_supp"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("ret_supp") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -247,5 +470,141 @@ object Tpch2Queries {
         |WHERE CAST(bc AS DOUBLE) > avg_bc
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY 1""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """WITH supeur AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |offers AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS cost_c
+        |  FROM lineitem GROUP BY 1, 2),
+        |el AS (
+        |  SELECT cost_c, p_partkey, p_name,
+        |    s_suppkey, s_name, s_acctbal, n_name
+        |  FROM offers
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'SMALL'
+        |  JOIN supeur ON l_suppkey = s_suppkey),
+        |m AS (SELECT p_partkey AS m_partkey, min(cost_c) AS min_c
+        |  FROM el GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+        |  (round(CAST(cost_c AS DOUBLE) / 100.0, 4) + 0.0) AS min_price
+        |FROM el JOIN m ON p_partkey = m_partkey AND cost_c = min_c""".stripMargin,
+
+    "q4_priority_returns" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1""".stripMargin,
+
+    "q9_product_profit" ->
+      s"""WITH pt AS (
+         |  SELECT p_partkey,
+         |    CAST(round(p_retailprice * 100.0) AS BIGINT) AS rp2
+         |  FROM part WHERE p_name LIKE '%gear%')
+         |SELECT n_name, EXTRACT(year FROM o_orderdate) AS o_year,
+         |  count(*) AS n_items,
+         |  (round(CAST(sum($rev4Sql
+         |    - rp2 * CAST(round(l_quantity * 100.0) AS BIGINT)) AS DOUBLE)
+         |    / 10000.0, 4) + 0.0) AS amount
+         |FROM lineitem
+         |JOIN pt ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q11_important_parts" ->
+      s"""WITH supn AS (
+         |  SELECT s_suppkey FROM supplier
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE n_name = 'NATION_7'),
+         |pp AS (
+         |  SELECT l_partkey, sum($rev4Sql) AS v4
+         |  FROM lineitem JOIN supn ON l_suppkey = s_suppkey
+         |  GROUP BY 1),
+         |tot AS (SELECT sum(v4) AS t4 FROM pp)
+         |SELECT l_partkey,
+         |  (round(CAST(v4 AS DOUBLE) / 10000.0, 4) + 0.0) AS part_value
+         |FROM pp, tot
+         |WHERE CAST(v4 AS DOUBLE) > CAST(t4 AS DOUBLE) * 0.001""".stripMargin,
+
+    "q12_late_shipments" ->
+      """SELECT l_returnflag,
+        |  count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 END) AS high_line_count,
+        |  count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """WITH offers AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM offers
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'ECONOMY' AND p_size <= 25
+        |  AND EXISTS (SELECT 1 FROM supplier
+        |    WHERE s_suppkey = l_suppkey AND s_acctbal >= 0.0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q19_disjunctive_revenue" ->
+      s"""SELECT
+         |  (round(CAST(sum($rev4Sql) AS DOUBLE) / 10000.0, 4) + 0.0)
+         |    AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+         |    AND l_quantity BETWEEN 1.0 AND 11.0)
+         |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+         |    AND l_quantity BETWEEN 10.0 AND 20.0)
+         |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+         |    AND l_quantity BETWEEN 20.0 AND 30.0)
+         |HAVING count(*) > 0""".stripMargin,
+
+    "q20_heavy_shippers" ->
+      """WITH persup AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(round(l_quantity * 100.0) AS BIGINT)) AS q2s
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_name LIKE '%bolt%'
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY 1),
+        |a AS (SELECT CAST(sum(q2s) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS avg2 FROM persup)
+        |SELECT s_name, n_name,
+        |  (round(CAST(q2s AS DOUBLE) / 100.0, 4) + 0.0) AS qty_shipped
+        |FROM persup
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |CROSS JOIN a
+        |WHERE CAST(q2s AS DOUBLE) > avg2 * 1.5""".stripMargin,
+
+    "q21_waiting_supplier" ->
+      """WITH f AS (
+        |  SELECT l_orderkey, l_suppkey, l_returnflag FROM lineitem
+        |  WHERE EXISTS (SELECT 1 FROM orders
+        |    WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F')),
+        |per AS (
+        |  SELECT l_orderkey,
+        |    count(DISTINCT l_suppkey) AS n_supp,
+        |    count(DISTINCT CASE WHEN l_returnflag = 'R'
+        |      THEN l_suppkey END) AS n_ret,
+        |    max(CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+        |      AS ret_supp
+        |  FROM f GROUP BY 1)
+        |SELECT s_name, count(*) AS numwait
+        |FROM per JOIN supplier ON ret_supp = s_suppkey
+        |WHERE n_supp >= 2 AND n_ret = 1
         |GROUP BY 1""".stripMargin)
 }

@@ -632,6 +632,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("new TPC-H family: no sort-merge join, bounded fact exchanges") {
+    // dimensions (part, supplier, nation, region) and tiny rollups all
+    // broadcast; the only hash exchanges are fact-side aggregations
+    // (q16/q21 pay distinct + count-distinct phases)
+    Seq("q2_min_cost_supplier" -> 1, "q4_priority_returns" -> 1,
+      "q9_product_profit" -> 1, "q11_important_parts" -> 1,
+      "q12_late_shipments" -> 1, "q16_supplier_cnt" -> 3,
+      "q19_disjunctive_revenue" -> 1, "q20_heavy_shippers" -> 1,
+      "q21_waiting_supplier" -> 3).foreach { case (q, n) =>
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), q)
+      assert(shuffles(p) <= n, s"$q: ${shuffles(p)} exchanges")
+      assert(p.contains("BroadcastExchange"), q)
+    }
+  }
+
   test("NO query in the suite plans an unpartitioned Window") {
     // The scale invariant behind DistRank: a Window with an empty
     // partitionSpec collapses ALL rows into one task — correct at
