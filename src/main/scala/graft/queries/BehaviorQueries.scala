@@ -17,11 +17,11 @@ import graft.ext.TextOps
   * map-side-collapsing argmin/argmax or count partials; the graph
   * queries reuse the capped LSH candidate edges (bounded per bucket);
   * PMI/BM25 broadcast their (bounded-vocab) dictionaries and corpus
-  * constants; RFM / equi-depth / key-skew rank an ALREADY-AGGREGATED
-  * key-level table (the single-partition ranking window sees |keys|
-  * rows, not |events| — the same posture as agg_quantiles; swap in
-  * sketch quantiles at true scale when exact bucket edges stop
-  * mattering). Exact-integer arithmetic (cents, counts) everywhere a
+  * constants; RFM / equi-depth / key-skew / gini / pareto rank through
+  * [[DistRank]] — the range-bucketed distributed exact rank — so even
+  * `bin_equidepth`, whose total order runs over RAW lineitem rows,
+  * never plans a single-partition window (PlanSpec pins this for the
+  * whole suite). Exact-integer arithmetic (cents, counts) everywhere a
   * double sum would be summation-order-dependent across engines.
   */
 object BehaviorQueries {
