@@ -63,6 +63,31 @@ object BarsIO {
       .filter(col("interval") === interval && col("ds") === ds)
       .drop("interval", "yr", "mo", "ds")
 
+  /** Small-files compaction for one day partition. The reference
+    * writes ONE file per day (utils.py:76-86); an incremental or
+    * streaming writer leaves many small ones, and at 100 TB the
+    * listing + per-file open cost dominates the re-read. Rewrites the
+    * partition into ceil(partitionBytes / targetFileBytes) files with
+    * a SINGLE round-robin exchange (pinned in SinkCompactSpec). Rows
+    * materialize via localCheckpoint first so the overwrite never
+    * scans the very files it replaces. Returns the target file count
+    * (0 = partition absent, nothing rewritten).
+    */
+  def compactDay(spark: SparkSession, base: String, interval: String,
+      ds: String, targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val parts = ds.split("-")
+    val dir = new org.apache.hadoop.fs.Path(
+      s"$base/interval=$interval/yr=${parts(0)}/mo=${parts(1)}/ds=$ds")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return 0
+    val bytes = fs.getContentSummary(dir).getLength
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+      .toInt
+    val day = readDay(spark, base, interval, ds).localCheckpoint()
+    writePartitioned(day.repartition(n), base, interval, ds)
+    n
+  }
+
   /** Bucketed catalog table: pre-hash the rows into `n` buckets on
     * `bucketCol` at write time so later equi-joins/aggregations on that
     * key are exchange-free (bucket-aware scan supplies the required
