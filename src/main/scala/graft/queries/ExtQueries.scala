@@ -451,9 +451,10 @@ object ExtQueries {
     // The silent-cap REPORT next to the banded LSH family: how many
     // band buckets exceed [[MaxBandBucket]] (their rows are dropped
     // from candidate pairing as exact-dup-shaped floods) and how many
-    // banded rows that removes. One row always — zeros on a healthy
-    // corpus — so the cap is never invisible: pipelines gate on
-    // n_rows_dropped before trusting dedup_minhash_lsh's recall.
+    // banded rows that removes. One row — zeros on a healthy corpus —
+    // so the cap is never invisible: pipelines gate on n_rows_dropped
+    // before trusting dedup_minhash_lsh's recall. (Constant-group so
+    // an EMPTY corpus keeps the suite's empty-in → empty-out law.)
     "dedup_lsh_skipped" -> ((s, dir) => {
       val sizes = docs(s, dir)
         .withColumn("toks", expr(toksSpark))
@@ -464,12 +465,14 @@ object ExtQueries {
         .withColumn("bands", expr(bandsS))
         .select(explode(expr(bkS)).as("bk"))
         .groupBy("bk").agg(count(lit(1)).as("n"))
-      sizes.agg(
-        coalesce(sum(col("n")), lit(0L)).as("n_rows_total"),
+      sizes.groupBy(lit(true).as("_g")).agg(
+        sum(col("n")).as("n_rows_total"),
         count(when(col("n") > MaxBandBucket, lit(1)))
           .as("n_buckets_capped"),
-        coalesce(sum(when(col("n") > MaxBandBucket, col("n"))
-          .otherwise(lit(0L))), lit(0L)).as("n_rows_dropped"))
+        sum(when(col("n") > MaxBandBucket, col("n"))
+          .otherwise(lit(0L))).as("n_rows_dropped"))
+        .select(col("n_rows_total"), col("n_buckets_capped"),
+          col("n_rows_dropped"))
     }),
 
     // The kept corpus — what a pipeline actually materializes after
@@ -1493,12 +1496,12 @@ object ExtQueries {
          |db AS (SELECT *, $bandsD AS mbands FROM dm),
          |dk0 AS (SELECT doc_id, unnest($bkD) AS bk FROM db),
          |g AS (SELECT bk, count(*)::BIGINT AS n FROM dk0 GROUP BY 1)
-         |SELECT coalesce(sum(n), 0)::BIGINT AS n_rows_total,
+         |SELECT sum(n)::BIGINT AS n_rows_total,
          |  count(CASE WHEN n > $MaxBandBucket THEN 1 END)::BIGINT
          |    AS n_buckets_capped,
          |  coalesce(sum(CASE WHEN n > $MaxBandBucket THEN n END), 0)::BIGINT
          |    AS n_rows_dropped
-         |FROM g""".stripMargin,
+         |FROM g HAVING count(*) > 0""".stripMargin,
 
     "dedup_minhash_lsh" ->
       s"""WITH $docHashes,
