@@ -463,4 +463,41 @@ class StreamingSpec extends SparkSpec {
       assert(batch.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming dedup: one row per key within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[StreamingSpec.StreamDoc]
+    val q = graft.streaming.StreamingDedup(
+        stream.toDS().toDF(), "ts", "10 minutes", Seq("h"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_out").start()
+    def doc(sec: Long, h: Long) = StreamingSpec.StreamDoc(
+      java.sql.Timestamp.valueOf(java.time.LocalDateTime
+        .of(2024, 3, 5, 10, 0, 0).plusSeconds(sec)), h)
+    try {
+      // same key three times inside the horizon (two batches) → 1 row
+      stream.addData(doc(0, 1L), doc(1, 1L), doc(2, 2L))
+      q.processAllAvailable()
+      stream.addData(doc(30, 1L))
+      q.processAllAvailable()
+      val mid = spark.table("dedup_out").as[StreamingSpec.StreamDoc]
+        .collect()
+      assert(mid.count(_.h == 1L) == 1)
+      assert(mid.count(_.h == 2L) == 1)
+      // push the watermark far past the horizon → state evicted → the
+      // key is admitted again (the bounded-state trade, not a leak)
+      stream.addData(doc(3600, 3L))
+      q.processAllAvailable()
+      stream.addData(doc(3601, 1L))
+      q.processAllAvailable()
+      val fin = spark.table("dedup_out").as[StreamingSpec.StreamDoc]
+        .collect()
+      assert(fin.count(_.h == 1L) == 2)
+    } finally q.stop()
+  }
+}
+
+object StreamingSpec {
+  final case class StreamDoc(ts: java.sql.Timestamp, h: Long)
 }
