@@ -88,6 +88,21 @@ object BarsIO {
     n
   }
 
+  /** Range-clustered write — the third leg of the layout story next
+    * to [[writeBucketed]] (join locality) and [[compactDay]] (file
+    * sizing): range-repartition + in-partition sort on `cols` so each
+    * output file owns a DISJOINT key range. Parquet footer/row-group
+    * min-max stats then prune range scans to the few overlapping
+    * files — at 100 TB the difference between reading a time slice
+    * and reading the table. One exchange; SinkCompactSpec pins the
+    * disjointness invariant.
+    */
+  def writeClustered(df: DataFrame, path: String, n: Int,
+      cols: String*): Unit =
+    df.repartitionByRange(n, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col).toIndexedSeq: _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
   /** Bucketed catalog table: pre-hash the rows into `n` buckets on
     * `bucketCol` at write time so later equi-joins/aggregations on that
     * key are exchange-free (bucket-aware scan supplies the required

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 
 import graft.io.BarsIO
 import graft.model.Schemas
@@ -56,6 +57,37 @@ class SinkCompactSpec extends SparkSpec {
     val target = bytes / 3 + 1 // forces n = 3
     assert(BarsIO.compactDay(spark, dir, "1m", "2024-03-05", target) == 3)
     assert(dayFiles(dir, "2024-03-05").length == 3)
+  }
+
+  test("writeClustered: files own disjoint key ranges, data intact") {
+    val dir = java.nio.file.Files.createTempDirectory("clust").toString
+    val out = s"$dir/bars"
+    BarsIO.writeClustered(bars(500), out, 4, "window_start")
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.length() > 0)
+    assert(files.length >= 2, "need multiple files to prove disjointness")
+    // per-file [min, max] of the cluster key must not overlap — the
+    // property that lets parquet footer stats prune a range scan to
+    // the few covering files
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(org.apache.spark.sql.functions.min("window_start"),
+          org.apache.spark.sql.functions.max("window_start"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, ranges.toSeq)
+      case _ => ()
+    }
+    // exact round-trip
+    assert(spark.read.parquet(out).count() == 500)
+    // one exchange: the range repartition itself
+    val plan = bars(500).repartitionByRange(4, col("window_start"))
+      .sortWithinPartitions("window_start")
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length == 1, plan)
+    assert(plan.contains("rangepartitioning"), plan)
   }
 
   test("compaction rewrite plan: one exchange over materialized rows") {
