@@ -210,4 +210,42 @@ object EngineProps extends Properties("engine") {
       val want = (0 until n.toInt).map(i => i.toLong -> find(i).toLong).toMap
       got == want
     }
+
+  /** DistRank ≡ the unpartitioned window forms on random data — small
+    * key domains flood the range buckets with ties, negatives exercise
+    * the bound arithmetic, and random k covers the ntile remainder
+    * space beyond DistRankSpec's fixed fixture.
+    */
+  property("distRank ≡ single-partition row_number/ntile/running sum") =
+    Prop.forAll(for {
+      n <- Gen.choose(0, 90)
+      ks <- Gen.listOfN(n, Gen.choose(-5L, 5L))
+      vs <- Gen.listOfN(n, Gen.choose(-100L, 100L))
+      k <- Gen.choose(1, 9)
+    } yield (ks.zip(vs).zipWithIndex.map { case ((key, v), i) =>
+      (key, i.toLong, v) }, k)) { case (rows, k) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(rows.map(r => Row(r._1, r._2, r._3)): _*),
+        StructType(Seq(StructField("k", LongType),
+          StructField("id", LongType), StructField("v", LongType))))
+      val r = graft.queries.DistRank.rowNumber(df, "rk", col("k"),
+        Seq(col("k"), col("id")), runSumCols = Seq("v"))
+      val got = r.df
+        .withColumn("b", graft.queries.DistRank.ntileOf(col("rk"), r.n, k))
+        .select("id", "rk", "run_v", "b").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getInt(3)))
+        .sortBy(_._1).toSeq
+      val w = Window.orderBy(col("k"), col("id"))
+      val want = df
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("run_v", sum(col("v")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("b", ntile(k).over(w))
+        .select("id", "rk", "run_v", "b").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getInt(3)))
+        .sortBy(_._1).toSeq
+      r.n == rows.length && got == want
+    }
 }
