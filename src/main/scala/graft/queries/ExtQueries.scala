@@ -633,6 +633,37 @@ object ExtQueries {
         .withColumn("n_same",
           expr("count(1) OVER (PARTITION BY phash)").cast("long"))),
 
+    // Media NEAR-dup: banded hamming join over the 32-bit average-hash
+    // — the image-side twin of dedup_hamming (pigeonhole: hamming ≤ 3
+    // across 4 bands ⇒ ≥ 1 exact 8-bit band). Payload bytes never
+    // shuffle — only (doc_id, phash, band) rows move; flooded band
+    // buckets cap at 64 like minhashPairs (uniform-payload floods are
+    // exact-dup shaped and belong to mm_phash's n_same groups); each
+    // surviving pair is emitted from its lowest matching band, so no
+    // distinct pass.
+    "mm_phash_neardup" -> ((s, dir) => {
+      val ph = Multimodal.avgHash(Multimodal.mediaTable(docs(s, dir)))
+        .localCheckpoint()
+      val banded = ph.select(col("doc_id"), col("phash"),
+          explode(expr("sequence(0, 3)")).as("j"))
+        .withColumn("bv", expr("shiftright(phash, j * 8) & 255"))
+        .withColumn("_bn", expr("count(1) OVER (PARTITION BY j, bv)"))
+        .filter(col("_bn") <= 64).drop("_bn")
+      val firstBandOnly = (0 until 4).map(b =>
+        s"IF((shiftright(x.phash, ${b * 8}) & 255) = " +
+          s"(shiftright(y.phash, ${b * 8}) & 255), ${1 << b}, 0)")
+        .mkString("((", " + ",
+          ") & (shiftleft(1, CAST(x.j AS INT)) - 1)) = 0")
+      banded.as("x").join(banded.as("y").hint("shuffle_hash"),
+          col("x.j") === col("y.j") && col("x.bv") === col("y.bv")
+            && col("x.doc_id") < col("y.doc_id"))
+        .filter(expr(firstBandOnly))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          expr("CAST(bit_count(x.phash ^ y.phash) AS BIGINT)")
+            .as("hamming"))
+        .filter(col("hamming") <= 3L)
+    }),
+
     "asof_join" -> ((s, dir) => {
       val ev = EventBars.events(s, dir)
         .select(col("user_id").cast("long").as("user_id"), col("t"),
@@ -1835,6 +1866,46 @@ object ExtQueries {
         |SELECT doc_id, phash,
         |  count(*) OVER (PARTITION BY phash)::BIGINT AS n_same
         |FROM ph""".stripMargin,
+
+    "mm_phash_neardup" ->
+      """WITH cs AS (SELECT doc_id::BIGINT AS doc_id,
+        |    list_transform(regexp_extract_all(coalesce(text, ''), '.', 0, 's'),
+        |      c -> unicode(c)::BIGINT) AS codes
+        |  FROM documents),
+        |st AS (SELECT doc_id, codes, least(32, len(codes)) AS k,
+        |    greatest(1, len(codes) // 32) AS stride FROM cs),
+        |px AS (SELECT doc_id, k, list_transform(generate_series(1, k),
+        |    i -> codes[(i - 1) * stride + 1]) AS px FROM st),
+        |mn AS (SELECT doc_id, k, px,
+        |    CASE WHEN k = 0 THEN 0.0 ELSE
+        |      list_reduce(list_prepend(0::BIGINT, px), (a, b) -> a + b)::DOUBLE / k::DOUBLE
+        |    END AS mean FROM px),
+        |ph AS (SELECT doc_id,
+        |    CASE WHEN k = 0 THEN 0::BIGINT ELSE
+        |      list_reduce(list_prepend(0::BIGINT,
+        |        list_transform(generate_series(1, k),
+        |          i -> CASE WHEN px[i]::DOUBLE >= mean THEN (1::BIGINT << (i - 1))
+        |               ELSE 0::BIGINT END)),
+        |        (a, b) -> a | b)
+        |    END AS phash FROM mn),
+        |bd0 AS (SELECT doc_id, phash, unnest([0, 1, 2, 3]) AS j FROM ph),
+        |bd1 AS (SELECT *, (phash >> (j * 8)) & 255 AS bv FROM bd0),
+        |bdc AS (SELECT *, count(*) OVER (PARTITION BY j, bv) AS bn FROM bd1),
+        |bd AS (SELECT doc_id, phash, j, bv FROM bdc WHERE bn <= 64)
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |  bit_count(xor(x.phash, y.phash))::BIGINT AS hamming
+        |FROM bd x JOIN bd y
+        |  ON x.j = y.j AND x.bv = y.bv AND x.doc_id < y.doc_id
+        |WHERE ((CASE WHEN ((x.phash >> 0) & 255) = ((y.phash >> 0) & 255)
+        |      THEN 1 ELSE 0 END
+        |    + CASE WHEN ((x.phash >> 8) & 255) = ((y.phash >> 8) & 255)
+        |      THEN 2 ELSE 0 END
+        |    + CASE WHEN ((x.phash >> 16) & 255) = ((y.phash >> 16) & 255)
+        |      THEN 4 ELSE 0 END
+        |    + CASE WHEN ((x.phash >> 24) & 255) = ((y.phash >> 24) & 255)
+        |      THEN 8 ELSE 0 END)
+        |   & ((1 << x.j) - 1)) = 0
+        |  AND bit_count(xor(x.phash, y.phash)) <= 3""".stripMargin,
 
     "profile_docs" ->
       """WITH w AS (SELECT count(*)::BIGINT AS n_rows,
