@@ -664,6 +664,24 @@ object ExtQueries {
         .filter(col("hamming") <= 3L)
     }),
 
+    // The cap report for mm_phash_neardup — same no-silent-caps rule
+    // as dedup_lsh_skipped: which phash band buckets exceed the
+    // 64-member flood cap and how many banded rows that drops.
+    "mm_phash_skipped" -> ((s, dir) => {
+      val sizes = Multimodal.avgHash(Multimodal.mediaTable(docs(s, dir)))
+        .select(col("doc_id"), col("phash"),
+          explode(expr("sequence(0, 3)")).as("j"))
+        .withColumn("bv", expr("shiftright(phash, j * 8) & 255"))
+        .groupBy("j", "bv").agg(count(lit(1)).as("n"))
+      sizes.groupBy(lit(true).as("_g")).agg(
+        sum(col("n")).as("n_rows_total"),
+        count(when(col("n") > 64, lit(1))).as("n_buckets_capped"),
+        sum(when(col("n") > 64, col("n")).otherwise(lit(0L)))
+          .as("n_rows_dropped"))
+        .select(col("n_rows_total"), col("n_buckets_capped"),
+          col("n_rows_dropped"))
+    }),
+
     "asof_join" -> ((s, dir) => {
       val ev = EventBars.events(s, dir)
         .select(col("user_id").cast("long").as("user_id"), col("t"),
@@ -1906,6 +1924,36 @@ object ExtQueries {
         |      THEN 8 ELSE 0 END)
         |   & ((1 << x.j) - 1)) = 0
         |  AND bit_count(xor(x.phash, y.phash)) <= 3""".stripMargin,
+
+    "mm_phash_skipped" ->
+      """WITH cs AS (SELECT doc_id::BIGINT AS doc_id,
+        |    list_transform(regexp_extract_all(coalesce(text, ''), '.', 0, 's'),
+        |      c -> unicode(c)::BIGINT) AS codes
+        |  FROM documents),
+        |st AS (SELECT doc_id, codes, least(32, len(codes)) AS k,
+        |    greatest(1, len(codes) // 32) AS stride FROM cs),
+        |px AS (SELECT doc_id, k, list_transform(generate_series(1, k),
+        |    i -> codes[(i - 1) * stride + 1]) AS px FROM st),
+        |mn AS (SELECT doc_id, k, px,
+        |    CASE WHEN k = 0 THEN 0.0 ELSE
+        |      list_reduce(list_prepend(0::BIGINT, px), (a, b) -> a + b)::DOUBLE / k::DOUBLE
+        |    END AS mean FROM px),
+        |ph AS (SELECT doc_id,
+        |    CASE WHEN k = 0 THEN 0::BIGINT ELSE
+        |      list_reduce(list_prepend(0::BIGINT,
+        |        list_transform(generate_series(1, k),
+        |          i -> CASE WHEN px[i]::DOUBLE >= mean THEN (1::BIGINT << (i - 1))
+        |               ELSE 0::BIGINT END)),
+        |        (a, b) -> a | b)
+        |    END AS phash FROM mn),
+        |bd0 AS (SELECT doc_id, phash, unnest([0, 1, 2, 3]) AS j FROM ph),
+        |bd1 AS (SELECT *, (phash >> (j * 8)) & 255 AS bv FROM bd0),
+        |g AS (SELECT j, bv, count(*)::BIGINT AS n FROM bd1 GROUP BY 1, 2)
+        |SELECT sum(n)::BIGINT AS n_rows_total,
+        |  count(CASE WHEN n > 64 THEN 1 END)::BIGINT AS n_buckets_capped,
+        |  coalesce(sum(CASE WHEN n > 64 THEN n END), 0)::BIGINT
+        |    AS n_rows_dropped
+        |FROM g HAVING count(*) > 0""".stripMargin,
 
     "profile_docs" ->
       """WITH w AS (SELECT count(*)::BIGINT AS n_rows,
