@@ -37,6 +37,25 @@ object ExtQueries {
     s.read.parquet(s"$dir/embeddings.parquet")
   }
 
+  /** IVF cell count: smallest power of two ≥ ⌊√n⌋, clamped to
+    * [16, 4096] — cells grow with the corpus so per-cell candidate
+    * lists stay ~√n (a fixed nlist degrades the cell join to (n/k)²
+    * at 100 TB). Driver literal from one count job; the oracle mirrors
+    * it as a scalar subquery with the identical float-free outcome
+    * (floor∘sqrt agrees with integer isqrt for any n < 2⁵¹). */
+  private def ivfNlist(e: DataFrame): Long = {
+    val s = math.floor(math.sqrt(e.count().toDouble)).toLong
+    var p = 16L
+    while (p < s && p < 4096L) p <<= 1
+    p
+  }
+
+  /** The oracle-side mirror of [[ivfNlist]]. */
+  private val ivfNlistD =
+    "(SELECT least(4096, greatest(16, CAST(power(2, " +
+      "ceil(log2(greatest(1, floor(sqrt(count(*)))))) ) AS BIGINT)))" +
+      " FROM embeddings)"
+
   // ---- shared Spark expression fragments ----
   // Native graft_* expressions (tight JVM loops) replace the HOF
   // formulations on the Spark side; TextOps' HOF strings remain the
@@ -799,16 +818,18 @@ object ExtQueries {
           Rounding.r6(col("sim")).as("sim"))
     }),
 
-    // IVF-style ANN: deterministic coarse quantizer (centroids = the 16
-    // lowest vec_ids), cells assigned by max cosine; queries probe their
-    // own cell. The scale path: the big pairwise join becomes an
-    // equi-join on cell id — candidates shrink ~K×.
+    // IVF-style ANN: deterministic coarse quantizer (centroids = the
+    // nlist lowest vec_ids, nlist adaptive — see [[ivfNlist]]), cells
+    // assigned by max cosine; queries probe their own cell. The scale
+    // path: the big pairwise join becomes an equi-join on cell id —
+    // candidates shrink ~nlist×, and nlist grows ~√n so per-cell
+    // candidate lists stay ~√n instead of n/16.
     "sim_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
         .select(col("vec_id").cast("long").as("vec_id"),
           expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
         .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
-      val cents = e.filter(col("vec_id") < 16)
+      val cents = e.filter(col("vec_id") < lit(ivfNlist(e)))
         .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
       val assigned = e.crossJoin(broadcast(cents))
         .withColumn("csim", expr(s"try_divide(${dotS("v", "cv")}, nrm * cnrm)"))
@@ -830,12 +851,13 @@ object ExtQueries {
     // IVF with nprobe=2 — the recall lever: queries probe their TWO
     // nearest cells (candidates ~2×, still an equi-join on cell id; a
     // data vector lives in exactly one cell so no pair dedup needed).
+    // Same adaptive nlist quantizer as sim_ivf.
     "sim_ivf_probe2" -> ((s, dir) => {
       val e = emb(s, dir)
         .select(col("vec_id").cast("long").as("vec_id"),
           expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
         .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
-      val cents = e.filter(col("vec_id") < 16)
+      val cents = e.filter(col("vec_id") < lit(ivfNlist(e)))
         .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
       val ranked = e.crossJoin(broadcast(cents))
         .withColumn("csim", expr(s"try_divide(${dotS("v", "cv")}, nrm * cnrm)"))
@@ -1740,7 +1762,7 @@ object ExtQueries {
 
     "sim_ivf" ->
       s"""WITH $embBase,
-         |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM en WHERE vec_id < 16),
+         |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM en WHERE vec_id < $ivfNlistD),
          |asg0 AS (SELECT e.vec_id, e.v, e.nrm, c.c_id,
          |    ${dotD("e.v", "c.cv")} / (e.nrm * c.cnrm) AS csim
          |  FROM en e CROSS JOIN cents c),
@@ -1755,7 +1777,7 @@ object ExtQueries {
 
     "sim_ivf_probe2" ->
       s"""WITH $embBase,
-         |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM en WHERE vec_id < 16),
+         |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM en WHERE vec_id < $ivfNlistD),
          |asg0 AS (SELECT e.vec_id, e.v, e.nrm, c.c_id,
          |    ${dotD("e.v", "c.cv")} / (e.nrm * c.cnrm) AS csim
          |  FROM en e CROSS JOIN cents c),
