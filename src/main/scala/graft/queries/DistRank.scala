@@ -58,6 +58,10 @@ object DistRank {
     // Bucket bounds as driver literals: approximate (p/parts)-quantiles
     // of the leading key. Approximation skews balance only; the rank
     // arithmetic below is exact for ANY bounds.
+    // Bounds shift bucket BALANCE only, never rank correctness
+    // (offsets come from the actual counts), so the error budget is a
+    // free knob; measured at 6M rows the summaries pass costs the same
+    // at 0.001 as at 0.02, so keep the tighter balance.
     val probs = (1 until parts).map(_.toDouble / parts).toArray
     val rawBounds =
       if (probs.isEmpty) Array.empty[Double]

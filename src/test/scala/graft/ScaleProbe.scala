@@ -115,6 +115,27 @@ object ScaleProbe {
     println(f"VECTORS=$nV KMEANS_SEC=${timeV("emb_kmeans")}%.2f " +
       f"PCA1_SEC=${timeV("emb_pca1")}%.2f " +
       f"IVF_SEC=${timeV("sim_ivf")}%.2f")
+
+    // Distributed exact rank at reps× lineitem: bin_equidepth's full
+    // total-order rank through DistRank — the shape that replaced the
+    // single-partition ntile. The exact-equi-depth invariant (bucket
+    // sizes sum to n and differ by ≤ 1) holds ONLY if the two-pass
+    // rank is globally exact, so it doubles as a correctness check at
+    // a scale the oracle can't reach.
+    val li0 = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    li0.crossJoin(spark.range(reps).select(col("id").as("rep")))
+      .withColumn("l_orderkey", col("l_orderkey") * reps + col("rep"))
+      .drop("rep")
+      .write.mode("overwrite").parquet("/tmp/scale_li/lineitem.parquet")
+    val nL = spark.read.parquet("/tmp/scale_li/lineitem.parquet").count()
+    val tR = System.nanoTime()
+    val bins = graft.SparkEntry.queries("bin_equidepth")(spark, "/tmp/scale_li")
+      .select(col("bin"), col("n_rows")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val secR = (System.nanoTime() - tR) / 1e9
+    println(f"RANK_ROWS=$nL RANK_SEC=$secR%.2f BINS=${bins.size} " +
+      f"SUM_OK=${bins.values.sum == nL} " +
+      f"EQUIDEPTH_OK=${bins.values.max - bins.values.min <= 1}")
     spark.stop()
   }
 }
