@@ -84,6 +84,44 @@ object CandleQueries {
             .as("three_black"))
     }),
 
+    // Second candle batch — the body-relationship patterns the
+    // synthesized geometry CAN express (open := lag(close) means every
+    // bar opens at the prior close, so gap patterns — piercing, dark
+    // cloud — AND strict outside bars, whose shared endpoint can't be
+    // exceeded on both sides, are structurally impossible and are
+    // deliberately absent). All flags are division-free double
+    // comparisons over lagged bodies, mirrored textually in the
+    // oracle; one ticker exchange.
+    "ind_candles2" -> ((s, dir) => {
+      val b = EventBars.bars(s, dir)
+        .withColumn("o", lag(col("close"), 1).over(w))
+        .filter(col("o").isNotNull)
+      val body = abs(col("close") - col("o"))
+      val top = greatest(col("o"), col("close"))
+      val bot = least(col("o"), col("close"))
+      val po = lag(col("o"), 1).over(w)
+      val pc = lag(col("close"), 1).over(w)
+      val pTop = greatest(po, pc)
+      val pBot = least(po, pc)
+      val o2 = lag(col("o"), 2).over(w)
+      val c2 = lag(col("close"), 2).over(w)
+      val b1 = abs(pc - po)
+      val b2 = abs(c2 - o2)
+      val up = col("close") > col("o")
+      val down = col("close") < col("o")
+      val inside = top <= pTop && bot >= pBot && body > lit(0.0)
+      val flag = (c: org.apache.spark.sql.Column) =>
+        when(c, 1L).otherwise(0L)
+      b.select(col("ticker"), col("t"), col("event_id"),
+        flag(po.isNotNull && inside).as("inside_bar"),
+        flag(po.isNotNull && inside && pc < po && up).as("bull_harami"),
+        flag(po.isNotNull && inside && pc > po && down).as("bear_harami"),
+        flag(o2.isNotNull && c2 < o2 && b1 * lit(3.0) <= b2 && up
+          && col("close") * lit(2.0) > o2 + c2).as("morning_star"),
+        flag(o2.isNotNull && c2 > o2 && b1 * lit(3.0) <= b2 && down
+          && col("close") * lit(2.0) < o2 + c2).as("evening_star"))
+    }),
+
     // TA-Lib price transforms: TRANGE, AVGPRICE, MEDPRICE, TYPPRICE,
     // WCLPRICE — per-row arithmetic on the same candle geometry.
     "ind_pricex" -> ((s, dir) => {
@@ -162,6 +200,40 @@ object CandleQueries {
          |  CASE WHEN close < o AND c1 < o1 AND c2 < o2
          |    AND close < c1 AND c1 < c2 THEN 1 ELSE 0 END AS three_black
          |FROM g""".stripMargin,
+
+    "ind_candles2" ->
+      s"""WITH bars AS ($bars),
+         |b0 AS (
+         |  SELECT ticker, t, event_id, close,
+         |    lag(close, 1) OVER ($Over) AS o
+         |  FROM bars),
+         |g AS (
+         |  SELECT *, abs(close - o) AS body,
+         |    greatest(o, close) AS top, least(o, close) AS bot,
+         |    lag(o, 1) OVER ($Over) AS po,
+         |    lag(close, 1) OVER ($Over) AS pc,
+         |    lag(o, 2) OVER ($Over) AS o2,
+         |    lag(close, 2) OVER ($Over) AS c2
+         |  FROM b0 WHERE o IS NOT NULL),
+         |h AS (
+         |  SELECT *, greatest(po, pc) AS ptop, least(po, pc) AS pbot,
+         |    abs(pc - po) AS b1, abs(c2 - o2) AS b2,
+         |    (top <= greatest(po, pc) AND bot >= least(po, pc)
+         |      AND body > 0.0) AS ins
+         |  FROM g)
+         |SELECT ticker, t, event_id,
+         |  CASE WHEN po IS NOT NULL AND ins THEN 1 ELSE 0 END AS inside_bar,
+         |  CASE WHEN po IS NOT NULL AND ins AND pc < po AND close > o
+         |    THEN 1 ELSE 0 END AS bull_harami,
+         |  CASE WHEN po IS NOT NULL AND ins AND pc > po AND close < o
+         |    THEN 1 ELSE 0 END AS bear_harami,
+         |  CASE WHEN o2 IS NOT NULL AND c2 < o2 AND b1 * 3.0 <= b2
+         |    AND close > o AND close * 2.0 > o2 + c2
+         |    THEN 1 ELSE 0 END AS morning_star,
+         |  CASE WHEN o2 IS NOT NULL AND c2 > o2 AND b1 * 3.0 <= b2
+         |    AND close < o AND close * 2.0 < o2 + c2
+         |    THEN 1 ELSE 0 END AS evening_star
+         |FROM h""".stripMargin,
 
     "ind_pricex" ->
       s"""WITH bars AS ($bars),
