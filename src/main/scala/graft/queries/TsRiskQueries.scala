@@ -59,6 +59,33 @@ object TsRiskQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Rolling 20-bar Sharpe & Sortino over the winsorized micro-
+    // quantized returns: both moments derive from EXACT long frame
+    // sums (rq² ≤ 1e14, 20·s2 and s1² ≤ ~4e16 — far inside Long), so
+    // the only floats are the final text-mirrored scalar expressions;
+    // zero-variance and zero-downside windows gate to NULL via the
+    // same CASE on both engines. One ticker exchange like the rest of
+    // the family.
+    "ts_sharpe" -> ((s, dir) => {
+      val rb = w.rowsBetween(-19, 0)
+      rets(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("s1", sum(col("rq")).over(rb))
+        .withColumn("s2", sum(col("rq") * col("rq")).over(rb))
+        .withColumn("sn2", sum(when(col("rq") < 0L, col("rq") * col("rq"))
+          .otherwise(lit(0L))).over(rb))
+        .filter(col("rn") >= 20)
+        .select(col("ticker"), col("t"), col("event_id"),
+          r6(expr("CAST(s1 AS DOUBLE) / 20.0 / 1000000.0")).as("mean_ret"),
+          r6(expr("CASE WHEN 20*s2 - s1*s1 = 0 THEN NULL ELSE " +
+            "(CAST(s1 AS DOUBLE) / 20.0) / " +
+            "sqrt(CAST(20*s2 - s1*s1 AS DOUBLE) / 380.0) END"))
+            .as("sharpe"),
+          r6(expr("CASE WHEN sn2 = 0 THEN NULL ELSE " +
+            "(CAST(s1 AS DOUBLE) / 20.0) / " +
+            "sqrt(CAST(sn2 AS DOUBLE) / 20.0) END")).as("sortino"))
+    }),
+
     // Historical VaR(95)/CVaR(95) per ticker. VaR = interpolated 5th
     // percentile (shared quantile_cont-bit-equal kernel); CVaR = mean
     // of the k = floor((n-1)*0.05)+1 SMALLEST returns — rank-based, so
@@ -216,6 +243,30 @@ object TsRiskQueries {
   private def bars = EventBars.sqlBars
 
   val oracles: Map[String, String] = Map(
+
+    "ts_sharpe" ->
+      s"""WITH bars AS ($bars),
+         |$SqlRets,
+         |f AS (
+         |  SELECT ticker, t, event_id,
+         |    row_number() OVER ($Over) AS rn,
+         |    sum(rq) OVER fr AS s1,
+         |    sum(rq * rq) OVER fr AS s2,
+         |    sum(CASE WHEN rq < 0 THEN rq * rq ELSE 0 END) OVER fr AS sn2
+         |  FROM rq
+         |  WINDOW fr AS ($Over ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         |SELECT ticker, t, event_id,
+         |  (round(CAST(s1 AS DOUBLE) / 20.0 / 1000000.0, 6) + 0.0)
+         |    AS mean_ret,
+         |  (round((CASE WHEN 20*s2 - s1*s1 = 0 THEN NULL ELSE
+         |    (CAST(s1 AS DOUBLE) / 20.0) /
+         |    sqrt(CAST(20*s2 - s1*s1 AS DOUBLE) / 380.0) END)
+         |   * 1000000.0) / 1000000.0 + 0.0) AS sharpe,
+         |  (round((CASE WHEN sn2 = 0 THEN NULL ELSE
+         |    (CAST(s1 AS DOUBLE) / 20.0) /
+         |    sqrt(CAST(sn2 AS DOUBLE) / 20.0) END)
+         |   * 1000000.0) / 1000000.0 + 0.0) AS sortino
+         |FROM f WHERE rn >= 20""".stripMargin,
 
     "ts_var_cvar" ->
       s"""WITH bars AS ($bars),
