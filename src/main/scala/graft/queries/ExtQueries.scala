@@ -513,6 +513,27 @@ object ExtQueries {
         .join(losers, Seq("doc_id"), "left_anti")
     }),
 
+    // The before/after dedup summary a curation run publishes: corpus
+    // size, exact-unique count (distinct content hash), docs surviving
+    // near-dup removal, and the two retention ratios. Three bounded
+    // scalar aggregates composed by a 1-row join — constant-group so
+    // an empty corpus yields zero rows, like every report here.
+    "corpus_dedup_stats" -> ((s, dir) => {
+      val tot = docs(s, dir)
+        .groupBy(lit(true).as("_g"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_exact_unique"))
+      val kept = queries("dedup_keep")(s, dir)
+        .groupBy(lit(true).as("_g"))
+        .agg(count(lit(1)).as("n_near_kept"))
+      tot.join(broadcast(kept), Seq("_g"))
+        .select(col("n_docs"), col("n_exact_unique"), col("n_near_kept"),
+          Rounding.r6(col("n_exact_unique").cast("double")
+            / col("n_docs").cast("double")).as("exact_ratio"),
+          Rounding.r6(col("n_near_kept").cast("double")
+            / col("n_docs").cast("double")).as("near_ratio"))
+    }),
+
     // Near-dup CLUSTERS, not just pairs: connected components over the
     // jaccard ≥ 0.8 candidate graph (A≈B, B≈C ⇒ one {A,B,C} cluster
     // even when LSH never emitted A≈C). cluster_id = min doc_id in the
@@ -1653,6 +1674,30 @@ object ExtQueries {
          |      / len(list_distinct(list_concat(list_distinct(x.sh), list_distinct(y.sh))))::DOUBLE >= 0.8)
          |SELECT d.doc_id::BIGINT AS doc_id, d.n_chars FROM documents d
          |WHERE d.doc_id::BIGINT NOT IN (SELECT doc_id FROM losers)""".stripMargin,
+
+    "corpus_dedup_stats" ->
+      s"""WITH $docHashes,
+         |df AS (SELECT * FROM ds WHERE len(sh) > 0),
+         |dm AS (SELECT *, $mhD AS mh FROM df),
+         |db AS (SELECT *, $bandsD AS mbands FROM dm),
+         |dk0 AS (SELECT doc_id, sh, mh, unnest($bkD) AS bk FROM db),
+         |dkc AS (SELECT *, count(*) OVER (PARTITION BY bk) AS bucket_n FROM dk0),
+         |dk AS (SELECT doc_id, sh, mh, bk FROM dkc WHERE bucket_n <= $MaxBandBucket),
+         |losers AS (SELECT DISTINCT y.doc_id
+         |  FROM dk x JOIN dk y ON x.bk = y.bk AND x.doc_id < y.doc_id
+         |  WHERE len(list_distinct(list_intersect(list_distinct(x.sh), list_distinct(y.sh))))::DOUBLE
+         |      / len(list_distinct(list_concat(list_distinct(x.sh), list_distinct(y.sh))))::DOUBLE >= 0.8),
+         |k AS (SELECT count(*)::BIGINT AS n_near_kept FROM documents d
+         |  WHERE d.doc_id::BIGINT NOT IN (SELECT doc_id FROM losers)),
+         |t AS (SELECT count(*)::BIGINT AS n_docs,
+         |    count(DISTINCT md5(text))::BIGINT AS n_exact_unique
+         |  FROM documents HAVING count(*) > 0)
+         |SELECT n_docs, n_exact_unique, n_near_kept,
+         |  (round(CAST(n_exact_unique AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         |    + 0.0) AS exact_ratio,
+         |  (round(CAST(n_near_kept AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         |    + 0.0) AS near_ratio
+         |FROM t, k""".stripMargin,
 
     "dedup_cluster" ->
       s"""WITH RECURSIVE $docHashes,
