@@ -59,14 +59,15 @@ object TsRiskQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Rolling 20-bar Sharpe & Sortino over the winsorized micro-
+    // ROLLING 20-bar Sharpe & Sortino (per-bar; the per-ticker
+    // annualized scalar lives in Ts2Queries.ts_sharpe) over the micro-
     // quantized returns: both moments derive from EXACT long frame
     // sums (rq² ≤ 1e14, 20·s2 and s1² ≤ ~4e16 — far inside Long), so
     // the only floats are the final text-mirrored scalar expressions;
     // zero-variance and zero-downside windows gate to NULL via the
     // same CASE on both engines. One ticker exchange like the rest of
     // the family.
-    "ts_sharpe" -> ((s, dir) => {
+    "ts_roll_sharpe" -> ((s, dir) => {
       val rb = w.rowsBetween(-19, 0)
       rets(s, dir)
         .withColumn("rn", row_number().over(w))
@@ -244,7 +245,7 @@ object TsRiskQueries {
 
   val oracles: Map[String, String] = Map(
 
-    "ts_sharpe" ->
+    "ts_roll_sharpe" ->
       s"""WITH bars AS ($bars),
          |$SqlRets,
          |f AS (
