@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 import graft.queries._
 
@@ -14,22 +13,37 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     EtlQueries.queries("pipeline_full")(spark, "/root/testdata/sf0.001")
 
+  /** Every query module with its oracle map — the single list both
+    * registries merge from, so RegistrySpec can pin that no module
+    * silently shadows another's query name (Map ++ keeps the later
+    * entry and the loser just vanishes from the suite). */
+  private[graft] val modules: Seq[
+      (Map[String, (SparkSession, String) => DataFrame],
+        Map[String, String])] = Seq(
+    (RelationalQueries.queries, RelationalQueries.oracles),
+    (IndicatorQueries.queries, IndicatorQueries.oracles),
+    (EtlQueries.queries, EtlQueries.oracles),
+    (ExtQueries.queries, ExtQueries.oracles),
+    (AnalyticsQueries.queries, AnalyticsQueries.oracles),
+    (ScaleQueries.queries, ScaleQueries.oracles),
+    (TsQueries.queries, TsQueries.oracles),
+    (CorpusQueries.queries, CorpusQueries.oracles),
+    (Ts2Queries.queries, Ts2Queries.oracles),
+    (BehaviorQueries.queries, BehaviorQueries.oracles),
+    (Ts3Queries.queries, Ts3Queries.oracles),
+    (TsRiskQueries.queries, TsRiskQueries.oracles),
+    (Behavior2Queries.queries, Behavior2Queries.oracles),
+    (TpchFeatQueries.queries, TpchFeatQueries.oracles),
+    (GraphStlQueries.queries, GraphStlQueries.oracles),
+    (Tpch2Queries.queries, Tpch2Queries.oracles),
+    (CandleQueries.queries, CandleQueries.oracles))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ IndicatorQueries.queries ++
-      EtlQueries.queries ++ ExtQueries.queries ++ AnalyticsQueries.queries ++
-      ScaleQueries.queries ++ TsQueries.queries ++ CorpusQueries.queries ++
-      Ts2Queries.queries ++ BehaviorQueries.queries ++ Ts3Queries.queries ++
-      TsRiskQueries.queries ++ Behavior2Queries.queries ++ TpchFeatQueries.queries ++ GraphStlQueries.queries ++
-      Tpch2Queries.queries ++ CandleQueries.queries
+    modules.map(_._1).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ IndicatorQueries.oracles ++
-      EtlQueries.oracles ++ ExtQueries.oracles ++ AnalyticsQueries.oracles ++
-      ScaleQueries.oracles ++ TsQueries.oracles ++ CorpusQueries.oracles ++
-      Ts2Queries.oracles ++ BehaviorQueries.oracles ++ Ts3Queries.oracles ++
-      TsRiskQueries.oracles ++ Behavior2Queries.oracles ++ TpchFeatQueries.oracles ++ GraphStlQueries.oracles ++
-      Tpch2Queries.oracles ++ CandleQueries.oracles
+    modules.map(_._2).reduce(_ ++ _)
 }
