@@ -5,22 +5,72 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Per-group EXACT interpolated quantiles — the one copy of the
-  * bit-equality-critical arithmetic both `agg_quantiles` and
-  * `anomaly_mad` gate on: Spark `Percentile.getPercentile` reproduced
-  * exactly (pos = (n-1)·p; v_lo·(1-frac) + v_hi·frac), which is
-  * bit-equal to DuckDB's `quantile_cont`.
+  * bit-equality-critical arithmetic `agg_quantiles`, `feat_winsorize`,
+  * `anomaly_mad` and `behav_interevent` gate on: Spark
+  * `Percentile.getPercentile` reproduced exactly (pos = (n-1)·p;
+  * v_lo·(1-frac) + v_hi·frac), which is bit-equal to DuckDB's
+  * `quantile_cont`.
   *
-  * Shape: one sort window per group plus a codegen'd hash aggregate
-  * that reuses the window's partitioning — no second exchange. Group
-  * keys are expected low-cardinality; at true scale the per-group sort
-  * is the cost (swap in a sketch quantile when exact boundaries stop
-  * mattering).
+  * Shape — the grouped form of [[DistRank]]'s range-bucketed exact
+  * rank, so NO task ever sorts a whole group (the callers' group keys
+  * are low-cardinality; a `Window.partitionBy(group)` would funnel
+  * n/|groups| rows through single tasks — a straight spill-then-die at
+  * 100 TB):
+  *
+  *  1. one `approxQuantile` pass fixes ~P value-range bounds of the
+  *     VALUE column as driver literals → bucket assignment is a pure
+  *     deterministic per-row projection, identical across the jobs
+  *     that re-evaluate the lineage;
+  *  2. one bounded job collects the per-(group, bucket) row counts —
+  *     ≤ |groups|·P cells ever reach the driver (guarded) — from which
+  *     per-group totals and per-cell prefix-sum rank offsets become
+  *     map literals;
+  *  3. the final plan is ONE hash exchange on (group, bucket), a
+  *     partitioned local window whose largest task is ~n/P rows (cells
+  *     nest inside the GLOBAL value buckets, so even a group holding
+  *     90% of all rows splits across ~0.9·P cells), and a codegen'd
+  *     hash aggregate picking the bracketing values per quantile.
+  *
+  * Results are bit-identical to the single `Window.partitionBy(group)
+  * .orderBy(value)` rank: offsets come from actual counts, so bound
+  * quality shifts balance only, never correctness. Ties share a bucket
+  * (assignment is `#bounds strictly below value`), and equal values
+  * are interchangeable at any rank, so row_number's tie order is
+  * immaterial. NULL values bucket to 0 explicitly, matching the
+  * ascending sort's nulls-first — rank arithmetic stays aligned with
+  * the old whole-group window even on null-bearing columns
+  * (`feat_winsorize`). NULL group keys get a sentinel string for the
+  * driver-side maps and group normally.
+  *
+  * The slim (group, value) projection is localCheckpoint'd so the
+  * three passes share one upstream evaluation — at scale that is a
+  * 2-column ~16 B/row spill, the standard trade for an exact quantile
+  * that must read every value anyway.
   */
 object ExactQuantile {
 
-  /** One row per `key`: the raw (unrounded — callers round) quantiles
-    * of `value` at each requested (p, output-column) pair. */
-  def grouped(df: DataFrame, key: String, value: String,
+  /** Driver-side guard: per-(group, bucket) cells collected. The
+    * utility is for LOW-cardinality group keys (high-cardinality keys
+    * parallelize fine under a plain per-group window and don't need
+    * range bucketing). */
+  private val MaxCells = 1 << 20
+
+  /** Sentinel for a NULL group key in the driver-side offset maps
+    * (collides only with a real group literally equal to it). */
+  private val NullKey = 0.toChar + "<null>"
+
+  /** NUL separator for the composite (group, bucket) map-literal keys —
+    * cannot appear inside the bucket id, so keys decompose uniquely. */
+  private val Sep = 0.toChar.toString
+
+  /** The per-group-window form for HIGH-cardinality group keys (e.g.
+    * `ticker`): each group is small and there are many of them, so a
+    * plain `Window.partitionBy(key)` already parallelizes — and skips
+    * [[grouped]]'s extra bound/offset jobs and its |groups|·P
+    * driver-side cell collect (which is exactly what does NOT scale
+    * when groups number in the millions). Same interpolation
+    * arithmetic, same results. */
+  def groupedLocal(df: DataFrame, key: String, value: String,
       ps: Seq[(Double, String)]): DataFrame = {
     val w = Window.partitionBy(key).orderBy(value)
     val wp = Window.partitionBy(key)
@@ -28,6 +78,84 @@ object ExactQuantile {
     val ranked = df.select(col(key), v)
       .withColumn("_rn0", row_number().over(w).cast("long") - 1L)
       .withColumn("_n", count(lit(1)).over(wp))
+    def quant(p: Double): Column = {
+      val pos = (col("_n") - 1L).cast("double") * lit(p)
+      val lo = floor(pos).cast("long")
+      val vl = max(when(col("_rn0") === lo, v))
+      val vh = max(when(col("_rn0") === lo + 1L, v))
+      val frac = pos - floor(pos)
+      when(first(frac) === 0.0, vl)
+        .otherwise(vl * (lit(1.0) - first(frac)) + vh * first(frac))
+    }
+    val aggs = ps.map { case (p, out) => quant(p).as(out) }
+    ranked.groupBy(key).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** One row per `key`: the raw (unrounded — callers round) quantiles
+    * of `value` at each requested (p, output-column) pair.
+    *
+    * This is the LOW-cardinality-key form (range-bucketed cells); for
+    * high-cardinality keys use [[groupedLocal]]. */
+  def grouped(df: DataFrame, key: String, value: String,
+      ps: Seq[(Double, String)]): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val v = col(value)
+    val slim = df.select(col(key), v)
+      .withColumn("_eq_v", v.cast("double"))
+      .localCheckpoint()
+
+    // Value-range bucket bounds as driver literals (balance only —
+    // rank offsets below come from actual counts).
+    val probs = (1 until parts).map(_.toDouble / parts).toArray
+    val rawBounds =
+      if (probs.isEmpty) Array.empty[Double]
+      else slim.stat.approxQuantile("_eq_v", probs, 0.001)
+    val bounds = rawBounds.distinct.sorted
+
+    // Deterministic per-row bucket: #bounds strictly below the value;
+    // NULLs to bucket 0 (ascending nulls-first). Codegen'd literal
+    // array scan.
+    val bucket =
+      if (bounds.isEmpty) lit(0)
+      else when(col("_eq_v").isNull, lit(0)).otherwise(
+        size(filter(array(bounds.map(lit(_)): _*), b => b < col("_eq_v"))))
+    val bucketed = slim.withColumn("_eq_b", bucket)
+    val gstr = coalesce(col(key).cast("string"), lit(NullKey))
+
+    // Per-(group, bucket) counts → driver (bounded), → per-group n and
+    // per-cell prefix-sum rank offsets as map literals.
+    val cells = bucketed
+      .groupBy(gstr.as("_g"), col("_eq_b").as("_b"))
+      .agg(count(lit(1)).as("_c"))
+      .limit(MaxCells + 1)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    require(cells.length <= MaxCells,
+      s"ExactQuantile.grouped: > $MaxCells (group, bucket) cells — " +
+        "the group key is not low-cardinality; use a per-group window")
+    val byGroup = cells.groupBy(_._1)
+    val nMap: Map[String, Long] =
+      byGroup.map { case (g, rs) => g -> rs.map(_._3).sum }
+    val offAcc = scala.collection.mutable.Map.empty[String, Long]
+    byGroup.foreach { case (g, rs) =>
+      var acc = 0L
+      rs.sortBy(_._2).foreach { case (_, b, c) =>
+        offAcc(s"$g$Sep$b") = acc; acc += c
+      }
+    }
+    val offMap: Map[String, Long] = offAcc.toMap
+    def mapLit(m: Map[String, Long]): Column =
+      typedLit(if (m.isEmpty) Map("" -> 0L) else m)
+
+    // Global-within-group rank = local rank in the (group, bucket)
+    // window + the cell's literal offset.
+    val w = Window.partitionBy(col(key), col("_eq_b")).orderBy(value)
+    val ranked = bucketed
+      .withColumn("_rn0", row_number().over(w).cast("long") - 1L +
+        element_at(mapLit(offMap),
+          concat(gstr, lit(Sep), col("_eq_b").cast("string"))))
+      .withColumn("_n", element_at(mapLit(nMap), gstr))
     def quant(p: Double): Column = {
       val pos = (col("_n") - 1L).cast("double") * lit(p)
       val lo = floor(pos).cast("long")

@@ -240,6 +240,28 @@ object RelationalQueries {
           Rounding.r4(col("_q50")).as("p50"),
           Rounding.r4(col("_q75")).as("p75"))),
 
+    // The grouped-quantile edge-case pin: a 90/10 synthetic skew — one
+    // "hot" group holding ~90% of all events beside ~997 "cold" groups,
+    // many of them 1-row (or smaller than the bucket count). The hot
+    // group exercises the range-bucket split (it spans ~0.9·P cells, no
+    // single-task sort); the cold tail exercises groups whose every row
+    // lands in one cell and n==1 interpolation (p25==p50==p75==value).
+    "agg_quantiles_skew" -> ((s, dir) => {
+      val e = EventBars.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(
+          when(col("event_id").cast("long") % 10 < 9, lit("hot"))
+            .otherwise(concat(lit("cold_"),
+              (col("event_id").cast("long") % 997).cast("string"))).as("g"),
+          col("value"))
+      ExactQuantile.grouped(e, "g", "value",
+          Seq(0.25 -> "_q25", 0.5 -> "_q50", 0.75 -> "_q75"))
+        .select(col("g"),
+          Rounding.r4(col("_q25")).as("p25"),
+          Rounding.r4(col("_q50")).as("p50"),
+          Rounding.r4(col("_q75")).as("p75"))
+    }),
+
     // Feature prep: per-group z-score normalization. Stats via groupBy
     // (map-side partials; result = one row per group) broadcast back —
     // NOT a whole-partition window, which would funnel each group of a
@@ -256,33 +278,20 @@ object RelationalQueries {
     }),
 
     // Feature prep: winsorization — clip each value to its group's
-    // [p05, p95]. Quantiles via the same sort-based bracketing as
-    // agg_quantiles, computed as window aggregates so clipping happens
-    // in the SAME pass: one exchange, one sort, no join back. EXACT
-    // per-group quantiles inherently order each group (the sort spills;
-    // the whole-partition aggregate is one task per group) — at true
-    // scale swap the thresholds for approx_percentile, which has no
-    // cross-engine oracle.
+    // [p05, p95]. Thresholds via the shared distributed grouped exact
+    // quantile (one row per group — bit-equal to the old whole-group
+    // window rank, but no task ever sorts a whole group), broadcast
+    // back onto the events for a scan-local clip.
     "feat_winsorize" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val wOrd = Window.partitionBy("event_type").orderBy("value")
-      val wAll = Window.partitionBy("event_type")
-      val ranked = EventBars.events(s, dir)
+      val e = EventBars.events(s, dir)
         .select(col("event_id").cast("long").as("event_id"),
           col("event_type"), col("value"))
-        .withColumn("rn0", row_number().over(wOrd).cast("long") - 1L)
-        .withColumn("n", count(lit(1)).over(wAll))
-      def quant(p: Double): Column = {
-        val pos = (col("n") - 1L).cast("double") * lit(p)
-        val lo = floor(pos).cast("long")
-        val frac = pos - floor(pos)
-        val vl = max(when(col("rn0") === lo, col("value"))).over(wAll)
-        val vh = max(when(col("rn0") === lo + 1L, col("value"))).over(wAll)
-        when(frac === 0.0, vl).otherwise(vl * (lit(1.0) - frac) + vh * frac)
-      }
-      ranked.select(col("event_id"), col("event_type"),
-        Rounding.r6(least(greatest(col("value"), quant(0.05)), quant(0.95)))
-          .as("clipped"))
+      val q = ExactQuantile.grouped(e, "event_type", "value",
+        Seq(0.05 -> "_q05", 0.95 -> "_q95"))
+      e.join(broadcast(q), Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          Rounding.r6(least(greatest(col("value"), col("_q05")),
+            col("_q95"))).as("clipped"))
     }),
 
     // Spark's native session_window: per-user activity sessions with a
@@ -591,6 +600,16 @@ object RelationalQueries {
         |  (round(quantile_cont(l_extendedprice, 0.5), 4) + 0.0) AS p50,
         |  (round(quantile_cont(l_extendedprice, 0.75), 4) + 0.0) AS p75
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "agg_quantiles_skew" ->
+      """WITH e AS (SELECT CASE WHEN event_id::BIGINT % 10 < 9 THEN 'hot'
+        |    ELSE 'cold_' || (event_id::BIGINT % 997)::VARCHAR END AS g, value
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT g,
+        |  (round(quantile_cont(value, 0.25), 4) + 0.0) AS p25,
+        |  (round(quantile_cont(value, 0.5), 4) + 0.0) AS p50,
+        |  (round(quantile_cont(value, 0.75), 4) + 0.0) AS p75
+        |FROM e GROUP BY g""".stripMargin,
 
     "feat_zscore" ->
       """SELECT event_id::BIGINT AS event_id, event_type,

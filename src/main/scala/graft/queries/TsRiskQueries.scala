@@ -93,7 +93,7 @@ object TsRiskQueries {
     // the tail set is crisp even when the quantile falls on a tie.
     "ts_var_cvar" -> ((s, dir) => {
       val r = rets(s, dir).withColumn("rqd", col("rq").cast("double"))
-      val q = ExactQuantile.grouped(r, "ticker", "rqd", Seq(0.05 -> "q05"))
+      val q = ExactQuantile.groupedLocal(r, "ticker", "rqd", Seq(0.05 -> "q05"))
       val wq = Window.partitionBy("ticker").orderBy("rq", "t", "event_id")
       val tail = r
         .withColumn("_rn0", row_number().over(wq).cast("long") - 1L)
@@ -219,7 +219,7 @@ object TsRiskQueries {
         .withColumn("rn", row_number().over(w))
         .withColumn("v20",
           when(col("rn") >= 20, sum(col("sq")).over(w.rowsBetween(-19, 0))))
-      val med = ExactQuantile.grouped(
+      val med = ExactQuantile.groupedLocal(
         r.filter(col("v20").isNotNull)
           .withColumn("v20d", col("v20").cast("double")),
         "ticker", "v20d", Seq(0.5 -> "med"))

@@ -666,4 +666,23 @@ class PlanSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, s"unpartitioned Window in: $offenders")
   }
+
+  test("grouped exact quantiles never window on the bare group key") {
+    // The 100 TB invariant behind ExactQuantile.grouped: a Window
+    // partitioned ONLY by the low-cardinality group key sorts each
+    // whole group in one task. Every quantile caller must ride the
+    // (group, value-bucket) cell window instead — the sole 1-column
+    // window allowed in these plans is behav_interevent's per-user lag
+    // (user_id is high-cardinality).
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    Seq("agg_quantiles", "agg_quantiles_skew", "feat_winsorize",
+      "anomaly_mad", "behav_interevent").foreach { name =>
+      val bad = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.size < 2 &&
+            !w.partitionSpec.exists(_.toString.contains("user_id")) => w
+        }
+      assert(bad.isEmpty, s"$name plans a bare-group-key Window: $bad")
+    }
+  }
 }
