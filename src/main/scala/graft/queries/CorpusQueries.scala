@@ -59,10 +59,11 @@ object CorpusQueries {
       val pairs = types.select(col("event_type").as("ea")).as("ta")
         .join(types.select(col("event_type").as("eb")).as("tb"),
           col("ea") < col("eb"))
-      val kth = hashes
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("event_type").orderBy("h")))
-        .filter(col("rn") === K)
+      // Per-type and per-pair-union k-th hashes via the two-phase KMin
+      // (per-partition k-minima → ≤ k·P-row window) — no whole-group
+      // sort anywhere. Hashes are distinct within a type and within a
+      // pair union, so `rank ≤ K` ⟺ `h ≤ h_(K)` exactly.
+      val kth = KMin.kth(hashes, Seq("event_type"), "h", K, "hk")
       val ha = broadcast(pairs).join(hashes,
         col("event_type") === col("ea")).select("ea", "eb", "h")
       val hb = broadcast(pairs).join(hashes,
@@ -72,18 +73,20 @@ object CorpusQueries {
         .select(col("ea"), col("eb"), col("h"),
           coalesce(col("ia"), lit(0L)).as("ia"),
           coalesce(col("ib"), lit(0L)).as("ib"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("ea", "eb").orderBy("h")))
+        .localCheckpoint()
+      val hku = KMin.kth(m, Seq("ea", "eb"), "h", K, "hku")
+      val inK = col("h") <= coalesce(col("hku"), lit(P))
+      m.join(broadcast(hku), Seq("ea", "eb"), "left")
         .join(broadcast(kth.select(col("event_type").as("ea"),
-          col("h").as("hka"))), Seq("ea"), "left")
+          col("hk").as("hka"))), Seq("ea"), "left")
         .join(broadcast(kth.select(col("event_type").as("eb"),
-          col("h").as("hkb"))), Seq("eb"), "left")
-      m.groupBy("ea", "eb")
+          col("hk").as("hkb"))), Seq("eb"), "left")
+        .groupBy("ea", "eb")
         .agg(count(lit(1)).as("n_union"),
           sum(col("ia") * col("ib")).as("n_inter"),
-          max(when(col("rn") === K, col("h"))).as("hku"),
-          sum(when(col("rn") <= K, 1L).otherwise(0L)).as("mm"),
-          sum(when(col("rn") <= K && col("ia") === 1 && col("ib") === 1
+          max(col("hku")).as("hku"),
+          sum(when(inK, 1L).otherwise(0L)).as("mm"),
+          sum(when(inK && col("ia") === 1 && col("ib") === 1
             && col("h") <= coalesce(col("hka"), lit(P))
             && col("h") <= coalesce(col("hkb"), lit(P)), 1L).otherwise(0L))
             .as("rho"))

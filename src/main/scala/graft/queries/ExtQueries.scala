@@ -802,7 +802,9 @@ object ExtQueries {
 
     // KMV (k-minimum-values) distinct sketch — a deterministic sketch
     // both engines compute identically: est = (k-1)·P / h_(k), exact
-    // fallback when the group has fewer than k distinct hashes.
+    // fallback when the group has fewer than k distinct hashes. The
+    // k-th hash comes from the two-phase KMin (per-partition k-minima
+    // → ≤ k·P-row per-group window), never a whole-group sort.
     "sketch_kmv" -> ((s, dir) => {
       val k = 64
       val h = s"((user_id % ${P}L) * 2654435761L) % ${P}L"
@@ -810,11 +812,7 @@ object ExtQueries {
         .select(col("event_type"), expr(h).as("h")).distinct()
       val exact = hashes.groupBy("event_type")
         .agg(count(lit(1)).as("n_exact"))
-      val kth = hashes
-        .withColumn("rn", expr(
-          "row_number() OVER (PARTITION BY event_type ORDER BY h)"))
-        .filter(col("rn") === k)
-        .select(col("event_type"), col("h").as("hk"))
+      val kth = KMin.kth(hashes, Seq("event_type"), "h", k, "hk")
       exact.join(kth, Seq("event_type"), "left")
         .select(col("event_type"), col("n_exact"),
           Rounding.r4(when(col("hk").isNotNull,

@@ -685,4 +685,24 @@ class PlanSpec extends SparkSpec {
       assert(bad.isEmpty, s"$name plans a bare-group-key Window: $bad")
     }
   }
+
+  test("sketch k-th hashes ride the two-phase KMin, never a group sort") {
+    // Any Window in these plans must either partition on the phase-1
+    // (group, partition-id) key or consume the ≤ k·P-row candidate
+    // union (a Filter on _km_rn sits below it) — a regression to
+    // row_number over the raw per-group hashes has neither.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    Seq("sketch_kmv", "sketch_theta").foreach { name =>
+      val bad = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan.collect {
+          case w: LWindow
+            if !w.partitionSpec.exists(_.toString.contains("_km_p")) &&
+              !w.child.collect {
+                case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+                  if f.condition.toString.contains("_km_rn") => f
+              }.exists(_ => true) => w
+        }
+      assert(bad.isEmpty, s"$name plans a whole-group sort window: $bad")
+    }
+  }
 }
