@@ -1022,25 +1022,26 @@ object ExtQueries {
 
     // Per-label embedding outliers: squared distance to the label
     // centroid, flagged against 2× the label's mean squared distance.
-    // The centroid is a per-(label, dim) window average over the
-    // posexploded components — NO join back to the vectors — and the
-    // distance re-assembles per vector in one aggregate; the outlier
-    // threshold is one more window over the |vectors|-row result. Three
-    // exchanges total (label·dim, vec, label), each over scalar rows.
+    // Centroids and the per-label mean dist² are plain groupBy
+    // aggregates (map-side partials) broadcast back — ZERO windows:
+    // the old per-(label, dim) / per-label windows funneled every
+    // component (resp. vector) of a label through one task. The
+    // per-vector dist² table checkpoints once (3 scalar columns) and
+    // feeds both the threshold aggregate and the output.
     "emb_outliers" -> ((s, dir) => {
-      val wLD = Window.partitionBy("label", "dim")
-      val wL = Window.partitionBy("label")
-      emb(s, dir)
+      def x = emb(s, dir)
         .select(col("vec_id").cast("long").as("vec_id"),
           col("label").cast("long").as("label"),
           posexplode(expr("CAST(embedding AS ARRAY<DOUBLE>)")).as(Seq("dim", "x")))
-        .withColumn("c", avg(col("x")).over(wLD))
+      val cent = x.groupBy("label", "dim").agg(avg(col("x")).as("c"))
+      val d = x.join(broadcast(cent), Seq("label", "dim"))
         .groupBy("vec_id", "label")
         .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("dist2"))
-        .withColumn("is_outlier",
-          col("dist2") > lit(2.0) * avg(col("dist2")).over(wL))
+        .localCheckpoint()
+      val mu = d.groupBy("label").agg(avg(col("dist2")).as("mu"))
+      d.join(broadcast(mu), Seq("label"))
         .select(col("vec_id"), col("label"), Rounding.r6(col("dist2")).as("dist2"),
-          col("is_outlier"))
+          (col("dist2") > lit(2.0) * col("mu")).as("is_outlier"))
     }),
 
     // Deterministic train/valid/test split: the doc id's multiplicative

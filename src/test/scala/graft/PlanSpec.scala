@@ -303,10 +303,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD"))
   }
 
-  test("emb_outliers: three scalar-row exchanges, no vector join-back") {
+  test("emb_outliers: zero windows; threshold broadcast onto checkpoint") {
+    // centroids + per-label mean dist2 are groupBy aggregates broadcast
+    // back (the old per-(label,dim)/per-label windows put every
+    // component of a label in ONE task). The dist2 table checkpoints,
+    // so the final plan is one broadcast join over it — no windows, no
+    // sort-merge anywhere.
     val p = plan("emb_outliers")
-    assert(shuffles(p) == 3)
-    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
+    assert(shuffles(p) <= 1, p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"))
   }
 
   test("ab_ttest: both arms' moments collapse in ONE event_type exchange") {
