@@ -349,20 +349,25 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical"))),
 
     // Sequence packing for training: assign docs to fixed-budget
-    // (512-token) sequences by running token count, packed WITHIN each
-    // source shard — the shard-local form that parallelizes (a single
-    // global order would serialize the corpus through one partition).
-    // Deterministic doc_id order; offset = tokens already in the
-    // sequence when the doc starts.
+    // (512-token) sequences by running token count, packed WITHIN a
+    // deterministic (source, doc_id div 1024) sub-shard. Packing per
+    // source alone still serialized each source through ONE window
+    // task — at 100 TB with a handful of sources that's the whole
+    // corpus through |sources| tasks; the sub-shard bounds every task
+    // at ≤ 1024 docs while keeping assignment fully deterministic
+    // (shard boundaries waste at most one partial sequence each, the
+    // standard pack-within-partition trade). seq_id is shard-local;
+    // (source, shard, seq_id) names a sequence globally.
     "text_pack" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("source").orderBy("doc_id")
+      val w = Window.partitionBy("source", "shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
       docs(s, dir)
         .select(col("doc_id").cast("long").as("doc_id"), col("source"),
           expr(s"CAST(size($toksSpark) AS BIGINT)").as("n_toks"))
+        .withColumn("shard", (col("doc_id") / lit(1024L)).cast("long"))
         .withColumn("cum", coalesce(sum("n_toks").over(w), lit(0L)))
-        .select(col("doc_id"), col("source"), col("n_toks"),
+        .select(col("doc_id"), col("source"), col("n_toks"), col("shard"),
           (col("cum") / lit(512L)).cast("long").as("seq_id"),
           (col("cum") % lit(512L)).as("offset"))
     }),
@@ -1610,11 +1615,13 @@ object ExtQueries {
 
     "text_pack" ->
       s"""WITH nt AS (SELECT doc_id::BIGINT AS doc_id, source,
-         |    len($toksDuck)::BIGINT AS n_toks FROM documents),
-         |cm AS (SELECT *, coalesce(sum(n_toks) OVER (PARTITION BY source
+         |    len($toksDuck)::BIGINT AS n_toks,
+         |    (doc_id::BIGINT // 1024)::BIGINT AS shard FROM documents),
+         |cm AS (SELECT *, coalesce(sum(n_toks) OVER (
+         |    PARTITION BY source, shard
          |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
          |    0)::BIGINT AS cum FROM nt)
-         |SELECT doc_id, source, n_toks,
+         |SELECT doc_id, source, n_toks, shard,
          |  (cum // 512)::BIGINT AS seq_id, (cum % 512)::BIGINT AS offset
          |FROM cm""".stripMargin,
 
