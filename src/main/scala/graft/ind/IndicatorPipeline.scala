@@ -53,10 +53,33 @@ object IndicatorPipeline {
     // (ticker, island) ≡ sub_ticker: reuses Interpolate's exchange
     val framed = FrameIndicators.addAll(filled,
       Seq("ticker", "island"), Seq(cfg.timeColumn), price = cfg.closeColumn, cfg = cfg)
-    val all = RecursiveIndicators.addAll(framed,
-      Seq("sub_ticker"), Seq(cfg.timeColumn), price = cfg.closeColumn,
-      high = cfg.highColumn, low = cfg.lowColumn,
-      close = cfg.closeUnadjColumn, cfg = cfg)
+
+    // R1-R4 recursive family. Default path: the fused graft_ind_w
+    // AggregateWindowFunction over the SAME (ticker, island) window the
+    // frame indicators ride — the whole pipeline is ONE hash exchange.
+    // The flatMapGroups scan (cross-checked per round by ind_recursive
+    // vs ind_recursive_window) remains the fallback for configs the
+    // fixed-constant window kernels don't thread (split Wilder periods,
+    // non-14 ADX).
+    val all =
+      if (cfg.rsiPeriod == cfg.cmoPeriod && cfg.adxPeriod == 14) {
+        graft.functions.GraftFunctions.register(raw.sparkSession)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("ticker", "island").orderBy(cfg.timeColumn)
+        framed
+          .withColumn("_x", expr(s"graft_ind_w(${cfg.closeColumn}, " +
+            s"${cfg.highColumn}, ${cfg.lowColumn}, ${cfg.closeUnadjColumn}, " +
+            s"${cfg.rsiPeriod})").over(w))
+          .withColumn("rsi", col("_x.rsi"))
+          .withColumn("cmo", col("_x.cmo"))
+          .withColumn("macd_hist", col("_x.macd_hist"))
+          .withColumn("adx", col("_x.adx"))
+          .withColumn("adx_hist", col("_x.adx_hist"))
+          .drop("_x")
+      } else RecursiveIndicators.addAll(framed,
+        Seq("sub_ticker"), Seq(cfg.timeColumn), price = cfg.closeColumn,
+        high = cfg.highColumn, low = cfg.lowColumn,
+        close = cfg.closeUnadjColumn, cfg = cfg)
 
     val projected = all.select(
       col(cfg.timeColumn).as("window_start"),

@@ -100,19 +100,33 @@ object EtlQueries {
     }),
 
     // Faithful E2 (SURVEY.md §3): the reference's full 18-column
-    // indicator table — frame (Window) + recursive (flatMapGroups)
-    // families over the restructured series, warm-up dropped (P4).
+    // indicator table. The recursive family rides the fused
+    // graft_ind_w AggregateWindowFunction on the SAME (ticker, island)
+    // window as the frame indicators — the flagship is ONE hash
+    // exchange end-to-end (IndicatorPipeline.run's default path). The
+    // flatMapGroups scan remains oracle-gated as ind_recursive; its
+    // parity with the window kernels is pinned by ind_recursive vs
+    // ind_recursive_window sharing per-value hashes.
     "pipeline_full" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.GraftFunctions.register(s)
       val fi = FrameIndicators.addAll(interpolated(s, dir),
         Seq("ticker", "island"), Seq("ws"))
-      val all = RecursiveIndicators.addAll(fi, Seq("sub_ticker"), Seq("ws"))
-      all.select(col("ws").as("window_start"),
-        Rounding.r6(col("close")).as("close_price"),
-        r6("rocp_1"), r6("rocp_2"), r6("rocp_3"), r6("rocp_4"), r6("rocp_5"),
-        r6("rsi"), r6("mfi"), r6("ultosc"), r6("cmo"), r6("aroonosc"),
-        r6("macd_hist"), r6("ppo"), r6("sok"), r6("sok_hist"),
-        r6("adx"), r6("adx_hist"),
-        col("sub_ticker").as("ticker"))
+      val w = Window.partitionBy("ticker", "island").orderBy("ws")
+      fi.withColumn("_x",
+          expr("graft_ind_w(close, high, low, close)").over(w))
+        .select(col("ws").as("window_start"),
+          Rounding.r6(col("close")).as("close_price"),
+          r6("rocp_1"), r6("rocp_2"), r6("rocp_3"), r6("rocp_4"), r6("rocp_5"),
+          Rounding.r6(col("_x.rsi")).as("rsi"),
+          r6("mfi"), r6("ultosc"),
+          Rounding.r6(col("_x.cmo")).as("cmo"),
+          r6("aroonosc"),
+          Rounding.r6(col("_x.macd_hist")).as("macd_hist"),
+          r6("ppo"), r6("sok"), r6("sok_hist"),
+          Rounding.r6(col("_x.adx")).as("adx"),
+          Rounding.r6(col("_x.adx_hist")).as("adx_hist"),
+          col("sub_ticker").as("ticker"))
         .na.drop()
     }))
 

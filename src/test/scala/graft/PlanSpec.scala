@@ -45,8 +45,12 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(plan("pipeline_window")) == 1)
   }
 
-  test("pipeline_full adds exactly one exchange (the groupByKey hop)") {
-    assert(shuffles(plan("pipeline_full")) == 2)
+  test("pipeline_full runs end-to-end on ONE hash exchange") {
+    // the recursive family rides the fused AggregateWindowFunction on
+    // the same (ticker, island) window as the frame indicators — the
+    // old groupByKey hop is gone (flatMapGroups survives as the
+    // ind_recursive cross-check)
+    assert(shuffles(plan("pipeline_full")) == 1)
   }
 
   test("as-of join is one shuffle (union before the exchange)") {
