@@ -192,9 +192,9 @@ object Behavior2Queries {
          |    count(CASE WHEN prev IS NOT NULL AND prev < wk - 1 THEN 1 END)
          |      AS n_resurrected
          |  FROM st GROUP BY wk)
-         |SELECT wk, n_active, n_new, n_retained, n_resurrected,
-         |  n_active - lead(n_retained) OVER (ORDER BY wk) AS n_churned
-         |FROM weekly""".stripMargin,
+         |SELECT w.wk, w.n_active, w.n_new, w.n_retained, w.n_resurrected,
+         |  w.n_active - nxt.n_retained AS n_churned
+         |FROM weekly w LEFT JOIN weekly nxt ON nxt.wk = w.wk + 1""".stripMargin,
 
     "behav_power_users" ->
       s"""WITH $evDuck,
