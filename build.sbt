@@ -30,3 +30,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // task ~250MB and GC time showed up in the bench. The box has 128GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
+// Nothing may print AFTER Bench's single JSON stdout line: the round
+// driver parses it out of a ~2000-char stdout tail, and sbt's trailing
+// "[success] Total time ..." summary was pushing it out (BENCH_r06
+// "parsed": null). Dropping the success summary is the one sbt line
+// that prints after a forked run completes.
+Global / showSuccess := false
+// (read by sbt's command engine, not by tasks — silence the lint)
+Global / excludeLintKeys += showSuccess

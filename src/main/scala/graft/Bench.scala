@@ -36,18 +36,26 @@ object Bench {
     // with byte-identical binaries — the min of two runs kills most of
     // that noise for ~2× wall cost.
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+    val attempts = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val ts = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         // toRdd.count() materializes every output row (all columns
         // computed); a plain df.count() lets Catalyst prune the very
         // projections some queries exist to measure.
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+          catch { case _: Throwable => false }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> times.min
-    }.toMap
+      // min over SUCCESSFUL attempts only: a fast failure must never
+      // stand in for a query's time. A query with zero successes keeps
+      // its min time in the total (honest wall cost) but is named in
+      // the JSON "failed" list — the sentinel the driver/judge can see.
+      val good = ts.filter(_._2).map(_._1)
+      (name, if (good.nonEmpty) good.min else ts.map(_._1).min, good.nonEmpty)
+    }
+    val results = attempts.map { case (n, t, _) => n -> t }.toMap
+    val failed = attempts.collect { case (n, _, false) => n }.sorted
     // The driver keeps only the last ~2000 chars of output and parses
     // the JSON line out of that tail (BENCH_r01..03 all show
     // "parsed": null because the full-precision line overflowed it),
@@ -72,7 +80,10 @@ object Bench {
     // target/bench_detail.json.
     def line(fmt: Double => String, keys: Set[String]): String =
       s"""{"metric":"total","value":${f2(total)},"unit":"sec",""" +
-        s""""n_queries":${results.size},"runs":$runs,"queries":""" +
+        s""""n_queries":${results.size},"runs":$runs,""" +
+        (if (failed.isEmpty) ""
+         else failed.map("\"" + _ + "\"").mkString("\"failed\":[", ",", "],")) +
+        s""""queries":""" +
         results.toSeq.filter(kv => keys(kv._1)).sortBy(_._1)
           .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
           .mkString("{", ",", "}") +
