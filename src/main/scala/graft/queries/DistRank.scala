@@ -23,10 +23,16 @@ import org.apache.spark.sql.functions._
   *
   * Caveats: bucket bounds come from `approxQuantile` on the FIRST sort
   * key, so heavy duplicate leading keys degrade balance (never
-  * correctness — offsets are computed from the actual bucket counts).
-  * The leading key must be numeric and non-null; for a descending
-  * order pass `bucketKey = negate(key)` so bucket order aligns with
-  * the sort order.
+  * correctness — offsets are computed from the actual bucket counts;
+  * the ScaleProbe skew section measures a 90%-duplicate key). The
+  * leading key must be numeric and NON-NULL — enforced by the offsets
+  * job (a null key would silently land in bucket 0, which matches
+  * Spark's ascending nulls-FIRST by coincidence but inverts a
+  * descending order's nulls-LAST; rather than carry that trap, a null
+  * bucket key fails fast). For a descending order pass
+  * `bucketKey = negate(key)` so bucket order aligns with the sort
+  * order — and pre-filter or coalesce nulls to a sentinel consistent
+  * with the sort's null placement.
   */
 object DistRank {
 
@@ -76,16 +82,24 @@ object DistRank {
     val bucketed = keyed.withColumn("_dr_b", bucket)
 
     // Per-bucket counts (and optional sums) → prefix-sum offsets.
-    // ≤ parts rows ever reach the driver.
+    // ≤ parts rows ever reach the driver. The null-key count rides the
+    // same job for free and enforces the non-null precondition.
     val aggs = count(lit(1L)).as("_c") +:
+      count(when(col("_dr_k").isNull, lit(1))).as("_nulls") +:
       sumCols.map(c => sum(col(c)).as("_s_" + c))
-    val per = bucketed.groupBy("_dr_b").agg(aggs.head, aggs.tail: _*)
+    val rows = bucketed.groupBy("_dr_b").agg(aggs.head, aggs.tail: _*)
       .collect()
+    val nullKeys = rows.map(_.getLong(2)).sum
+    require(nullKeys == 0L,
+      s"DistRank: $nullKeys rows have a NULL bucket key — ranks would " +
+        "silently misplace them; filter or coalesce to a sentinel " +
+        "consistent with the sort's null ordering first")
+    val per = rows
       .map { r =>
         val b = r.getInt(0)
         val c = r.getLong(1)
         val ss = sumCols.zipWithIndex
-          .map { case (name, i) => name -> r.getLong(2 + i) }.toMap
+          .map { case (name, i) => name -> r.getLong(3 + i) }.toMap
         (b, c, ss)
       }
       .sortBy(_._1)

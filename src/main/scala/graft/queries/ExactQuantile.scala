@@ -23,8 +23,8 @@ import org.apache.spark.sql.functions._
   *     that re-evaluate the lineage;
   *  2. one bounded job collects the per-(group, bucket) row counts —
   *     ≤ |groups|·P cells ever reach the driver (guarded) — from which
-  *     per-group totals and per-cell prefix-sum rank offsets become
-  *     map literals;
+  *     per-group totals and per-cell prefix-sum rank offsets come
+  *     back as a broadcast hash join;
   *  3. the final plan is ONE hash exchange on (group, bucket), a
   *     partitioned local window whose largest task is ~n/P rows (cells
   *     nest inside the GLOBAL value buckets, so even a group holding
@@ -58,10 +58,6 @@ object ExactQuantile {
   /** Sentinel for a NULL group key in the driver-side offset maps
     * (collides only with a real group literally equal to it). */
   private val NullKey = 0.toChar + "<null>"
-
-  /** NUL separator for the composite (group, bucket) map-literal keys —
-    * cannot appear inside the bucket id, so keys decompose uniquely. */
-  private val Sep = 0.toChar.toString
 
   /** The per-group-window form for HIGH-cardinality group keys (e.g.
     * `ticker`): each group is small and there are many of them, so a
@@ -124,7 +120,9 @@ object ExactQuantile {
     val gstr = coalesce(col(key).cast("string"), lit(NullKey))
 
     // Per-(group, bucket) counts → driver (bounded), → per-group n and
-    // per-cell prefix-sum rank offsets as map literals.
+    // per-cell prefix-sum rank offsets, shipped back as a BROADCAST
+    // hash join (a codegen'd O(1) lookup per row — a string-keyed map
+    // literal would linear-scan its entries for every row).
     val cells = bucketed
       .groupBy(gstr.as("_g"), col("_eq_b").as("_b"))
       .agg(count(lit(1)).as("_c"))
@@ -135,27 +133,25 @@ object ExactQuantile {
       s"ExactQuantile.grouped: > $MaxCells (group, bucket) cells — " +
         "the group key is not low-cardinality; use a per-group window")
     val byGroup = cells.groupBy(_._1)
-    val nMap: Map[String, Long] =
-      byGroup.map { case (g, rs) => g -> rs.map(_._3).sum }
-    val offAcc = scala.collection.mutable.Map.empty[String, Long]
-    byGroup.foreach { case (g, rs) =>
+    val offRows = byGroup.iterator.flatMap { case (g, rs) =>
+      val gn = rs.map(_._3).sum
       var acc = 0L
-      rs.sortBy(_._2).foreach { case (_, b, c) =>
-        offAcc(s"$g$Sep$b") = acc; acc += c
-      }
-    }
-    val offMap: Map[String, Long] = offAcc.toMap
-    def mapLit(m: Map[String, Long]): Column =
-      typedLit(if (m.isEmpty) Map("" -> 0L) else m)
+      rs.sortBy(_._2).map { case (_, b, c) =>
+        val o = acc; acc += c; (g, b, o, gn)
+      }.toSeq
+    }.toSeq
+    import spark.implicits._
+    val offDf = offRows.toDF("_g", "_b", "_off", "_gn")
 
     // Global-within-group rank = local rank in the (group, bucket)
-    // window + the cell's literal offset.
+    // window + the cell's broadcast offset.
     val w = Window.partitionBy(col(key), col("_eq_b")).orderBy(value)
     val ranked = bucketed
-      .withColumn("_rn0", row_number().over(w).cast("long") - 1L +
-        element_at(mapLit(offMap),
-          concat(gstr, lit(Sep), col("_eq_b").cast("string"))))
-      .withColumn("_n", element_at(mapLit(nMap), gstr))
+      .join(broadcast(offDf),
+        gstr === col("_g") && col("_eq_b") === col("_b"))
+      .withColumn("_rn0",
+        row_number().over(w).cast("long") - 1L + col("_off"))
+      .withColumn("_n", col("_gn"))
     def quant(p: Double): Column = {
       val pos = (col("_n") - 1L).cast("double") * lit(p)
       val lo = floor(pos).cast("long")

@@ -136,6 +136,52 @@ object ScaleProbe {
     println(f"RANK_ROWS=$nL RANK_SEC=$secR%.2f BINS=${bins.size} " +
       f"SUM_OK=${bins.values.sum == nL} " +
       f"EQUIDEPTH_OK=${bins.values.max - bins.values.min <= 1}")
+
+    // DistRank under a 90%-duplicate leading key: approxQuantile bounds
+    // collapse around the hot value, so ~90% of rows share ONE bucket —
+    // the documented balance degradation (the hot bucket's window task
+    // sorts ~0.9n rows). Ranks stay EXACT regardless: the closed-form
+    // invariants (max rank = n, sum of ranks = n(n+1)/2) check the
+    // whole permutation. MAX_BUCKET_SHARE is the number to watch if a
+    // future change claims to fix balance under duplicates.
+    val nS = 4000000L
+    val skewed = spark.range(nS).select(col("id"),
+      when(col("id") % 10 < 9, lit(42.0))
+        .otherwise(col("id").cast("double")).as("k"))
+      .localCheckpoint()
+    val tS = System.nanoTime()
+    val rk = graft.queries.DistRank.rowNumber(
+      skewed, "_rk", col("k"), Seq(col("k"), col("id")))
+    val agg = rk.df.agg(max(col("_rk")), sum(col("_rk"))).collect()(0)
+    val secS = (System.nanoTime() - tS) / 1e9
+    // hot-bucket share ≈ duplicate fraction by construction
+    val hot = skewed.filter(col("k") === 42.0).count()
+    println(f"SKEW_ROWS=$nS SKEW_SEC=$secS%.2f " +
+      f"MAX_RANK_OK=${agg.getLong(0) == nS} " +
+      f"RANK_SUM_OK=${agg.getLong(1) == nS * (nS + 1) / 2} " +
+      f"MAX_BUCKET_SHARE=${hot.toDouble / nS}%.3f")
+
+    // Grouped exact quantiles at reps× lineitem (3-value group key):
+    // the range-bucketed grouped() vs the whole-group-window
+    // groupedLocal() must agree BIT-FOR-BIT at a scale the DuckDB
+    // oracle can't reach — and grouped()'s largest task stays ~n/P
+    // rows while groupedLocal() funnels n/3 through one task.
+    val liS = spark.read.parquet("/tmp/scale_li/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("v"))
+    val tQ = System.nanoTime()
+    val qDist = graft.queries.ExactQuantile.grouped(
+      liS, "l_returnflag", "v", Seq(0.25 -> "q25", 0.5 -> "q50", 0.75 -> "q75"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val secQd = (System.nanoTime() - tQ) / 1e9
+    val tQ2 = System.nanoTime()
+    val qLocal = graft.queries.ExactQuantile.groupedLocal(
+      liS, "l_returnflag", "v", Seq(0.25 -> "q25", 0.5 -> "q50", 0.75 -> "q75"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val secQl = (System.nanoTime() - tQ2) / 1e9
+    println(f"GQUANT_ROWS=$nL GQUANT_DIST_SEC=$secQd%.2f " +
+      f"GQUANT_LOCAL_SEC=$secQl%.2f BITEQ_OK=${qDist == qLocal}")
     spark.stop()
   }
 }
