@@ -372,6 +372,30 @@ object ExtQueries {
           (col("cum") % lit(512L)).as("offset"))
     }),
 
+    // Packing efficiency/skew visibility (the dedup_lsh_skipped
+    // pattern): per source, how many 1024-doc shards text_pack uses,
+    // the boundary waste each shard's final partial sequence leaves
+    // (the price of shard-local packing), and the max shard token mass
+    // (the skew number to watch — a hot shard is the one that would
+    // slow the pack at 100 TB). Pure integer two-level aggregate.
+    "text_pack_stats" -> ((s, dir) => {
+      val perShard = docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+          expr(s"CAST(size($toksSpark) AS BIGINT)").as("n_toks"))
+        .withColumn("shard", (col("doc_id") / lit(1024L)).cast("long"))
+        .groupBy("source", "shard")
+        .agg(count(lit(1)).as("docs"), sum("n_toks").as("toks"))
+        .withColumn("seqs", ((col("toks") + lit(511L)) / lit(512L)).cast("long"))
+        .withColumn("waste", col("seqs") * lit(512L) - col("toks"))
+      perShard.groupBy("source")
+        .agg(count(lit(1)).as("n_shards"),
+          sum("docs").as("n_docs"),
+          sum("toks").as("n_tokens"),
+          sum("seqs").as("n_seqs"),
+          sum("waste").as("waste_tokens"),
+          max("toks").as("max_shard_tokens"))
+    }),
+
     // TF-IDF-style top terms per document. idf is the exact rational
     // N/df instead of log(N/df): rank order per doc is identical (log
     // is monotone) and the arithmetic stays bit-equal across engines
@@ -1624,6 +1648,20 @@ object ExtQueries {
          |SELECT doc_id, source, n_toks, shard,
          |  (cum // 512)::BIGINT AS seq_id, (cum % 512)::BIGINT AS offset
          |FROM cm""".stripMargin,
+
+    "text_pack_stats" ->
+      s"""WITH nt AS (SELECT doc_id::BIGINT AS doc_id, source,
+         |    len($toksDuck)::BIGINT AS n_toks,
+         |    (doc_id::BIGINT // 1024)::BIGINT AS shard FROM documents),
+         |ps AS (SELECT source, shard, count(*)::BIGINT AS docs,
+         |    sum(n_toks)::BIGINT AS toks FROM nt GROUP BY 1, 2),
+         |pw AS (SELECT *, ((toks + 511) // 512)::BIGINT AS seqs FROM ps)
+         |SELECT source, count(*)::BIGINT AS n_shards,
+         |  sum(docs)::BIGINT AS n_docs, sum(toks)::BIGINT AS n_tokens,
+         |  sum(seqs)::BIGINT AS n_seqs,
+         |  sum(seqs * 512 - toks)::BIGINT AS waste_tokens,
+         |  max(toks)::BIGINT AS max_shard_tokens
+         |FROM pw GROUP BY source""".stripMargin,
 
     "text_tfidf" ->
       s"""WITH $docToks,
