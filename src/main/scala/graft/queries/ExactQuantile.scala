@@ -91,15 +91,21 @@ object ExactQuantile {
     * of `value` at each requested (p, output-column) pair.
     *
     * This is the LOW-cardinality-key form (range-bucketed cells); for
-    * high-cardinality keys use [[groupedLocal]]. */
+    * high-cardinality keys use [[groupedLocal]].
+    *
+    * `checkpoint` — the three passes (bounds, cell counts, final rank)
+    * re-evaluate the input lineage; leave true when it contains real
+    * work (joins, windows), set false when it's a bare scan projection
+    * (re-scanning two pruned parquet columns is cheaper than
+    * materializing them). */
   def grouped(df: DataFrame, key: String, value: String,
-      ps: Seq[(Double, String)]): DataFrame = {
+      ps: Seq[(Double, String)], checkpoint: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val v = col(value)
-    val slim = df.select(col(key), v)
+    val slim0 = df.select(col(key), v)
       .withColumn("_eq_v", v.cast("double"))
-      .localCheckpoint()
+    val slim = if (checkpoint) slim0.localCheckpoint() else slim0
 
     // Value-range bucket bounds as driver literals (balance only —
     // rank offsets below come from actual counts).

@@ -234,7 +234,8 @@ object RelationalQueries {
     "agg_quantiles" -> ((s, dir) =>
       ExactQuantile.grouped(t(s, dir, "lineitem"),
           "l_returnflag", "l_extendedprice",
-          Seq(0.25 -> "_q25", 0.5 -> "_q50", 0.75 -> "_q75"))
+          Seq(0.25 -> "_q25", 0.5 -> "_q50", 0.75 -> "_q75"),
+          checkpoint = false)
         .select(col("l_returnflag"),
           Rounding.r4(col("_q25")).as("p25"),
           Rounding.r4(col("_q50")).as("p50"),
@@ -255,7 +256,8 @@ object RelationalQueries {
               (col("event_id").cast("long") % 997).cast("string"))).as("g"),
           col("value"))
       ExactQuantile.grouped(e, "g", "value",
-          Seq(0.25 -> "_q25", 0.5 -> "_q50", 0.75 -> "_q75"))
+          Seq(0.25 -> "_q25", 0.5 -> "_q50", 0.75 -> "_q75"),
+          checkpoint = false)
         .select(col("g"),
           Rounding.r4(col("_q25")).as("p25"),
           Rounding.r4(col("_q50")).as("p50"),
@@ -287,7 +289,7 @@ object RelationalQueries {
         .select(col("event_id").cast("long").as("event_id"),
           col("event_type"), col("value"))
       val q = ExactQuantile.grouped(e, "event_type", "value",
-        Seq(0.05 -> "_q05", 0.95 -> "_q95"))
+        Seq(0.05 -> "_q05", 0.95 -> "_q95"), checkpoint = false)
       e.join(broadcast(q), Seq("event_type"))
         .select(col("event_id"), col("event_type"),
           Rounding.r6(least(greatest(col("value"), col("_q05")),

@@ -457,12 +457,13 @@ object ScaleQueries {
         .select(col("event_id").cast("long").as("event_id"),
           col("event_type"), col("value"))
       // exact medians via the shared quantile_cont-bit-equal arithmetic
-      def medianOf(df: DataFrame, v: String, out: String): DataFrame =
-        ExactQuantile.grouped(df, "event_type", v, Seq(0.5 -> out))
-      val med = medianOf(ev, "value", "med")
+      def medianOf(df: DataFrame, v: String, out: String,
+          ckpt: Boolean): DataFrame =
+        ExactQuantile.grouped(df, "event_type", v, Seq(0.5 -> out), ckpt)
+      val med = medianOf(ev, "value", "med", ckpt = false)
       val withDev = ev.join(broadcast(med), "event_type")
         .withColumn("dev", abs(col("value") - col("med")))
-      val mad = medianOf(withDev, "dev", "mad")
+      val mad = medianOf(withDev, "dev", "mad", ckpt = true)
       withDev.join(broadcast(mad), "event_type")
         .filter(col("dev") > lit(3.0) * col("mad"))
         .select(col("event_id"), col("event_type"),
