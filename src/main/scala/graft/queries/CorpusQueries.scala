@@ -102,6 +102,20 @@ object CorpusQueries {
               .otherwise(col("n_union").cast("double"))).as("est_inter"))
     }),
 
+    // Deterministic fixed-n-per-source sample — the "n docs from every
+    // stratum" training-data op, reproducible on any engine (hash
+    // order, no RNG state). Rides KMin.smallest: per-partition top-100
+    // prune, then the rank window sees ≤ 100·P candidate rows per
+    // source — never a whole-source sort. doc_id < P (prime) makes the
+    // multiplicative hash injective, so ranks are tie-free.
+    "corpus_sample_fixed" -> ((s, dir) => {
+      val d = docsT(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"))
+        .withColumn("h", expr(s"((doc_id % ${P}L) * 2654435761L) % ${P}L"))
+      KMin.smallest(d, Seq("source"), "h", 100, "rk")
+        .select(col("source"), col("doc_id"), col("rk").cast("long").as("rk"))
+    }),
+
     // SimHash near-dup with a hamming-distance bound: 32-bit signature,
     // 4 bands of 8 bits — any pair within hamming 3 agrees exactly on
     // ≥ 1 band (pigeonhole), so the candidate join is an equi-join on
@@ -270,6 +284,14 @@ object CorpusQueries {
          |     THEN ${(K - 1).toDouble} * ${P}.0 / hku::DOUBLE
          |     ELSE n_union::DOUBLE END), 4) + 0.0) AS est_inter
          |FROM g""".stripMargin,
+
+    "corpus_sample_fixed" ->
+      s"""WITH d AS (SELECT doc_id::BIGINT AS doc_id, source,
+         |    ((doc_id::BIGINT % $P) * 2654435761) % $P AS h FROM documents),
+         |r AS (SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rk FROM d)
+         |SELECT source, doc_id, rk::BIGINT AS rk FROM r
+         |WHERE rk <= 100""".stripMargin,
 
     "dedup_hamming" -> {
       val maskDuck = (0 until HamBands).map(b =>

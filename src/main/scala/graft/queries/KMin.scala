@@ -25,11 +25,13 @@ import org.apache.spark.sql.functions._
   */
 object KMin {
 
-  /** One row per group having ≥ k rows: group cols + the k-th smallest
-    * `value` as `out`. Groups with fewer than k rows emit nothing
-    * (callers left-join and fall back, matching `rn = k` semantics). */
-  def kth(df: DataFrame, groupCols: Seq[String], value: String, k: Int,
-      out: String): DataFrame = {
+  /** The k smallest rows of each group (all input columns), with the
+    * 1-based within-group rank as `rankCol` (IntegerType). `value`
+    * must be duplicate-free within a group (the sketch-hash / sample
+    * contract) so the rank — and therefore the selected set — is
+    * deterministic. */
+  def smallest(df: DataFrame, groupCols: Seq[String], value: String,
+      k: Int, rankCol: String): DataFrame = {
     val gs = groupCols.map(col)
     val wLocal = Window.partitionBy(gs :+ col("_km_p"): _*).orderBy(value)
     val cand = df
@@ -38,8 +40,16 @@ object KMin {
       .filter(col("_km_rn") <= k)
       .drop("_km_p", "_km_rn")
     val wG = Window.partitionBy(gs: _*).orderBy(value)
-    cand.withColumn("_km_rn", row_number().over(wG))
-      .filter(col("_km_rn") === k)
-      .select(gs :+ col(value).as(out): _*)
+    cand.withColumn(rankCol, row_number().over(wG))
+      .filter(col(rankCol) <= k)
   }
+
+  /** One row per group having ≥ k rows: group cols + the k-th smallest
+    * `value` as `out`. Groups with fewer than k rows emit nothing
+    * (callers left-join and fall back, matching `rn = k` semantics). */
+  def kth(df: DataFrame, groupCols: Seq[String], value: String, k: Int,
+      out: String): DataFrame =
+    smallest(df, groupCols, value, k, "_km_gr")
+      .filter(col("_km_gr") === k)
+      .select(groupCols.map(col) :+ col(value).as(out): _*)
 }
