@@ -248,4 +248,34 @@ object EngineProps extends Properties("engine") {
         .sortBy(_._1).toSeq
       r.n == rows.length && got == want
     }
+
+  /** Random-shape equivalence for the round-7 grouped exact quantile:
+    * the range-bucketed grouped() must match the whole-group-window
+    * groupedLocal() bit-for-bit on arbitrary group counts/sizes, heavy
+    * value duplication (few distinct values flood the bucket bounds),
+    * and NULL values (nulls-first rank arithmetic). */
+  property("grouped exact quantiles match the whole-group window form") =
+    Prop.forAll(
+      Gen.choose(1, 120),
+      Gen.choose(1, 6),
+      Gen.choose(2, 9)) { (n, gCard, vCard) =>
+      import org.apache.spark.sql.functions.col
+      val rows = (0 until n).map { i =>
+        val v: java.lang.Double =
+          if (i % 11 == 10) null
+          else java.lang.Double.valueOf(((i * 7) % vCard).toDouble)
+        Row(s"g${i % gCard}", v)
+      }
+      val d = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        StructType(Seq(StructField("g", StringType),
+          StructField("v", DoubleType)))).repartition(3)
+      val ps = Seq(0.1 -> "a", 0.5 -> "b", 0.9 -> "c")
+      def toMap(df0: org.apache.spark.sql.DataFrame) =
+        df0.collect().map(r => r.getString(0) ->
+          (1 to 3).map(i => Option(r.get(i)))).toMap
+      toMap(graft.queries.ExactQuantile.grouped(d, "g", "v", ps,
+        checkpoint = false)) ==
+        toMap(graft.queries.ExactQuantile.groupedLocal(d, "g", "v", ps))
+    }
 }
