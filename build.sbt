@@ -38,3 +38,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 Global / showSuccess := false
 // (read by sbt's command engine, not by tasks — silence the lint)
 Global / excludeLintKeys += showSuccess
+// Forked run output goes STRAIGHT to this process's stdout/stderr
+// instead of through sbt's logger: the logger tags program stdout at
+// Info level, so `sbt -error "runMain graft.Bench"` would silently
+// swallow the one JSON line the driver parses.
+run / outputStrategy := Some(StdoutOutput)

@@ -36,7 +36,13 @@ object Bench {
     // with byte-identical binaries — the min of two runs kills most of
     // that noise for ~2× wall cost.
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
-    val attempts = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the run to named
+    // queries (unset → full suite; the driver never sets it).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val picked = only.fold(SparkEntry.queries)(ks =>
+      SparkEntry.queries.filter(kv => ks(kv._1)))
+    val attempts = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       val ts = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         // toRdd.count() materializes every output row (all columns

@@ -111,7 +111,10 @@ object Behavior2Queries {
     // builds each order's sorted distinct brand set (broadcast part
     // join feeds it), then pairs are generated IN-ROW from the array
     // (codegen'd transform/slice HOFs — no self-join, so no second big
-    // exchange at 100 TB); support and lift from exact counts.
+    // exchange at 100 TB); support and lift from exact counts. The
+    // basket table feeds THREE consumers (order total, per-brand
+    // counts, pair counts), so it is checkpointed once — without it
+    // each consumer replays the lineitem join + collect_set exchange.
     "basket_pairs" -> ((s, dir) => {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
       val pt = s.read.parquet(s"$dir/part.parquet")
@@ -119,6 +122,7 @@ object Behavior2Queries {
           li("l_partkey") === pt("p_partkey"))
         .groupBy(col("l_orderkey").as("okey"))
         .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+        .localCheckpoint()
       val nOrders = ob.agg(count(lit(1)).as("n_orders"))
       val nb = ob.select(explode(col("bs")).as("p_brand"))
         .groupBy("p_brand").agg(count(lit(1)).as("n_b"))
