@@ -36,7 +36,8 @@ object SparkEntry {
     (TpchFeatQueries.queries, TpchFeatQueries.oracles),
     (GraphStlQueries.queries, GraphStlQueries.oracles),
     (Tpch2Queries.queries, Tpch2Queries.oracles),
-    (CandleQueries.queries, CandleQueries.oracles))
+    (CandleQueries.queries, CandleQueries.oracles),
+    (Corpus2Queries.queries, Corpus2Queries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
