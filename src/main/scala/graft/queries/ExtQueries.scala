@@ -669,6 +669,29 @@ object ExtQueries {
           col("rank"), Rounding.r6(col("sim")).as("sim"))
     }),
 
+    // Mutual-kNN graph over the LSH-bucketed ANN edges: a directed
+    // k=3 edge per vector (sim_ann_lsh's list), kept only when both
+    // endpoints list each other — the symmetrized graph semantic-dedup
+    // clustering and manifold methods consume. Degree histogram over
+    // ALL vectors (0-degree singletons included). Scale: the directed
+    // edge list is ≤ 3n short rows (checkpointed once — it feeds both
+    // sides of the mutual check), the mutual test is a self semi-join
+    // on 16-byte keys, and degrees collapse map-side; nothing ever
+    // shuffles a vector payload after the bucket join.
+    "sim_knn_graph" -> ((s, dir) => {
+      val knn = queries("sim_ann_lsh")(s, dir)
+        .select(col("q_id"), col("n_id"))
+        .localCheckpoint()
+      val rev = knn.select(col("n_id").as("q_id"), col("q_id").as("n_id"))
+      val deg = knn.join(rev, Seq("q_id", "n_id"), "left_semi")
+        .groupBy(col("q_id").as("vec_id"))
+        .agg(count(lit(1)).as("deg"))
+      emb(s, dir).select(col("vec_id").cast("long").as("vec_id"))
+        .join(deg, Seq("vec_id"), "left")
+        .withColumn("degree", coalesce(col("deg"), lit(0L)))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+    }),
+
     "mm_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(Multimodal.mediaTable(docs(s, dir)))),
 
@@ -1812,6 +1835,21 @@ object ExtQueries {
          |  FROM es x JOIN es y ON x.sig = y.sig AND x.vec_id <> y.vec_id),
          |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)::BIGINT AS rank FROM sims)
          |SELECT q_id, n_id, rank, (round(sim, 6) + 0.0) AS sim FROM rk WHERE rank <= 3""".stripMargin,
+
+    "sim_knn_graph" ->
+      s"""WITH $embBase,
+         |es AS (SELECT *, $sigD AS sig FROM en),
+         |sims AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
+         |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+         |  FROM es x JOIN es y ON x.sig = y.sig AND x.vec_id <> y.vec_id),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)::BIGINT AS rank FROM sims),
+         |knn AS (SELECT q_id, n_id FROM rk WHERE rank <= 3),
+         |mut AS (SELECT k.q_id, k.n_id FROM knn k
+         |  JOIN knn r ON r.q_id = k.n_id AND r.n_id = k.q_id),
+         |deg AS (SELECT q_id AS vec_id, count(*)::BIGINT AS deg FROM mut GROUP BY 1)
+         |SELECT coalesce(deg.deg, 0)::BIGINT AS degree, count(*)::BIGINT AS n_nodes
+         |FROM (SELECT vec_id::BIGINT AS vec_id FROM embeddings) v
+         |LEFT JOIN deg USING (vec_id) GROUP BY 1""".stripMargin,
 
     "sim_recall" ->
       s"""WITH $embBase,

@@ -41,6 +41,18 @@ class Corpus2Spec extends SparkSpec {
     b.unpersist()
   }
 
+  test("mutual-kNN degrees are bounded by k and cover every vector") {
+    val g = graft.queries.ExtQueries
+      .queries("sim_knn_graph")(spark, sf).cache()
+    // Mutuality can only REMOVE directed k=3 edges, so no node exceeds
+    // degree 3; the histogram partitions the full vector set.
+    assert(g.filter(col("degree") < 0 || col("degree") > 3).count() == 0)
+    val n = g.agg(sum("n_nodes")).collect()(0).getLong(0)
+    val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(n == total)
+    g.unpersist()
+  }
+
   test("quality gate rates are in [0,1] and count every doc") {
     val q = graft.queries.Corpus2Queries
       .queries("corpus_quality_logit")(spark, sf).cache()

@@ -715,4 +715,22 @@ class PlanSpec extends SparkSpec {
       assert(bad.isEmpty, s"$name plans a whole-group sort window: $bad")
     }
   }
+
+  test("bloom decontamination probes broadcast; corpus never sort-merges") {
+    // The 100 TB shape: the held-out bloom position set and exact
+    // shingle set are broadcast builds; the corpus side probes them
+    // in-row. A SortMergeJoin here means the whole corpus' shingles
+    // shuffled for the membership test.
+    val p = plan("text_bloom_contam")
+    assert(!p.contains("SortMergeJoin"))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2)
+  }
+
+  test("length buckets and quality gate: single-exchange aggregates") {
+    Seq("corpus_length_buckets", "corpus_quality_logit").foreach { q =>
+      val p = plan(q)
+      assert(shuffles(p) == 1, q)
+      assert(!p.contains("CodegenFallback"), q)
+    }
+  }
 }
