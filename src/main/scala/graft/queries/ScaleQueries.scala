@@ -461,9 +461,14 @@ object ScaleQueries {
           ckpt: Boolean): DataFrame =
         ExactQuantile.grouped(df, "event_type", v, Seq(0.5 -> out), ckpt)
       val med = medianOf(ev, "value", "med", ckpt = false)
+      // withDev feeds BOTH the MAD quantile pass and the final filter —
+      // checkpoint it once here instead of inside the second quantile
+      // pass (which would leave the final join recomputing the
+      // events-join lineage a second time).
       val withDev = ev.join(broadcast(med), "event_type")
         .withColumn("dev", abs(col("value") - col("med")))
-      val mad = medianOf(withDev, "dev", "mad", ckpt = true)
+        .localCheckpoint()
+      val mad = medianOf(withDev, "dev", "mad", ckpt = false)
       withDev.join(broadcast(mad), "event_type")
         .filter(col("dev") > lit(3.0) * col("mad"))
         .select(col("event_id"), col("event_type"),
