@@ -51,6 +51,18 @@ object ScaleProbe {
       f"MINHASH_LSH_SEC=${timeQ("dedup_minhash_lsh")}%.2f " +
       f"EXACT_SEC=${timeQ("dedup_exact")}%.2f")
 
+    // Bloom decontamination at reps× docs: the held-out side grows
+    // with the corpus here (worst case — real benchmarks are fixed
+    // size), so this bounds the broadcast build; the probe also
+    // re-checks the no-false-negative invariant (n_exact ≤ n_bloom on
+    // every row) at a scale the DuckDB oracle never sees.
+    val tB = System.nanoTime()
+    val bloomDf = graft.SparkEntry.queries("text_bloom_contam")(
+      spark, "/tmp/scale_docs")
+    val bloomBad = bloomDf.where(col("n_exact") > col("n_bloom")).count()
+    val secB = (System.nanoTime() - tB) / 1e9
+    println(f"BLOOM_SEC=$secB%.2f BLOOM_FN_OK=${bloomBad == 0L}")
+
     // Connected components at corpus scale: 1M nodes — 100k of them in
     // 25k TRUE 4-cliques (all 6 intra-group edges, the LSH shape where
     // every member sees the min directly) plus 1k length-10 chains
@@ -114,7 +126,8 @@ object ScaleProbe {
     timeV("emb_kmeans") // warm
     println(f"VECTORS=$nV KMEANS_SEC=${timeV("emb_kmeans")}%.2f " +
       f"PCA1_SEC=${timeV("emb_pca1")}%.2f " +
-      f"IVF_SEC=${timeV("sim_ivf")}%.2f")
+      f"IVF_SEC=${timeV("sim_ivf")}%.2f " +
+      f"KNN_GRAPH_SEC=${timeV("sim_knn_graph")}%.2f")
 
     // Distributed exact rank at reps× lineitem: bin_equidepth's full
     // total-order rank through DistRank — the shape that replaced the
