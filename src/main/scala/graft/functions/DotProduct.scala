@@ -161,6 +161,9 @@ object GraftFunctions {
         if (cs.length > 4) litInt(cs(4), "graft_ind_w") else 14))),
     ("graft_kalman_w", classOf[KalmanWindow],
       arity("graft_kalman_w", 1)(cs => KalmanWindow(cs(0)))),
+    ("graft_ha_w", classOf[HeikinAshiWindow],
+      arity("graft_ha_w", 4)(cs =>
+        HeikinAshiWindow(cs(0), cs(1), cs(2), cs(3)))),
     ("graft_holt_w", classOf[HoltWindow],
       arity("graft_holt_w", 1)(cs => HoltWindow(cs(0)))))
 

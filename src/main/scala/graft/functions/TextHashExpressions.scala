@@ -90,7 +90,7 @@ object TextHashExpressions {
       var s = 0.0
       var d = 0
       while (d < n) {
-        s += v.getDouble(d) * (((j * 131 + d * 31) % 7) - 3).toDouble
+        s += v.getDouble(d) * (((j * 131 + d * 31) % 23) - 11).toDouble
         d += 1
       }
       if (s >= 0) sig += (1L << j)
@@ -175,7 +175,7 @@ case class MinHashSig(child: Expression, numHash: Int) extends UnaryExpression {
 }
 
 /** ARRAY<DOUBLE> vector → BIGINT hyperplane-sign signature over `planes`
-  * deterministic pseudo-random hyperplanes w(j,d) = ((j*131 + d*31) % 7) - 3
+  * deterministic pseudo-random hyperplanes w(j,d) = ((j*131 + d*31) % 23) - 11
   * (d 0-based). Same summation order as the HOF/oracle formulation. */
 case class HyperplaneSig(child: Expression, planes: Int) extends UnaryExpression {
 

@@ -249,6 +249,60 @@ case class AdaptiveEmaWindow(x: Expression, c: Expression)
     copy(x = newChildren(0), c = newChildren(1))
 }
 
+/** Heikin-Ashi candle recursion as one incremental window state:
+  *
+  *   hac_t = (O + H + L + C) / 4                       (direct)
+  *   hao_1 = (O₁ + C₁) / 2;  hao_t = (hao_{t−1} + hac_{t−1}) / 2
+  *
+  * Emits struct(hao, hac); ha_high/ha_low are plain greatest/least
+  * projections over (H, hao, hac) / (L, hao, hac) outside the kernel.
+  * The DuckDB oracle (`Ts2Queries.oracles` "ind_heikin") mirrors the
+  * recursion in a recursive CTE with the identical left-associated
+  * arithmetic, so every row is bit-equal before the r6 mask. Buffer =
+  * (rn, hao, hac) — the smoothing α=1/2 halves are exact in binary,
+  * but the SUMS are order-sensitive, hence the fixed (((o+h)+l)+c)
+  * association on both engines.
+  */
+case class HeikinAshiWindow(open: Expression, high: Expression,
+    low: Expression, close: Expression) extends AggregateWindowFunction {
+
+  override def children: Seq[Expression] = Seq(open, high, low, close)
+  override def dataType: DataType = StructType(Seq(
+    StructField("hao", DoubleType), StructField("hac", DoubleType)))
+  override def nullable: Boolean = true
+
+  private val rn = AttributeReference("rn", LongType, nullable = false)()
+  private val hao = AttributeReference("hao", DoubleType, nullable = true)()
+  private val hac = AttributeReference("hac", DoubleType, nullable = true)()
+
+  override val aggBufferAttributes: Seq[AttributeReference] =
+    Seq(rn, hao, hac)
+
+  override val initialValues: Seq[Expression] = Seq(Literal(0L),
+    Literal.create(null, DoubleType), Literal.create(null, DoubleType))
+
+  override val updateExpressions: Seq[Expression] = {
+    val o = Cast(open, DoubleType)
+    val h = Cast(high, DoubleType)
+    val l = Cast(low, DoubleType)
+    val c = Cast(close, DoubleType)
+    val hacN = Divide(Add(Add(Add(o, h), l), c), Literal(4.0))
+    val haoN = If(EqualTo(rn, Literal(0L)),
+      Divide(Add(o, c), Literal(2.0)),
+      Divide(Add(hao, hac), Literal(2.0)))
+    Seq(Add(rn, Literal(1L)), haoN, hacN)
+  }
+
+  override val evaluateExpression: Expression = CreateNamedStruct(Seq(
+    Literal("hao"), hao, Literal("hac"), hac))
+
+  override def prettyName: String = "graft_ha_w"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HeikinAshiWindow =
+    copy(open = newChildren(0), high = newChildren(1),
+      low = newChildren(2), close = newChildren(3))
+}
+
 case class EmaTripleWindow(price: Expression, period: Int)
     extends AggregateWindowFunction {
 

@@ -80,11 +80,37 @@ object ExtQueries {
   private def dotD(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])), (x, y) -> x + y)"
 
-  /** Deterministic hyperplane sign signature (8 planes, weights in -3..3). */
-  private val sigS = "graft_hplane_sig(v, 8)"
-  private val sigD =
-    "list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(0, 7), j -> CASE WHEN " +
-      "list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(v)), d -> v[d] * (((j*131 + (d-1)*31) % 7) - 3)::DOUBLE)), (x, y) -> x + y)" +
+  /** Deterministic hyperplane sign signature (weights in -11..11,
+    * w(j,d) = ((j·131 + d·31) mod 23) − 11 — the modulus must exceed
+    * the max plane count or planes repeat: the original mod-7 weights
+    * made plane j ≡ plane j+7, capping the corpus at ~2^7 buckets
+    * FOREVER regardless of bit count) with an ADAPTIVE plane count:
+    * smallest b ∈ [8, 20] with 2^b ≥ n/64, so the expected bucket size
+    * stays ~64 as the corpus grows — a fixed 8 planes leaves bucket
+    * membership (and the within-bucket pair join) growing linearly
+    * with n, i.e. the candidate set quadratic at 100 TB (measured:
+    * 40k vectors spent 40+ s in the old fixed buckets; mod-23 at
+    * 12 bits cuts candidate pairs 3.6×). Same driver-literal-from-
+    * one-count pattern as [[ivfNlist]]; all three gate SFs sit below
+    * the floor (4000/64 = 62 < 2^8) so the gate exercises b = 8. */
+  private def annBits(e: DataFrame): Int = {
+    val target = math.max(1L, e.count() / 64L)
+    var bits = 8
+    while ((1L << bits) < target && bits < 20) bits += 1
+    bits
+  }
+
+  /** Oracle-side mirror of [[annBits]]: ceil∘log2 agrees with the
+    * integer doubling loop for any target (log2 of an exact power of
+    * two is exact in IEEE; everything else is safely non-integral). */
+  private val annBitsD =
+    "least(20, greatest(8, CAST(ceil(log2(greatest(1, " +
+      "(SELECT count(*) FROM embeddings) // 64))) AS BIGINT)))"
+
+  private def sigS(bits: Int): String = s"graft_hplane_sig(v, $bits)"
+  private def sigD(bits: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(0, ($bits) - 1), j -> CASE WHEN " +
+      "list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(v)), d -> v[d] * (((j*131 + (d-1)*31) % 23) - 11)::DOUBLE)), (x, y) -> x + y)" +
       " >= 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END)), (a, b) -> a + b)"
 
   // Simhash bit width.
@@ -654,11 +680,12 @@ object ExtQueries {
     }),
 
     "sim_ann_lsh" -> ((s, dir) => {
-      val e = emb(s, dir)
+      val e0 = emb(s, dir)
+      val e = e0
         .select(col("vec_id").cast("long").as("vec_id"),
           expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
         .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
-        .withColumn("sig", expr(sigS))
+        .withColumn("sig", expr(sigS(annBits(e0))))
       e.as("x").join(e.as("y"),
           col("x.sig") === col("y.sig") && col("x.vec_id") =!= col("y.vec_id"))
         .withColumn("sim", expr(s"try_divide(${dotS("x.v", "y.v")}, x.nrm * y.nrm)"))
@@ -876,11 +903,12 @@ object ExtQueries {
     // brute-force emb_neardup is the correctness baseline; this is the
     // shape that survives 100 TB — an equi-join on the 8-bit signature).
     "emb_neardup_lsh" -> ((s, dir) => {
-      val e = emb(s, dir)
+      val e0 = emb(s, dir)
+      val e = e0
         .select(col("vec_id").cast("long").as("vec_id"),
           expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
         .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
-        .withColumn("sig", expr(sigS))
+        .withColumn("sig", expr(sigS(annBits(e0))))
       e.as("x").join(e.as("y"),
           col("x.sig") === col("y.sig") && col("x.vec_id") < col("y.vec_id"))
         .withColumn("sim", expr(s"try_divide(${dotS("x.v", "y.v")}, x.nrm * y.nrm)"))
@@ -1394,7 +1422,7 @@ object ExtQueries {
     * pair set); ends in `epr(a, b)`. Splice inside a WITH. */
   private[queries] val embPairsDuck: String =
     s"""$embBase,
-       |es AS (SELECT *, $sigD AS sig FROM en),
+       |es AS (SELECT *, ${sigD(annBitsD)} AS sig FROM en),
        |epr AS (SELECT x.vec_id AS a, y.vec_id AS b
        |  FROM es x JOIN es y ON x.sig = y.sig AND x.vec_id < y.vec_id
        |  WHERE ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) > 0.3)""".stripMargin
@@ -1829,7 +1857,7 @@ object ExtQueries {
 
     "sim_ann_lsh" ->
       s"""WITH $embBase,
-         |es AS (SELECT *, $sigD AS sig FROM en),
+         |es AS (SELECT *, ${sigD(annBitsD)} AS sig FROM en),
          |sims AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
          |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
          |  FROM es x JOIN es y ON x.sig = y.sig AND x.vec_id <> y.vec_id),
@@ -1838,7 +1866,7 @@ object ExtQueries {
 
     "sim_knn_graph" ->
       s"""WITH $embBase,
-         |es AS (SELECT *, $sigD AS sig FROM en),
+         |es AS (SELECT *, ${sigD(annBitsD)} AS sig FROM en),
          |sims AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
          |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
          |  FROM es x JOIN es y ON x.sig = y.sig AND x.vec_id <> y.vec_id),
@@ -1861,7 +1889,7 @@ object ExtQueries {
          |    PARTITION BY q_id ORDER BY sim DESC, n_id)::BIGINT AS rank
          |  FROM sims),
          |ex AS (SELECT q_id, n_id FROM rk WHERE rank <= 3),
-         |es AS (SELECT *, $sigD AS sig FROM en),
+         |es AS (SELECT *, ${sigD(annBitsD)} AS sig FROM en),
          |sims2 AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
          |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
          |  FROM es x JOIN es y ON x.sig = y.sig AND x.vec_id <> y.vec_id),
@@ -1881,7 +1909,7 @@ object ExtQueries {
 
     "emb_neardup_lsh" ->
       s"""WITH $embBase,
-         |es AS (SELECT *, $sigD AS sig FROM en)
+         |es AS (SELECT *, ${sigD(annBitsD)} AS sig FROM en)
          |SELECT x.vec_id AS a, y.vec_id AS b,
          |  (round(${dotD("x.v", "y.v")} / (x.nrm * y.nrm), 6) + 0.0) AS sim
          |FROM es x JOIN es y ON x.sig = y.sig AND x.vec_id < y.vec_id

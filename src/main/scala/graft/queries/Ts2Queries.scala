@@ -48,6 +48,24 @@ object Ts2Queries {
             .as("tema"))
     }),
 
+    // Heikin-Ashi candles: hac is a direct OHLC average; hao is the
+    // α=1/2 recursion over (prev hao, prev hac) — one incremental
+    // window state machine on the shared ticker exchange; ha_high/
+    // ha_low are greatest/least projections over the struct outside
+    // the kernel. See [[graft.functions.HeikinAshiWindow]].
+    "ind_heikin" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      EventBars.bars(s, dir)
+        .withColumn("ha", expr("graft_ha_w(open, high, low, close)").over(w))
+        .select(col("ticker"), col("t"), col("event_id"),
+          r6(col("ha.hao")).as("ha_open"),
+          r6(col("ha.hac")).as("ha_close"),
+          r6(greatest(col("high"), col("ha.hao"), col("ha.hac")))
+            .as("ha_high"),
+          r6(least(col("low"), col("ha.hao"), col("ha.hac")))
+            .as("ha_low"))
+    }),
+
     // TRIX(15): 1-bar rate of change of the triple EMA. Same kernel,
     // period 15; division guarded (close ≥ 0.01 keeps e3 > 0, but
     // try_divide mirrors the oracle's CASE guard exactly).
@@ -955,6 +973,27 @@ object Ts2Queries {
            |  (round((e1) * 1000000.0) / 1000000.0 + 0.0) AS ema,
            |  (round((2.0*e1 - e2) * 1000000.0) / 1000000.0 + 0.0) AS dema,
            |  (round((3.0*e1 - 3.0*e2 + e3) * 1000000.0) / 1000000.0 + 0.0) AS tema
+           |FROM rec""".stripMargin,
+
+      "ind_heikin" ->
+        s"""WITH RECURSIVE bars AS (${EventBars.sqlBars}),
+           |n AS (SELECT *, row_number() OVER ($Over) AS rn FROM bars),
+           |rec AS (
+           |  SELECT ticker, t, event_id, rn, high, low,
+           |    (open + close) / 2.0 AS hao,
+           |    (open + high + low + close) / 4.0 AS hac
+           |  FROM n WHERE rn = 1
+           |  UNION ALL
+           |  SELECT b.ticker, b.t, b.event_id, b.rn, b.high, b.low,
+           |    (r.hao + r.hac) / 2.0,
+           |    (b.open + b.high + b.low + b.close) / 4.0
+           |  FROM rec r JOIN n b
+           |    ON b.ticker = r.ticker AND b.rn = r.rn + 1)
+           |SELECT ticker, t, event_id,
+           |  (round(hao, 6) + 0.0) AS ha_open,
+           |  (round(hac, 6) + 0.0) AS ha_close,
+           |  (round(greatest(high, hao, hac), 6) + 0.0) AS ha_high,
+           |  (round(least(low, hao, hac), 6) + 0.0) AS ha_low
            |FROM rec""".stripMargin,
 
       "ind_trix" ->
