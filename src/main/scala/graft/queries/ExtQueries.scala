@@ -696,6 +696,26 @@ object ExtQueries {
           col("rank"), Rounding.r6(col("sim")).as("sim"))
     }),
 
+    // Visibility report for the adaptive hyperplane signature (the
+    // dedup_lsh_skipped pattern): the chosen bit count and the bucket
+    // profile it produced — vector count, distinct buckets, largest
+    // bucket, and the within-bucket candidate-pair mass the ANN joins
+    // will pay. The ONE number to watch when the corpus grows: if
+    // n_cand_pairs trends quadratic, the bit formula needs more range.
+    "sim_ann_stats" -> ((s, dir) => {
+      val e0 = emb(s, dir)
+      val bits = annBits(e0)
+      e0.select(expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+        .select(expr(sigS(bits)).as("sig"))
+        .groupBy("sig").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_vectors"),
+          count(lit(1)).as("n_buckets"),
+          max(col("c")).as("max_bucket"),
+          sum(expr("c * (c - 1) DIV 2")).as("n_cand_pairs"))
+        .select(lit(bits.toLong).as("bits"), col("n_vectors"),
+          col("n_buckets"), col("max_bucket"), col("n_cand_pairs"))
+    }),
+
     // Mutual-kNN graph over the LSH-bucketed ANN edges: a directed
     // k=3 edge per vector (sim_ann_lsh's list), kept only when both
     // endpoints list each other — the symmetrized graph semantic-dedup
@@ -1863,6 +1883,14 @@ object ExtQueries {
          |  FROM es x JOIN es y ON x.sig = y.sig AND x.vec_id <> y.vec_id),
          |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)::BIGINT AS rank FROM sims)
          |SELECT q_id, n_id, rank, (round(sim, 6) + 0.0) AS sim FROM rk WHERE rank <= 3""".stripMargin,
+
+    "sim_ann_stats" ->
+      s"""WITH $embBase,
+         |es AS (SELECT *, ${sigD(annBitsD)} AS sig FROM en),
+         |g AS (SELECT sig, count(*)::BIGINT AS c FROM es GROUP BY 1)
+         |SELECT $annBitsD AS bits, sum(c)::BIGINT AS n_vectors,
+         |  count(*)::BIGINT AS n_buckets, max(c)::BIGINT AS max_bucket,
+         |  sum(c * (c - 1) // 2)::BIGINT AS n_cand_pairs FROM g""".stripMargin,
 
     "sim_knn_graph" ->
       s"""WITH $embBase,
