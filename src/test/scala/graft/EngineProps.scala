@@ -254,6 +254,42 @@ object EngineProps extends Properties("engine") {
     * groupedLocal() bit-for-bit on arbitrary group counts/sizes, heavy
     * value duplication (few distinct values flood the bucket bounds),
     * and NULL values (nulls-first rank arithmetic). */
+  property("graft_ha_w equals the sequential Heikin-Ashi fold, bit-for-bit") =
+    Prop.forAll(Gen.choose(1, 80), Gen.choose(10.0, 200.0)) { (n, base) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val rows = (0 until n).map { i =>
+        val o = base + math.sin(i * 1.3) * 7
+        val c = base + math.cos(i * 0.7) * 5
+        val h = math.max(o, c) + (i % 3)
+        val l = math.min(o, c) - (i % 5)
+        Row("T", i.toLong, o, h, l, c)
+      }
+      val d = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        StructType(Seq(StructField("ticker", StringType),
+          StructField("t", LongType), StructField("o", DoubleType),
+          StructField("h", DoubleType), StructField("l", DoubleType),
+          StructField("c", DoubleType)))).repartition(3)
+      graft.functions.GraftFunctions.register(spark)
+      val w = Window.partitionBy("ticker").orderBy("t")
+      val got = d.withColumn("ha", expr("graft_ha_w(o, h, l, c)").over(w))
+        .select(col("t"), col("ha.hao"), col("ha.hac"))
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+        .toMap
+      // sequential reference fold with the identical op order
+      var hao = 0.0; var hac = 0.0
+      val want = rows.zipWithIndex.map { case (r, i) =>
+        val (o, h, l, c) = (r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5))
+        val haoN = if (i == 0) (o + c) / 2.0 else (hao + hac) / 2.0
+        val hacN = (((o + h) + l) + c) / 4.0
+        hao = haoN; hac = hacN
+        i.toLong -> ((haoN, hacN))
+      }.toMap
+      got == want
+    }
+
   property("grouped exact quantiles match the whole-group window form") =
     Prop.forAll(
       Gen.choose(1, 120),
