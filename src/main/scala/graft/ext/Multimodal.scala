@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -43,6 +43,31 @@ object Multimodal {
       struct(
         expr("octet_length(encode(text, 'utf-8'))").as("n_bytes"),
         col("lang").as("tag")).as("meta"))
+
+  /** Real filesystem ingestion for media blobs: Spark's `binaryFile`
+    * source reads whole files as (path, modificationTime, length,
+    * content), parallelized per file across executors — the actual
+    * landing path for an image/audio corpus at 100 TB (the synthetic
+    * [[mediaTable]] stands in for it in the oracle-gated queries).
+    * doc_id derives from the digits in the file NAME (stable across
+    * re-runs and listings); kind from the extension; the payload stays
+    * columnar until a decode projection ([[decodeFeatures]]/[[resize]]/
+    * [[frameSample]]) consumes it. `glob` pushes the file filter into
+    * the listing (pathGlobFilter), so non-matching files are never
+    * opened.
+    */
+  def readMediaDir(spark: SparkSession, dir: String,
+      glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "(\\d+)[^/]*$", 1).cast("long")
+          .as("doc_id"),
+        regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1).as("kind"),
+        col("content").as("payload"),
+        struct(col("length").as("n_bytes"),
+          lit("file").as("tag")).as("meta"))
 
   private val featSchema = StructType(Seq(
     StructField("doc_id", LongType),

@@ -34,6 +34,29 @@ class IoFormatsSpec extends SparkSpec {
   test("json roundtrip preserves the raw-bars schema")(roundtrip("json"))
   test("orc roundtrip preserves the raw-bars schema")(roundtrip("orc"))
 
+  test("binaryFile media ingestion: per-file rows, glob pushdown, decode-ready") {
+    val dir = java.nio.file.Files.createTempDirectory("media").toString
+    val payloads = Map(7L -> "abc def", 42L -> "xy", 123L -> "p q r")
+    payloads.foreach { case (id, s) =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, s"img$id.bin"), s.getBytes("UTF-8"))
+    }
+    // a non-matching file the glob must keep unopened
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "notes.txt"), "skip".getBytes("UTF-8"))
+    val media = graft.ext.Multimodal.readMediaDir(spark, dir, "*.bin")
+    val rows = media.collect()
+    assert(rows.length == 3)
+    val byId = rows.map(r => r.getLong(0) ->
+      new String(r.getAs[Array[Byte]](2), "UTF-8")).toMap
+    assert(byId == payloads)
+    assert(rows.forall(_.getString(1) == "bin"))
+    // the binaryFile table feeds the decode stage unchanged
+    val feats = graft.ext.Multimodal.decodeFeatures(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(feats == payloads.map { case (k, v) => k -> v.length.toLong })
+  }
+
   test("jsonl corpus roundtrip: gzip'd, source-partitioned, schema-enforced") {
     val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val dir = java.nio.file.Files.createTempDirectory("jsonl").toString
