@@ -477,16 +477,21 @@ object ExtQueries {
         .filter(expr(s"(((doc_id % ${P}L) * 2654435761L) % ${P}L) % 20 = 0"))),
 
     // Stratified sample: a fixed per-source quota, hash-ordered so the
-    // draw is deterministic. One shuffle on the (low-cardinality)
-    // stratum key; rank + filter, no data-dependent randomness.
-    "sample_stratified" -> ((s, dir) =>
-      docs(s, dir)
+    // draw is deterministic. Rides the two-phase [[KMin.smallest]] —
+    // a bare row_number over (source) would sort EVERY doc of a source
+    // in one task (the shape corpus_sample_fixed was built to avoid);
+    // here the largest sort is one partition's slice of one source and
+    // only ≤ k·P candidate rows reach the per-source rank. The hash is
+    // injective in doc_id (doc_id < P; gcd(2654435761, P) = 1), so
+    // rank-by-h equals the oracle's rank-by-(h, doc_id).
+    "sample_stratified" -> ((s, dir) => {
+      val d = docs(s, dir)
         .select(col("doc_id").cast("long").as("doc_id"), col("source"),
           expr(s"((doc_id % ${P}L) * 2654435761L) % ${P}L").as("h"))
-        .withColumn("rk", expr(
-          "CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT)"))
-        .filter(col("rk") <= 10)
-        .select(col("doc_id"), col("source"), col("rk"))),
+      KMin.smallest(d, Seq("source"), "h", 10, "_rk")
+        .select(col("doc_id"), col("source"),
+          col("_rk").cast("long").as("rk"))
+    }),
 
     // Weighted domain mixing: each source keeps a different fraction of
     // its docs (rates 1/5..5/5, derived from the source index — in a

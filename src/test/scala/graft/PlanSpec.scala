@@ -696,6 +696,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("per-source samples ride the two-phase KMin, never a source sort") {
+    // A Window partitioned only by `source` sorts every doc of a
+    // source in one task; both fixed-quota samples must ride
+    // KMin.smallest (phase-1 windows carry the _km_p partition-id key).
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    Seq("sample_stratified", "corpus_sample_fixed").foreach { name =>
+      val bad = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.size < 2 &&
+            !w.partitionSpec.exists(_.toString.contains("_km_p")) => w
+        }
+      assert(bad.isEmpty, s"$name plans a whole-source sort window: $bad")
+    }
+  }
+
   test("sketch k-th hashes ride the two-phase KMin, never a group sort") {
     // Any Window in these plans must either partition on the phase-1
     // (group, partition-id) key or consume the ≤ k·P-row candidate
