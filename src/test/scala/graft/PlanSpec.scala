@@ -697,15 +697,21 @@ class PlanSpec extends SparkSpec {
   }
 
   test("per-source samples ride the two-phase KMin, never a source sort") {
-    // A Window partitioned only by `source` sorts every doc of a
-    // source in one task; both fixed-quota samples must ride
-    // KMin.smallest (phase-1 windows carry the _km_p partition-id key).
+    // A Window partitioned only by `source` over the RAW corpus sorts
+    // every doc of a source in one task; both fixed-quota samples must
+    // ride KMin.smallest — any window either carries the _km_p
+    // partition-id key (phase 1) or consumes the ≤ k·P-row candidate
+    // union (a Filter on _km_rn below it, phase 2).
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     Seq("sample_stratified", "corpus_sample_fixed").foreach { name =>
       val bad = SparkEntry.queries(name)(spark, sf)
         .queryExecution.optimizedPlan.collect {
-          case w: LWindow if w.partitionSpec.size < 2 &&
-            !w.partitionSpec.exists(_.toString.contains("_km_p")) => w
+          case w: LWindow
+            if !w.partitionSpec.exists(_.toString.contains("_km_p")) &&
+              !w.child.collect {
+                case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+                  if f.condition.toString.contains("_km_rn") => f
+              }.exists(_ => true) => w
         }
       assert(bad.isEmpty, s"$name plans a whole-source sort window: $bad")
     }
