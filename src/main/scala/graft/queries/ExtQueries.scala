@@ -717,6 +717,9 @@ object ExtQueries {
           count(lit(1)).as("n_buckets"),
           max(col("c")).as("max_bucket"),
           sum(expr("c * (c - 1) DIV 2")).as("n_cand_pairs"))
+        // empty-in → empty-out (suite invariant): a global aggregate
+        // over an empty corpus still emits its one all-null row.
+        .filter(col("n_buckets") > 0)
         .select(lit(bits.toLong).as("bits"), col("n_vectors"),
           col("n_buckets"), col("max_bucket"), col("n_cand_pairs"))
     }),
@@ -1895,7 +1898,8 @@ object ExtQueries {
          |g AS (SELECT sig, count(*)::BIGINT AS c FROM es GROUP BY 1)
          |SELECT $annBitsD AS bits, sum(c)::BIGINT AS n_vectors,
          |  count(*)::BIGINT AS n_buckets, max(c)::BIGINT AS max_bucket,
-         |  sum(c * (c - 1) // 2)::BIGINT AS n_cand_pairs FROM g""".stripMargin,
+         |  sum(c * (c - 1) // 2)::BIGINT AS n_cand_pairs FROM g
+         |HAVING count(*) > 0""".stripMargin,
 
     "sim_knn_graph" ->
       s"""WITH $embBase,
