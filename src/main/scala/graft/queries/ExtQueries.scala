@@ -527,6 +527,47 @@ object ExtQueries {
         Rounding.r6(expr("graft_minhash_est(mha, mhb)")).as("est_sim"),
         Rounding.r6(jaccardExpr).as("jaccard"))),
 
+    // Recall measurement for the banded MinHash-LSH path — the text
+    // analog of sim_recall, turning the family's recall caveat into a
+    // queryable number: exact jaccard ≥ 0.8 pairs anchored on a 10%
+    // query split (smaller id ≡ 0 mod 10) vs the pairs the banded
+    // candidate join actually surfaced. The exact side rides the
+    // block-partitioned pair join (per-task work (n/B)², never a
+    // nested loop); shingle sets checkpoint once for both block sides.
+    "dedup_lsh_recall" -> ((s, dir) => {
+      val sh = docs(s, dir)
+        .withColumn("toks", expr(toksSpark))
+        .withColumn("wh", expr(whS))
+        .withColumn("sh", expr(shS))
+        .filter(expr("size(sh) > 0"))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          expr("array_distinct(sh)").as("shd"))
+        .localCheckpoint()
+      val q = sh.filter(col("doc_id") % 10 === 0)
+        .withColumn("bi", expr(s"CAST(doc_id % $PairBlocks AS INT)"))
+        .withColumn("bj", explode(expr(s"sequence(0, ${PairBlocks - 1})")))
+      val y = sh.withColumn("bj", expr(s"CAST(doc_id % $PairBlocks AS INT)"))
+        .withColumn("bi", explode(expr(s"sequence(0, ${PairBlocks - 1})")))
+      val exact = q.as("x").hint("shuffle_hash")
+        .join(y.as("y").hint("shuffle_hash"),
+          col("x.bi") === col("y.bi") && col("x.bj") === col("y.bj") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .filter(expr("CAST(size(array_intersect(x.shd, y.shd)) AS DOUBLE)" +
+          " / CAST(size(array_union(x.shd, y.shd)) AS DOUBLE) >= 0.8"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      val cand = minhashPairs(s, dir)
+        .filter(jaccardExpr >= 0.8)
+        .filter(col("a") % 10 === 0)
+        .select(col("a"), col("b"), lit(1).as("hit"))
+      exact.join(cand, Seq("a", "b"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_found"))
+        .filter(col("n_exact") > 0)
+        .select(col("n_exact"), col("n_found"),
+          Rounding.r6(col("n_found").cast("double")
+            / col("n_exact").cast("double")).as("recall"))
+    }),
+
     // The silent-cap REPORT next to the banded LSH family: how many
     // band buckets exceed [[MaxBandBucket]] (their rows are dropped
     // from candidate pairing as exact-dup-shaped floods) and how many
@@ -1687,6 +1728,23 @@ object ExtQueries {
          |SELECT doc_id,
          |  (${(0 until SimBits).map(b => s"(CASE WHEN s$b >= 0 THEN ${1L << b}::BIGINT ELSE 0::BIGINT END)").mkString(" + ")}) AS simhash
          |FROM sm""".stripMargin,
+
+    "dedup_lsh_recall" ->
+      s"""WITH $lshPairsDuck,
+         |shq AS (SELECT doc_id, list_distinct(sh) AS shd FROM df),
+         |ex AS (SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM shq x JOIN shq y
+         |    ON x.doc_id < y.doc_id AND x.doc_id % 10 = 0
+         |  WHERE len(list_distinct(list_intersect(x.shd, y.shd)))::DOUBLE
+         |      / len(list_distinct(list_concat(x.shd, y.shd)))::DOUBLE >= 0.8),
+         |cd AS (SELECT a, b FROM pr WHERE a % 10 = 0)
+         |SELECT count(*)::BIGINT AS n_exact,
+         |  sum(CASE WHEN cd.a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_found,
+         |  (round(sum(CASE WHEN cd.a IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*)::DOUBLE, 6) + 0.0) AS recall
+         |FROM ex LEFT JOIN cd ON ex.a = cd.a AND ex.b = cd.b
+         |HAVING count(*) > 0""".stripMargin,
 
     "dedup_lsh_skipped" ->
       s"""WITH $docHashes,
