@@ -49,12 +49,15 @@ object Multimodal {
     * content), parallelized per file across executors — the actual
     * landing path for an image/audio corpus at 100 TB (the synthetic
     * [[mediaTable]] stands in for it in the oracle-gated queries).
-    * doc_id derives from the digits in the file NAME (stable across
-    * re-runs and listings); kind from the extension; the payload stays
-    * columnar until a decode projection ([[decodeFeatures]]/[[resize]]/
-    * [[frameSample]]) consumes it. `glob` pushes the file filter into
-    * the listing (pathGlobFilter), so non-matching files are never
-    * opened.
+    * doc_id contract: the digits in the file NAME when present (stable
+    * across re-runs and listings — the caller owns uniqueness under
+    * its naming scheme), else a 64-bit hash of the full file name, so
+    * a digit-less file never lands a null id (a null would NPE every
+    * downstream decode stub). kind comes from the extension; the
+    * payload stays columnar until a decode projection
+    * ([[decodeFeatures]]/[[resize]]/[[frameSample]]) consumes it.
+    * `glob` pushes the file filter into the listing (pathGlobFilter),
+    * so non-matching files are never opened.
     */
   def readMediaDir(spark: SparkSession, dir: String,
       glob: String = "*"): DataFrame =
@@ -62,7 +65,12 @@ object Multimodal {
       .option("pathGlobFilter", glob)
       .load(dir)
       .select(
-        regexp_extract(col("path"), "(\\d+)[^/]*$", 1).cast("long")
+        // try_cast, not cast: no digits → '' and >19-digit runs both
+        // yield null here (ANSI cast would throw) and fall through to
+        // the name hash.
+        coalesce(
+          expr("try_cast(regexp_extract(path, '(\\\\d+)[^/]*$', 1) AS BIGINT)"),
+          abs(xxhash64(regexp_extract(col("path"), "([^/]+)$", 1))))
           .as("doc_id"),
         regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1).as("kind"),
         col("content").as("payload"),

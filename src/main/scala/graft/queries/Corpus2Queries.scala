@@ -39,16 +39,30 @@ object Corpus2Queries {
   private val shS = "graft_shingles(wh)"
 
   /** Stoplist for the quality gate — the corpus' structural filler
-    * tokens (same set as TextOps.LangMarkers' determiner profile). */
-  private val Stop = Seq("the", "a", "big", "small")
+    * tokens: the ONE definition in TextOps.LangMarkers (duplicating
+    * the four literals here would silently desynchronize this gate
+    * from the langid family on any edit). */
+  private val Stop: Seq[String] =
+    LangMarkers.find(_._1 == "determiner").get._2
 
   private val ntS = s"CAST(size($toksSpark) AS BIGINT)"
   private val ntD = s"len($toksDuck)::BIGINT"
-  private val ncS =
-    s"CAST(aggregate($toksSpark, 0, (acc, t) -> acc + length(t)) AS BIGINT)"
+  // BIGINT accumulator on BOTH engines: an INT seed would make Spark's
+  // fold wrap at 2^31 chars of token mass while DuckDB stays exact —
+  // the outer cast cannot repair a wrapped sum.
+  private val ncS = "CAST(aggregate(" + toksSpark +
+    ", CAST(0 AS BIGINT), (acc, t) -> acc + length(t)) AS BIGINT)"
   private val ncD =
     s"list_reduce(list_prepend(0::BIGINT, list_transform($toksDuck, " +
       "t -> length(t)::BIGINT)), (a, b) -> a + b)"
+
+  /** Bloom double-hash position j of shingle hash g — the single
+    * point of truth for BOTH engines and both sides (filter build +
+    * probe). g < 1e9+7 and 2j+1 ≤ 5, so g·(2j+1) < 2^33: no overflow
+    * on either engine. (Same permutation family as TextOps' minhash,
+    * reduced mod the bit-array size instead of P.) */
+  private def bloomPos(g: String, j: String): String =
+    s"($g * (2*$j + 1) + $j*7919 + 1) % $M"
 
   /** Fixed-order quality logit over exact integer features — identical
     * expression tree on both engines, division/abs only (IEEE-exact). */
@@ -89,7 +103,6 @@ object Corpus2Queries {
     // the bloom false-positive count (n_bloom - n_exact).
     "text_bloom_contam" -> ((s, dir) => {
       val sh = docs(s, dir)
-        .withColumn("toks", expr(toksSpark))
         .withColumn("wh", expr(whS))
         .withColumn("sh", expr(shS))
         .select(col("doc_id").cast("long").as("doc_id"),
@@ -100,14 +113,14 @@ object Corpus2Queries {
       val bpos = benchG
         .select(explode(expr("sequence(0, " + (K - 1) + ")")).as("j"),
           col("g"))
-        .select(expr(s"(g * (2*j + 1) + j*7919 + 1) % ${M}L").as("pos"))
+        .select(expr(bloomPos("g", "j")).as("pos"))
         .distinct()
       val train = sh.filter(col("doc_id") % 50 =!= 0)
         .select(col("doc_id"), explode(col("shd")).as("g"))
       val hit = train
         .select(col("doc_id"), col("g"),
           explode(expr("sequence(0, " + (K - 1) + ")")).as("j"))
-        .withColumn("pos", expr(s"(g * (2*j + 1) + j*7919 + 1) % ${M}L"))
+        .withColumn("pos", expr(bloomPos("g", "j")))
         .join(broadcast(bpos), Seq("pos"))
         .groupBy("doc_id", "g").agg(countDistinct(col("j")).as("nj"))
         .filter(col("nj") === K)
@@ -173,10 +186,10 @@ object Corpus2Queries {
          |shd AS (SELECT doc_id, list_distinct(sh) AS shd FROM ds),
          |bg AS (SELECT DISTINCT unnest(shd) AS g FROM shd WHERE doc_id % 50 = 0),
          |js AS (SELECT unnest(generate_series(0, ${K - 1})) AS j),
-         |bpos AS (SELECT DISTINCT (g * (2*j + 1) + j*7919 + 1) % $M AS pos
+         |bpos AS (SELECT DISTINCT ${bloomPos("g", "j")} AS pos
          |  FROM bg CROSS JOIN js),
          |tg AS (SELECT doc_id, unnest(shd) AS g FROM shd WHERE doc_id % 50 <> 0),
-         |tp AS (SELECT doc_id, g, j, (g * (2*j + 1) + j*7919 + 1) % $M AS pos
+         |tp AS (SELECT doc_id, g, j, ${bloomPos("g", "j")} AS pos
          |  FROM tg CROSS JOIN js),
          |hit AS (SELECT doc_id, g FROM tp JOIN bpos USING (pos)
          |  GROUP BY doc_id, g HAVING count(DISTINCT j) = $K)

@@ -112,7 +112,9 @@ object CorpusQueries {
       val d = docsT(s, dir)
         .select(col("doc_id").cast("long").as("doc_id"), col("source"))
         .withColumn("h", expr(s"((doc_id % ${P}L) * 2654435761L) % ${P}L"))
-      KMin.smallest(d, Seq("source"), "h", 100, "rk")
+      // doc_id tie-break: keeps the draw deterministic even when ids
+      // exceed P and the injective-hash assumption breaks.
+      KMin.smallestBy(d, Seq("source"), Seq("h", "doc_id"), 100, "rk")
         .select(col("source"), col("doc_id"), col("rk").cast("long").as("rk"))
     }),
 
@@ -289,7 +291,7 @@ object CorpusQueries {
       s"""WITH d AS (SELECT doc_id::BIGINT AS doc_id, source,
          |    ((doc_id::BIGINT % $P) * 2654435761) % $P AS h FROM documents),
          |r AS (SELECT source, doc_id,
-         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rk FROM d)
+         |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk FROM d)
          |SELECT source, doc_id, rk::BIGINT AS rk FROM r
          |WHERE rk <= 100""".stripMargin,
 

@@ -477,18 +477,19 @@ object ExtQueries {
         .filter(expr(s"(((doc_id % ${P}L) * 2654435761L) % ${P}L) % 20 = 0"))),
 
     // Stratified sample: a fixed per-source quota, hash-ordered so the
-    // draw is deterministic. Rides the two-phase [[KMin.smallest]] —
+    // draw is deterministic. Rides the two-phase [[KMin.smallestBy]] —
     // a bare row_number over (source) would sort EVERY doc of a source
     // in one task (the shape corpus_sample_fixed was built to avoid);
     // here the largest sort is one partition's slice of one source and
-    // only ≤ k·P candidate rows reach the per-source rank. The hash is
-    // injective in doc_id (doc_id < P; gcd(2654435761, P) = 1), so
-    // rank-by-h equals the oracle's rank-by-(h, doc_id).
+    // only ≤ k·P candidate rows reach the per-source rank. doc_id
+    // rides as the tie-break so the draw stays deterministic even when
+    // ids exceed P and the hash collides (mirrors the oracle's
+    // ORDER BY h, doc_id).
     "sample_stratified" -> ((s, dir) => {
       val d = docs(s, dir)
         .select(col("doc_id").cast("long").as("doc_id"), col("source"),
           expr(s"((doc_id % ${P}L) * 2654435761L) % ${P}L").as("h"))
-      KMin.smallest(d, Seq("source"), "h", 10, "_rk")
+      KMin.smallestBy(d, Seq("source"), Seq("h", "doc_id"), 10, "_rk")
         .select(col("doc_id"), col("source"),
           col("_rk").cast("long").as("rk"))
     }),
@@ -536,7 +537,6 @@ object ExtQueries {
     // nested loop); shingle sets checkpoint once for both block sides.
     "dedup_lsh_recall" -> ((s, dir) => {
       val sh = docs(s, dir)
-        .withColumn("toks", expr(toksSpark))
         .withColumn("wh", expr(whS))
         .withColumn("sh", expr(shS))
         .filter(expr("size(sh) > 0"))
@@ -970,7 +970,8 @@ object ExtQueries {
 
     // Embedding near-dup at scale: same-bucket candidates only (the
     // brute-force emb_neardup is the correctness baseline; this is the
-    // shape that survives 100 TB — an equi-join on the 8-bit signature).
+    // shape that survives 100 TB — an equi-join on the adaptive-width
+    // hyperplane signature, see [[annBits]]).
     "emb_neardup_lsh" -> ((s, dir) => {
       val e0 = emb(s, dir)
       val e = e0

@@ -26,20 +26,30 @@ import org.apache.spark.sql.functions._
 object KMin {
 
   /** The k smallest rows of each group (all input columns), with the
-    * 1-based within-group rank as `rankCol` (IntegerType). `value`
-    * must be duplicate-free within a group (the sketch-hash / sample
-    * contract) so the rank — and therefore the selected set — is
-    * deterministic. */
+    * 1-based within-group rank as `rankCol` (IntegerType). The order
+    * defined by `value` must be duplicate-free within a group (the
+    * sketch-hash contract) so the rank — and therefore the selected
+    * set — is deterministic; callers whose primary order value can
+    * collide pass trailing tie-break columns via [[smallestBy]]. */
   def smallest(df: DataFrame, groupCols: Seq[String], value: String,
-      k: Int, rankCol: String): DataFrame = {
+      k: Int, rankCol: String): DataFrame =
+    smallestBy(df, groupCols, Seq(value), k, rankCol)
+
+  /** [[smallest]] under a composite (totally-ordering) sort key:
+    * ascending on each of `orderCols` in sequence. The tuple must be
+    * duplicate-free within a group (trivially true when any one column
+    * is row-unique, e.g. a trailing id). */
+  def smallestBy(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[String], k: Int, rankCol: String): DataFrame = {
     val gs = groupCols.map(col)
-    val wLocal = Window.partitionBy(gs :+ col("_km_p"): _*).orderBy(value)
+    val os = orderCols.map(col)
+    val wLocal = Window.partitionBy(gs :+ col("_km_p"): _*).orderBy(os: _*)
     val cand = df
       .withColumn("_km_p", spark_partition_id())
       .withColumn("_km_rn", row_number().over(wLocal))
       .filter(col("_km_rn") <= k)
       .drop("_km_p", "_km_rn")
-    val wG = Window.partitionBy(gs: _*).orderBy(value)
+    val wG = Window.partitionBy(gs: _*).orderBy(os: _*)
     cand.withColumn(rankCol, row_number().over(wG))
       .filter(col(rankCol) <= k)
   }

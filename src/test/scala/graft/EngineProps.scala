@@ -254,6 +254,30 @@ object EngineProps extends Properties("engine") {
     * groupedLocal() bit-for-bit on arbitrary group counts/sizes, heavy
     * value duplication (few distinct values flood the bucket bounds),
     * and NULL values (nulls-first rank arithmetic). */
+  property("grouped exact quantiles match the whole-group window form") =
+    Prop.forAll(
+      Gen.choose(1, 120),
+      Gen.choose(1, 6),
+      Gen.choose(2, 9)) { (n, gCard, vCard) =>
+      import org.apache.spark.sql.functions.col
+      val rows = (0 until n).map { i =>
+        val v: java.lang.Double =
+          if (i % 11 == 10) null
+          else java.lang.Double.valueOf(((i * 7) % vCard).toDouble)
+        Row(s"g${i % gCard}", v)
+      }
+      val d = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        StructType(Seq(StructField("g", StringType),
+          StructField("v", DoubleType)))).repartition(3)
+      val ps = Seq(0.1 -> "a", 0.5 -> "b", 0.9 -> "c")
+      def toMap(df0: org.apache.spark.sql.DataFrame) =
+        df0.collect().map(r => r.getString(0) ->
+          (1 to 3).map(i => Option(r.get(i)))).toMap
+      toMap(graft.queries.ExactQuantile.grouped(d, "g", "v", ps,
+        checkpoint = false)) ==
+        toMap(graft.queries.ExactQuantile.groupedLocal(d, "g", "v", ps))
+    }
   property("graft_ha_w equals the sequential Heikin-Ashi fold, bit-for-bit") =
     Prop.forAll(Gen.choose(1, 80), Gen.choose(10.0, 200.0)) { (n, base) =>
       import org.apache.spark.sql.functions._
@@ -290,28 +314,4 @@ object EngineProps extends Properties("engine") {
       got == want
     }
 
-  property("grouped exact quantiles match the whole-group window form") =
-    Prop.forAll(
-      Gen.choose(1, 120),
-      Gen.choose(1, 6),
-      Gen.choose(2, 9)) { (n, gCard, vCard) =>
-      import org.apache.spark.sql.functions.col
-      val rows = (0 until n).map { i =>
-        val v: java.lang.Double =
-          if (i % 11 == 10) null
-          else java.lang.Double.valueOf(((i * 7) % vCard).toDouble)
-        Row(s"g${i % gCard}", v)
-      }
-      val d = spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*),
-        StructType(Seq(StructField("g", StringType),
-          StructField("v", DoubleType)))).repartition(3)
-      val ps = Seq(0.1 -> "a", 0.5 -> "b", 0.9 -> "c")
-      def toMap(df0: org.apache.spark.sql.DataFrame) =
-        df0.collect().map(r => r.getString(0) ->
-          (1 to 3).map(i => Option(r.get(i)))).toMap
-      toMap(graft.queries.ExactQuantile.grouped(d, "g", "v", ps,
-        checkpoint = false)) ==
-        toMap(graft.queries.ExactQuantile.groupedLocal(d, "g", "v", ps))
-    }
 }

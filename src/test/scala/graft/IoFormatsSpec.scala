@@ -44,17 +44,24 @@ class IoFormatsSpec extends SparkSpec {
     // a non-matching file the glob must keep unopened
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "notes.txt"), "skip".getBytes("UTF-8"))
+    // a digit-less name must land a (deterministic) name-hash id, not
+    // a null that NPEs the decode stubs
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "cover.bin"), "zz".getBytes("UTF-8"))
     val media = graft.ext.Multimodal.readMediaDir(spark, dir, "*.bin")
     val rows = media.collect()
-    assert(rows.length == 3)
+    assert(rows.length == 4)
+    assert(rows.forall(r => !r.isNullAt(0)))
     val byId = rows.map(r => r.getLong(0) ->
       new String(r.getAs[Array[Byte]](2), "UTF-8")).toMap
-    assert(byId == payloads)
+    assert(payloads.forall { case (k, v) => byId.get(k).contains(v) })
+    val coverId = (byId.keySet -- payloads.keySet).head
+    assert(byId(coverId) == "zz")
     assert(rows.forall(_.getString(1) == "bin"))
     // the binaryFile table feeds the decode stage unchanged
     val feats = graft.ext.Multimodal.decodeFeatures(media).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(feats == payloads.map { case (k, v) => k -> v.length.toLong })
+    assert(feats == byId.map { case (k, v) => k -> v.length.toLong })
   }
 
   test("jsonl corpus roundtrip: gzip'd, source-partitioned, schema-enforced") {
