@@ -94,4 +94,28 @@ class GroupedRankSpec extends SparkSpec {
     assert(got == want)
     assert(got.keySet == Set("big", "atk")) // under/one have < k rows
   }
+
+  test("KMin.smallestBy: composite order keeps collisions deterministic") {
+    import org.apache.spark.sql.functions._
+    // heavy primary-order collisions (v cycles 0/1/2) — the scenario
+    // the sample queries hit when doc ids exceed the hash modulus;
+    // the trailing id must fully determine both the selected set and
+    // the ranks, independent of partitioning.
+    val sch = StructType(Seq(StructField("g", StringType),
+      StructField("v", DoubleType), StructField("id", LongType)))
+    val rows = Seq.tabulate(60)(i => Row(s"s${i % 2}", (i % 3).toDouble,
+      (97L * i) % 60))
+    def run(parts: Int) = KMin.smallestBy(
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), sch)
+        .repartition(parts),
+      Seq("g"), Seq("v", "id"), 7, "rk")
+      .collect().map(r => (r.getString(0), r.getInt(3), r.getLong(2)))
+      .toSet
+    val want = rows.map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .groupBy(_._1).flatMap { case (g, rs) =>
+        rs.sortBy(r => (r._2, r._3)).take(7).zipWithIndex
+          .map { case (r, i) => (g, i + 1, r._3) }
+      }.toSet
+    assert(run(1) == want && run(7) == want)
+  }
 }
