@@ -37,7 +37,8 @@ object SparkEntry {
     (GraphStlQueries.queries, GraphStlQueries.oracles),
     (Tpch2Queries.queries, Tpch2Queries.oracles),
     (CandleQueries.queries, CandleQueries.oracles),
-    (Corpus2Queries.queries, Corpus2Queries.oracles))
+    (Corpus2Queries.queries, Corpus2Queries.oracles),
+    (Corpus3Queries.queries, Corpus3Queries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,228 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.TextOps
+import graft.functions.GraftFunctions
+
+/** Corpus-curation operators, batch 3: duplicated-span mass, shingle
+  * novelty, CCNet-style commonness bucketing, and bag-of-words dedup
+  * (builder prompt "training-data pipeline" surface; extends the
+  * ExtQueries / CorpusQueries / Corpus2Queries families).
+  *
+  * Scale notes (100 TB design point):
+  *  - span/novelty stats explode shingles once, then every join keys
+  *    on the 8-byte shingle hash — shuffle width is O(tokens) ids and
+  *    hashes, never text; the per-(doc, shingle) table checkpoints
+  *    once and feeds both the global-frequency build and the join
+  *    back (one evaluation of the tokenize→hash lineage);
+  *  - commonness bucketing joins tokens to a broadcast vocabulary and
+  *    takes per-LANG tercile thresholds via [[ExactQuantile.grouped]]
+  *    — lang is low-cardinality (5 values), exactly the shape whose
+  *    naive `Window.partitionBy(lang)` form would funnel n/5 of the
+  *    corpus through single tasks;
+  *  - bag-of-words dedup reduces each doc to a 16-byte digest of its
+  *    sorted token list in the scan task; only (source, digest) pairs
+  *    shuffle.
+  */
+object Corpus3Queries {
+
+  import TextOps._
+  import Rounding.r6
+
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    s.read.parquet(s"$dir/documents.parquet")
+  }
+
+  // Spark-side shingle fragments (mirror ExtQueries' private whS/shS).
+  private val whS = s"graft_word_hashes($toksSpark)"
+  private val shS = "graft_shingles(wh)"
+
+  /** Per-(doc, shingle-hash) occurrence counts — the shared skeleton
+    * of the span/novelty stats. Checkpointed: consumers join it
+    * against aggregates of itself, and without the checkpoint each
+    * side would re-run the tokenize→hash→explode scan. */
+  private def docShingleCounts(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("wh", expr(whS))
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(expr(shS)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Duplicated-span mass (the groupBy form of suffix-array exact
+    // substring dedup à la "Deduplicating Training Data Makes
+    // Language Models Better"): a 3-gram shingle occurrence is
+    // duplicated when its hash appears in ≥ 2 DISTINCT docs; per doc
+    // the report carries total shingle occurrences, duplicated
+    // occurrences, and the duplicated fraction — the number a span
+    // removal pass would act on. Shingle-frequency build and join
+    // both key on the hash; docs without shingles (< 3 tokens)
+    // re-attach from the cheap id scan with zero mass.
+    "text_dup_spans" -> ((s, dir) => {
+      val pdg = docShingleCounts(s, dir)
+      val gd = pdg.groupBy("g").agg(count(lit(1)).as("nd"))
+      val agg = pdg.join(gd, Seq("g"))
+        .groupBy("doc_id").agg(
+          sum(col("c")).as("n_sh"),
+          sum(when(col("nd") >= 2, col("c")).otherwise(0L)).as("n_dup"))
+      docs(s, dir).select(col("doc_id").cast("long").as("doc_id"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_sh"), lit(0L)).as("n_shingles"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+          r6(coalesce(
+            try_divide(col("n_dup").cast("double"), col("n_sh").cast("double")),
+            lit(0.0))).as("dup_frac"))
+    }),
+
+    // Shingle novelty: the fraction of a doc's shingle occurrences
+    // whose shingle FIRST appears in this doc (owner = min doc_id over
+    // the corpus). High novelty = fresh content; low = assembled from
+    // already-seen spans. Corpus-growth curation reads this ordered by
+    // doc_id. Same skeleton as text_dup_spans; the ownership table is
+    // one groupBy of the checkpointed (doc, g, c) counts.
+    "text_novelty" -> ((s, dir) => {
+      val pdg = docShingleCounts(s, dir)
+      val own = pdg.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+      val agg = pdg.join(own, Seq("g"))
+        .groupBy("doc_id").agg(
+          sum(col("c")).as("n_sh"),
+          sum(when(col("doc_id") === col("first_doc"), col("c"))
+            .otherwise(0L)).as("n_novel"))
+      docs(s, dir).select(col("doc_id").cast("long").as("doc_id"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_sh"), lit(0L)).as("n_shingles"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          r6(coalesce(
+            try_divide(col("n_novel").cast("double"),
+              col("n_sh").cast("double")),
+            lit(0.0))).as("novelty_frac"))
+    }),
+
+    // CCNet-style corpus bucketing by per-language commonness
+    // terciles: score(doc) = (Σ_tok corpus-frequency(tok)) / n_toks —
+    // an exact-integer sum (order-independent, unlike a float logprob
+    // sum) with ONE final division, so both engines produce identical
+    // doubles. Thresholds are per-lang exact interpolated terciles via
+    // the range-bucketed grouped quantile (lang is 5-valued — the
+    // low-cardinality shape). head = most common tokens (CCNet's
+    // low-perplexity bucket). Per-(lang, bucket) masses aggregate
+    // integers only; the single mean division happens post-agg.
+    "corpus_commonness_buckets" -> ((s, dir) => {
+      val tk = docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          explode(expr(toksSpark)).as("tok"))
+      val vocab = tk.groupBy("tok").agg(count(lit(1)).as("c"))
+      val perDoc = tk.join(broadcast(vocab), Seq("tok"))
+        .groupBy("doc_id", "lang").agg(
+          count(lit(1)).as("n_toks"),
+          sum(col("c")).as("sum_c"))
+        .withColumn("score",
+          col("sum_c").cast("double") / col("n_toks").cast("double"))
+        .localCheckpoint()
+      val th = ExactQuantile.grouped(perDoc, "lang", "score",
+        Seq((1.0 / 3, "q33"), (2.0 / 3, "q67")), checkpoint = false)
+      perDoc.join(broadcast(th), Seq("lang"))
+        .withColumn("bucket",
+          when(col("score") >= col("q67"), "head")
+            .when(col("score") >= col("q33"), "middle")
+            .otherwise("tail"))
+        .groupBy("lang", "bucket").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("tok_mass"),
+          r6(sum(col("sum_c")).cast("double")
+            / sum(col("n_toks")).cast("double")).as("mean_commonness"))
+    }),
+
+    // Bag-of-words dedup: two docs are BoW-equal when their sorted
+    // token lists match — catches token-shuffled copies that exact
+    // (byte) dedup misses (and this corpus' generator does produce
+    // them). Each doc reduces to a 16-byte digest in the scan task;
+    // the per-source report compares raw rows vs exact-distinct vs
+    // BoW-distinct, with shuffle_dups = the extra copies only the BoW
+    // key finds.
+    "dedup_bow" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("source"), col("text"),
+          md5(concat_ws(" ", array_sort(expr(toksSpark)))).as("bow_h"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_exact"),
+          countDistinct(col("bow_h")).as("n_bow"))
+        .select(col("source"), col("n_docs"), col("n_exact"), col("n_bow"),
+          (col("n_exact") - col("n_bow")).as("shuffle_dups"))))
+
+  // ---- DuckDB oracles ----
+
+  private val docSh =
+    s"""dh AS (SELECT doc_id::BIGINT AS doc_id,
+       |    ${wordHashesDuck(toksDuck)} AS wh FROM documents),
+       |occ AS (SELECT doc_id, unnest(${shinglesDuck("wh")}) AS g FROM dh),
+       |pdg AS (SELECT doc_id, g, count(*)::BIGINT AS c
+       |  FROM occ GROUP BY 1, 2)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+
+    "text_dup_spans" ->
+      s"""WITH $docSh,
+         |gd AS (SELECT g, count(*)::BIGINT AS nd FROM pdg GROUP BY 1),
+         |agg AS (SELECT pdg.doc_id, sum(pdg.c)::BIGINT AS n_sh,
+         |    sum(CASE WHEN gd.nd >= 2 THEN pdg.c ELSE 0 END)::BIGINT AS n_dup
+         |  FROM pdg JOIN gd USING (g) GROUP BY 1)
+         |SELECT d.doc_id::BIGINT AS doc_id,
+         |  coalesce(agg.n_sh, 0)::BIGINT AS n_shingles,
+         |  coalesce(agg.n_dup, 0)::BIGINT AS n_dup,
+         |  (round(coalesce(agg.n_dup::DOUBLE / agg.n_sh::DOUBLE, 0.0), 6) + 0.0)
+         |    AS dup_frac
+         |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id::BIGINT""".stripMargin,
+
+    "text_novelty" ->
+      s"""WITH $docSh,
+         |own AS (SELECT g, min(doc_id) AS first_doc FROM pdg GROUP BY 1),
+         |agg AS (SELECT pdg.doc_id, sum(pdg.c)::BIGINT AS n_sh,
+         |    sum(CASE WHEN pdg.doc_id = own.first_doc THEN pdg.c ELSE 0 END)::BIGINT
+         |      AS n_novel
+         |  FROM pdg JOIN own USING (g) GROUP BY 1)
+         |SELECT d.doc_id::BIGINT AS doc_id,
+         |  coalesce(agg.n_sh, 0)::BIGINT AS n_shingles,
+         |  coalesce(agg.n_novel, 0)::BIGINT AS n_novel,
+         |  (round(coalesce(agg.n_novel::DOUBLE / agg.n_sh::DOUBLE, 0.0), 6) + 0.0)
+         |    AS novelty_frac
+         |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id::BIGINT""".stripMargin,
+
+    "corpus_commonness_buckets" ->
+      s"""WITH dt AS (SELECT doc_id::BIGINT AS doc_id, lang,
+         |    $toksDuck AS toks FROM documents),
+         |tk AS (SELECT doc_id, lang, unnest(toks) AS tok FROM dt),
+         |v AS (SELECT tok, count(*)::BIGINT AS c FROM tk GROUP BY 1),
+         |pd AS (SELECT tk.doc_id, tk.lang, count(*)::BIGINT AS n_toks,
+         |    sum(v.c)::BIGINT AS sum_c
+         |  FROM tk JOIN v USING (tok) GROUP BY 1, 2),
+         |sc AS (SELECT *, sum_c::DOUBLE / n_toks::DOUBLE AS score FROM pd),
+         |th AS (SELECT lang, quantile_cont(score, 1.0/3) AS q33,
+         |    quantile_cont(score, 2.0/3) AS q67 FROM sc GROUP BY 1)
+         |SELECT sc.lang,
+         |  CASE WHEN score >= q67 THEN 'head'
+         |       WHEN score >= q33 THEN 'middle' ELSE 'tail' END AS bucket,
+         |  count(*)::BIGINT AS n_docs,
+         |  sum(n_toks)::BIGINT AS tok_mass,
+         |  (round(sum(sum_c)::DOUBLE / sum(n_toks)::DOUBLE, 6) + 0.0)
+         |    AS mean_commonness
+         |FROM sc JOIN th USING (lang) GROUP BY 1, 2""".stripMargin,
+
+    "dedup_bow" ->
+      s"""SELECT source, count(*)::BIGINT AS n_docs,
+         |  count(DISTINCT md5(text))::BIGINT AS n_exact,
+         |  count(DISTINCT md5(array_to_string(list_sort($toksDuck), ' ')))::BIGINT
+         |    AS n_bow,
+         |  (count(DISTINCT md5(text))
+         |    - count(DISTINCT md5(array_to_string(list_sort($toksDuck), ' '))))::BIGINT
+         |    AS shuffle_dups
+         |FROM documents GROUP BY 1""".stripMargin)
+}

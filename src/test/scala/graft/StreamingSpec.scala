@@ -496,6 +496,46 @@ class StreamingSpec extends SparkSpec {
       assert(fin.count(_.h == 1L) == 2)
     } finally q.stop()
   }
+
+  test("session_window stream emits closed sessions bit-equal to the batch query") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val stream = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    def ts(min: Int) = new java.sql.Timestamp(1709650800000L + min * 60000L)
+    // user 1: two sessions ([0,10]+gap and [50]+gap); user 2: one.
+    val data = Seq(
+      (ts(0), 1L, 1.0), (ts(10), 1L, 2.0), (ts(50), 1L, 4.0),
+      (ts(5), 2L, 8.0))
+    val q = graft.streaming.StreamingSessions(
+      stream.toDS().toDF("ts", "user_id", "value"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sess_out").start()
+    try {
+      stream.addData(data)
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0,
+        "no session may emit before the watermark passes its close")
+      stream.addData(Seq((ts(600), 99L, 0.0))) // watermark → min 540
+      q.processAllAvailable()
+      val streamed = spark.table("sess_out")
+        .selectExpr("user_id", "unix_millis(session_start) AS s",
+          "unix_millis(session_end) AS e", "n_events", "sum_value")
+        .as[(Long, Long, Long, Long, Double)].collect().sorted.toSeq
+      // Batch parity: the SAME session_window aggregation over the same
+      // rows (pusher excluded — its session never closed, so Append
+      // never emitted it).
+      val batch = data.toDF("ts", "user_id", "value")
+        .groupBy($"user_id", session_window($"ts", "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), sum($"value").as("sum_value"))
+        .selectExpr("user_id", "unix_millis(session_window.start) AS s",
+          "unix_millis(session_window.end) AS e", "n_events", "sum_value")
+        .as[(Long, Long, Long, Long, Double)].collect().sorted.toSeq
+      assert(streamed == batch)
+      assert(streamed.map(t => (t._1, t._2)).toSet == Set(
+        (1L, ts(0).getTime), (1L, ts(50).getTime), (2L, ts(5).getTime)))
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {
