@@ -170,7 +170,79 @@ object ExtQueries {
       .dropDuplicates("a", "b")
   }
 
+  /** EXACT jaccard-threshold similarity join (threshold tNum/tDen)
+    * via AllPairs/PPJoin prefix filtering — the scale path for exact
+    * text similarity, replacing the O(n²/B) block-partitioned
+    * all-pairs. Input `sh` must carry (doc_id, shd) with DISTINCT
+    * shingle arrays.
+    *
+    * Candidate generation is lossless: order every doc's shingles by
+    * ascending global document frequency (ties by hash); a pair with
+    * jaccard ≥ t shares ≥ ceil(t·|x|) shingles, so it must collide
+    * inside each side's first |x| − ceil(t·|x|) + 1 shingles — the
+    * prefix join on rare-first tokens generates few candidates, and
+    * the verify step recomputes the same intersect/union expression
+    * the naive join filtered on, so the result SET is bit-identical.
+    * Prefix lengths use pure integer arithmetic (no t·sz double
+    * rounding). `queryPred` restricts the LEFT (a) side before the
+    * candidate join — the recall query's 10% split.
+    *
+    * Scale: shuffles are keyed on the 8-byte shingle hash; per-token
+    * candidate fan-out is bounded by how many docs rank that token
+    * inside their prefix (rare tokens by construction). The one
+    * degenerate corpus — thousands of byte-identical docs sharing
+    * every prefix — is exact-dup shaped and belongs to dedup_exact's
+    * hash-groupBy upstream of any similarity join. */
+  private[queries] def jaccardJoinExact(sh: DataFrame, tNum: Int,
+      tDen: Int, queryPred: Option[Column] = None): DataFrame = {
+    val tok = sh.select(col("doc_id"),
+      size(col("shd")).cast("long").as("sz"), explode(col("shd")).as("g"))
+    val dfreq = tok.groupBy("g").agg(count(lit(1)).as("df"))
+    val pref = tok.hint("shuffle_hash").join(dfreq.hint("shuffle_hash"), Seq("g"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("g"))))
+      .filter(col("rn") <=
+        expr(s"sz - (sz * $tNum + ${tDen - 1}) DIV $tDen + 1"))
+      .select(col("doc_id"), col("sz"), col("g"))
+    val xs = queryPred.fold(pref)(p => pref.filter(p))
+    // Length filter (also lossless: J ≥ t ⟹ t·|x| ≤ |y| ≤ |x|/t)
+    // prunes size-mismatched collisions before the pair dedup.
+    val cand = xs.as("x").hint("shuffle_hash")
+      .join(pref.as("y").hint("shuffle_hash"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
+          col("y.sz") * tDen >= col("x.sz") * tNum &&
+          col("x.sz") * tDen >= col("y.sz") * tNum)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .dropDuplicates("a", "b")
+    cand
+      .join(sh.select(col("doc_id").as("a"), col("shd").as("sha")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("shd").as("shb")), Seq("b"))
+      .withColumn("jac",
+        expr("CAST(size(array_intersect(sha, shb)) AS DOUBLE)" +
+          " / CAST(size(array_union(sha, shb)) AS DOUBLE)"))
+      .filter(col("jac") >= lit(tNum.toDouble / tDen))
+  }
+
+  /** The (doc_id, distinct-shingle-set) table the exact-similarity
+    * queries share; checkpointed — consumers join it to itself. */
+  private def shingleSets(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("wh", expr(whS))
+      .withColumn("sh", expr(shS))
+      .filter(expr("size(sh) > 0"))
+      .select(col("doc_id").cast("long").as("doc_id"),
+        expr("array_distinct(sh)").as("shd"))
+      .localCheckpoint()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // EXACT all-pairs jaccard ≥ 0.8 similarity join over the whole
+    // corpus — prefix-filtered (see jaccardJoinExact), NOT the block
+    // all-pairs: the oracle verifies the pair set nested-loop, the
+    // engine never materializes O(n²) comparisons.
+    "dedup_allpairs" -> ((s, dir) =>
+      jaccardJoinExact(shingleSets(s, dir), 4, 5)
+        .select(col("a"), col("b"), Rounding.r6(col("jac")).as("jaccard"))),
 
     "text_stats" -> ((s, dir) =>
       docs(s, dir)
@@ -536,25 +608,9 @@ object ExtQueries {
     // block-partitioned pair join (per-task work (n/B)², never a
     // nested loop); shingle sets checkpoint once for both block sides.
     "dedup_lsh_recall" -> ((s, dir) => {
-      val sh = docs(s, dir)
-        .withColumn("wh", expr(whS))
-        .withColumn("sh", expr(shS))
-        .filter(expr("size(sh) > 0"))
-        .select(col("doc_id").cast("long").as("doc_id"),
-          expr("array_distinct(sh)").as("shd"))
-        .localCheckpoint()
-      val q = sh.filter(col("doc_id") % 10 === 0)
-        .withColumn("bi", expr(s"CAST(doc_id % $PairBlocks AS INT)"))
-        .withColumn("bj", explode(expr(s"sequence(0, ${PairBlocks - 1})")))
-      val y = sh.withColumn("bj", expr(s"CAST(doc_id % $PairBlocks AS INT)"))
-        .withColumn("bi", explode(expr(s"sequence(0, ${PairBlocks - 1})")))
-      val exact = q.as("x").hint("shuffle_hash")
-        .join(y.as("y").hint("shuffle_hash"),
-          col("x.bi") === col("y.bi") && col("x.bj") === col("y.bj") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .filter(expr("CAST(size(array_intersect(x.shd, y.shd)) AS DOUBLE)" +
-          " / CAST(size(array_union(x.shd, y.shd)) AS DOUBLE) >= 0.8"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      val exact = jaccardJoinExact(shingleSets(s, dir), 4, 5,
+        queryPred = Some(col("doc_id") % 10 === 0))
+        .select(col("a"), col("b"))
       val cand = minhashPairs(s, dir)
         .filter(jaccardExpr >= 0.8)
         .filter(col("a") % 10 === 0)
@@ -1729,6 +1785,17 @@ object ExtQueries {
          |SELECT doc_id,
          |  (${(0 until SimBits).map(b => s"(CASE WHEN s$b >= 0 THEN ${1L << b}::BIGINT ELSE 0::BIGINT END)").mkString(" + ")}) AS simhash
          |FROM sm""".stripMargin,
+
+    "dedup_allpairs" ->
+      s"""WITH $docHashes,
+         |dff AS (SELECT * FROM ds WHERE len(sh) > 0),
+         |shq AS (SELECT doc_id, list_distinct(sh) AS shd FROM dff),
+         |pj AS (SELECT x.doc_id AS a, y.doc_id AS b,
+         |    len(list_distinct(list_intersect(x.shd, y.shd)))::DOUBLE
+         |      / len(list_distinct(list_concat(x.shd, y.shd)))::DOUBLE AS jac
+         |  FROM shq x JOIN shq y ON x.doc_id < y.doc_id)
+         |SELECT a, b, (round(jac, 6) + 0.0) AS jaccard
+         |FROM pj WHERE jac >= 0.8""".stripMargin,
 
     "dedup_lsh_recall" ->
       s"""WITH $lshPairsDuck,
