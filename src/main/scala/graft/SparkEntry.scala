@@ -38,7 +38,8 @@ object SparkEntry {
     (Tpch2Queries.queries, Tpch2Queries.oracles),
     (CandleQueries.queries, CandleQueries.oracles),
     (Corpus2Queries.queries, Corpus2Queries.oracles),
-    (Corpus3Queries.queries, Corpus3Queries.oracles))
+    (Corpus3Queries.queries, Corpus3Queries.oracles),
+    (TokQueries.queries, TokQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

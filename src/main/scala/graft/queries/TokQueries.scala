@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.TextOps
+
+/** Tokenizer-training operators over the documents corpus: BPE
+  * merge-candidate counting, fixed-vocabulary coverage, and a Zipf
+  * power-law fit (builder prompt "training-data pipeline" surface —
+  * the statistics a tokenizer build reads off the corpus before
+  * training, and the coverage check it runs after).
+  *
+  * Scale notes (100 TB design point):
+  *  - pair counting explodes to O(chars) rows but immediately
+  *    collapses through a map-side-partial groupBy onto ≤ |alphabet|²
+  *    keys; the global top-k is a TakeOrdered over that tiny
+  *    aggregate, never a global sort of the explode;
+  *  - vocabulary selection is the same tiny-aggregate top-k; coverage
+  *    joins the token stream against the BROADCAST vocab — the corpus
+  *    side never shuffles;
+  *  - the Zipf fit quantizes each log10 to integer micro-units and
+  *    runs the OLS sums as exact longs (double sums across a shuffle
+  *    are summation-order-nondeterministic), over the top-1000 ranks
+  *    only — bounded driver-side nothing, bounded window nothing: one
+  *    1000-row task.
+  */
+object TokQueries {
+
+  import TextOps._
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Character-bigram explode of a token column (1-indexed substring,
+    * identical on both engines). */
+  private val pairsS =
+    "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"
+  private val pairsD =
+    "list_transform(generate_series(1, length(tok) - 1), i -> substr(tok, i, 2))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // The first step of a BPE tokenizer build: adjacent character-pair
+    // frequencies within tokens, top 20 by (count desc, pair asc) —
+    // the candidates the first merge round would consider. Tokens of
+    // length 1 contribute nothing (sequence(1, 0) is empty on both
+    // engines).
+    "tok_bpe_pairs" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(expr(toksSpark)).as("tok"))
+        .filter(length(col("tok")) >= 2)
+        .select(explode(expr(pairsS)).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20)),
+
+    // Coverage of a fixed top-1000 global vocabulary per language —
+    // the post-build sanity check: what fraction of each language's
+    // token OCCURRENCES the vocabulary explains, and how many fall
+    // out-of-vocabulary. Vocabulary choice is deterministic
+    // (count desc, token asc).
+    "tok_vocab_coverage" -> ((s, dir) => {
+      val tk = docs(s, dir)
+        .select(col("lang"), explode(expr(toksSpark)).as("tok"))
+      val vocab = tk.groupBy("tok").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok"))
+        .limit(1000)
+        .select(col("tok"), lit(1).as("inv"))
+      tk.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("inv").isNotNull, 1L).otherwise(0L)).as("n_covered"))
+        .select(col("lang"), col("n_tokens"), col("n_covered"),
+          (col("n_tokens") - col("n_covered")).as("n_oov"),
+          Rounding.r6(col("n_covered").cast("double")
+            / col("n_tokens").cast("double")).as("coverage"))
+    }),
+
+    // Zipf power-law fit over the top-1000 token frequencies: OLS of
+    // log10(freq) on log10(rank). Each log quantizes to exact integer
+    // micro-units BEFORE the sums (shuffled double sums are
+    // order-nondeterministic; long sums are exact), and the closed-form
+    // slope/intercept divide once at the end. slope ≈ -1 is Zipf's law;
+    // a corpus whose slope drifts toward 0 is template/boilerplate
+    // heavy.
+    "text_zipf" -> ((s, dir) => {
+      val top = docs(s, dir)
+        .select(explode(expr(toksSpark)).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok"))
+        .limit(1000)
+        .localCheckpoint() // DistRank's three passes share one evaluation
+      DistRank.rowNumber(top, "rn", negate(col("c")),
+        Seq(col("c").desc, col("tok"))).df
+        .select(
+          expr("CAST(round(log10(CAST(rn AS DOUBLE)) * 1000000) AS BIGINT)").as("x"),
+          expr("CAST(round(log10(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)").as("y"))
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+        .select(col("n"),
+          Rounding.r6(expr(
+            "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)"))
+            .as("slope"),
+          Rounding.r6(expr(
+            "(CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 1000000.0D"))
+            .as("intercept"))
+        .filter(col("n") > 1)
+    }))
+
+  // ---- DuckDB oracles ----
+
+  private val tokStream =
+    s"tk AS (SELECT lang, unnest($toksDuck) AS tok FROM documents)"
+
+  val oracles: Map[String, String] = Map(
+
+    "tok_bpe_pairs" ->
+      s"""WITH $tokStream,
+         |pr AS (SELECT unnest($pairsD) AS pair FROM tk WHERE length(tok) >= 2)
+         |SELECT pair, count(*)::BIGINT AS cnt FROM pr GROUP BY 1
+         |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+
+    "tok_vocab_coverage" ->
+      s"""WITH $tokStream,
+         |vc AS (SELECT tok, count(*)::BIGINT AS c FROM tk GROUP BY 1),
+         |vocab AS (SELECT tok FROM vc ORDER BY c DESC, tok LIMIT 1000)
+         |SELECT lang, count(*)::BIGINT AS n_tokens,
+         |  sum(CASE WHEN vocab.tok IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_covered,
+         |  (count(*) - sum(CASE WHEN vocab.tok IS NOT NULL THEN 1 ELSE 0 END))::BIGINT
+         |    AS n_oov,
+         |  (round(sum(CASE WHEN vocab.tok IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*)::DOUBLE, 6) + 0.0) AS coverage
+         |FROM tk LEFT JOIN vocab USING (tok) GROUP BY 1""".stripMargin,
+
+    "text_zipf" ->
+      s"""WITH $tokStream,
+         |vc AS (SELECT tok, count(*)::BIGINT AS c FROM tk GROUP BY 1),
+         |top AS (SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok) AS rn
+         |  FROM vc ORDER BY c DESC, tok LIMIT 1000),
+         |q AS (SELECT round(log10(rn::DOUBLE) * 1000000)::BIGINT AS x,
+         |    round(log10(c::DOUBLE) * 1000000)::BIGINT AS y FROM top),
+         |ss AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+         |    sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+         |    sum(x * x)::BIGINT AS sxx FROM q)
+         |SELECT n,
+         |  (round((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE, 6) + 0.0)
+         |    AS slope,
+         |  (round((sy::DOUBLE - ((n * sxy - sx * sy)::DOUBLE
+         |      / (n * sxx - sx * sx)::DOUBLE) * sx::DOUBLE) / n::DOUBLE / 1000000.0, 6)
+         |    + 0.0) AS intercept
+         |FROM ss WHERE n > 1""".stripMargin)
+}
