@@ -63,6 +63,29 @@ object ScaleProbe {
     val secB = (System.nanoTime() - tB) / 1e9
     println(f"BLOOM_SEC=$secB%.2f BLOOM_FN_OK=${bloomBad == 0L}")
 
+    // Exact prefix-filtered jaccard join (dedup_allpairs) at reps×
+    // docs: every replica's TOKENS are rep-salted, so cross-replica
+    // shingles are disjoint — the probe measures candidate-generation
+    // scale (prefix join + length filter), not an output explosion of
+    // replica near-dup cliques. Expected pair count = reps × the
+    // original corpus' pair count; the count printed pins that the
+    // filter chain stayed lossless at a scale the oracle can't reach.
+    docs0.crossJoin(spark.range(reps).select(col("id").as("rep")))
+      .withColumn("doc_id", col("doc_id") * reps + col("rep"))
+      .withColumn("text", concat_ws(" ", expr(
+        "transform(filter(split(text, ' '), t -> t <> ''), " +
+          "t -> concat(t, CAST(rep AS STRING)))")))
+      .drop("rep")
+      .write.mode("overwrite").parquet("/tmp/scale_docs_pp/documents.parquet")
+    val basePairs = graft.SparkEntry.queries("dedup_allpairs")(
+      spark, "/root/testdata/sf0.1").count()
+    val tP = System.nanoTime()
+    val nPairs = graft.SparkEntry.queries("dedup_allpairs")(
+      spark, "/tmp/scale_docs_pp").count()
+    val secP = (System.nanoTime() - tP) / 1e9
+    println(f"ALLPAIRS_SEC=$secP%.2f ALLPAIRS_PAIRS=$nPairs " +
+      f"ALLPAIRS_LOSSLESS_OK=${nPairs == reps * basePairs}")
+
     // Connected components at corpus scale: 1M nodes — 100k of them in
     // 25k TRUE 4-cliques (all 6 intra-group edges, the LSH shape where
     // every member sees the min directly) plus 1k length-10 chains
