@@ -164,6 +164,9 @@ object GraftFunctions {
     ("graft_ha_w", classOf[HeikinAshiWindow],
       arity("graft_ha_w", 4)(cs =>
         HeikinAshiWindow(cs(0), cs(1), cs(2), cs(3)))),
+    ("graft_st_w", classOf[SupertrendWindow],
+      arity("graft_st_w", 3)(cs =>
+        SupertrendWindow(cs(0), cs(1), cs(2)))),
     ("graft_holt_w", classOf[HoltWindow],
       arity("graft_holt_w", 1)(cs => HoltWindow(cs(0)))))
 

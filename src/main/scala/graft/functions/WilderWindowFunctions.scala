@@ -303,6 +303,88 @@ case class HeikinAshiWindow(open: Expression, high: Expression,
       low = newChildren(2), close = newChildren(3))
 }
 
+/** Supertrend(10, 3) — the ATR-band stop-and-reverse recursion as one
+  * incremental window state machine:
+  *
+  *   tr₁ = H−L;  trₜ = max(H−L, |H−Cₜ₋₁|, |L−Cₜ₋₁|)
+  *   atr₁ = tr₁; atrₜ = (atrₜ₋₁·9 + trₜ)/10        (Wilder, seed TR₁)
+  *   ubB = (H+L)/2 + 3·atr;  lbB = (H+L)/2 − 3·atr  (basic bands)
+  *   ubₜ = ubB if (ubB < ubₜ₋₁ or Cₜ₋₁ > ubₜ₋₁) else ubₜ₋₁  (final bands
+  *   lbₜ = lbB if (lbB > lbₜ₋₁ or Cₜ₋₁ < lbₜ₋₁) else lbₜ₋₁   ratchet)
+  *   dir: −1 flips to +1 when C > ubₜ; +1 flips to −1 when C < lbₜ;
+  *        seeded by C₁ vs ubB₁.
+  *   st = ub when dir = −1 (resistance), lb when dir = +1 (support).
+  *
+  * Emits struct(atr, ub, lb, dir, st). The DuckDB oracle
+  * (`Ts2Queries.oracles` "ind_supertrend") mirrors the recursion in a
+  * recursive CTE with identical left-associated arithmetic, so every
+  * row is bit-equal before the r6 mask. Buffer = (rn, prev close,
+  * atr, ub, lb, dir). Constants (period 10, multiplier 3) are baked —
+  * the band ratchet and flip logic is the operator under test, not
+  * the parameterization.
+  */
+case class SupertrendWindow(high: Expression, low: Expression,
+    close: Expression) extends AggregateWindowFunction {
+
+  override def children: Seq[Expression] = Seq(high, low, close)
+  override def dataType: DataType = StructType(Seq(
+    StructField("atr", DoubleType), StructField("ub", DoubleType),
+    StructField("lb", DoubleType), StructField("dir", LongType),
+    StructField("st", DoubleType)))
+  override def nullable: Boolean = true
+
+  private val rn = AttributeReference("rn", LongType, nullable = false)()
+  private val cp = AttributeReference("cp", DoubleType, nullable = true)()
+  private val atr = AttributeReference("atr", DoubleType, nullable = true)()
+  private val ub = AttributeReference("ub", DoubleType, nullable = true)()
+  private val lb = AttributeReference("lb", DoubleType, nullable = true)()
+  private val dir = AttributeReference("dir", LongType, nullable = true)()
+
+  override val aggBufferAttributes: Seq[AttributeReference] =
+    Seq(rn, cp, atr, ub, lb, dir)
+
+  override val initialValues: Seq[Expression] = Seq(Literal(0L),
+    Literal.create(null, DoubleType), Literal.create(null, DoubleType),
+    Literal.create(null, DoubleType), Literal.create(null, DoubleType),
+    Literal.create(null, LongType))
+
+  override val updateExpressions: Seq[Expression] = {
+    val h = Cast(high, DoubleType)
+    val l = Cast(low, DoubleType)
+    val c = Cast(close, DoubleType)
+    val first = EqualTo(rn, Literal(0L))
+    val tr = If(first, Subtract(h, l),
+      Greatest(Seq(Subtract(h, l),
+        Abs(Subtract(h, cp)), Abs(Subtract(l, cp)))))
+    val atrN = If(first, tr,
+      Divide(Add(Multiply(atr, Literal(9.0)), tr), Literal(10.0)))
+    val mid = Divide(Add(h, l), Literal(2.0))
+    val ubB = Add(mid, Multiply(Literal(3.0), atrN))
+    val lbB = Subtract(mid, Multiply(Literal(3.0), atrN))
+    val ubN = If(first, ubB,
+      If(Or(LessThan(ubB, ub), GreaterThan(cp, ub)), ubB, ub))
+    val lbN = If(first, lbB,
+      If(Or(GreaterThan(lbB, lb), LessThan(cp, lb)), lbB, lb))
+    val dirN = If(first,
+      If(GreaterThan(c, ubB), Literal(1L), Literal(-1L)),
+      If(EqualTo(dir, Literal(-1L)),
+        If(GreaterThan(c, ubN), Literal(1L), Literal(-1L)),
+        If(LessThan(c, lbN), Literal(-1L), Literal(1L))))
+    Seq(Add(rn, Literal(1L)), c, atrN, ubN, lbN, dirN)
+  }
+
+  override val evaluateExpression: Expression = CreateNamedStruct(Seq(
+    Literal("atr"), atr, Literal("ub"), ub, Literal("lb"), lb,
+    Literal("dir"), dir,
+    Literal("st"), If(EqualTo(dir, Literal(1L)), lb, ub)))
+
+  override def prettyName: String = "graft_st_w"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SupertrendWindow =
+    copy(high = newChildren(0), low = newChildren(1),
+      close = newChildren(2))
+}
+
 case class EmaTripleWindow(price: Expression, period: Int)
     extends AggregateWindowFunction {
 

@@ -66,6 +66,21 @@ object Ts2Queries {
             .as("ha_low"))
     }),
 
+    // Supertrend(10, 3): the ATR-band stop-and-reverse recursion
+    // (Wilder ATR, ratcheting final bands, direction flips on band
+    // cross) as ONE incremental window state machine on the shared
+    // ticker exchange — see [[graft.functions.SupertrendWindow]] for
+    // the exact recursion the oracle's recursive CTE mirrors.
+    "ind_supertrend" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      EventBars.bars(s, dir)
+        .withColumn("x", expr("graft_st_w(high, low, close)").over(w))
+        .select(col("ticker"), col("t"), col("event_id"),
+          r6(col("x.atr")).as("atr"),
+          r6(col("x.st")).as("supertrend"),
+          col("x.dir").as("dir"))
+    }),
+
     // TRIX(15): 1-bar rate of change of the triple EMA. Same kernel,
     // period 15; division guarded (close ≥ 0.01 keeps e3 > 0, but
     // try_divide mirrors the oracle's CASE guard exactly).
@@ -994,6 +1009,48 @@ object Ts2Queries {
            |  (round(hac, 6) + 0.0) AS ha_close,
            |  (round(greatest(high, hao, hac), 6) + 0.0) AS ha_high,
            |  (round(least(low, hao, hac), 6) + 0.0) AS ha_low
+           |FROM rec""".stripMargin,
+
+      "ind_supertrend" ->
+        s"""WITH RECURSIVE bars AS (${EventBars.sqlBars}),
+           |n AS (SELECT *, row_number() OVER ($Over) AS rn FROM bars),
+           |rec AS (
+           |  SELECT ticker, t, event_id, rn, close,
+           |    (high - low) AS atr,
+           |    (high + low)/2.0 + 3.0*(high - low) AS ub,
+           |    (high + low)/2.0 - 3.0*(high - low) AS lb,
+           |    CASE WHEN close > (high + low)/2.0 + 3.0*(high - low)
+           |      THEN 1 ELSE -1 END AS dir
+           |  FROM n WHERE rn = 1
+           |  UNION ALL
+           |  SELECT ticker, t, event_id, rn, close, atr,
+           |    CASE WHEN ubb < p_ub OR p_close > p_ub THEN ubb ELSE p_ub END,
+           |    CASE WHEN lbb > p_lb OR p_close < p_lb THEN lbb ELSE p_lb END,
+           |    CASE WHEN p_dir = -1 THEN
+           |      (CASE WHEN close >
+           |        (CASE WHEN ubb < p_ub OR p_close > p_ub THEN ubb ELSE p_ub END)
+           |       THEN 1 ELSE -1 END)
+           |    ELSE
+           |      (CASE WHEN close <
+           |        (CASE WHEN lbb > p_lb OR p_close < p_lb THEN lbb ELSE p_lb END)
+           |       THEN -1 ELSE 1 END)
+           |    END
+           |  FROM (
+           |    SELECT *, (high + low)/2.0 + 3.0*atr AS ubb,
+           |      (high + low)/2.0 - 3.0*atr AS lbb
+           |    FROM (
+           |      SELECT b.ticker, b.t, b.event_id, b.rn, b.close, b.high, b.low,
+           |        r.close AS p_close, r.ub AS p_ub, r.lb AS p_lb,
+           |        r.dir AS p_dir,
+           |        (r.atr*9.0 + greatest(b.high - b.low, abs(b.high - r.close),
+           |          abs(b.low - r.close)))/10.0 AS atr
+           |      FROM rec r JOIN n b
+           |        ON b.ticker = r.ticker AND b.rn = r.rn + 1) z0) z1)
+           |SELECT ticker, t, event_id,
+           |  (round(atr, 6) + 0.0) AS atr,
+           |  (round(CASE WHEN dir = 1 THEN lb ELSE ub END, 6) + 0.0)
+           |    AS supertrend,
+           |  dir::BIGINT AS dir
            |FROM rec""".stripMargin,
 
       "ind_trix" ->

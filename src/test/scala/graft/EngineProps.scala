@@ -314,4 +314,53 @@ object EngineProps extends Properties("engine") {
       got == want
     }
 
+  property("graft_st_w equals the sequential Supertrend fold, bit-for-bit") =
+    Prop.forAll(Gen.choose(1, 80), Gen.choose(10.0, 200.0)) { (n, base) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val rows = (0 until n).map { i =>
+        val c = base + math.sin(i * 0.9) * 11
+        val h = c + 1.0 + (i % 4)
+        val l = c - 1.0 - (i % 3)
+        Row("T", i.toLong, h, l, c)
+      }
+      val d = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        StructType(Seq(StructField("ticker", StringType),
+          StructField("t", LongType), StructField("h", DoubleType),
+          StructField("l", DoubleType), StructField("c", DoubleType))))
+        .repartition(3)
+      graft.functions.GraftFunctions.register(spark)
+      val w = Window.partitionBy("ticker").orderBy("t")
+      val got = d.withColumn("x", expr("graft_st_w(h, l, c)").over(w))
+        .select(col("t"), col("x.atr"), col("x.ub"), col("x.lb"),
+          col("x.dir"), col("x.st"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getDouble(1), r.getDouble(2), r.getDouble(3),
+            r.getLong(4), r.getDouble(5))))
+        .toMap
+      // sequential reference fold with the identical op order
+      var cp = 0.0; var atr = 0.0; var ub = 0.0; var lb = 0.0
+      var dir = -1L
+      val want = rows.zipWithIndex.map { case (r, i) =>
+        val (h, l, c) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+        val tr = if (i == 0) h - l
+          else math.max(h - l, math.max(math.abs(h - cp), math.abs(l - cp)))
+        val atrN = if (i == 0) tr else (atr * 9.0 + tr) / 10.0
+        val mid = (h + l) / 2.0
+        val ubB = mid + 3.0 * atrN
+        val lbB = mid - 3.0 * atrN
+        val ubN = if (i == 0) ubB else if (ubB < ub || cp > ub) ubB else ub
+        val lbN = if (i == 0) lbB else if (lbB > lb || cp < lb) lbB else lb
+        val dirN =
+          if (i == 0) { if (c > ubB) 1L else -1L }
+          else if (dir == -1L) { if (c > ubN) 1L else -1L }
+          else { if (c < lbN) -1L else 1L }
+        cp = c; atr = atrN; ub = ubN; lb = lbN; dir = dirN
+        i.toLong -> ((atrN, ubN, lbN, dirN,
+          if (dirN == 1L) lbN else ubN))
+      }.toMap
+      got == want
+    }
+
 }

@@ -743,6 +743,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("FlatMapGroups"))
   }
 
+  test("ind_supertrend: recursion inside the Window op, one exchange") {
+    val p = plan("ind_supertrend")
+    assert(shuffles(p) == 1)
+    assert(!p.contains("FlatMapGroups"))
+  }
+
   test("bloom decontamination probes broadcast; corpus never sort-merges") {
     // The 100 TB shape: the held-out bloom position set and exact
     // shingle set are broadcast builds; the corpus side probes them
