@@ -908,6 +908,29 @@ object ExtQueries {
         .filter(col("hamming") <= 3L)
     }),
 
+    // Scene-boundary detection over the frame stream: a cut is a
+    // frame whose signature jumps > 25% from its predecessor (the
+    // decode being stubbed, the signature is the frame's exact
+    // integer energy — the real pipeline would swap in a perceptual
+    // frame hash; the lag-compare-aggregate plumbing is the shape).
+    // All arithmetic is BIGINT (jump·4 > prev avoids any float
+    // threshold); the window partitions on doc_id — high-cardinality,
+    // one media item per group.
+    "mm_scene_cuts" -> ((s, dir) => {
+      val en = Multimodal.audioRms(Multimodal.mediaTable(docs(s, dir)), 256)
+        .select(col("doc_id"), col("frame_idx"), col("energy"))
+      val wd = Window.partitionBy("doc_id").orderBy("frame_idx")
+      en.withColumn("pe", lag(col("energy"), 1).over(wd))
+        .withColumn("jump", abs(col("energy") - col("pe")))
+        .withColumn("cut",
+          col("pe").isNotNull && col("jump") * 4 > col("pe"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_frames"),
+          sum(when(col("cut"), 1L).otherwise(0L)).as("n_cuts"),
+          coalesce(max(when(col("cut"), col("jump"))), lit(0L))
+            .as("max_jump"))
+    }),
+
     // The cap report for mm_phash_neardup — same no-silent-caps rule
     // as dedup_lsh_skipped: which phash band buckets exceed the
     // 64-member flood cap and how many banded rows that drops.
@@ -2506,6 +2529,24 @@ object ExtQueries {
         |  (round(sqrt(CAST(energy AS DOUBLE) / CAST(n_samples AS DOUBLE))
         |   * 1000000.0) / 1000000.0 + 0.0) AS rms
         |FROM g""".stripMargin,
+
+    "mm_scene_cuts" ->
+      """WITH d AS (SELECT doc_id::BIGINT AS doc_id, text,
+        |    octet_length(coalesce(text, '')::BLOB) AS n FROM documents),
+        |p AS (SELECT doc_id, text, n,
+        |    unnest(generate_series(1, n)) AS pos FROM d),
+        |b AS (SELECT doc_id, (pos - 1) // 256 AS frame_idx,
+        |    unicode(substr(text, pos::INT, 1))::BIGINT AS v FROM p),
+        |g AS (SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+        |    sum(v * v)::BIGINT AS energy FROM b GROUP BY 1, 2),
+        |l AS (SELECT doc_id, energy, lag(energy) OVER
+        |    (PARTITION BY doc_id ORDER BY frame_idx) AS pe FROM g),
+        |c AS (SELECT doc_id, energy, pe, abs(energy - pe) AS jump,
+        |    (pe IS NOT NULL AND abs(energy - pe) * 4 > pe) AS cut FROM l)
+        |SELECT doc_id, count(*)::BIGINT AS n_frames,
+        |  sum(CASE WHEN cut THEN 1 ELSE 0 END)::BIGINT AS n_cuts,
+        |  coalesce(max(CASE WHEN cut THEN jump END), 0)::BIGINT AS max_jump
+        |FROM c GROUP BY 1""".stripMargin,
 
     "text_bigram_lp" ->
       s"""WITH $docToks,
