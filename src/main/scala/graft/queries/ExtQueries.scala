@@ -707,6 +707,51 @@ object ExtQueries {
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
     }),
 
+    // Modularity of the SOURCE partition over the near-dup graph —
+    // "do near-dups concentrate within sources, or leak across
+    // them?". Per source c: within-edge count e_c, cross-edge count,
+    // degree mass d_c, and the Newman modularity contribution
+    // q_c = e_c/m − (d_c/2m)² (Σ q_c is the partition's Q; a large
+    // cross mass means templated text is shared across sources and a
+    // per-source dedup would miss it). Every mass is an exact integer
+    // aggregate; each q_c divides once at the end — no double ever
+    // sums across a shuffle. Sources outside the edge set carry no
+    // information here and are omitted (deterministic on both
+    // engines).
+    "graph_source_modularity" -> ((s, dir) => {
+      val src = docs(s, dir)
+        .select(col("doc_id").cast("long").as("id"), col("source"))
+      val e = minhashPairs(s, dir)
+        .filter(jaccardExpr >= 0.8)
+        .select(col("a"), col("b"))
+        .join(broadcast(src.select(col("id").as("a"),
+          col("source").as("sa"))), Seq("a"))
+        .join(broadcast(src.select(col("id").as("b"),
+          col("source").as("sb"))), Seq("b"))
+        .localCheckpoint()
+      val tot = e.agg(count(lit(1)).as("m"))
+      val ends = e.select(col("sa").as("source"), col("sb"))
+        .select(explode(array(col("source"), col("sb"))).as("source"))
+      val deg = ends.groupBy("source").agg(count(lit(1)).as("dc"))
+      val within = e.filter(col("sa") === col("sb"))
+        .groupBy(col("sa").as("source")).agg(count(lit(1)).as("ec"))
+      val crossE = e.filter(col("sa") =!= col("sb"))
+        .select(explode(array(col("sa"), col("sb"))).as("source"))
+        .groupBy("source").agg(count(lit(1)).as("xc"))
+      deg.join(within, Seq("source"), "left")
+        .join(crossE, Seq("source"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("source"),
+          col("dc").as("degree_mass"),
+          coalesce(col("ec"), lit(0L)).as("e_within"),
+          coalesce(col("xc"), lit(0L)).as("e_cross"),
+          Rounding.r6(expr(
+            "CAST(coalesce(ec, 0) AS DOUBLE) / CAST(m AS DOUBLE)" +
+              " - (CAST(dc AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))" +
+              " * (CAST(dc AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))"))
+            .as("q_contrib"))
+    }),
+
     // What the pipeline materializes from the clusters: ONE
     // representative per near-dup group — longest doc wins, lowest id
     // breaks ties. A single groupBy with an argmax struct (no
@@ -1989,6 +2034,32 @@ object ExtQueries {
          |  UNION
          |  SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.id)
          |SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+
+    "graph_source_modularity" ->
+      s"""WITH $lshPairsDuck,
+         |sr AS (SELECT doc_id::BIGINT AS id, source FROM documents),
+         |ee AS (SELECT pr.a, pr.b, x.source AS sa, y.source AS sb
+         |  FROM pr JOIN sr x ON x.id = pr.a JOIN sr y ON y.id = pr.b),
+         |tot AS (SELECT count(*)::BIGINT AS m FROM ee),
+         |dg AS (SELECT source, count(*)::BIGINT AS dc FROM (
+         |    SELECT sa AS source FROM ee
+         |    UNION ALL SELECT sb AS source FROM ee) u GROUP BY 1),
+         |wi AS (SELECT sa AS source, count(*)::BIGINT AS ec FROM ee
+         |  WHERE sa = sb GROUP BY 1),
+         |xr AS (SELECT source, count(*)::BIGINT AS xc FROM (
+         |    SELECT sa AS source FROM ee WHERE sa <> sb
+         |    UNION ALL SELECT sb AS source FROM ee WHERE sa <> sb) u
+         |  GROUP BY 1)
+         |SELECT dg.source, dg.dc AS degree_mass,
+         |  coalesce(wi.ec, 0)::BIGINT AS e_within,
+         |  coalesce(xr.xc, 0)::BIGINT AS e_cross,
+         |  (round(coalesce(wi.ec, 0)::DOUBLE / tot.m::DOUBLE
+         |    - (dg.dc::DOUBLE / (2.0 * tot.m::DOUBLE))
+         |    * (dg.dc::DOUBLE / (2.0 * tot.m::DOUBLE)), 6) + 0.0)
+         |    AS q_contrib
+         |FROM dg LEFT JOIN wi ON wi.source = dg.source
+         |LEFT JOIN xr ON xr.source = dg.source
+         |CROSS JOIN tot""".stripMargin,
 
     "dedup_cluster_keep" ->
       s"""WITH RECURSIVE $docHashes,
