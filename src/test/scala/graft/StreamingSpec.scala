@@ -536,6 +536,48 @@ class StreamingSpec extends SparkSpec {
         (1L, ts(0).getTime), (1L, ts(50).getTime), (2L, ts(5).getTime)))
     } finally q.stop()
   }
+
+  test("streaming anomaly flags match the sequential fold across batch splits") {
+    import graft.streaming.StreamingAnomaly
+    import graft.streaming.StreamingAnomaly.{EwState, Obs}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(min: Int) = new java.sql.Timestamp(1709650800000L + min * 60000L)
+    // steady series with one 10x spike per key past warm-up
+    def series(key: String, spikeAt: Int): Seq[Obs] =
+      (0 until 30).map { i =>
+        val x = if (i == spikeAt) 500.0
+          else 50.0 + math.sin(i * 0.7) * 2.0
+        Obs(ts(i), key, x)
+      }
+    val data = series("a", 20) ++ series("b", 25)
+    val stream = MemoryStream[Obs]
+    val q = StreamingAnomaly(stream.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("anom_out").start()
+    try {
+      // split mid-series: state must carry across micro-batches
+      val (b1, b2) = data.partition(_.ts.getTime < ts(15).getTime)
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+      val got = spark.table("anom_out")
+        .selectExpr("key", "unix_millis(at)", "x", "mean", "score")
+        .as[(String, Long, Double, Double, Double)].collect().sorted.toSeq
+      // sequential reference: the SAME advance() folded per key
+      val want = data.groupBy(_.key).toSeq.flatMap { case (k, obs) =>
+        var st = EwState(0.0, 0.0, 0L)
+        obs.sortBy(_.ts.getTime).flatMap { o =>
+          val (f, stN) = StreamingAnomaly.advance(st, o.ts, o.x)
+          st = stN
+          f.map(fl => (k, o.ts.getTime, fl.x, fl.mean, fl.score))
+        }
+      }.sorted
+      assert(got == want)
+      assert(got.map(t => (t._1, t._2)).toSet ==
+        Set(("a", ts(20).getTime), ("b", ts(25).getTime)),
+        "exactly the injected spikes must flag")
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {
