@@ -167,6 +167,8 @@ object GraftFunctions {
     ("graft_st_w", classOf[SupertrendWindow],
       arity("graft_st_w", 3)(cs =>
         SupertrendWindow(cs(0), cs(1), cs(2)))),
+    ("graft_garch_w", classOf[GarchWindow],
+      arity("graft_garch_w", 1)(cs => GarchWindow(cs(0)))),
     ("graft_holt_w", classOf[HoltWindow],
       arity("graft_holt_w", 1)(cs => HoltWindow(cs(0)))))
 

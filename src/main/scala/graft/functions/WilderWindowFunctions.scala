@@ -385,6 +385,49 @@ case class SupertrendWindow(high: Expression, low: Expression,
       close = newChildren(2))
 }
 
+/** GARCH(1,1)-style conditional variance filter as one incremental
+  * window state:
+  *
+  *   y₁ = x₁;  yₜ = ω + α·xₜ + β·yₜ₋₁      (ω = 0.05, α = 0.1, β = 0.85)
+  *
+  * where x is the squared innovation (computed upstream on the SAME
+  * exchange — a lag diff squared). Unlike the plain EWMA variance
+  * (`ts_ewm_vol`, which is the ω = 0, α + β = 1 corner), the ω > 0
+  * mean-reversion floor keeps the conditional variance from collapsing
+  * to zero in quiet stretches — the property risk engines run GARCH
+  * for. The DuckDB oracle mirrors the recursion in a recursive CTE
+  * with the identical left-associated arithmetic
+  * ((ω + α·x) + β·y). Null x is transparent: state carries, the row
+  * emits the carried variance.
+  */
+case class GarchWindow(x: Expression) extends AggregateWindowFunction {
+
+  override def children: Seq[Expression] = Seq(x)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private val y = AttributeReference("y", DoubleType, nullable = true)()
+
+  override val aggBufferAttributes: Seq[AttributeReference] = Seq(y)
+  override val initialValues: Seq[Expression] =
+    Seq(Literal.create(null, DoubleType))
+
+  override val updateExpressions: Seq[Expression] = {
+    val xd = Cast(x, DoubleType)
+    Seq(If(IsNull(xd), y,
+      If(IsNull(y), xd,
+        Add(Add(Literal(0.05), Multiply(Literal(0.1), xd)),
+          Multiply(Literal(0.85), y)))))
+  }
+
+  override val evaluateExpression: Expression = y
+
+  override def prettyName: String = "graft_garch_w"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): GarchWindow =
+    copy(x = newChildren(0))
+}
+
 case class EmaTripleWindow(price: Expression, period: Int)
     extends AggregateWindowFunction {
 

@@ -393,6 +393,22 @@ object Ts2Queries {
           r6(sqrt(col("v"))).as("ewm_vol"))
     }),
 
+    // GARCH(1,1)-style conditional variance: squared price-diff
+    // innovations through the ω + α·x + β·y recursion (see
+    // [[graft.functions.GarchWindow]]) — the ω > 0 mean-reversion
+    // floor ts_ewm_vol's plain EWMA lacks. Innovation and recursion
+    // share the one ticker exchange.
+    "ts_garch" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      EventBars.bars(s, dir)
+        .withColumn("r", col("close") - lag(col("close"), 1).over(w))
+        .withColumn("x", coalesce(col("r") * col("r"), lit(0.0)))
+        .withColumn("v", expr("graft_garch_w(x)").over(w))
+        .select(col("ticker"), col("t"), col("event_id"),
+          r6(col("v")).as("cond_var"),
+          r6(sqrt(col("v"))).as("cond_vol"))
+    }),
+
     // APO(12, 26): EMA12 − EMA26 of close. Two instances of the same
     // single-state EMA machine on the one ticker exchange; the oracle
     // runs ONE recursion carrying both states.
@@ -1009,6 +1025,23 @@ object Ts2Queries {
            |  (round(hac, 6) + 0.0) AS ha_close,
            |  (round(greatest(high, hao, hac), 6) + 0.0) AS ha_high,
            |  (round(least(low, hao, hac), 6) + 0.0) AS ha_low
+           |FROM rec""".stripMargin,
+
+      "ts_garch" ->
+        s"""WITH RECURSIVE bars AS (${EventBars.sqlBars}),
+           |n0 AS (SELECT *, row_number() OVER ($Over) AS rn,
+           |    close - lag(close) OVER ($Over) AS r FROM bars),
+           |n AS (SELECT *, coalesce(r * r, 0.0) AS x FROM n0),
+           |rec AS (
+           |  SELECT ticker, t, event_id, rn, x AS y FROM n WHERE rn = 1
+           |  UNION ALL
+           |  SELECT b.ticker, b.t, b.event_id, b.rn,
+           |    (0.05 + 0.1*b.x) + 0.85*r.y
+           |  FROM rec r JOIN n b
+           |    ON b.ticker = r.ticker AND b.rn = r.rn + 1)
+           |SELECT ticker, t, event_id,
+           |  (round(y, 6) + 0.0) AS cond_var,
+           |  (round(sqrt(y), 6) + 0.0) AS cond_vol
            |FROM rec""".stripMargin,
 
       "ind_supertrend" ->
