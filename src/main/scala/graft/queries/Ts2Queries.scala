@@ -807,6 +807,24 @@ object Ts2Queries {
           r6(sum(col("close") * col("dt")) / sum(col("dt"))).as("twap"))
     }),
 
+    // Running intraday VWAP: cumulative typical-price·volume over
+    // cumulative volume per (ticker, day), explicit ROWS frames (both
+    // engines iterate running frames in order, so the double sums are
+    // deterministic — unlike a shuffled groupBy sum). try_divide
+    // mirrors the oracle's zero-volume CASE guard.
+    "ind_vwap" -> ((s, dir) => {
+      val wd = Window.partitionBy("ticker", "day").orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      EventBars.bars(s, dir)
+        .withColumn("day", expr("t div 86400000000"))
+        .withColumn("pv",
+          (col("high") + col("low") + col("close")) / lit(3.0) * col("volume"))
+        .withColumn("cpv", sum(col("pv")).over(wd))
+        .withColumn("cv", sum(col("volume")).over(wd))
+        .select(col("ticker"), col("t"), col("event_id"),
+          r6(expr("try_divide(cpv, cv)")).as("vwap"))
+    }),
+
     // Population-stability-index drift between the two deterministic
     // event halves (event_id parity), 10 equal-width bins over broadcast
     // global bounds, Laplace-smoothed shares ((c+0.5)/(n+5)) so empty
@@ -1737,6 +1755,22 @@ object Ts2Queries {
            |  (round((sum(close * dt) / sum(dt)) * 1000000.0) / 1000000.0 + 0.0) AS twap
            |FROM g WHERE dt IS NOT NULL
            |GROUP BY ticker, day""".stripMargin,
+
+      "ind_vwap" ->
+        s"""WITH bars AS (${EventBars.sqlBars}),
+           |d AS (SELECT *, t // 86400000000 AS day FROM bars),
+           |g AS (SELECT *,
+           |    sum((high + low + close) / 3.0 * volume) OVER (
+           |      PARTITION BY ticker, day ORDER BY t, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpv,
+           |    sum(volume) OVER (
+           |      PARTITION BY ticker, day ORDER BY t, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+           |  FROM d)
+           |SELECT ticker, t, event_id,
+           |  (round(CASE WHEN cv = 0 THEN NULL ELSE cpv / cv END, 6) + 0.0)
+           |    AS vwap
+           |FROM g""".stripMargin,
 
       "drift_psi" ->
         """WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
