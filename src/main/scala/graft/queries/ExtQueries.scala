@@ -193,7 +193,7 @@ object ExtQueries {
     * degenerate corpus — thousands of byte-identical docs sharing
     * every prefix — is exact-dup shaped and belongs to dedup_exact's
     * hash-groupBy upstream of any similarity join. */
-  private[queries] def jaccardJoinExact(sh: DataFrame, tNum: Int,
+  private[graft] def jaccardJoinExact(sh: DataFrame, tNum: Int,
       tDen: Int, queryPred: Option[Column] = None): DataFrame = {
     val tok = sh.select(col("doc_id"),
       size(col("shd")).cast("long").as("sz"), explode(col("shd")).as("g"))

@@ -314,6 +314,42 @@ object EngineProps extends Properties("engine") {
       got == want
     }
 
+  property("jaccardJoinExact equals the brute-force threshold join") =
+    Prop.forAll(Gen.choose(0, 40), Gen.choose(2, 6),
+      Gen.choose(0L, 1000L)) { (nDocs, alpha, seed) =>
+      import org.apache.spark.sql.functions._
+      // random small-alphabet shingle sets: heavy overlap by design so
+      // pairs actually cross the 0.8 threshold (incl. identical sets)
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until nDocs).map { i =>
+        val sz = 1 + rnd.nextInt(8)
+        val base = (0 until sz).map(_ => (rnd.nextInt(alpha) + 1).toLong)
+        val shd = (if (rnd.nextBoolean() && i > 0) {
+          // near-copy of a previous doc: mutate at most one element
+          val prev = (0 until (1 + rnd.nextInt(8)))
+            .map(_ => (rnd.nextInt(alpha) + 1).toLong)
+          if (rnd.nextBoolean()) prev else prev :+ (rnd.nextInt(alpha) + 1).toLong
+        } else base).distinct.sorted
+        Row(i.toLong, shd)
+      }
+      val d = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("shd", ArrayType(LongType))))).repartition(3)
+      val got = graft.queries.ExtQueries.jaccardJoinExact(d, 4, 5)
+        .select(col("a"), col("b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sets = rows.map(r => r.getLong(0) ->
+        r.getSeq[Long](1).toSet).toMap
+      val want = (for {
+        a <- sets.keys; b <- sets.keys; if a < b
+        inter = (sets(a) & sets(b)).size
+        union = (sets(a) | sets(b)).size
+        if union > 0 && inter.toDouble / union >= 0.8
+      } yield (a, b)).toSet
+      got == want
+    }
+
   property("graft_st_w equals the sequential Supertrend fold, bit-for-bit") =
     Prop.forAll(Gen.choose(1, 80), Gen.choose(10.0, 200.0)) { (n, base) =>
       import org.apache.spark.sql.functions._
