@@ -244,6 +244,28 @@ object ExtQueries {
       jaccardJoinExact(shingleSets(s, dir), 4, 5)
         .select(col("a"), col("b"), Rounding.r6(col("jac")).as("jaccard"))),
 
+    // Threshold-sensitivity sweep for near-dup removal: exact pair and
+    // affected-doc counts at jaccard ≥ 0.7 / 0.8 / 0.9, all read off
+    // ONE prefix-filtered exact join at the loosest threshold — the
+    // table a curation run consults before committing to a cutoff.
+    // Taus with zero pairs drop out (groupBy-on-constant keeps the
+    // empty-in → empty-out law).
+    "dedup_threshold_sweep" -> ((s, dir) => {
+      val pp = jaccardJoinExact(shingleSets(s, dir), 7, 10)
+        .select(col("a"), col("b"), col("jac"))
+        .localCheckpoint()
+      Seq(0.7, 0.8, 0.9).map { tau =>
+        val f = pp.filter(col("jac") >= tau)
+        val a1 = f.groupBy(lit(true).as("_g"))
+          .agg(count(lit(1)).as("n_pairs"))
+        val a2 = f.select(explode(array(col("a"), col("b"))).as("d"))
+          .groupBy(lit(true).as("_g"))
+          .agg(countDistinct(col("d")).as("n_docs"))
+        a1.join(a2, "_g")
+          .select(lit(tau).as("tau"), col("n_pairs"), col("n_docs"))
+      }.reduce(_ unionAll _)
+    }),
+
     "text_stats" -> ((s, dir) =>
       docs(s, dir)
         .withColumn("toks", expr(toksSpark))
@@ -1853,6 +1875,33 @@ object ExtQueries {
          |SELECT doc_id,
          |  (${(0 until SimBits).map(b => s"(CASE WHEN s$b >= 0 THEN ${1L << b}::BIGINT ELSE 0::BIGINT END)").mkString(" + ")}) AS simhash
          |FROM sm""".stripMargin,
+
+    "dedup_threshold_sweep" ->
+      s"""WITH $docHashes,
+         |dff AS (SELECT * FROM ds WHERE len(sh) > 0),
+         |shq AS (SELECT doc_id, list_distinct(sh) AS shd FROM dff),
+         |pj AS (SELECT x.doc_id AS a, y.doc_id AS b,
+         |    len(list_distinct(list_intersect(x.shd, y.shd)))::DOUBLE
+         |      / len(list_distinct(list_concat(x.shd, y.shd)))::DOUBLE AS jac
+         |  FROM shq x JOIN shq y ON x.doc_id < y.doc_id),
+         |t7 AS (SELECT count(*)::BIGINT AS n_pairs FROM pj
+         |  WHERE jac >= 0.7 HAVING count(*) > 0),
+         |d7 AS (SELECT count(DISTINCT d)::BIGINT AS n_docs FROM
+         |  (SELECT unnest([a, b]) AS d FROM pj WHERE jac >= 0.7) u
+         |  HAVING count(*) > 0),
+         |t8 AS (SELECT count(*)::BIGINT AS n_pairs FROM pj
+         |  WHERE jac >= 0.8 HAVING count(*) > 0),
+         |d8 AS (SELECT count(DISTINCT d)::BIGINT AS n_docs FROM
+         |  (SELECT unnest([a, b]) AS d FROM pj WHERE jac >= 0.8) u
+         |  HAVING count(*) > 0),
+         |t9 AS (SELECT count(*)::BIGINT AS n_pairs FROM pj
+         |  WHERE jac >= 0.9 HAVING count(*) > 0),
+         |d9 AS (SELECT count(DISTINCT d)::BIGINT AS n_docs FROM
+         |  (SELECT unnest([a, b]) AS d FROM pj WHERE jac >= 0.9) u
+         |  HAVING count(*) > 0)
+         |SELECT 0.7::DOUBLE AS tau, n_pairs, n_docs FROM t7, d7
+         |UNION ALL SELECT 0.8::DOUBLE, n_pairs, n_docs FROM t8, d8
+         |UNION ALL SELECT 0.9::DOUBLE, n_pairs, n_docs FROM t9, d9""".stripMargin,
 
     "dedup_allpairs" ->
       s"""WITH $docHashes,
