@@ -393,6 +393,44 @@ object Ts2Queries {
           r6(sqrt(col("v"))).as("ewm_vol"))
     }),
 
+    // Elder Ray: bull/bear power = high/low minus EMA13 — one EMA
+    // state machine plus two projections on the shared exchange.
+    "ind_elder_ray" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      EventBars.bars(s, dir)
+        .withColumn("e1",
+          expr("graft_ema3_w(close, 13)").over(w).getField("e1"))
+        .select(col("ticker"), col("t"), col("event_id"),
+          r6(col("high") - col("e1")).as("bull_power"),
+          r6(col("low") - col("e1")).as("bear_power"))
+    }),
+
+    // Fisher transform(10): range position clamped to ±0.999 → α=0.33
+    // smoothing → 0.5·ln((1+x)/(1−x)) → α=0.5 smoothing — BOTH
+    // recursions ride the generic AdaptiveEmaWindow (constant
+    // coefficient), chained on the one ticker exchange; a flat window
+    // (hh = ll) maps to the neutral 0.5 position with an explicit CASE
+    // (not try_divide: DuckDB's IEEE x/0 is inf, Spark's NULL — the
+    // CASE keeps both engines off that edge entirely).
+    "ind_fisher" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val wf = w.rowsBetween(-9, 0)
+      EventBars.bars(s, dir)
+        .withColumn("hh", max(col("high")).over(wf))
+        .withColumn("ll", min(col("low")).over(wf))
+        .withColumn("xr", expr(
+          "least(0.999D, greatest(-0.999D, 2.0D * (CASE WHEN hh = ll " +
+            "THEN 0.5D ELSE (close - ll) / (hh - ll) END) - 1.0D))"))
+        .withColumn("xs", expr("graft_adaptive_ema_w(xr, 0.33D)").over(w))
+        .withColumn("v",
+          expr("0.5D * ln((1.0D + xs) / (1.0D - xs))"))
+        .withColumn("fish", expr("graft_adaptive_ema_w(v, 0.5D)").over(w))
+        .withColumn("sig", lag(col("fish"), 1).over(w))
+        .select(col("ticker"), col("t"), col("event_id"),
+          r6(col("fish")).as("fisher"),
+          r6(col("sig")).as("fisher_signal"))
+    }),
+
     // GARCH(1,1)-style conditional variance: squared price-diff
     // innovations through the ω + α·x + β·y recursion (see
     // [[graft.functions.GarchWindow]]) — the ω > 0 mean-reversion
@@ -1043,6 +1081,42 @@ object Ts2Queries {
            |  (round(hac, 6) + 0.0) AS ha_close,
            |  (round(greatest(high, hao, hac), 6) + 0.0) AS ha_high,
            |  (round(least(low, hao, hac), 6) + 0.0) AS ha_low
+           |FROM rec""".stripMargin,
+
+      "ind_elder_ray" ->
+        s"""WITH RECURSIVE bars AS (${EventBars.sqlBars}),
+           |${emaRec(13)}
+           |SELECT b.ticker, b.t, b.event_id,
+           |  (round(b.high - rec.e1, 6) + 0.0) AS bull_power,
+           |  (round(b.low - rec.e1, 6) + 0.0) AS bear_power
+           |FROM rec JOIN bars b ON b.ticker = rec.ticker
+           |  AND b.t = rec.t AND b.event_id = rec.event_id""".stripMargin,
+
+      "ind_fisher" ->
+        s"""WITH RECURSIVE bars AS (${EventBars.sqlBars}),
+           |f AS (SELECT *, row_number() OVER ($Over) AS rn,
+           |    max(high) OVER ($Over
+           |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS hh,
+           |    min(low) OVER ($Over
+           |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS ll
+           |  FROM bars),
+           |nb AS (SELECT *, least(0.999, greatest(-0.999,
+           |    2.0 * (CASE WHEN hh = ll THEN 0.5
+           |      ELSE (close - ll) / (hh - ll) END) - 1.0)) AS xr FROM f),
+           |rec AS (
+           |  SELECT ticker, t, event_id, rn, xr AS xs,
+           |    0.5 * ln((1.0 + xr) / (1.0 - xr)) AS fish
+           |  FROM nb WHERE rn = 1
+           |  UNION ALL
+           |  SELECT ticker, t, event_id, rn, xs,
+           |    p_fish + 0.5 * ((0.5 * ln((1.0 + xs) / (1.0 - xs))) - p_fish)
+           |  FROM (SELECT nb.ticker, nb.t, nb.event_id, nb.rn,
+           |      r.fish AS p_fish, r.xs + 0.33 * (nb.xr - r.xs) AS xs
+           |    FROM rec r JOIN nb
+           |      ON nb.ticker = r.ticker AND nb.rn = r.rn + 1) z)
+           |SELECT ticker, t, event_id,
+           |  (round(fish, 6) + 0.0) AS fisher,
+           |  (round(lag(fish) OVER ($Over), 6) + 0.0) AS fisher_signal
            |FROM rec""".stripMargin,
 
       "ts_garch" ->
