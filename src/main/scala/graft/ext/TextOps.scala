@@ -23,6 +23,14 @@ object TextOps {
   val toksSpark = "filter(split(text, ' '), t -> t <> '')"
   val toksDuck = "list_filter(string_split(text, ' '), t -> t <> '')"
 
+  /** Spark-side NATIVE-expression fragments for the word-hash →
+    * shingle pipeline (the codegen'd Catalyst expressions registered
+    * by GraftFunctions) — the ONE definition every query module
+    * aliases; `shNativeSpark` assumes a `wh` column produced by
+    * `whNativeSpark`. */
+  val whNativeSpark: String = s"graft_word_hashes($toksSpark)"
+  val shNativeSpark: String = "graft_shingles(wh)"
+
   /** Per-token polynomial hash over character codes (base 131, seed 7). */
   def wordHashesSpark(toks: String): String =
     s"transform($toks, wd -> aggregate(transform(regexp_extract_all(wd, '.', 0), " +

@@ -35,8 +35,8 @@ object Corpus2Queries {
   }
 
   // Spark-side shingle fragments (mirrors ExtQueries' private whS/shS).
-  private val whS = s"graft_word_hashes($toksSpark)"
-  private val shS = "graft_shingles(wh)"
+  private val whS = whNativeSpark
+  private val shS = shNativeSpark
 
   /** Stoplist for the quality gate — the corpus' structural filler
     * tokens: the ONE definition in TextOps.LangMarkers (duplicating

@@ -37,8 +37,8 @@ object Corpus3Queries {
   }
 
   // Spark-side shingle fragments (mirror ExtQueries' private whS/shS).
-  private val whS = s"graft_word_hashes($toksSpark)"
-  private val shS = "graft_shingles(wh)"
+  private val whS = whNativeSpark
+  private val shS = shNativeSpark
 
   /** Per-(doc, shingle-hash) occurrence counts — the shared skeleton
     * of the span/novelty stats. Checkpointed: consumers join it
@@ -149,6 +149,11 @@ object Corpus3Queries {
     // key finds.
     "dedup_bow" -> ((s, dir) =>
       docs(s, dir)
+        // NULL text folds to the empty doc on BOTH engines — without
+        // this, Spark's concat_ws maps a null token array to "" (md5
+        // counted) while DuckDB's array_to_string stays NULL (skipped
+        // by count DISTINCT) and n_bow drifts by one per null doc.
+        .withColumn("text", coalesce(col("text"), lit("")))
         .select(col("source"), col("text"),
           md5(concat_ws(" ", array_sort(expr(toksSpark)))).as("bow_h"))
         .groupBy("source").agg(
@@ -224,5 +229,6 @@ object Corpus3Queries {
          |  (count(DISTINCT md5(text))
          |    - count(DISTINCT md5(array_to_string(list_sort($toksDuck), ' '))))::BIGINT
          |    AS shuffle_dups
-         |FROM documents GROUP BY 1""".stripMargin)
+         |FROM (SELECT source, coalesce(text, '') AS text FROM documents) d
+         |GROUP BY 1""".stripMargin)
 }

@@ -61,8 +61,8 @@ object ExtQueries {
   // formulations on the Spark side; TextOps' HOF strings remain the
   // DuckDB oracle mirrors. Fold order is identical → bit-equal.
 
-  private val whS = s"graft_word_hashes($toksSpark)"
-  private val shS = "graft_shingles(wh)"
+  private val whS = whNativeSpark
+  private val shS = shNativeSpark
   private val mhS = s"graft_minhash(sh, $NumHash)"
   private val bandsS = bandsSpark("mh", Bands, 3)
   private val bkS = s"transform(sequence(0, ${Bands - 1}), j -> CAST(j AS BIGINT) * $P + element_at(bands, j + 1))"
@@ -204,6 +204,10 @@ object ExtQueries {
       .filter(col("rn") <=
         expr(s"sz - (sz * $tNum + ${tDen - 1}) DIV $tDen + 1"))
       .select(col("doc_id"), col("sz"), col("g"))
+      // materialize: the self-join sides differ (queryPred filters x),
+      // so without this the dfreq shuffle and the prefix ranking
+      // window — the two widest stages — would each execute twice.
+      .localCheckpoint()
     val xs = queryPred.fold(pref)(p => pref.filter(p))
     // Length filter (also lossless: J ≥ t ⟹ t·|x| ≤ |y| ≤ |x|/t)
     // prunes size-mismatched collisions before the pair dedup.
@@ -627,8 +631,9 @@ object ExtQueries {
     // queryable number: exact jaccard ≥ 0.8 pairs anchored on a 10%
     // query split (smaller id ≡ 0 mod 10) vs the pairs the banded
     // candidate join actually surfaced. The exact side rides the
-    // block-partitioned pair join (per-task work (n/B)², never a
-    // nested loop); shingle sets checkpoint once for both block sides.
+    // prefix-filtered similarity join (jaccardJoinExact) with the
+    // query split pushed into the candidate stage — no O(n²) block
+    // pass anywhere in the plan.
     "dedup_lsh_recall" -> ((s, dir) => {
       val exact = jaccardJoinExact(shingleSets(s, dir), 4, 5,
         queryPred = Some(col("doc_id") % 10 === 0))

@@ -99,11 +99,18 @@ object TokQueries {
         .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
           sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
         .select(col("n"),
+          // DECIMAL(38,0) (≙ oracle HUGEINT) products: with 100 TB
+          // token frequencies (~1e12) the micro-unit sums put n·sxy
+          // past 2^63 — a bare BIGINT product would silently wrap on
+          // Spark while DuckDB raises, exactly where the sums are
+          // still exact.
           Rounding.r6(expr(
-            "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)"))
+            "CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)" +
+              " / CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"))
             .as("slope"),
           Rounding.r6(expr(
-            "(CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 1000000.0D"))
+            "(CAST(sy AS DOUBLE) - (CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)" +
+              " / CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 1000000.0D"))
             .as("intercept"))
         .filter(col("n") > 1)
     }))
@@ -145,10 +152,11 @@ object TokQueries {
          |    sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
          |    sum(x * x)::BIGINT AS sxx FROM q)
          |SELECT n,
-         |  (round((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE, 6) + 0.0)
+         |  (round((n::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE
+         |    / (n::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE, 6) + 0.0)
          |    AS slope,
-         |  (round((sy::DOUBLE - ((n * sxy - sx * sy)::DOUBLE
-         |      / (n * sxx - sx * sx)::DOUBLE) * sx::DOUBLE) / n::DOUBLE / 1000000.0, 6)
+         |  (round((sy::DOUBLE - ((n::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE
+         |      / (n::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE) * sx::DOUBLE) / n::DOUBLE / 1000000.0, 6)
          |    + 0.0) AS intercept
          |FROM ss WHERE n > 1""".stripMargin)
 }

@@ -12,8 +12,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Scale: state is O(1) per key (mean, variance, count — never a value
   * list), keyed and shuffled once. Within a micro-batch, observations
-  * are sorted per key by event time before folding, so intra-batch
-  * arrival order can't reorder the recursion; the flag for an
+  * are sorted per key by (event time, value) — a total order — before
+  * folding, so intra-batch arrival order can't reorder the recursion
+  * even among equal timestamps; the flag for an
   * observation is judged against the state BEFORE it folds in (a spike
   * must not dilute the baseline it is judged against). The first
   * `WarmUp` observations only build state — flagging against a
@@ -55,7 +56,10 @@ object StreamingAnomaly {
       state: GroupState[EwState]): Iterator[Flag] = {
     var st = state.getOption.getOrElse(EwState(0.0, 0.0, 0L))
     val out = scala.collection.mutable.ArrayBuffer.empty[Flag]
-    events.toSeq.sortBy(_.ts.getTime).foreach { e =>
+    // (ts, x) is a TOTAL order over distinct observations — bare ts
+    // would leave equal-timestamp folds in shuffle-arrival order and
+    // the EW state (hence a borderline flag) nondeterministic.
+    events.toSeq.sortBy(e => (e.ts.getTime, e.x)).foreach { e =>
       val (f, stN) = advance(st, e.ts, e.x)
       f.foreach(fl => out += fl.copy(key = key))
       st = stN

@@ -315,22 +315,35 @@ object EngineProps extends Properties("engine") {
     }
 
   property("jaccardJoinExact equals the brute-force threshold join") =
-    Prop.forAll(Gen.choose(0, 40), Gen.choose(2, 6),
+    Prop.forAll(Gen.choose(0, 40), Gen.choose(2, 30),
       Gen.choose(0L, 1000L)) { (nDocs, alpha, seed) =>
       import org.apache.spark.sql.functions._
-      // random small-alphabet shingle sets: heavy overlap by design so
-      // pairs actually cross the 0.8 threshold (incl. identical sets)
+      // random shingle sets plus GENUINE near-copies (identical, one
+      // element added, or one removed) of earlier docs — the
+      // engineered high-overlap regime prefix filtering must not lose
       val rnd = new scala.util.Random(seed)
-      val rows = (0 until nDocs).map { i =>
-        val sz = 1 + rnd.nextInt(8)
-        val base = (0 until sz).map(_ => (rnd.nextInt(alpha) + 1).toLong)
-        val shd = (if (rnd.nextBoolean() && i > 0) {
-          // near-copy of a previous doc: mutate at most one element
-          val prev = (0 until (1 + rnd.nextInt(8)))
-            .map(_ => (rnd.nextInt(alpha) + 1).toLong)
-          if (rnd.nextBoolean()) prev else prev :+ (rnd.nextInt(alpha) + 1).toLong
-        } else base).distinct.sorted
-        Row(i.toLong, shd)
+      val sets = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+      (0 until nDocs).foreach { i =>
+        val shd: Seq[Long] =
+          if (i > 0 && rnd.nextBoolean()) {
+            val src = sets(rnd.nextInt(i))
+            rnd.nextInt(3) match {
+              case 0 => src
+              case 1 => (src :+ (rnd.nextInt(alpha) + 1).toLong)
+                .distinct.sorted
+              case _ =>
+                if (src.size > 1) src.patch(rnd.nextInt(src.size), Nil, 1)
+                else src
+            }
+          } else {
+            val sz = 1 + rnd.nextInt(20)
+            (0 until sz).map(_ => (rnd.nextInt(alpha) + 1).toLong)
+              .distinct.sorted
+          }
+        sets += shd
+      }
+      val rows = sets.toSeq.zipWithIndex.map { case (s0, i) =>
+        Row(i.toLong, s0)
       }
       val d = spark.createDataFrame(
         java.util.Arrays.asList(rows: _*),
@@ -339,12 +352,12 @@ object EngineProps extends Properties("engine") {
       val got = graft.queries.ExtQueries.jaccardJoinExact(d, 4, 5)
         .select(col("a"), col("b")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val sets = rows.map(r => r.getLong(0) ->
+      val byId = rows.map(r => r.getLong(0) ->
         r.getSeq[Long](1).toSet).toMap
       val want = (for {
-        a <- sets.keys; b <- sets.keys; if a < b
-        inter = (sets(a) & sets(b)).size
-        union = (sets(a) | sets(b)).size
+        a <- byId.keys; b <- byId.keys; if a < b
+        inter = (byId(a) & byId(b)).size
+        union = (byId(a) | byId(b)).size
         if union > 0 && inter.toDouble / union >= 0.8
       } yield (a, b)).toSet
       got == want
