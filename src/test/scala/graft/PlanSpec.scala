@@ -749,6 +749,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("FlatMapGroups"))
   }
 
+  test("exact jaccard joins: equi-joins only — no block/nested-loop pass") {
+    // The prefix-filtered similarity join's whole point: candidates
+    // come from hash equi-joins on the shingle key, never a cartesian
+    // or nested-loop pair enumeration. (dedup_threshold_sweep DOES
+    // plan trivial CartesianProducts — its per-tau n_pairs × n_docs
+    // one-row aggregates — the sanctioned one-row-agg crossJoin shape,
+    // so only the nested-loop assertion applies there.)
+    Seq("dedup_allpairs", "dedup_lsh_recall").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), q)
+    }
+    assert(!plan("dedup_threshold_sweep").contains("BroadcastNestedLoopJoin"))
+  }
+
   test("bloom decontamination probes broadcast; corpus never sort-merges") {
     // The 100 TB shape: the held-out bloom position set and exact
     // shingle set are broadcast builds; the corpus side probes them
