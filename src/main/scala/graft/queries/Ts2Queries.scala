@@ -537,6 +537,30 @@ object Ts2Queries {
           r6(expr("sqrt(CAST(ss AS DOUBLE)) / 1000000.0")).as("rv"))
     }),
 
+    // Cross-sectional market breadth: per timestamp, the fraction of
+    // tickers trading above their own 20-bar SMA — the
+    // two-orthogonal-partitionings shape (per-ticker frame window,
+    // then a re-shuffle keyed by TIME for the cross-section; at 100 TB
+    // these are different exchanges by construction and neither can
+    // subsume the other). The above-SMA test multiplies close by the
+    // constant frame size instead of dividing the sum — one fewer
+    // float op on the compared values; counts after the compare are
+    // exact integers.
+    "ts_breadth" -> ((s, dir) => {
+      val wf = w.rowsBetween(-19, 0)
+      EventBars.bars(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("s20", sum(col("close")).over(wf))
+        .filter(col("rn") >= 20)
+        .groupBy("t").agg(
+          count(lit(1)).as("n_tickers"),
+          sum(when(expr("close * 20.0D > s20"), 1L).otherwise(0L))
+            .as("n_above"))
+        .select(col("t"), col("n_tickers"), col("n_above"),
+          r6(col("n_above").cast("double")
+            / col("n_tickers").cast("double")).as("breadth"))
+    }),
+
     // Corwin-Schultz bid-ask spread estimator from daily high/low
     // ranges (the classic low-frequency spread proxy). Daily extremes
     // are exact max/min picks; the two-day β/γ/α chain is per-row
@@ -1521,6 +1545,19 @@ object Ts2Queries {
            |  (round((sqrt(CAST(ss AS DOUBLE)) / 1000000.0)
            |   * 1000000.0) / 1000000.0 + 0.0) AS rv
            |FROM g""".stripMargin,
+
+      "ts_breadth" ->
+        s"""WITH bars AS (${EventBars.sqlBars}),
+           |f AS (SELECT *, row_number() OVER ($Over) AS rn,
+           |    sum(close) OVER ($Over
+           |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS s20
+           |  FROM bars)
+           |SELECT t, count(*)::BIGINT AS n_tickers,
+           |  sum(CASE WHEN close * 20.0 > s20 THEN 1 ELSE 0 END)::BIGINT
+           |    AS n_above,
+           |  (round(sum(CASE WHEN close * 20.0 > s20 THEN 1 ELSE 0 END)::DOUBLE
+           |    / count(*)::DOUBLE, 6) + 0.0) AS breadth
+           |FROM f WHERE rn >= 20 GROUP BY t""".stripMargin,
 
       "ts_spread_cs" ->
         s"""WITH bars AS (${EventBars.sqlBars}),
