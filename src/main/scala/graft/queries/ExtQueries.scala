@@ -43,7 +43,7 @@ object ExtQueries {
     * at 100 TB). Driver literal from one count job; the oracle mirrors
     * it as a scalar subquery with the identical float-free outcome
     * (floor∘sqrt agrees with integer isqrt for any n < 2⁵¹). */
-  private def ivfNlist(e: DataFrame): Long = {
+  private[queries] def ivfNlist(e: DataFrame): Long = {
     val s = math.floor(math.sqrt(e.count().toDouble)).toLong
     var p = 16L
     while (p < s && p < 4096L) p <<= 1
@@ -51,7 +51,7 @@ object ExtQueries {
   }
 
   /** The oracle-side mirror of [[ivfNlist]]. */
-  private val ivfNlistD =
+  private[queries] val ivfNlistD =
     "(SELECT least(4096, greatest(16, CAST(power(2, " +
       "ceil(log2(greatest(1, floor(sqrt(count(*)))))) ) AS BIGINT)))" +
       " FROM embeddings)"
@@ -143,32 +143,61 @@ object ExtQueries {
     * that large are exact-dup shaped and belong to dedup_exact's
     * hash-groupBy). The count window partitions on bk — the same key
     * the candidate join shuffles on — so ONE exchange feeds the window
-    * and both join sides (the expensive text hashing runs once;
-    * verified in PlanSpec). Pairs are deduped BEFORE the heavy per-pair
-    * array expressions so jaccard/est run once per unique pair, not
-    * once per colliding band.
-    */
+    * and both join sides (verified in PlanSpec).
+    *
+    * Scale shape: the band exchange, the candidate self-join, and the
+    * pair dedup carry (doc_id, bk) ONLY — two longs per banded row.
+    * The expensive text hashing runs once into the checkpointed sigs
+    * table; minhash signatures and distinct shingle sets join back BY
+    * ID after the pair dedup, so a doc's arrays move once per unique
+    * surviving pair side, never once per band per collision (the
+    * posture [[jaccardJoinExact]] proves; PlanSpec pins that no
+    * array-typed column rides a bk- or pair-keyed exchange).
+    * jaccard/est still run once per unique pair. */
   private[queries] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir)
-      .withColumn("toks", expr(toksSpark))
+    val (sigs, banded) = lshTables(s, dir)
+    val pairs = banded.as("x").hint("shuffle_hash")
+      .join(banded.as("y").hint("shuffle_hash"),
+        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .dropDuplicates("a", "b")
+    attachSigs(pairs, sigs)
+  }
+
+  /** (sigs, banded): the two checkpointed tables the LSH family is
+    * built from — the per-doc signature table (doc_id, shd, mh) and
+    * the bucket-capped banded rows (doc_id, bk). `banded` is what a
+    * persisted LSH band INDEX is at scale: built once over the
+    * corpus, re-read by every probe (full self-join or incremental
+    * shard) without recomputing the text hashing or the cap window. */
+  private def lshTables(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val sigs = docs(s, dir)
       .withColumn("wh", expr(whS))
       .withColumn("sh", expr(shS))
       .filter(expr("size(sh) > 0"))
       .withColumn("mh", expr(mhS))
+      .select(col("doc_id").cast("long").as("doc_id"),
+        expr("array_distinct(sh)").as("shd"), col("mh"))
+      .localCheckpoint()
+    val banded = sigs
       .withColumn("bands", expr(bandsS))
-      .select(col("doc_id").cast("long").as("doc_id"), col("sh"), col("mh"),
-        explode(expr(bkS)).as("bk"))
+      .select(col("doc_id"), explode(expr(bkS)).as("bk"))
       .withColumn("_bn", expr("count(1) OVER (PARTITION BY bk)"))
       .filter(col("_bn") <= MaxBandBucket)
       .drop("_bn")
-    base.as("x").hint("shuffle_hash")
-      .join(base.as("y").hint("shuffle_hash"),
-        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        col("x.mh").as("mha"), col("y.mh").as("mhb"),
-        col("x.sh").as("sha"), col("y.sh").as("shb"))
-      .dropDuplicates("a", "b")
+      .localCheckpoint()
+    (sigs, banded)
   }
+
+  /** Join minhash signatures + distinct shingle sets back onto an
+    * (a, b) id-pair set — arrays move once per surviving pair side,
+    * keyed by id, never through the band fan-out. */
+  private def attachSigs(pairs: DataFrame, sigs: DataFrame): DataFrame =
+    pairs
+      .join(sigs.select(col("doc_id").as("a"), col("mh").as("mha"),
+        col("shd").as("sha")), Seq("a"))
+      .join(sigs.select(col("doc_id").as("b"), col("mh").as("mhb"),
+        col("shd").as("shb")), Seq("b"))
 
   /** EXACT jaccard-threshold similarity join (threshold tNum/tDen)
     * via AllPairs/PPJoin prefix filtering — the scale path for exact
@@ -625,6 +654,34 @@ object ExtQueries {
       minhashPairs(s, dir).select(col("a"), col("b"),
         Rounding.r6(expr("graft_minhash_est(mha, mhb)")).as("est_sim"),
         Rounding.r6(jaccardExpr).as("jaccard"))),
+
+    // INCREMENTAL near-dup — dedup a NEW shard (doc_id ≡ 3 mod 20, a
+    // daily ingest ~5% of the corpus) against the EXISTING corpus
+    // without re-pairing the corpus with itself: only the shard's
+    // banded rows probe the persisted band index (the checkpointed
+    // capped band table both LSH paths share), so the candidate join's
+    // left side — and with it the per-day pair-generation work — is
+    // proportional to the INGEST, not the corpus. least/greatest
+    // normalization + pair dedup collapse the twice-generated
+    // new↔new pairs; the result is EXACTLY the full-corpus jaccard
+    // ≥ 0.8 pair set restricted to pairs touching the shard (the cap
+    // window still counts the full band table, so no pair appears or
+    // disappears vs the batch run — property-pinned in ExtDedupSpec).
+    // Reference analog: the per-day incremental Airflow runs
+    // (airflow_dag.py:22-26) re-process one day against history.
+    "dedup_incremental" -> ((s, dir) => {
+      val (sigs, banded) = lshTables(s, dir)
+      val probe = banded.filter(col("doc_id") % 20 === 3)
+      val pairs = probe.as("x").hint("shuffle_hash")
+        .join(banded.as("y").hint("shuffle_hash"),
+          col("x.bk") === col("y.bk") && col("x.doc_id") =!= col("y.doc_id"))
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
+        .dropDuplicates("a", "b")
+      attachSigs(pairs, sigs)
+        .filter(jaccardExpr >= 0.8)
+        .select(col("a"), col("b"), Rounding.r6(jaccardExpr).as("jaccard"))
+    }),
 
     // Recall measurement for the banded MinHash-LSH path — the text
     // analog of sim_recall, turning the family's recall caveat into a
@@ -1963,6 +2020,17 @@ object ExtQueries {
          |  (round(len(list_distinct(list_intersect(list_distinct(x.sh), list_distinct(y.sh))))::DOUBLE
          |      / len(list_distinct(list_concat(list_distinct(x.sh), list_distinct(y.sh))))::DOUBLE, 6) + 0.0) AS jaccard
          |FROM dk x JOIN dk y ON x.bk = y.bk AND x.doc_id < y.doc_id""".stripMargin,
+
+    // The BATCH candidate chain restricted to pairs touching the
+    // shard — the incremental run must reproduce it bit-for-bit.
+    "dedup_incremental" ->
+      s"""WITH $candPairsDuck,
+         |jc AS (SELECT a, b,
+         |    len(list_distinct(list_intersect(list_distinct(sha), list_distinct(shb))))::DOUBLE
+         |      / len(list_distinct(list_concat(list_distinct(sha), list_distinct(shb))))::DOUBLE AS jac
+         |  FROM cp WHERE a % 20 = 3 OR b % 20 = 3)
+         |SELECT a, b, (round(jac, 6) + 0.0) AS jaccard
+         |FROM jc WHERE jac >= 0.8""".stripMargin,
 
     "text_pack" ->
       s"""WITH nt AS (SELECT doc_id::BIGINT AS doc_id, source,

@@ -245,6 +245,65 @@ object ScaleQueries {
           Rounding.r6(abs(col("x") - col("deq"))).as("err"))
     }),
 
+    // Mergeable approximate QUANTILE sketch — the "swap for an approx
+    // sketch at true scale" the exact-quantile comments promise, made
+    // real and DETERMINISTIC: a bottom-K-by-hash value sample per
+    // group. A partition's partial sketch is its K hash-smallest
+    // (h, v) rows; merge(S1, S2) = bottomK(S1 ∪ S2) — commutative,
+    // associative and order-independent, so ANY partitioning or merge
+    // tree yields the SAME sample (a KLL compactor's coin-flips are
+    // merge-order-dependent — they'd break both run-to-run determinism
+    // and the DuckDB mirror). KMin.smallestBy IS that merge executed
+    // two-phase: ≤K-row partial sketches per partition, one tiny merge
+    // window — never a whole-group sort. Estimates are INTEGER-ranked:
+    // the ⌈p·m⌉-th smallest sampled value (pure integer ceil — no
+    // float rank math). The sketch's error is MEASURED, not assumed:
+    // each estimate's exact rank in the full data comes back from one
+    // broadcast-join pass, and max_rank_err is the number a 100 TB
+    // pipeline monitors before trusting the sketch (K=512 ⇒ expected
+    // rank error ~1/(2·√K) ≈ 2%; ScaleProbe re-measures at 30× rows).
+    "sketch_quantile" -> ((s, dir) => {
+      val K = 512
+      val h = "(((l_orderkey * 71L + l_linenumber) % " +
+        s"${TextOps.P}L) * 2654435761L) % ${TextOps.P}L"
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"),
+          expr(h).as("h"), col("l_orderkey"), col("l_linenumber"))
+      val samp = KMin.smallestBy(li, Seq("l_returnflag"),
+        Seq("h", "l_orderkey", "l_linenumber"), K, "_rk")
+      val sr = samp
+        .withColumn("vr", row_number().over(Window
+          .partitionBy("l_returnflag").orderBy(col("v"), col("h"))))
+        .withColumn("m", count(lit(1)).over(
+          Window.partitionBy("l_returnflag")))
+      def est(num: Int): org.apache.spark.sql.Column =
+        max(when(col("vr") ===
+          expr(s"greatest(1L, ($num * m + 99) DIV 100)"), col("v")))
+      val ests = sr.groupBy("l_returnflag").agg(
+        max(col("m")).cast("long").as("m_sample"),
+        est(25).as("p25_est"), est(50).as("p50_est"),
+        est(90).as("p90_est"), est(99).as("p99_est"))
+      li.join(broadcast(ests), Seq("l_returnflag"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"), max(col("m_sample")).as("m_sample"),
+          max(col("p25_est")).as("p25_est"),
+          sum(when(col("v") <= col("p25_est"), 1L).otherwise(0L)).as("le25"),
+          max(col("p50_est")).as("p50_est"),
+          sum(when(col("v") <= col("p50_est"), 1L).otherwise(0L)).as("le50"),
+          max(col("p90_est")).as("p90_est"),
+          sum(when(col("v") <= col("p90_est"), 1L).otherwise(0L)).as("le90"),
+          max(col("p99_est")).as("p99_est"),
+          sum(when(col("v") <= col("p99_est"), 1L).otherwise(0L)).as("le99"))
+        .select(col("l_returnflag"), col("n_rows"), col("m_sample"),
+          col("p25_est"), col("p50_est"), col("p90_est"), col("p99_est"),
+          Rounding.r6(greatest(
+            abs(col("le25").cast("double") / col("n_rows").cast("double") - 0.25),
+            abs(col("le50").cast("double") / col("n_rows").cast("double") - 0.50),
+            abs(col("le90").cast("double") / col("n_rows").cast("double") - 0.90),
+            abs(col("le99").cast("double") / col("n_rows").cast("double") - 0.99)))
+            .as("max_rank_err"))
+    }),
+
     // Count-min sketch vs ground truth: every token is hashed into d
     // independent rows of w counters (the d×w table shuffles 8-byte
     // (row, col) keys only — never tokens); a heavy hitter's estimate
@@ -589,8 +648,14 @@ object ScaleQueries {
         .select(col("vec_id").cast("long").as("vec_id"),
           expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
         .withColumn("nrm", expr(s"sqrt(${"graft_dot(v, v)"})"))
-      // IVF cells (sim_ivf's deterministic coarse quantizer)
-      val cents = e.filter(col("vec_id") < 16)
+      // IVF cells: sim_ivf's deterministic coarse quantizer with the
+      // SAME adaptive nlist (~√n, power of two in [16, 4096]) — a
+      // fixed cell count would leave per-cell candidate lists growing
+      // linearly and the ADC join degrading toward (n/k)² at scale.
+      // (The 16 in pqCodebook below is the PQ codebook SIZE — 2⁴
+      // codes per block, fixed by design like any PQ bit width — not
+      // a partition count, so it does not grow with n.)
+      val cents = e.filter(col("vec_id") < lit(ExtQueries.ivfNlist(e)))
         .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
       val assigned = e.crossJoin(broadcast(cents))
         .withColumn("csim", expr("try_divide(graft_dot(v, cv), nrm * cnrm)"))
@@ -736,6 +801,46 @@ object ScaleQueries {
         |  (round(abs(x - (mn + ((q + 128)::DOUBLE / 255.0) * (mx - mn))), 6) + 0.0)
         |    AS err
         |FROM q""".stripMargin,
+
+    // Naive single-window mirror of the two-phase KMin sketch: the
+    // union-of-partition-minima provably equals the global bottom-K,
+    // so one flat row_number reproduces the engine's sample exactly.
+    "sketch_quantile" ->
+      s"""WITH li AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+         |    (((l_orderkey * 71 + l_linenumber) % $P) * 2654435761) % $P AS h,
+         |    l_orderkey, l_linenumber FROM lineitem),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY g
+         |    ORDER BY h, l_orderkey, l_linenumber) AS _rk FROM li),
+         |samp AS (SELECT g, v, h FROM rk WHERE _rk <= 512),
+         |sr AS (SELECT g, v,
+         |    row_number() OVER (PARTITION BY g ORDER BY v, h) AS vr,
+         |    count(*) OVER (PARTITION BY g) AS m FROM samp),
+         |est AS (SELECT g, max(m)::BIGINT AS m_sample,
+         |    max(CASE WHEN vr = greatest(1, (25 * m + 99) // 100) THEN v END) AS p25_est,
+         |    max(CASE WHEN vr = greatest(1, (50 * m + 99) // 100) THEN v END) AS p50_est,
+         |    max(CASE WHEN vr = greatest(1, (90 * m + 99) // 100) THEN v END) AS p90_est,
+         |    max(CASE WHEN vr = greatest(1, (99 * m + 99) // 100) THEN v END) AS p99_est
+         |  FROM sr GROUP BY g),
+         |ex AS (SELECT li.g, count(*)::BIGINT AS n_rows,
+         |    max(e.m_sample) AS m_sample,
+         |    max(e.p25_est) AS p25_est,
+         |    sum(CASE WHEN li.v <= e.p25_est THEN 1 ELSE 0 END)::BIGINT AS le25,
+         |    max(e.p50_est) AS p50_est,
+         |    sum(CASE WHEN li.v <= e.p50_est THEN 1 ELSE 0 END)::BIGINT AS le50,
+         |    max(e.p90_est) AS p90_est,
+         |    sum(CASE WHEN li.v <= e.p90_est THEN 1 ELSE 0 END)::BIGINT AS le90,
+         |    max(e.p99_est) AS p99_est,
+         |    sum(CASE WHEN li.v <= e.p99_est THEN 1 ELSE 0 END)::BIGINT AS le99
+         |  FROM li JOIN est e ON e.g = li.g GROUP BY li.g)
+         |SELECT g AS l_returnflag, n_rows, m_sample,
+         |  p25_est, p50_est, p90_est, p99_est,
+         |  (round(greatest(
+         |    abs(le25::DOUBLE / n_rows::DOUBLE - 0.25),
+         |    abs(le50::DOUBLE / n_rows::DOUBLE - 0.50),
+         |    abs(le90::DOUBLE / n_rows::DOUBLE - 0.90),
+         |    abs(le99::DOUBLE / n_rows::DOUBLE - 0.99)), 6) + 0.0)
+         |    AS max_rank_err
+         |FROM ex""".stripMargin,
 
     "sketch_cms" ->
       s"""WITH tk AS (SELECT unnest($toksDuck) AS tok FROM documents),
@@ -975,7 +1080,7 @@ object ScaleQueries {
          |    embedding::DOUBLE[] AS v FROM embeddings),
          |en AS (SELECT *, sqrt(${dot("v", "v")}) AS nrm FROM eb),
          |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM en
-         |  WHERE vec_id < 16),
+         |  WHERE vec_id < ${ExtQueries.ivfNlistD}),
          |asg0 AS (SELECT e.vec_id, e.v, c.c_id,
          |    ${dot("e.v", "c.cv")} / (e.nrm * c.cnrm) AS csim
          |  FROM en e CROSS JOIN cents c),

@@ -49,6 +49,26 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup ≡ batch pair set restricted to the shard") {
+    // The one-sided probe must reproduce EXACTLY the full-corpus
+    // jaccard ≥ 0.8 candidate pairs that touch the new shard
+    // (doc_id ≡ 3 mod 20) — no pair lost to the asymmetric join, no
+    // duplicate from the twice-generated new↔new orientation.
+    val inc = graft.queries.ExtQueries.queries("dedup_incremental")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Double]("jaccard")))
+    assert(inc.length == inc.map(p => (p._1, p._2)).distinct.length)
+    val batch = graft.queries.ExtQueries.queries("dedup_minhash_lsh")(spark, sf)
+      .filter(col("jaccard") >= 0.8)
+      .filter(col("a") % 20 === 3 || col("b") % 20 === 3)
+      .collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Double]("jaccard")))
+    assert(inc.toSet == batch.toSet,
+      s"incremental=${inc.length} batch=${batch.length}")
+  }
+
   test("LSH band-skew guard: a boilerplate flood cannot blow up a bucket") {
     // 400 near-identical boilerplate docs (one hot band bucket) + 30
     // distinct pairs of near-dups. Without the bucket cap the flood

@@ -77,10 +77,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("LSH candidate join + bucket-cap window share the bk exchange shape") {
-    // 3 = the two join sides (canonically identical → reused at
-    // runtime by ReuseExchange/AQE stage reuse) + pair dropDuplicates.
-    assert(shuffles(plan("dedup_minhash_lsh")) == 3)
+  test("LSH band/pair exchanges carry no arrays; arrays join back by id") {
+    // The band-bucket self-join and the pair dropDuplicates move
+    // (doc_id, bk)/(a, b) — longs only. Shingle sets and minhash
+    // signatures live in the checkpointed sigs table and join back BY
+    // ID after the pair dedup, so an array-typed column may only ever
+    // ride a single-id-keyed exchange (one row per doc), never the
+    // band fan-out (one row per doc PER BAND per collision) or the
+    // pair-keyed dedup.
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val exec = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+      .queryExecution.executedPlan match {
+      // AQE wraps the plan in a leaf node — unwrap to the initial plan
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    val exs = exec.collect { case e: ShuffleExchangeExec => e }
+    assert(exs.nonEmpty)
+    exs.foreach { e =>
+      if (e.output.exists(_.dataType.isInstanceOf[ArrayType])) {
+        val nKeys = e.outputPartitioning match {
+          case h: HashPartitioning => h.expressions.length
+          case _ => -1
+        }
+        assert(nKeys == 1,
+          s"array-typed column on a non-id exchange: ${e.simpleStringWithNodeId()}")
+      }
+    }
   }
 
   test("decontamination broadcasts the held-out shingle set") {
