@@ -109,6 +109,37 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup probes the band index one-sided") {
+    // The shard predicate must sit BELOW the probe side's band
+    // exchange — the daily ingest shuffles ~5% of the banded rows into
+    // the candidate join, the corpus side flows once, unfiltered (at
+    // scale it is the persisted, already-partitioned band index). A
+    // filter evaluated only above the join would mean the run
+    // re-paired corpus×corpus and discarded the work.
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val exec = SparkEntry.queries("dedup_incremental")(spark, sf)
+      .queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    val bandEx = exec.collect {
+      case e: ShuffleExchangeExec
+        if (e.outputPartitioning match {
+          case h: HashPartitioning => h.expressions.exists(
+            _.references.exists(_.name == "bk"))
+          case _ => false
+        }) => e
+    }
+    assert(bandEx.length == 2, s"expected 2 band exchanges, got $bandEx")
+    assert(bandEx.count(_.child.toString.contains("% 20")) == 1,
+      "shard filter must gate exactly ONE band-join side, below its exchange")
+    assert(!bandEx.exists(_.output.exists(_.dataType.isInstanceOf[ArrayType])),
+      "band exchanges must carry no array columns")
+  }
+
   test("decontamination broadcasts the held-out shingle set") {
     val p = plan("text_decontaminate")
     assert(p.contains("BroadcastExchange"))

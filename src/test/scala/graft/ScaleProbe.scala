@@ -218,6 +218,59 @@ object ScaleProbe {
     val secQl = (System.nanoTime() - tQ2) / 1e9
     println(f"GQUANT_ROWS=$nL GQUANT_DIST_SEC=$secQd%.2f " +
       f"GQUANT_LOCAL_SEC=$secQl%.2f BITEQ_OK=${qDist == qLocal}")
+
+    // Mergeable quantile sketch at reps× lineitem (≥ 6M rows at
+    // reps=30): the bottom-K sample's measured max rank error must
+    // stay in the ~1/(2·√K) ≈ 2% envelope as n grows — the sketch's
+    // whole claim is that error depends on K, not on n.
+    val tSk = System.nanoTime()
+    val skErr = graft.SparkEntry.queries("sketch_quantile")(
+      spark, "/tmp/scale_li")
+      .agg(max(col("max_rank_err"))).collect()(0).getDouble(0)
+    println(f"SKETCHQ_ROWS=$nL SKETCHQ_SEC=${(System.nanoTime()-tSk)/1e9}%.2f " +
+      f"SKETCHQ_MAX_RANK_ERR=$skErr%.4f ERR_OK=${skErr <= 0.05}")
+
+    // IVF(-PQ) coarse-quantizer candidate mass at 1×/10×/40× vectors:
+    // with the adaptive nlist (~√n cells) the same-cell candidate
+    // pairs per query grow ~√n — the fixed-16-cell quantizer's n/16
+    // per query (n²/16 total, printed alongside) is what the adaptive
+    // formula replaces. Assignment is recomputed with the engine's
+    // exact expressions (graft_dot + deterministic lowest-id
+    // centroids); the printed ratio ADAPT/FIXED16 is the pruning the
+    // sim_ivf_pq ADC join gains at each scale.
+    for (r <- Seq(1, 10, 40)) {
+      val src = if (r == 1) "/root/testdata/sf0.1/embeddings.parquet"
+        else { emb0.crossJoin(spark.range(r).select(col("id").as("rep")))
+          .withColumn("vec_id", col("vec_id") * r + col("rep")).drop("rep")
+          .write.mode("overwrite")
+          .parquet(s"/tmp/scale_ivf_$r/embeddings.parquet")
+          s"/tmp/scale_ivf_$r/embeddings.parquet" }
+      val ev = spark.read.parquet(src)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+        .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+        .localCheckpoint()
+      val nVec = ev.count()
+      val sq = math.floor(math.sqrt(nVec.toDouble)).toLong
+      var nlist = 16L
+      while (nlist < sq && nlist < 4096L) nlist <<= 1
+      def cellMass(k: Long): Long = {
+        val cents = ev.filter(col("vec_id") < k)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"),
+            col("nrm").as("cnrm"))
+        val sizes = ev.crossJoin(broadcast(cents))
+          .withColumn("csim", expr("try_divide(graft_dot(v, cv), nrm * cnrm)"))
+          .withColumn("crank", expr(
+            "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id)"))
+          .filter(col("crank") === 1)
+          .groupBy("c_id").agg(count(lit(1)).as("s"))
+        sizes.agg(sum(expr("s * (s - 1)"))).collect()(0).getLong(0)
+      }
+      val mAdapt = cellMass(nlist)
+      val mFixed = cellMass(16L)
+      println(f"IVF_VECTORS=$nVec NLIST=$nlist CAND_ADAPT=$mAdapt " +
+        f"CAND_FIXED16=$mFixed PRUNE_X=${mFixed.toDouble / mAdapt}%.1f")
+    }
     spark.stop()
   }
 }
