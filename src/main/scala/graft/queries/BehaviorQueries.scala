@@ -208,7 +208,7 @@ object BehaviorQueries {
     "dedup_editdist" -> ((s, dir) => {
       val dd = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-      ExtQueries.minhashPairs(s, dir).select(col("a"), col("b"))
+      ExtQueries.minhashIdPairs(s, dir)
         .join(dd.select(col("doc_id").as("a"), col("text").as("ta")), Seq("a"))
         .join(dd.select(col("doc_id").as("b"), col("text").as("tb")), Seq("b"))
         .withColumn("ed", levenshtein(col("ta"), col("tb")))

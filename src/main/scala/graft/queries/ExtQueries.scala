@@ -156,13 +156,21 @@ object ExtQueries {
     * jaccard/est still run once per unique pair. */
   private[queries] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     val (sigs, banded) = lshTables(s, dir)
-    val pairs = banded.as("x").hint("shuffle_hash")
+    attachSigs(bandIdPairs(banded), sigs)
+  }
+
+  /** Candidate (a, b) id-pairs only — for consumers that never touch
+    * signatures or shingles (edit-distance verification joins texts by
+    * id itself), skipping the sigs join-back entirely. */
+  private[queries] def minhashIdPairs(s: SparkSession, dir: String): DataFrame =
+    bandIdPairs(lshTables(s, dir)._2)
+
+  private def bandIdPairs(banded: DataFrame): DataFrame =
+    banded.as("x").hint("shuffle_hash")
       .join(banded.as("y").hint("shuffle_hash"),
         col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .dropDuplicates("a", "b")
-    attachSigs(pairs, sigs)
-  }
 
   /** (sigs, banded): the two checkpointed tables the LSH family is
     * built from — the per-doc signature table (doc_id, shd, mh) and
