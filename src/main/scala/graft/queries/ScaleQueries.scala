@@ -691,6 +691,29 @@ object ScaleQueries {
           Rounding.r6(col("adc")).as("adc"))
     }),
 
+    // Recall@3 of the composed IVF-PQ index against the brute-force
+    // cosine ground truth — the number published before anyone trusts
+    // the approximate path (sim_recall's pattern, applied to the
+    // two-level index: cell probe AND PQ distance distortion both eat
+    // recall, so this measures the COMPOSED loss). Queries are the
+    // shared split q_id % 50 = 0 (sim_topk's %10 ∩ sim_ivf_pq's %25);
+    // hits resolve by an exchange-aligned left join, counts exact.
+    "sim_ivf_pq_recall" -> ((s, dir) => {
+      val exact = ExtQueries.queries("sim_topk")(s, dir)
+        .filter(col("rank") <= 3 && col("q_id") % 25 === 0)
+        .select(col("q_id"), col("n_id"))
+      val ann = queries("sim_ivf_pq")(s, dir)
+        .filter(col("q_id") % 10 === 0)
+        .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+      exact.join(ann, Seq("q_id", "n_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("q_id"), col("k"), col("n_hits"),
+          Rounding.r6(expr("CAST(n_hits AS DOUBLE) / CAST(k AS DOUBLE)"))
+            .as("recall"))
+    }),
+
     // OHLC + VWAP downsampling: one-minute bars → five-minute bars.
     // Open/close are argmin/argmax structs on the (ws, event_id) total
     // order — they ride the partial aggregates, so the shuffle carries
@@ -732,6 +755,61 @@ object ScaleQueries {
        |      wh[seg_idx*$SegTok + 1 : seg_idx*$SegTok + $SegTok]),
        |      (a, b) -> (a*131 + b) % $P) AS h
        |  FROM si)""".stripMargin
+
+  private def ivfDotD(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(" +
+      s"generate_series(1, len($a)), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+
+  private def ivfL2D(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(" +
+      s"generate_series(1, 8), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))," +
+      s" (x, y) -> x + y)"
+
+  /** Shared oracle chain for the composed IVF-PQ index query — the
+    * whole sim_ivf_pq pipeline ending in `r(q_id, n_id, adc, rank)`
+    * (ADC-ranked same-cell candidates per query vector); the recall
+    * oracle splices the exact ground truth next to it. Splice after
+    * WITH. */
+  private val ivfPqChainDuck: String =
+    s"""eb AS (SELECT vec_id::BIGINT AS vec_id,
+       |    embedding::DOUBLE[] AS v FROM embeddings),
+       |en AS (SELECT *, sqrt(${ivfDotD("v", "v")}) AS nrm FROM eb),
+       |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM en
+       |  WHERE vec_id < ${ExtQueries.ivfNlistD}),
+       |asg0 AS (SELECT e.vec_id, e.v, c.c_id,
+       |    ${ivfDotD("e.v", "c.cv")} / (e.nrm * c.cnrm) AS csim
+       |  FROM en e CROSS JOIN cents c),
+       |asg1 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY csim DESC, c_id) AS crank FROM asg0),
+       |assigned AS (SELECT vec_id, v, c_id AS cell FROM asg1
+       |  WHERE crank = 1),
+       |bl AS (SELECT vec_id, b AS block, v[b*8 + 1 : b*8 + 8] AS sub
+       |  FROM eb, unnest(generate_series(0, 7)) AS u(b)),
+       |ct AS (SELECT vec_id AS c_id, block, sub AS csub FROM bl
+       |  WHERE vec_id < 16),
+       |d AS (SELECT bl.vec_id, bl.block, ct.c_id,
+       |    ${ivfL2D("bl.sub", "ct.csub")} AS dist2
+       |  FROM bl JOIN ct USING (block)),
+       |cr AS (SELECT *, row_number() OVER (PARTITION BY vec_id, block
+       |    ORDER BY dist2, c_id) AS rn FROM d),
+       |codes AS (SELECT vec_id, block, c_id AS code FROM cr WHERE rn = 1),
+       |qb AS (SELECT bl.vec_id AS q_id, a.cell, bl.block, bl.sub AS qsub
+       |  FROM bl JOIN assigned a ON a.vec_id = bl.vec_id
+       |  WHERE bl.vec_id % 25 = 0),
+       |cand AS (SELECT a.vec_id AS n_id, a.cell, c.block, c.code
+       |  FROM assigned a JOIN codes c ON c.vec_id = a.vec_id),
+       |bd AS (SELECT qb.q_id, cand.n_id, qb.block,
+       |    ${ivfL2D("qb.qsub", "ct2.csub")} AS bd
+       |  FROM qb
+       |  JOIN cand ON cand.cell = qb.cell AND cand.block = qb.block
+       |    AND cand.n_id <> qb.q_id
+       |  JOIN ct ct2 ON ct2.block = qb.block AND ct2.c_id = cand.code),
+       |adc AS (SELECT q_id, n_id,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list(bd ORDER BY block)),
+       |      (a, c) -> a + c) AS adc
+       |  FROM bd GROUP BY 1, 2),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY adc, n_id) AS rank FROM adc)""".stripMargin
 
   val oracles: Map[String, String] = Map(
 
@@ -1068,57 +1146,34 @@ object ScaleQueries {
          |FROM z GROUP BY 1""".stripMargin
     },
 
-    "sim_ivf_pq" -> {
-      def dot(a: String, b: String) =
-        s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(" +
-          s"generate_series(1, len($a)), i -> $a[i] * $b[i])), (x, y) -> x + y)"
-      def l2(a: String, b: String) =
-        s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(" +
-          s"generate_series(1, 8), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))," +
-          s" (x, y) -> x + y)"
-      s"""WITH eb AS (SELECT vec_id::BIGINT AS vec_id,
-         |    embedding::DOUBLE[] AS v FROM embeddings),
-         |en AS (SELECT *, sqrt(${dot("v", "v")}) AS nrm FROM eb),
-         |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM en
-         |  WHERE vec_id < ${ExtQueries.ivfNlistD}),
-         |asg0 AS (SELECT e.vec_id, e.v, c.c_id,
-         |    ${dot("e.v", "c.cv")} / (e.nrm * c.cnrm) AS csim
-         |  FROM en e CROSS JOIN cents c),
-         |asg1 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY csim DESC, c_id) AS crank FROM asg0),
-         |assigned AS (SELECT vec_id, v, c_id AS cell FROM asg1
-         |  WHERE crank = 1),
-         |bl AS (SELECT vec_id, b AS block, v[b*8 + 1 : b*8 + 8] AS sub
-         |  FROM eb, unnest(generate_series(0, 7)) AS u(b)),
-         |ct AS (SELECT vec_id AS c_id, block, sub AS csub FROM bl
-         |  WHERE vec_id < 16),
-         |d AS (SELECT bl.vec_id, bl.block, ct.c_id,
-         |    ${l2("bl.sub", "ct.csub")} AS dist2
-         |  FROM bl JOIN ct USING (block)),
-         |cr AS (SELECT *, row_number() OVER (PARTITION BY vec_id, block
-         |    ORDER BY dist2, c_id) AS rn FROM d),
-         |codes AS (SELECT vec_id, block, c_id AS code FROM cr WHERE rn = 1),
-         |qb AS (SELECT bl.vec_id AS q_id, a.cell, bl.block, bl.sub AS qsub
-         |  FROM bl JOIN assigned a ON a.vec_id = bl.vec_id
-         |  WHERE bl.vec_id % 25 = 0),
-         |cand AS (SELECT a.vec_id AS n_id, a.cell, c.block, c.code
-         |  FROM assigned a JOIN codes c ON c.vec_id = a.vec_id),
-         |bd AS (SELECT qb.q_id, cand.n_id, qb.block,
-         |    ${l2("qb.qsub", "ct2.csub")} AS bd
-         |  FROM qb
-         |  JOIN cand ON cand.cell = qb.cell AND cand.block = qb.block
-         |    AND cand.n_id <> qb.q_id
-         |  JOIN ct ct2 ON ct2.block = qb.block AND ct2.c_id = cand.code),
-         |adc AS (SELECT q_id, n_id,
-         |    list_reduce(list_prepend(0.0::DOUBLE, list(bd ORDER BY block)),
-         |      (a, c) -> a + c) AS adc
-         |  FROM bd GROUP BY 1, 2),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
-         |    ORDER BY adc, n_id) AS rank FROM adc)
+    "sim_ivf_pq" ->
+      s"""WITH $ivfPqChainDuck
          |SELECT q_id, n_id, rank::BIGINT AS rank,
          |  (round(adc, 6) + 0.0) AS adc
-         |FROM r WHERE rank <= 3""".stripMargin
-    },
+         |FROM r WHERE rank <= 3""".stripMargin,
+
+    // IVF-PQ recall@3 vs the exact cosine ground truth on the shared
+    // query split (q_id % 50 = 0): the ivf chain is the sim_ivf_pq
+    // oracle verbatim; the exact side is one window over the split.
+    "sim_ivf_pq_recall" ->
+      s"""WITH $ivfPqChainDuck,
+         |ivf AS (SELECT q_id, n_id FROM r
+         |  WHERE rank <= 3 AND q_id % 10 = 0),
+         |xq AS (SELECT * FROM en WHERE vec_id % 50 = 0),
+         |xsims AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
+         |    ${ivfDotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+         |  FROM xq x JOIN en y ON x.vec_id <> y.vec_id),
+         |xrk AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, n_id) AS rank FROM xsims),
+         |ex AS (SELECT q_id, n_id FROM xrk WHERE rank <= 3)
+         |SELECT ex.q_id, count(*)::BIGINT AS k,
+         |  sum(CASE WHEN ivf.n_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_hits,
+         |  (round(sum(CASE WHEN ivf.n_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*)::DOUBLE, 6) + 0.0) AS recall
+         |FROM ex LEFT JOIN ivf ON ivf.q_id = ex.q_id AND ivf.n_id = ex.n_id
+         |GROUP BY ex.q_id""".stripMargin,
+
 
     "ts_resample" ->
       s"""WITH ${EventBars.sqlMinuteBars},

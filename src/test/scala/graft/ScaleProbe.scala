@@ -239,9 +239,17 @@ object ScaleProbe {
     // centroids); the printed ratio ADAPT/FIXED16 is the pruning the
     // sim_ivf_pq ADC join gains at each scale.
     for (r <- Seq(1, 10, 40)) {
+      // Replicas get a deterministic per-rep direction perturbation
+      // (±0.22 per dim vs the corpus' ~0.125 dim stddev): EXACT
+      // duplicates all land in one cell and would measure duplication
+      // concentration, not quantizer scaling.
       val src = if (r == 1) "/root/testdata/sf0.1/embeddings.parquet"
         else { emb0.crossJoin(spark.range(r).select(col("id").as("rep")))
-          .withColumn("vec_id", col("vec_id") * r + col("rep")).drop("rep")
+          .withColumn("vec_id", col("vec_id") * r + col("rep"))
+          .withColumn("embedding", expr(
+            "transform(embedding, (x, i) -> CAST(x + " +
+              "((rep*131 + i*31) % 23 - 11) * 0.02D AS FLOAT))"))
+          .drop("rep")
           .write.mode("overwrite")
           .parquet(s"/tmp/scale_ivf_$r/embeddings.parquet")
           s"/tmp/scale_ivf_$r/embeddings.parquet" }
