@@ -122,6 +122,29 @@ object EngineProps extends Properties("engine") {
       pairs.length == n * (n - 1) / 2 && pairs.distinct.length == pairs.length
     }
 
+  /** sketch_quantile's mergeability claim, pinned: the bottom-K-by-
+    * hash sample is PARTITIONING-invariant. Any partition layout is a
+    * different partial-sketch merge tree, so equal samples across
+    * layouts ⟺ merge(S1, S2) = bottomK(S1 ∪ S2) is order-independent
+    * — the property a KLL coin-flip compactor does NOT have, and the
+    * reason the engine's mergeable quantile sketch is hash-selected.
+    */
+  property("bottom-K sketch sample is partitioning-invariant") =
+    Prop.forAll(Gen.choose(1, 60), Gen.choose(1, 8),
+        Gen.choose(2, 9)) { (n, k, p) =>
+      import org.apache.spark.sql.functions._
+      val base = spark.range(n.toLong)
+        .select(col("id"), expr("CAST(id % 3 AS STRING)").as("g"),
+          expr("(id * 2654435761L) % 1000000007L").as("h"),
+          expr("CAST(id % 13 AS DOUBLE)").as("v"))
+      def sample(parts: Int): Set[(String, Long, Int)] =
+        graft.queries.KMin.smallestBy(base.repartition(parts),
+          Seq("g"), Seq("h", "id"), k, "rk")
+          .select("g", "id", "rk").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      sample(1) == sample(p)
+    }
+
   /** Bloom bitmap (join_bloom's packed-word form) admits every build
     * key — no false negatives, ever — on random key sets, so the
     * pre-filter can never change the exact join's result.
