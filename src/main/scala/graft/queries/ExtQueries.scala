@@ -1554,6 +1554,35 @@ object ExtQueries {
             .as("recall"))
     }),
 
+    // Recall@3 per IVF probe depth — probe1 (own cell) vs probe2 (two
+    // nearest cells) against the brute-force ground truth on the
+    // shared query split (q_id % 50 = 0). nprobe is THE knob a vector
+    // store turns when measured recall is too low; this emits the
+    // recall side of that tradeoff as a table next to sim_ann_stats'
+    // candidate-mass side (and sim_ivf_pq_recall's composed-index
+    // number). Pure composition of oracle-gated queries; hits resolve
+    // by an exchange-aligned left join, counts exact.
+    "sim_ivf_recall" -> ((s, dir) => {
+      import s.implicits._
+      val exact = queries("sim_topk")(s, dir)
+        .filter(col("rank") <= 3 && col("q_id") % 25 === 0)
+        .select(col("q_id"), col("n_id"))
+        .crossJoin(Seq("probe1", "probe2").toDF("method"))
+      def ann(name: String, q: String) =
+        queries(q)(s, dir)
+          .filter(col("q_id") % 10 === 0)
+          .select(lit(name).as("method"), col("q_id"), col("n_id"),
+            lit(1L).as("hit"))
+      val anns = ann("probe1", "sim_ivf").union(ann("probe2", "sim_ivf_probe2"))
+      exact.join(anns, Seq("method", "q_id", "n_id"), "left")
+        .groupBy("method", "q_id")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("method"), col("q_id"), col("k"), col("n_hits"),
+          Rounding.r6(expr("CAST(n_hits AS DOUBLE) / CAST(k AS DOUBLE)"))
+            .as("recall"))
+    }),
+
     // PCA first principal component by power iteration — every number
     // that crosses an engine boundary is an exact integer. Components
     // micro-quantize; the dim means and the 64×64 centered covariance
@@ -2332,6 +2361,51 @@ object ExtQueries {
          |  FROM qs x JOIN assigned y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
          |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)::BIGINT AS rank FROM sims)
          |SELECT q_id, n_id, rank, (round(sim, 6) + 0.0) AS sim FROM rk WHERE rank <= 3""".stripMargin,
+
+    // One WITH: the shared IVF chain feeds both probe depths; the
+    // exact side is one window over the % 50 query split.
+    "sim_ivf_recall" ->
+      s"""WITH $embBase,
+         |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM en WHERE vec_id < $ivfNlistD),
+         |asg0 AS (SELECT e.vec_id, e.v, e.nrm, c.c_id,
+         |    ${dotD("e.v", "c.cv")} / (e.nrm * c.cnrm) AS csim
+         |  FROM en e CROSS JOIN cents c),
+         |asg1 AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS crank FROM asg0),
+         |assigned AS (SELECT vec_id, v, nrm, c_id AS cell FROM asg1 WHERE crank = 1),
+         |qs1 AS (SELECT * FROM assigned WHERE vec_id % 50 = 0),
+         |qs2 AS (SELECT vec_id, v, nrm, c_id AS cell FROM asg1
+         |  WHERE crank <= 2 AND vec_id % 50 = 0),
+         |sims1 AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
+         |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+         |  FROM qs1 x JOIN assigned y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+         |sims2 AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
+         |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+         |  FROM qs2 x JOIN assigned y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+         |ivf1 AS (SELECT q_id, n_id FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM sims1)
+         |  WHERE rank <= 3),
+         |ivf2 AS (SELECT q_id, n_id FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM sims2)
+         |  WHERE rank <= 3),
+         |xq AS (SELECT * FROM en WHERE vec_id % 50 = 0),
+         |xsims AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
+         |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+         |  FROM xq x JOIN en y ON x.vec_id <> y.vec_id),
+         |ex AS (SELECT q_id, n_id FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM xsims)
+         |  WHERE rank <= 3),
+         |m1 AS (SELECT 'probe1' AS method, ex.q_id, count(*)::BIGINT AS k,
+         |    sum(CASE WHEN i.n_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits
+         |  FROM ex LEFT JOIN ivf1 i ON i.q_id = ex.q_id AND i.n_id = ex.n_id
+         |  GROUP BY ex.q_id),
+         |m2 AS (SELECT 'probe2' AS method, ex.q_id, count(*)::BIGINT AS k,
+         |    sum(CASE WHEN i.n_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits
+         |  FROM ex LEFT JOIN ivf2 i ON i.q_id = ex.q_id AND i.n_id = ex.n_id
+         |  GROUP BY ex.q_id),
+         |mm AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2)
+         |SELECT method, q_id, k, n_hits,
+         |  (round(n_hits::DOUBLE / k::DOUBLE, 6) + 0.0) AS recall
+         |FROM mm""".stripMargin,
 
     "mm_resize" ->
       """SELECT doc_id::BIGINT AS doc_id,
