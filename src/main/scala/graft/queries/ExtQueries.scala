@@ -197,6 +197,29 @@ object ExtQueries {
     (sigs, banded)
   }
 
+  /** The LSH hash pipeline applied to any (… text …) frame as pure
+    * per-row codegen'd projections — no window, no shuffle, so it is
+    * legal on a STREAM as well as a batch frame. Adds `shd` (distinct
+    * shingle set) and `bks` (band-key array) next to the input's own
+    * columns; rows with no shingles drop (the batch filter). Streaming
+    * consumers explode `bks` and probe a static band index
+    * ([[graft.streaming.StreamingLshDedup]]); the batch [[lshTables]]
+    * derives its checkpointed tables from the same fragments. */
+  private[graft] def lshDocSigs(d: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(d.sparkSession)
+    d.withColumn("wh", expr(whS))
+      .withColumn("sh", expr(shS))
+      .filter(expr("size(sh) > 0"))
+      .withColumn("mh", expr(mhS))
+      .withColumn("bands", expr(bandsS))
+      .withColumn("shd", expr("array_distinct(sh)"))
+      .withColumn("bks", expr(bkS))
+      .drop("wh", "sh", "mh", "bands")
+  }
+
+  /** Band-bucket cap shared with the streaming index builder. */
+  private[graft] def maxBandBucket: Int = MaxBandBucket
+
   /** Join minhash signatures + distinct shingle sets back onto an
     * (a, b) id-pair set — arrays move once per surviving pair side,
     * keyed by id, never through the band fan-out. */

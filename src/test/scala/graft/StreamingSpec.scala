@@ -376,6 +376,69 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LSH probe against a static band index matches batch") {
+    // The streaming twin of dedup_incremental: arriving docs probe the
+    // persisted corpus band index via stream-static joins. The emitted
+    // (doc, corpus, jaccard) set must equal the BATCH evaluation of
+    // the same probe over the same index, and a re-arrival within the
+    // watermark horizon must be suppressed by the pair-keyed state.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode, expr}
+    graft.functions.GraftFunctions.register(spark)
+    def ts(min: Int) = new java.sql.Timestamp(1709650800000L + min * 60000L)
+    val corpus = (0 until 20).map(i =>
+      (i.toLong, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i"))
+      .toDF("doc_id", "text")
+    val (bandIndex, sigs) = graft.streaming.StreamingLshDedup.buildIndex(corpus)
+
+    val arriving = Seq(
+      (ts(0), 100L, "alpha3 beta3 gamma3 delta3 epsilon3 zeta3 eta3 theta3"), // dup of 3
+      (ts(1), 101L, "totally unrelated words about markets and liquidity"),   // no match
+      (ts(2), 102L, "alpha7 beta7 gamma7 delta7 epsilon7 zeta7 eta7 theta7")) // dup of 7
+    val rearrival = Seq(
+      (ts(3), 100L, "alpha3 beta3 gamma3 delta3 epsilon3 zeta3 eta3 theta3")) // suppressed
+
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val out = graft.streaming.StreamingLshDedup(
+      stream.toDS().toDF("ts", "doc_id", "text"), bandIndex, sigs)
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("lsh_probe_out").start()
+    try {
+      stream.addData(arriving)
+      q.processAllAvailable()
+      stream.addData(rearrival)
+      q.processAllAvailable()
+      val got = spark.table("lsh_probe_out").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("corpus_id"),
+          r.getAs[Double]("jaccard"))).toSet
+
+      // batch reference: the identical probe expressed over a batch
+      // frame of the same arrivals (re-arrival adds no new pair;
+      // dropDuplicatesWithinWatermark itself needs a stream, so the
+      // batch side dedups pairs with a plain distinct)
+      val batchRef = graft.queries.ExtQueries.lshDocSigs(
+          (arriving ++ rearrival).toDF("ts", "doc_id", "text")
+            .dropDuplicates("doc_id"))
+        .select(col("doc_id"), col("shd").as("shq"),
+          explode(col("bks")).as("bk"))
+        .join(bandIndex, Seq("bk"))
+        .filter(col("doc_id") =!= col("corpus_id"))
+        .join(sigs, Seq("corpus_id"))
+        .withColumn("jaccard", graft.queries.Rounding.r6(expr(
+          "CAST(size(array_intersect(shq, shc)) AS DOUBLE)" +
+            " / CAST(size(array_union(shq, shc)) AS DOUBLE)")))
+        .filter(col("jaccard") >= 0.8)
+        .select("doc_id", "corpus_id", "jaccard").distinct()
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("corpus_id"),
+          r.getAs[Double]("jaccard"))).toSet
+      assert(got == batchRef, s"stream=$got batch=$batchRef")
+      assert(got.map(_._1) == Set(100L, 102L))
+      assert(got.forall(_._3 == 1.0)) // exact duplicates: jaccard 1
+    } finally q.stop()
+  }
+
   test("streaming CDC compaction matches batch dedup_latest semantics") {
     // The incremental face of dedup_latest: the same argmax-struct
     // aggregate runs as a streaming Update-mode agg — per-key state is
