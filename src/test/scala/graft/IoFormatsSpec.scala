@@ -96,6 +96,35 @@ class IoFormatsSpec extends SparkSpec {
       .count() == 2L)
   }
 
+  test("persisted band index: probe join re-shuffles only the ingest") {
+    // The daily-ingest posture at rest: the corpus LSH band index is
+    // written ONCE as a parquet table bucketed on bk; every later
+    // probe (dedup_incremental's daily shard, the streaming probe's
+    // static side) reads it back already partitioned, so the join
+    // exchanges ONLY the ingest side into the bucket layout — the
+    // corpus never reshuffles, at any corpus size.
+    import org.apache.spark.sql.functions.{col, explode, expr}
+    import spark.implicits._
+    val corpus = (0 until 40).map(i =>
+      (i.toLong, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i"))
+      .toDF("doc_id", "text")
+    val (banded, _) = graft.streaming.StreamingLshDedup.buildIndex(corpus)
+    graft.io.BarsIO.writeBucketed(banded, "lsh_band_idx", "bk", 8)
+    val idx = spark.table("lsh_band_idx")
+    val probe = graft.queries.ExtQueries.lshDocSigs(
+        Seq((100L, "alpha3 beta3 gamma3 delta3 epsilon3 zeta3 eta3 theta3"))
+          .toDF("doc_id", "text"))
+      .select(col("doc_id"), explode(col("bks")).as("bk"))
+    val joined = probe.hint("merge").join(idx, Seq("bk"))
+      .filter(col("doc_id") =!= col("corpus_id"))
+    assert(joined.count() > 0)
+    val plan = joined.queryExecution.executedPlan.toString
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nEx == 1, s"expected 1 exchange (probe side only):\n${plan.take(2000)}")
+    assert(plan.contains("Bucketed: true"),
+      s"index scan must be bucket-aware:\n${plan.take(2000)}")
+  }
+
   test("csv ticker list source appends the two ETF literals") {
     val dir = java.nio.file.Files.createTempDirectory("tick").toString
     java.nio.file.Files.writeString(
