@@ -32,9 +32,19 @@ class PlanSpec extends SparkSpec {
 
   test("native expression family stays inside whole-stage codegen") {
     Seq("dedup_minhash_lsh", "text_fingerprint", "dedup_simhash",
-      "sim_ann_lsh", "ind_cci").foreach { q =>
+      "sim_ann_lsh", "ind_cci", "dedup_incremental",
+      "sketch_quantile").foreach { q =>
       assert(!plan(q).contains("CodegenFallback"), q)
     }
+  }
+
+  test("sketch_quantile sorts per (group, partition) slice, never a group") {
+    // The sketch's only full-data window is KMin's phase 1, keyed on
+    // (group, spark_partition_id) — a bare-group window over the raw
+    // rows would funnel n/|groups| rows through one task, the exact
+    // shape the two-phase bottom-K exists to avoid. (The later
+    // bare-group windows run over the ≤K-row sample.)
+    assert(plan("sketch_quantile").contains("_km_p"))
   }
 
   test("dedup_simhash is a pure projection: zero exchanges") {
