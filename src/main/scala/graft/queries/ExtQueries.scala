@@ -1285,6 +1285,63 @@ object ExtQueries {
           col("rank"), Rounding.r6(col("sim")).as("sim"))
     }),
 
+    // IVF with a TRAINED coarse quantizer: one Lloyd iteration of
+    // spherical k-means over the init centroids (the same nlist lowest
+    // vec_ids sim_ivf probes untrained), then the usual cell equi-join.
+    // The 100 TB posture of quantizer training: centroids train on a
+    // bounded hash-sample (vec_id % 4 — quantizer training is O(sample
+    // · nlist), never O(n · nlist · iters)), the update is the
+    // micro-quantized integer mean from emb_kmeans (the only
+    // cross-partition float reduction runs over exact longs), and the
+    // full corpus only ever sees ONE broadcast-assignment pass against
+    // the trained centroids. Mean updates need no normalization:
+    // cosine ranking is scale-invariant in the centroid. c1 is ≤ nlist
+    // rows and localCheckpoints so the self-join below doesn't re-run
+    // the training chain per side.
+    "sim_ivf_kmeans" -> ((s, dir) => {
+      val e = emb(s, dir)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+        .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
+      val c0 = e.filter(col("vec_id") < lit(ivfNlist(e)))
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+      val train = e.filter(col("vec_id") % 4 === 0)
+      val a1 = train.crossJoin(broadcast(c0))
+        .withColumn("csim", expr(s"try_divide(${dotS("v", "cv")}, nrm * cnrm)"))
+        .withColumn("crank", expr(
+          "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id)"))
+        .filter(col("crank") === 1)
+        .select(col("c_id").as("cell"), col("v"))
+      val c1 = a1
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .withColumn("xi", expr("CAST(round(x * 1000000.0) AS BIGINT)"))
+        .groupBy("cell", "dim")
+        .agg(sum(col("xi")).as("sx"), count(lit(1)).as("n"))
+        .withColumn("cx", expr("CAST(CAST(round(CAST(sx AS DOUBLE)" +
+          " / CAST(n AS DOUBLE)) AS BIGINT) AS DOUBLE) / 1000000.0"))
+        .groupBy("cell")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, cx)))," +
+          " s -> s.cx)").as("cv"))
+        .select(col("cell").as("c_id"), col("cv"),
+          expr(s"sqrt(${dotS("cv", "cv")})").as("cnrm"))
+        .localCheckpoint()
+      val assigned = e.crossJoin(broadcast(c1))
+        .withColumn("csim", expr(s"try_divide(${dotS("v", "cv")}, nrm * cnrm)"))
+        .withColumn("crank", expr(
+          "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id)"))
+        .filter(col("crank") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
+      val qs = assigned.filter(col("vec_id") % 25 === 0)
+      qs.as("x").join(assigned.as("y"),
+          col("x.cell") === col("y.cell") && col("x.vec_id") =!= col("y.vec_id"))
+        .withColumn("sim", expr(s"try_divide(${dotS("x.v", "y.v")}, x.nrm * y.nrm)"))
+        .withColumn("rank", expr(
+          "CAST(row_number() OVER (PARTITION BY x.vec_id ORDER BY sim DESC, y.vec_id) AS BIGINT)"))
+        .filter(col("rank") <= 3)
+        .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("n_id"),
+          col("rank"), Rounding.r6(col("sim")).as("sim"))
+    }),
+
     // Data profiling: the per-column summary every ingest job runs
     // before training — null count, distinct count, min/max length —
     // as ONE pass over the table (a single aggregate computes every
@@ -1606,6 +1663,34 @@ object ExtQueries {
             .as("recall"))
     }),
 
+    // Does training the coarse quantizer buy recall? recall@3 of the
+    // UNTRAINED IVF (centroids = lowest vec_ids, sim_ivf) vs the
+    // one-Lloyd-iteration TRAINED index (sim_ivf_kmeans) against the
+    // brute-force ground truth on the shared query split — the
+    // measurement behind the "train your centroids" remedy the
+    // sim_ivf_recall caveat points at. Pure composition of oracle-gated
+    // queries; hits resolve by an exchange-aligned left join.
+    "sim_ivf_kmeans_recall" -> ((s, dir) => {
+      import s.implicits._
+      val exact = queries("sim_topk")(s, dir)
+        .filter(col("rank") <= 3 && col("q_id") % 25 === 0)
+        .select(col("q_id"), col("n_id"))
+        .crossJoin(Seq("init", "trained").toDF("method"))
+      def ann(name: String, q: String) =
+        queries(q)(s, dir)
+          .filter(col("q_id") % 10 === 0)
+          .select(lit(name).as("method"), col("q_id"), col("n_id"),
+            lit(1L).as("hit"))
+      val anns = ann("init", "sim_ivf").union(ann("trained", "sim_ivf_kmeans"))
+      exact.join(anns, Seq("method", "q_id", "n_id"), "left")
+        .groupBy("method", "q_id")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("method"), col("q_id"), col("k"), col("n_hits"),
+          Rounding.r6(expr("CAST(n_hits AS DOUBLE) / CAST(k AS DOUBLE)"))
+            .as("recall"))
+    }),
+
     // PCA first principal component by power iteration — every number
     // that crosses an engine boundary is an exact integer. Components
     // micro-quantize; the dim means and the 64×64 centered covariance
@@ -1754,6 +1839,31 @@ object ExtQueries {
   private val embBase =
     s"""eb AS (SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |en AS (SELECT *, sqrt(${dotD("v", "v")}) AS nrm FROM eb)""".stripMargin
+
+  /** Shared oracle fragment: the one-Lloyd-iteration trained IVF
+    * centroids (init = nlist lowest vec_ids, micro-quantized integer
+    * mean update over the vec_id % 4 training sample — mirrors
+    * sim_ivf_kmeans' Spark chain); ends in `cn(c_id, cv, cnrm)`,
+    * with `kc0` = the untrained init centroids. Splice after
+    * [[embBase]] inside a WITH. */
+  private val ivfKmeansCentsDuck: String =
+    s"""kc0 AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM en WHERE vec_id < $ivfNlistD),
+       |ktr AS (SELECT * FROM en WHERE vec_id % 4 = 0),
+       |kt0 AS (SELECT t.vec_id, t.v, c.c_id,
+       |    ${dotD("t.v", "c.cv")} / (t.nrm * c.cnrm) AS csim
+       |  FROM ktr t CROSS JOIN kc0 c),
+       |kt1 AS (SELECT c_id AS cell, v FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS crank FROM kt0)
+       |  WHERE crank = 1),
+       |kp1 AS (SELECT cell, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x FROM kt1),
+       |ks1 AS (SELECT cell, dim,
+       |    sum(CAST(round(x * 1000000.0) AS BIGINT))::BIGINT AS sx,
+       |    count(*)::BIGINT AS n FROM kp1 GROUP BY 1, 2),
+       |kc1 AS (SELECT cell AS c_id,
+       |    list(CAST(CAST(round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+       |      AS BIGINT) AS DOUBLE) / 1000000.0 ORDER BY dim) AS cv
+       |  FROM ks1 GROUP BY 1),
+       |cn AS (SELECT c_id, cv, sqrt(${dotD("cv", "cv")}) AS cnrm FROM kc1)""".stripMargin
 
   /** Shared oracle fragment: hyperplane-bucketed embedding near-dup
     * pairs at cosine > 0.3 (token-equivalent to emb_neardup_lsh's
@@ -2429,6 +2539,68 @@ object ExtQueries {
          |SELECT method, q_id, k, n_hits,
          |  (round(n_hits::DOUBLE / k::DOUBLE, 6) + 0.0) AS recall
          |FROM mm""".stripMargin,
+
+    "sim_ivf_kmeans" ->
+      s"""WITH $embBase,
+         |$ivfKmeansCentsDuck,
+         |asg0 AS (SELECT e.vec_id, e.v, e.nrm, c.c_id,
+         |    ${dotD("e.v", "c.cv")} / (e.nrm * c.cnrm) AS csim
+         |  FROM en e CROSS JOIN cn c),
+         |assigned AS MATERIALIZED (SELECT vec_id, v, nrm, c_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS crank FROM asg0)
+         |  WHERE crank = 1),
+         |qs AS (SELECT * FROM assigned WHERE vec_id % 25 = 0),
+         |sims AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
+         |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+         |  FROM qs x JOIN assigned y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)::BIGINT AS rank FROM sims)
+         |SELECT q_id, n_id, rank, (round(sim, 6) + 0.0) AS sim FROM rk WHERE rank <= 3""".stripMargin,
+
+    "sim_ivf_kmeans_recall" ->
+      s"""WITH $embBase,
+         |$ivfKmeansCentsDuck,
+         |iasg0 AS (SELECT e.vec_id, e.v, e.nrm, c.c_id,
+         |    ${dotD("e.v", "c.cv")} / (e.nrm * c.cnrm) AS csim
+         |  FROM en e CROSS JOIN kc0 c),
+         |iassigned AS MATERIALIZED (SELECT vec_id, v, nrm, c_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS crank FROM iasg0)
+         |  WHERE crank = 1),
+         |tasg0 AS (SELECT e.vec_id, e.v, e.nrm, c.c_id,
+         |    ${dotD("e.v", "c.cv")} / (e.nrm * c.cnrm) AS csim
+         |  FROM en e CROSS JOIN cn c),
+         |tassigned AS MATERIALIZED (SELECT vec_id, v, nrm, c_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS crank FROM tasg0)
+         |  WHERE crank = 1),
+         |iqs AS (SELECT * FROM iassigned WHERE vec_id % 50 = 0),
+         |tqs AS (SELECT * FROM tassigned WHERE vec_id % 50 = 0),
+         |isims AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
+         |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+         |  FROM iqs x JOIN iassigned y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+         |tsims AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
+         |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+         |  FROM tqs x JOIN tassigned y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+         |itop AS (SELECT q_id, n_id FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM isims) WHERE rank <= 3),
+         |ttop AS (SELECT q_id, n_id FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM tsims) WHERE rank <= 3),
+         |xq AS (SELECT * FROM en WHERE vec_id % 50 = 0),
+         |xsims AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
+         |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+         |  FROM xq x JOIN en y ON x.vec_id <> y.vec_id),
+         |ex AS MATERIALIZED (SELECT q_id, n_id FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM xsims) WHERE rank <= 3),
+         |m1 AS (SELECT 'init' AS method, ex.q_id, count(*)::BIGINT AS k,
+         |    sum(CASE WHEN i.n_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits
+         |  FROM ex LEFT JOIN itop i ON i.q_id = ex.q_id AND i.n_id = ex.n_id
+         |  GROUP BY ex.q_id),
+         |m2 AS (SELECT 'trained' AS method, ex.q_id, count(*)::BIGINT AS k,
+         |    sum(CASE WHEN t.n_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits
+         |  FROM ex LEFT JOIN ttop t ON t.q_id = ex.q_id AND t.n_id = ex.n_id
+         |  GROUP BY ex.q_id),
+         |mk AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2)
+         |SELECT method, q_id, k, n_hits,
+         |  (round(n_hits::DOUBLE / k::DOUBLE, 6) + 0.0) AS recall
+         |FROM mk""".stripMargin,
 
     "mm_resize" ->
       """SELECT doc_id::BIGINT AS doc_id,
