@@ -56,6 +56,49 @@ object ExtQueries {
       "ceil(log2(greatest(1, floor(sqrt(count(*)))))) ) AS BIGINT)))" +
       " FROM embeddings)"
 
+  /** Full-corpus cell assignment against the TRAINED coarse quantizer:
+    * one spherical-Lloyd iteration (init = the [[ivfNlist]] lowest
+    * vec_ids, training restricted to the vec_id % 4 hash-sample, the
+    * centroid update a micro-quantized integer mean so the only
+    * cross-partition float reduction runs over exact longs). The
+    * trained centroids (≤ nlist rows) localCheckpoint and broadcast;
+    * consumers referencing the assignment twice never re-run the
+    * training chain. Columns: (vec_id, v, nrm, cell). */
+  private def ivfKmeansAssigned(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+      .select(col("vec_id").cast("long").as("vec_id"),
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+      .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
+    val c0 = e.filter(col("vec_id") < lit(ivfNlist(e)))
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val a1 = e.filter(col("vec_id") % 4 === 0)
+      .crossJoin(broadcast(c0))
+      .withColumn("csim", expr(s"try_divide(${dotS("v", "cv")}, nrm * cnrm)"))
+      .withColumn("crank", expr(
+        "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id)"))
+      .filter(col("crank") === 1)
+      .select(col("c_id").as("cell"), col("v"))
+    val c1 = a1
+      .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      .withColumn("xi", expr("CAST(round(x * 1000000.0) AS BIGINT)"))
+      .groupBy("cell", "dim")
+      .agg(sum(col("xi")).as("sx"), count(lit(1)).as("n"))
+      .withColumn("cx", expr("CAST(CAST(round(CAST(sx AS DOUBLE)" +
+        " / CAST(n AS DOUBLE)) AS BIGINT) AS DOUBLE) / 1000000.0"))
+      .groupBy("cell")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, cx)))," +
+        " s -> s.cx)").as("cv"))
+      .select(col("cell").as("c_id"), col("cv"),
+        expr(s"sqrt(${dotS("cv", "cv")})").as("cnrm"))
+      .localCheckpoint()
+    e.crossJoin(broadcast(c1))
+      .withColumn("csim", expr(s"try_divide(${dotS("v", "cv")}, nrm * cnrm)"))
+      .withColumn("crank", expr(
+        "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id)"))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
+  }
+
   // ---- shared Spark expression fragments ----
   // Native graft_* expressions (tight JVM loops) replace the HOF
   // formulations on the Spark side; TextOps' HOF strings remain the
@@ -1299,38 +1342,7 @@ object ExtQueries {
     // rows and localCheckpoints so the self-join below doesn't re-run
     // the training chain per side.
     "sim_ivf_kmeans" -> ((s, dir) => {
-      val e = emb(s, dir)
-        .select(col("vec_id").cast("long").as("vec_id"),
-          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
-        .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
-      val c0 = e.filter(col("vec_id") < lit(ivfNlist(e)))
-        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-      val train = e.filter(col("vec_id") % 4 === 0)
-      val a1 = train.crossJoin(broadcast(c0))
-        .withColumn("csim", expr(s"try_divide(${dotS("v", "cv")}, nrm * cnrm)"))
-        .withColumn("crank", expr(
-          "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id)"))
-        .filter(col("crank") === 1)
-        .select(col("c_id").as("cell"), col("v"))
-      val c1 = a1
-        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
-        .withColumn("xi", expr("CAST(round(x * 1000000.0) AS BIGINT)"))
-        .groupBy("cell", "dim")
-        .agg(sum(col("xi")).as("sx"), count(lit(1)).as("n"))
-        .withColumn("cx", expr("CAST(CAST(round(CAST(sx AS DOUBLE)" +
-          " / CAST(n AS DOUBLE)) AS BIGINT) AS DOUBLE) / 1000000.0"))
-        .groupBy("cell")
-        .agg(expr("transform(array_sort(collect_list(struct(dim, cx)))," +
-          " s -> s.cx)").as("cv"))
-        .select(col("cell").as("c_id"), col("cv"),
-          expr(s"sqrt(${dotS("cv", "cv")})").as("cnrm"))
-        .localCheckpoint()
-      val assigned = e.crossJoin(broadcast(c1))
-        .withColumn("csim", expr(s"try_divide(${dotS("v", "cv")}, nrm * cnrm)"))
-        .withColumn("crank", expr(
-          "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id)"))
-        .filter(col("crank") === 1)
-        .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
+      val assigned = ivfKmeansAssigned(s, dir)
       val qs = assigned.filter(col("vec_id") % 25 === 0)
       qs.as("x").join(assigned.as("y"),
           col("x.cell") === col("y.cell") && col("x.vec_id") =!= col("y.vec_id"))
@@ -1661,6 +1673,40 @@ object ExtQueries {
         .select(col("method"), col("q_id"), col("k"), col("n_hits"),
           Rounding.r6(expr("CAST(n_hits AS DOUBLE) / CAST(k AS DOUBLE)"))
             .as("recall"))
+    }),
+
+    // The cell-balance side of quantizer training: per method
+    // (untrained init vs one-Lloyd-iteration trained), the number of
+    // nonempty cells, the LARGEST cell, and the mean cell size. At
+    // scale max_cell is the number that matters — the per-cell
+    // candidate join does max_cell² work in its worst cell (straggler
+    // task), and Lloyd's update exists precisely to pull that toward
+    // the mean. Assignments reuse the shared chains; the aggregate
+    // shuffles only (method, cell) longs.
+    "sim_ivf_kmeans_stats" -> ((s, dir) => {
+      val e = emb(s, dir)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+        .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
+      val c0 = e.filter(col("vec_id") < lit(ivfNlist(e)))
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+      val init = e.crossJoin(broadcast(c0))
+        .withColumn("csim", expr(s"try_divide(${dotS("v", "cv")}, nrm * cnrm)"))
+        .withColumn("crank", expr(
+          "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id)"))
+        .filter(col("crank") === 1)
+        .select(lit("init").as("method"), col("c_id").as("cell"))
+      val trained = ivfKmeansAssigned(s, dir)
+        .select(lit("trained").as("method"), col("cell"))
+      init.union(trained)
+        .groupBy("method", "cell").agg(count(lit(1)).as("cnt"))
+        .groupBy("method")
+        .agg(count(lit(1)).as("n_cells"), max(col("cnt")).as("max_cell"),
+          sum(col("cnt")).as("n_vecs"))
+        .select(col("method"), col("n_cells"), col("max_cell"),
+          Rounding.r6(expr(
+            "CAST(n_vecs AS DOUBLE) / CAST(n_cells AS DOUBLE)"))
+            .as("mean_cell"))
     }),
 
     // Does training the coarse quantizer buy recall? recall@3 of the
@@ -2555,6 +2601,29 @@ object ExtQueries {
          |  FROM qs x JOIN assigned y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
          |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)::BIGINT AS rank FROM sims)
          |SELECT q_id, n_id, rank, (round(sim, 6) + 0.0) AS sim FROM rk WHERE rank <= 3""".stripMargin,
+
+    "sim_ivf_kmeans_stats" ->
+      s"""WITH $embBase,
+         |$ivfKmeansCentsDuck,
+         |iasg0 AS (SELECT e.vec_id, c.c_id,
+         |    ${dotD("e.v", "c.cv")} / (e.nrm * c.cnrm) AS csim
+         |  FROM en e CROSS JOIN kc0 c),
+         |icell AS (SELECT 'init' AS method, c_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS crank FROM iasg0)
+         |  WHERE crank = 1),
+         |tasg0 AS (SELECT e.vec_id, c.c_id,
+         |    ${dotD("e.v", "c.cv")} / (e.nrm * c.cnrm) AS csim
+         |  FROM en e CROSS JOIN cn c),
+         |tcell AS (SELECT 'trained' AS method, c_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS crank FROM tasg0)
+         |  WHERE crank = 1),
+         |cc AS (SELECT method, cell, count(*)::BIGINT AS cnt
+         |  FROM (SELECT * FROM icell UNION ALL SELECT * FROM tcell)
+         |  GROUP BY 1, 2)
+         |SELECT method, count(*)::BIGINT AS n_cells, max(cnt)::BIGINT AS max_cell,
+         |  (round((CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+         |   * 1000000.0) / 1000000.0 + 0.0) AS mean_cell
+         |FROM cc GROUP BY 1""".stripMargin,
 
     "sim_ivf_kmeans_recall" ->
       s"""WITH $embBase,
