@@ -56,19 +56,27 @@ object ExtQueries {
       "ceil(log2(greatest(1, floor(sqrt(count(*)))))) ) AS BIGINT)))" +
       " FROM embeddings)"
 
-  /** Full-corpus cell assignment against the TRAINED coarse quantizer:
-    * one spherical-Lloyd iteration (init = the [[ivfNlist]] lowest
-    * vec_ids, training restricted to the vec_id % 4 hash-sample, the
-    * centroid update a micro-quantized integer mean so the only
-    * cross-partition float reduction runs over exact longs). The
-    * trained centroids (≤ nlist rows) localCheckpoint and broadcast;
-    * consumers referencing the assignment twice never re-run the
-    * training chain. Columns: (vec_id, v, nrm, cell). */
-  private def ivfKmeansAssigned(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
+  /** Full-corpus cell assignment against the TRAINED coarse quantizer
+    * of the gate embeddings table. Columns: (vec_id, v, nrm, cell). */
+  private def ivfKmeansAssigned(s: SparkSession, dir: String): DataFrame =
+    ivfKmeansIndex(emb(s, dir)
       .select(col("vec_id").cast("long").as("vec_id"),
-        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
-      .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v")))._2
+
+  /** Trained-IVF index build from an at-rest corpus (vec_id BIGINT,
+    * v ARRAY<DOUBLE>): one spherical-Lloyd iteration (init = the
+    * [[ivfNlist]] lowest vec_ids, training restricted to the
+    * vec_id % 4 hash-sample, the centroid update a micro-quantized
+    * integer mean so the only cross-partition float reduction runs
+    * over exact longs). Returns (cents(c_id, cv, cnrm) — ≤ nlist rows,
+    * localCheckpointed so consumers never re-run the training chain —
+    * and assigned(vec_id, v, nrm, cell), the corpus in cell-keyed
+    * at-rest form). The full corpus sees exactly ONE broadcast
+    * assignment pass; streaming serving collects cents driver-side
+    * (bounded by the nlist clamp) and probes `assigned` cell-by-cell. */
+  private[graft] def ivfKmeansIndex(corpus: DataFrame): (DataFrame, DataFrame) = {
+    GraftFunctions.register(corpus.sparkSession)
+    val e = corpus.withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
     val c0 = e.filter(col("vec_id") < lit(ivfNlist(e)))
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
     val a1 = e.filter(col("vec_id") % 4 === 0)
@@ -91,12 +99,13 @@ object ExtQueries {
       .select(col("cell").as("c_id"), col("cv"),
         expr(s"sqrt(${dotS("cv", "cv")})").as("cnrm"))
       .localCheckpoint()
-    e.crossJoin(broadcast(c1))
+    val assigned = e.crossJoin(broadcast(c1))
       .withColumn("csim", expr(s"try_divide(${dotS("v", "cv")}, nrm * cnrm)"))
       .withColumn("crank", expr(
         "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id)"))
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
+    (c1, assigned)
   }
 
   // ---- shared Spark expression fragments ----

@@ -279,6 +279,45 @@ object ScaleProbe {
       println(f"IVF_VECTORS=$nVec NLIST=$nlist CAND_ADAPT=$mAdapt " +
         f"CAND_FIXED16=$mFixed PRUNE_X=${mFixed.toDouble / mAdapt}%.1f")
     }
+
+    // Trained coarse quantizer at 1×/10×: the Lloyd iteration's effect
+    // on candidate mass (Σ s·(s−1)) and on the WORST cell (the
+    // straggler task in the per-cell join) vs the untrained
+    // lowest-id-centroid quantizer, via the engine's own
+    // ivfKmeansIndex chain (sample-trained, broadcast-assigned).
+    for (r <- Seq(1, 10)) {
+      val src = if (r == 1) "/root/testdata/sf0.1/embeddings.parquet"
+        else s"/tmp/scale_ivf_$r/embeddings.parquet"
+      val ev = spark.read.parquet(src)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val (_, trained) = graft.queries.ExtQueries.ivfKmeansIndex(ev)
+      val tSizes = trained.groupBy("cell").agg(count(lit(1)).as("s"))
+        .agg(sum(expr("s * (s - 1)")).as("m"), max(col("s")).as("mx"))
+        .collect()(0)
+      val en = ev.withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+      val n0 = en.count()
+      val sq0 = math.floor(math.sqrt(n0.toDouble)).toLong
+      var p0 = 16L
+      while (p0 < sq0 && p0 < 4096L) p0 <<= 1
+      val cents0 = en.filter(col("vec_id") < p0)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"),
+          col("nrm").as("cnrm"))
+      val iSizes = en.crossJoin(broadcast(cents0))
+        .withColumn("csim", expr("try_divide(graft_dot(v, cv), nrm * cnrm)"))
+        .withColumn("crank", expr(
+          "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id)"))
+        .filter(col("crank") === 1)
+        .groupBy("c_id").agg(count(lit(1)).as("s"))
+        .agg(sum(expr("s * (s - 1)")).as("m"), max(col("s")).as("mx"))
+        .collect()(0)
+      println(f"TRAINKM_VECTORS=${ev.count()} " +
+        f"CAND_INIT=${iSizes.getLong(0)} CAND_TRAIN=${tSizes.getLong(0)} " +
+        f"MAXCELL_INIT=${iSizes.getLong(1)} MAXCELL_TRAIN=${tSizes.getLong(1)} " +
+        f"TRAIN_SEC=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
     spark.stop()
   }
 }

@@ -439,6 +439,82 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN probe against a static trained IVF index matches batch") {
+    // The vector twin of the LSH probe: arriving embeddings quantize
+    // to a cell with the stateless centroid-literal fold and probe the
+    // persisted cell-keyed corpus via a stream-static join. The
+    // emitted (q_id, n_id, sim) set must equal the BATCH evaluation
+    // that assigns cells with the window-function argmax (cross-
+    // validating the fold's tie-breaking against the batch kernel),
+    // and a re-arrival within the watermark horizon is suppressed.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    def ts(min: Int) = new java.sql.Timestamp(1709650800000L + min * 60000L)
+    // 20 corpus vectors in 4 groups of 5 (group = i / 5, direction
+    // e_group + small per-id tilt); the % 4 training sample {0,4,8,
+    // 12,16} covers every group.
+    def vec(g: Int, tilt: Double): Seq[Double] = {
+      val v = Array.fill(4)(0.0); v(g) = 1.0; v((g + 1) % 4) += tilt; v.toSeq
+    }
+    val corpus = (0 until 20).map(i => (i.toLong, vec(i / 5, 0.02 * i)))
+      .toDF("vec_id", "v")
+    val (cents, cells) =
+      graft.streaming.StreamingAnnProbe.buildIndex(corpus)
+
+    val arriving = Seq(
+      (ts(0), 100L, vec(0, 0.01)),          // near group 0
+      (ts(1), 101L, Seq(0.5, 0.5, 0.5, 0.5)), // cos 0.5-ish to all: below tau
+      (ts(2), 102L, vec(2, 0.03)))          // near group 2
+    val rearrival = Seq((ts(3), 100L, vec(0, 0.01)))
+
+    val stream = MemoryStream[(java.sql.Timestamp, Long, Seq[Double])]
+    val out = graft.streaming.StreamingAnnProbe(
+      stream.toDS().toDF("ts", "q_id", "v"), cents, cells)
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ann_probe_out").start()
+    try {
+      stream.addData(arriving)
+      q.processAllAvailable()
+      stream.addData(rearrival)
+      q.processAllAvailable()
+      val got = spark.table("ann_probe_out").collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"),
+          r.getAs[Double]("sim"))).toSet
+
+      // batch reference: window-argmax cell assignment (the batch
+      // kernel's shape) + the same cell probe, pairs deduped plainly
+      val centsDf = cents.toSeq
+        .map(c => (c.cId, c.cv.toSeq, c.cnrm)).toDF("c_id", "cv", "cnrm")
+      val batchRef = (arriving ++ rearrival).toDF("ts", "q_id", "v")
+        .dropDuplicates("q_id")
+        .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+        .crossJoin(broadcast(centsDf))
+        .withColumn("csim", expr(
+          "try_divide(graft_dot(v, cv), nrm * cnrm)"))
+        .withColumn("crank", row_number.over(
+          Window.partitionBy("q_id").orderBy(col("csim").desc, col("c_id"))))
+        .filter(col("crank") === 1)
+        .withColumnRenamed("c_id", "cell")
+        .join(cells, Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("sim", expr("try_divide(graft_dot(v, nv), nrm * nnrm)"))
+        .filter(col("sim") >= 0.8)
+        .select(col("q_id"), col("n_id"),
+          graft.queries.Rounding.r6(col("sim")).as("sim"))
+        .distinct().collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"),
+          r.getAs[Double]("sim"))).toSet
+      assert(got == batchRef, s"stream=$got batch=$batchRef")
+      assert(got.map(_._1) == Set(100L, 102L)) // 101 below threshold
+      assert(got.filter(_._1 == 100L).forall(p => p._2 < 5L))
+      assert(got.filter(_._1 == 102L).forall(p => p._2 >= 10L && p._2 < 15L))
+      assert(got.count(_._1 == 100L) >= 1 && got.count(_._1 == 102L) >= 1)
+    } finally q.stop()
+  }
+
   test("streaming CDC compaction matches batch dedup_latest semantics") {
     // The incremental face of dedup_latest: the same argmax-struct
     // aggregate runs as a streaming Update-mode agg — per-key state is
