@@ -56,6 +56,27 @@ object ExtQueries {
       "ceil(log2(greatest(1, floor(sqrt(count(*)))))) ) AS BIGINT)))" +
       " FROM embeddings)"
 
+  /** Argmax-cosine cell assignment of `e(vec_id, v, nrm)` against a
+    * small centroid table `cents(c_id, cv, cnrm)` (broadcast). The
+    * map-side-combinable AGGREGATE form (emb_kmeans' shape): the
+    * broadcast crossJoin's nlist-amplified rows collapse to ONE row
+    * per vector through partial min-of-struct BEFORE any exchange —
+    * the window-function (`row_number`) form would shuffle all
+    * n·nlist array-carrying rows to rank them. Ties pick the lowest
+    * c_id and NULL csim (zero norms) sorts last, matching
+    * `row_number() OVER (ORDER BY csim DESC, c_id)` exactly.
+    * Columns: (vec_id, v, nrm, cell). */
+  private[queries] def assignCells(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("csim", expr("coalesce(" +
+        s"try_divide(${dotS("v", "cv")}, nrm * cnrm)" +
+        ", CAST('-Infinity' AS DOUBLE))"))
+      .groupBy("vec_id")
+      .agg(min(struct(negate(col("csim")).as("ncsim"), col("c_id"),
+        col("v"), col("nrm"))).as("m"))
+      .select(col("vec_id"), col("m.v").as("v"), col("m.nrm").as("nrm"),
+        col("m.c_id").as("cell"))
+
   /** Full-corpus cell assignment against the TRAINED coarse quantizer
     * of the gate embeddings table. Columns: (vec_id, v, nrm, cell). */
   private def ivfKmeansAssigned(s: SparkSession, dir: String): DataFrame =
@@ -79,13 +100,8 @@ object ExtQueries {
     val e = corpus.withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
     val c0 = e.filter(col("vec_id") < lit(ivfNlist(e)))
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val a1 = e.filter(col("vec_id") % 4 === 0)
-      .crossJoin(broadcast(c0))
-      .withColumn("csim", expr(s"try_divide(${dotS("v", "cv")}, nrm * cnrm)"))
-      .withColumn("crank", expr(
-        "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id)"))
-      .filter(col("crank") === 1)
-      .select(col("c_id").as("cell"), col("v"))
+    val a1 = assignCells(e.filter(col("vec_id") % 4 === 0), c0)
+      .select(col("cell"), col("v"))
     val c1 = a1
       .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
       .withColumn("xi", expr("CAST(round(x * 1000000.0) AS BIGINT)"))
@@ -99,13 +115,7 @@ object ExtQueries {
       .select(col("cell").as("c_id"), col("cv"),
         expr(s"sqrt(${dotS("cv", "cv")})").as("cnrm"))
       .localCheckpoint()
-    val assigned = e.crossJoin(broadcast(c1))
-      .withColumn("csim", expr(s"try_divide(${dotS("v", "cv")}, nrm * cnrm)"))
-      .withColumn("crank", expr(
-        "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id)"))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
-    (c1, assigned)
+    (c1, assignCells(e, c1))
   }
 
   // ---- shared Spark expression fragments ----
@@ -1291,12 +1301,7 @@ object ExtQueries {
         .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
       val cents = e.filter(col("vec_id") < lit(ivfNlist(e)))
         .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-      val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("csim", expr(s"try_divide(${dotS("v", "cv")}, nrm * cnrm)"))
-        .withColumn("crank", expr(
-          "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id)"))
-        .filter(col("crank") === 1)
-        .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
+      val assigned = assignCells(e, cents)
       val qs = assigned.filter(col("vec_id") % 25 === 0)
       qs.as("x").join(assigned.as("y"),
           col("x.cell") === col("y.cell") && col("x.vec_id") =!= col("y.vec_id"))
@@ -1319,13 +1324,17 @@ object ExtQueries {
         .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
       val cents = e.filter(col("vec_id") < lit(ivfNlist(e)))
         .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-      val ranked = e.crossJoin(broadcast(cents))
+      val assigned = assignCells(e, cents)
+      // The top-2 probe list needs a per-vector RANK (not just the
+      // argmax), so the window survives here — but only over the
+      // query split (4% of rows), filtered BEFORE the rank: the
+      // full-corpus side uses the aggregate assignment above.
+      val qs = e.filter(col("vec_id") % 25 === 0)
+        .crossJoin(broadcast(cents))
         .withColumn("csim", expr(s"try_divide(${dotS("v", "cv")}, nrm * cnrm)"))
         .withColumn("crank", expr(
           "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id)"))
-      val assigned = ranked.filter(col("crank") === 1)
-        .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
-      val qs = ranked.filter(col("crank") <= 2 && col("vec_id") % 25 === 0)
+        .filter(col("crank") <= 2)
         .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
       qs.as("x").join(assigned.as("y"),
           col("x.cell") === col("y.cell") && col("x.vec_id") =!= col("y.vec_id"))
@@ -1699,12 +1708,8 @@ object ExtQueries {
         .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
       val c0 = e.filter(col("vec_id") < lit(ivfNlist(e)))
         .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-      val init = e.crossJoin(broadcast(c0))
-        .withColumn("csim", expr(s"try_divide(${dotS("v", "cv")}, nrm * cnrm)"))
-        .withColumn("crank", expr(
-          "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id)"))
-        .filter(col("crank") === 1)
-        .select(lit("init").as("method"), col("c_id").as("cell"))
+      val init = assignCells(e, c0)
+        .select(lit("init").as("method"), col("cell"))
       val trained = ivfKmeansAssigned(s, dir)
         .select(lit("trained").as("method"), col("cell"))
       init.union(trained)

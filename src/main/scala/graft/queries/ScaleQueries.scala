@@ -657,12 +657,8 @@ object ScaleQueries {
       // a partition count, so it does not grow with n.)
       val cents = e.filter(col("vec_id") < lit(ExtQueries.ivfNlist(e)))
         .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-      val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("csim", expr("try_divide(graft_dot(v, cv), nrm * cnrm)"))
-        .withColumn("crank", expr(
-          "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id)"))
-        .filter(col("crank") === 1)
-        .select(col("vec_id"), col("v"), col("c_id").as("cell"))
+      val assigned = ExtQueries.assignCells(e, cents)
+        .select(col("vec_id"), col("v"), col("cell"))
       // PQ codes — the SAME codebook emb_pq emits (shared helper)
       val blocks = pqBlocks(e)
       val (pqCents, codesFull) = pqCodebook(blocks)

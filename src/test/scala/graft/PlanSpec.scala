@@ -87,6 +87,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("IVF cell assignment aggregates, never window-ranks the corpus") {
+    // The coarse-quantizer argmax runs as a partial-aggregatable
+    // min-of-struct (emb_kmeans' shape): the broadcast crossJoin's
+    // nlist-amplified rows collapse map-side to one row per vector
+    // BEFORE any exchange. A row_number assignment would instead
+    // shuffle all n·nlist array-carrying rows — at 100 TB that is
+    // nlist× write amplification on the busiest exchange. The single
+    // surviving Window in sim_ivf is the final per-query candidate
+    // rank (bounded by cell size); sim_ivf_kmeans adds the same for
+    // its query split only.
+    Seq("sim_ivf", "sim_ivf_kmeans").foreach { q =>
+      val p = plan(q)
+      // WindowGroupLimit nodes (the rank<=3 pushdown) are fine; a
+      // second `Window [` exec node is the corpus-wide argmax creeping
+      // back.
+      assert("Window \\[".r.findAllIn(p).length == 1,
+        s"$q: extra Window beyond the final candidate rank\n$p")
+      assert(p.contains("partial_min"),
+        s"$q: assignment lost its partial aggregation\n$p")
+    }
+  }
+
   test("LSH band/pair exchanges carry no arrays; arrays join back by id") {
     // The band-bucket self-join and the pair dropDuplicates move
     // (doc_id, bk)/(a, b) — longs only. Shingle sets and minhash
