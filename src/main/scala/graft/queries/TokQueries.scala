@@ -55,6 +55,60 @@ object TokQueries {
         .orderBy(col("cnt").desc, col("pair"))
         .limit(20)),
 
+    // The BPE merge LOOP itself (3 rounds): train on the word-
+    // frequency table (the classic reduction — distinct words with
+    // counts, never the token stream), start from character symbols,
+    // and each round (a) counts adjacent symbol pairs weighted by
+    // word count, (b) picks the argmax pair deterministically
+    // (count desc, pair asc), (c) applies the merge greedily
+    // left-to-right inside every word via an ordered fold. Emits the
+    // learned merge table (step, a, b, merged, cnt) — the artifact a
+    // tokenizer build persists.
+    //
+    // Scale shape: each round is ONE map-side-combinable pair count
+    // over the (distinct-word, count) table (bounded by vocabulary,
+    // not corpus size), one tiny TakeOrdered for the argmax, and one
+    // per-row fold projection to apply the merge — the corpus itself
+    // is touched once, by the initial word count. The chosen pair
+    // rides a broadcast; rounds chain through localCheckpoints so
+    // round k never re-runs rounds 1..k-1.
+    "tok_bpe_train" -> ((s, dir) => {
+      val mergeExpr =
+        "aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, x) -> " +
+          "IF(size(acc) > 0 AND element_at(acc, -1) = ba AND x = bb, " +
+          "concat(slice(acc, 1, size(acc) - 1), array(concat(ba, bb))), " +
+          "concat(acc, array(x))))"
+      var cur = docs(s, dir)
+        .select(explode(expr(toksSpark)).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+        .select(col("wc"), expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+          .as("syms"))
+        .localCheckpoint()
+      val steps = (1 to 3).map { step =>
+        val best = cur
+          // Spark sequence(1, 0) DESCENDS rather than emptying —
+          // 1-symbol words must not reach the pair explode.
+          .filter(size(col("syms")) >= 2)
+          .select(col("wc"), explode(expr(
+            "transform(sequence(1, size(syms) - 1), i -> " +
+              "struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"))
+            .as("p"))
+          .groupBy(col("p.a").as("ba"), col("p.b").as("bb"))
+          .agg(sum(col("wc")).as("bcnt"))
+          .orderBy(col("bcnt").desc, col("ba"), col("bb"))
+          .limit(1)
+          .localCheckpoint()
+        cur = cur.crossJoin(broadcast(best))
+          .select(col("wc"), expr(mergeExpr).as("syms"))
+          .localCheckpoint()
+        best.select(lit(step.toLong).as("step"), col("ba").as("a"),
+          col("bb").as("b"), concat(col("ba"), col("bb")).as("merged"),
+          col("bcnt").as("cnt"))
+      }
+      steps.reduce(_.unionAll(_))
+    }),
+
     // Coverage of a fixed top-1000 global vocabulary per language —
     // the post-build sanity check: what fraction of each language's
     // token OCCURRENCES the vocabulary explains, and how many fall
@@ -127,6 +181,39 @@ object TokQueries {
          |pr AS (SELECT unnest($pairsD) AS pair FROM tk WHERE length(tok) >= 2)
          |SELECT pair, count(*)::BIGINT AS cnt FROM pr GROUP BY 1
          |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+
+    "tok_bpe_train" -> {
+      // One layer of the unrolled merge loop: pair-count the previous
+      // symbol table, argmax deterministically, apply the merge as a
+      // greedy left fold. The fold state is the merged symbol list
+      // encoded as a chr(1)-joined string (list_reduce's accumulator
+      // must share the element type); substr arithmetic strips the
+      // trailing symbol to splice the merge in place.
+      def layer(k: Int): String = {
+        val (prev, p, b, next) = (s"s${k - 1}", s"p$k", s"b$k", s"s$k")
+        s"""$p AS (SELECT p.a AS a, p.b AS b, sum(wc)::BIGINT AS cnt FROM (
+           |    SELECT wc, unnest(list_transform(generate_series(1, len(syms) - 1),
+           |      i -> struct_pack(a := syms[i], b := syms[i + 1]))) AS p FROM $prev)
+           |  GROUP BY 1, 2),
+           |$b AS MATERIALIZED (SELECT a, b, cnt FROM $p ORDER BY cnt DESC, a, b LIMIT 1),
+           |$next AS MATERIALIZED (SELECT wc, string_split(list_reduce(syms, (acc, x) ->
+           |    CASE WHEN string_split(acc, chr(1))[-1] = $b.a AND x = $b.b
+           |      THEN substr(acc, 1, length(acc) - length($b.a)) || $b.a || $b.b
+           |      ELSE acc || chr(1) || x END), chr(1)) AS syms
+           |  FROM $prev CROSS JOIN $b)""".stripMargin
+      }
+      s"""WITH tk2 AS (SELECT unnest($toksDuck) AS w FROM documents),
+         |wf AS (SELECT w, count(*)::BIGINT AS wc FROM tk2 GROUP BY 1),
+         |s0 AS MATERIALIZED (SELECT wc,
+         |    list_transform(generate_series(1, length(w)), i -> w[i]) AS syms
+         |  FROM wf),
+         |${layer(1)},
+         |${layer(2)},
+         |${layer(3)}
+         |SELECT 1::BIGINT AS step, a, b, a || b AS merged, cnt FROM b1
+         |UNION ALL SELECT 2::BIGINT, a, b, a || b, cnt FROM b2
+         |UNION ALL SELECT 3::BIGINT, a, b, a || b, cnt FROM b3""".stripMargin
+    },
 
     "tok_vocab_coverage" ->
       s"""WITH $tokStream,
