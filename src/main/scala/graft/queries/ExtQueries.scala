@@ -1003,6 +1003,85 @@ object ExtQueries {
           col("rank"), Rounding.r6(col("sim")).as("sim"))
     }),
 
+    // Exact maximum-inner-product top-3 (retrieval's actual score
+    // when embeddings are trained with dot-product objectives —
+    // cosine's norm division is NOT rank-equivalent unless vectors
+    // are normalized). Same block-partitioned all-pairs shape as
+    // sim_topk: per-task work (n/B)², shuffle B·n, no
+    // BroadcastNestedLoopJoin.
+    "sim_mips" -> ((s, dir) => {
+      val e = emb(s, dir)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+      val q = e.filter(col("vec_id") % 10 === 0)
+        .withColumn("bi", expr(s"CAST(vec_id % $PairBlocks AS INT)"))
+        .withColumn("bj", explode(expr(s"sequence(0, ${PairBlocks - 1})")))
+      val y = e.withColumn("bj", expr(s"CAST(vec_id % $PairBlocks AS INT)"))
+        .withColumn("bi", explode(expr(s"sequence(0, ${PairBlocks - 1})")))
+      q.as("x").hint("shuffle_hash")
+        .join(y.as("y").hint("shuffle_hash"),
+          col("x.bi") === col("y.bi") && col("x.bj") === col("y.bj") &&
+            col("x.vec_id") =!= col("y.vec_id"))
+        .withColumn("ip", expr(dotS("x.v", "y.v")))
+        .withColumn("rank", expr(
+          "CAST(row_number() OVER (PARTITION BY x.vec_id ORDER BY ip DESC, y.vec_id) AS BIGINT)"))
+        .filter(col("rank") <= 3)
+        .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("n_id"),
+          col("rank"), Rounding.r6(col("ip")).as("ip"))
+    }),
+
+    // Approximate MIPS via the norm-augmentation reduction (Neyshabur
+    // & Srebro / Shrivastava & Li): data vectors extend to
+    // x' = [x, √(M² − ‖x‖²)] (M² = max squared norm, a one-row
+    // broadcast aggregate), queries to q' = [q, 0] — then
+    // cos(q', x') ∝ q·x for each fixed q, so the SAME adaptive
+    // hyperplane-LSH bucket join the cosine path uses serves inner
+    // product. Candidates come from signature equality (equi-join,
+    // never all-pairs); ranking within candidates is the exact dot.
+    // The max-norm vector's augmented term clamps at 0 on BOTH
+    // engines (M·M − ‖x‖² can go one ulp negative).
+    "sim_mips_ann" -> ((s, dir) => {
+      val e0 = emb(s, dir)
+      val bits = annBits(e0)
+      val e = e0.select(col("vec_id").cast("long").as("vec_id"),
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+      val m2 = e.agg(max(expr(dotS("v", "v"))).as("m2"))
+      val data = e.crossJoin(broadcast(m2))
+        .withColumn("va", expr(
+          s"concat(v, array(sqrt(greatest(0D, m2 - ${dotS("v", "v")}))))"))
+        .select(col("vec_id"), col("v"),
+          expr(s"graft_hplane_sig(va, $bits)").as("sig"))
+      val qs = data.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          expr(s"graft_hplane_sig(concat(v, array(0D)), $bits)").as("sig"))
+      qs.join(data, Seq("sig"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .withColumn("ip", expr(dotS("qv", "v")))
+        .withColumn("rank", expr(
+          "CAST(row_number() OVER (PARTITION BY q_id ORDER BY ip DESC, vec_id) AS BIGINT)"))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          col("rank"), Rounding.r6(col("ip")).as("ip"))
+    }),
+
+    // Recall@3 of the augmented-LSH MIPS index vs the exact
+    // inner-product ground truth — the published-measurement pattern
+    // of the family (sim_recall / sim_ivf_recall), on the shared
+    // %10 query split. Pure composition of oracle-gated queries.
+    "sim_mips_recall" -> ((s, dir) => {
+      val exact = queries("sim_mips")(s, dir)
+        .select(col("q_id"), col("n_id"))
+      val ann = queries("sim_mips_ann")(s, dir)
+        .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+      exact.join(ann, Seq("q_id", "n_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("q_id"), col("k"), col("n_hits"),
+          Rounding.r6(expr("CAST(n_hits AS DOUBLE) / CAST(k AS DOUBLE)"))
+            .as("recall"))
+    }),
+
     "sim_ann_lsh" -> ((s, dir) => {
       val e0 = emb(s, dir)
       val e = e0
@@ -2454,6 +2533,59 @@ object ExtQueries {
          |  FROM qs x JOIN en y ON x.vec_id <> y.vec_id),
          |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)::BIGINT AS rank FROM sims)
          |SELECT q_id, n_id, rank, (round(sim, 6) + 0.0) AS sim FROM rk WHERE rank <= 5""".stripMargin,
+
+    "sim_mips" ->
+      s"""WITH $embBase,
+         |qs AS (SELECT * FROM eb WHERE vec_id % 10 = 0),
+         |sims AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
+         |    ${dotD("x.v", "y.v")} AS ip
+         |  FROM qs x JOIN eb y ON x.vec_id <> y.vec_id),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ip DESC, n_id)::BIGINT AS rank FROM sims)
+         |SELECT q_id, n_id, rank, (round(ip, 6) + 0.0) AS ip FROM rk WHERE rank <= 3""".stripMargin,
+
+    "sim_mips_ann" ->
+      s"""WITH $embBase,
+         |m2 AS (SELECT max(${dotD("v", "v")}) AS m2 FROM eb),
+         |da AS (SELECT vec_id, v AS vq,
+         |    list_append(v, sqrt(greatest(0.0::DOUBLE, m2.m2 - ${dotD("v", "v")}))) AS v
+         |  FROM eb CROSS JOIN m2),
+         |ds AS (SELECT vec_id, vq, ${sigD(annBitsD)} AS sig FROM da),
+         |qa AS (SELECT vec_id, vq, list_append(vq, 0.0::DOUBLE) AS v
+         |  FROM da WHERE vec_id % 10 = 0),
+         |qsg AS (SELECT vec_id AS q_id, vq AS qv, ${sigD(annBitsD)} AS sig FROM qa),
+         |sims AS (SELECT q.q_id, d.vec_id AS n_id, ${dotD("q.qv", "d.vq")} AS ip
+         |  FROM qsg q JOIN ds d ON q.sig = d.sig AND q.q_id <> d.vec_id),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ip DESC, n_id)::BIGINT AS rank FROM sims)
+         |SELECT q_id, n_id, rank, (round(ip, 6) + 0.0) AS ip FROM rk WHERE rank <= 3""".stripMargin,
+
+    "sim_mips_recall" ->
+      s"""WITH $embBase,
+         |qs AS (SELECT * FROM eb WHERE vec_id % 10 = 0),
+         |xsims AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
+         |    ${dotD("x.v", "y.v")} AS ip
+         |  FROM qs x JOIN eb y ON x.vec_id <> y.vec_id),
+         |ex AS (SELECT q_id, n_id FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY ip DESC, n_id) AS rank FROM xsims)
+         |  WHERE rank <= 3),
+         |m2 AS (SELECT max(${dotD("v", "v")}) AS m2 FROM eb),
+         |da AS (SELECT vec_id, v AS vq,
+         |    list_append(v, sqrt(greatest(0.0::DOUBLE, m2.m2 - ${dotD("v", "v")}))) AS v
+         |  FROM eb CROSS JOIN m2),
+         |ds AS (SELECT vec_id, vq, ${sigD(annBitsD)} AS sig FROM da),
+         |qa AS (SELECT vec_id, vq, list_append(vq, 0.0::DOUBLE) AS v
+         |  FROM da WHERE vec_id % 10 = 0),
+         |qsg AS (SELECT vec_id AS q_id, vq AS qv, ${sigD(annBitsD)} AS sig FROM qa),
+         |asims AS (SELECT q.q_id, d.vec_id AS n_id, ${dotD("q.qv", "d.vq")} AS ip
+         |  FROM qsg q JOIN ds d ON q.sig = d.sig AND q.q_id <> d.vec_id),
+         |an AS (SELECT q_id, n_id FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY ip DESC, n_id) AS rank FROM asims)
+         |  WHERE rank <= 3)
+         |SELECT ex.q_id, count(*)::BIGINT AS k,
+         |  sum(CASE WHEN an.n_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+         |  (round(sum(CASE WHEN an.n_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*)::DOUBLE, 6) + 0.0) AS recall
+         |FROM ex LEFT JOIN an ON an.q_id = ex.q_id AND an.n_id = ex.n_id
+         |GROUP BY ex.q_id""".stripMargin,
 
     "sim_ann_lsh" ->
       s"""WITH $embBase,
