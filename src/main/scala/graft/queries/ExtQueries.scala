@@ -175,6 +175,17 @@ object ExtQueries {
       "list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(v)), d -> v[d] * (((j*131 + (d-1)*31) % 23) - 11)::DOUBLE)), (x, y) -> x + y)" +
       " >= 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END)), (a, b) -> a + b)"
 
+  /** Band-detection probability 1 − (1 − s^r)^b as a literal
+    * multiplication chain over a `jac` column — the SAME expression
+    * text runs on both engines (pow() may differ by an ulp across
+    * libms; products cannot; the bare 1.0 literals promote to double
+    * against the double operand on both). */
+  private def bandDetectP(b: Int, r: Int): String = {
+    val sr = List.fill(r)("jac").mkString(" * ")
+    val q = s"(1.0 - ($sr))"
+    s"1.0 - ${List.fill(b)(q).mkString(" * ")}"
+  }
+
   // Simhash bit width.
   private val SimBits = 16
 
@@ -389,6 +400,31 @@ object ExtQueries {
           .agg(countDistinct(col("d")).as("n_docs"))
         a1.join(a2, "_g")
           .select(lit(tau).as("tau"), col("n_pairs"), col("n_docs"))
+      }.reduce(_ unionAll _)
+    }),
+
+    // LSH band-plan tuning curve: for every (bands, rows) split of the
+    // 12 minhashes, the EXPECTED recall the banding would achieve on
+    // the TRUE near-dup pair set — E[1 − (1 − s^r)^b] over exact
+    // jaccard s ≥ 0.8 pairs. The table a curation run consults before
+    // picking its banding (more bands = more recall, more candidate
+    // mass); the engine's operating point (4, 3) sits in the sweep.
+    // Powers expand to literal multiplication chains (pow() can differ
+    // by an ulp across libms); per-pair probabilities micro-quantize
+    // to longs before the cross-partition sum (a double sum across a
+    // shuffle is summation-order-nondeterministic).
+    "dedup_band_sweep" -> ((s, dir) => {
+      val pp = jaccardJoinExact(shingleSets(s, dir), 4, 5)
+        .select(col("jac")).localCheckpoint()
+      Seq((2, 6), (3, 4), (4, 3), (6, 2), (12, 1)).map { case (b, r) =>
+        pp.select(expr(s"CAST(round((${bandDetectP(b, r)}) * 1000000.0)" +
+            " AS BIGINT)").as("pi"))
+          .groupBy(lit(true).as("_g"))
+          .agg(count(lit(1)).as("n_pairs"), sum(col("pi")).as("sp"))
+          .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+            col("n_pairs"),
+            Rounding.r6(expr("CAST(sp AS DOUBLE) / CAST(n_pairs AS DOUBLE)" +
+              " / 1000000.0")).as("expected_recall"))
       }.reduce(_ unionAll _)
     }),
 
@@ -2273,6 +2309,28 @@ object ExtQueries {
          |SELECT 0.7::DOUBLE AS tau, n_pairs, n_docs FROM t7, d7
          |UNION ALL SELECT 0.8::DOUBLE, n_pairs, n_docs FROM t8, d8
          |UNION ALL SELECT 0.9::DOUBLE, n_pairs, n_docs FROM t9, d9""".stripMargin,
+
+    "dedup_band_sweep" -> {
+      def cfg(b: Int, r: Int): String =
+        s"""c${b}_$r AS (SELECT count(*)::BIGINT AS n_pairs,
+           |    sum(CAST(round((${bandDetectP(b, r)}) * 1000000.0) AS BIGINT))::BIGINT AS sp
+           |  FROM pr HAVING count(*) > 0)""".stripMargin
+      def row(b: Int, r: Int): String =
+        s"SELECT $b::BIGINT AS bands, $r::BIGINT AS rows_per_band, n_pairs," +
+          s" (round(CAST(sp AS DOUBLE) / CAST(n_pairs AS DOUBLE) / 1000000.0, 6) + 0.0)" +
+          s" AS expected_recall FROM c${b}_$r"
+      val cs = Seq((2, 6), (3, 4), (4, 3), (6, 2), (12, 1))
+      s"""WITH $docHashes,
+         |dff AS (SELECT * FROM ds WHERE len(sh) > 0),
+         |shq AS (SELECT doc_id, list_distinct(sh) AS shd FROM dff),
+         |pj AS (SELECT x.doc_id AS a, y.doc_id AS b,
+         |    len(list_distinct(list_intersect(x.shd, y.shd)))::DOUBLE
+         |      / len(list_distinct(list_concat(x.shd, y.shd)))::DOUBLE AS jac
+         |  FROM shq x JOIN shq y ON x.doc_id < y.doc_id),
+         |pr AS MATERIALIZED (SELECT jac FROM pj WHERE jac >= 0.8),
+         |${cs.map { case (b, r) => cfg(b, r) }.mkString(",\n")}
+         |${cs.map { case (b, r) => row(b, r) }.mkString("\nUNION ALL ")}""".stripMargin
+    },
 
     "dedup_allpairs" ->
       s"""WITH $docHashes,

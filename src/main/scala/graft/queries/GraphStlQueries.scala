@@ -67,6 +67,43 @@ object GraphStlQueries {
         .agg(count(lit(1)).as("core_degree"))
     }),
 
+    // Label-propagation communities (3 synchronous rounds) over the
+    // embedding near-dup graph: init label(v) = v; per round every
+    // node adopts its neighbors' most frequent label (ties → smallest
+    // label), isolated nodes keep their own. Unlike connected
+    // components, LPA splits bridge-joined clumps — the community
+    // view of the duplicate graph. Deterministic by construction:
+    // integer counts, total tie order, synchronous rounds.
+    //
+    // Scale shape: each round is ONE shuffle of (node, neighbor-label)
+    // longs — the argmax runs as a map-side-combinable count +
+    // min-of-struct aggregate (never a window over the edge list);
+    // labels re-attach by id left-join; bounded rounds with
+    // localCheckpoint lineage (the PageRank posture). Vectors never
+    // move: the edge list is the only input.
+    "graph_lpa" -> ((s, dir) => {
+      val pairs = ExtQueries.queries("emb_neardup_lsh")(s, dir)
+        .select(col("a"), col("b"))
+      val edges = pairs
+        .union(pairs.select(col("b").as("a"), col("a").as("b")))
+        .localCheckpoint()
+      var lbl = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").cast("long").as("id"),
+          col("vec_id").cast("long").as("lbl"))
+      for (_ <- 1 to 3) {
+        val nb = edges
+          .join(lbl.select(col("id").as("b"), col("lbl").as("nlbl")), Seq("b"))
+          .groupBy("a", "nlbl").agg(count(lit(1)).as("c"))
+          .groupBy("a")
+          .agg(min(struct(negate(col("c")).as("nc"), col("nlbl"))).as("m"))
+          .select(col("a").as("id"), col("m.nlbl").as("newlbl"))
+        lbl = lbl.join(nb, Seq("id"), "left")
+          .select(col("id"), coalesce(col("newlbl"), col("lbl")).as("lbl"))
+          .localCheckpoint()
+      }
+      lbl.select(col("id").as("vec_id"), col("lbl").as("label"))
+    }),
+
     // Component-size census of the semantic-dup clusters: how many
     // components of each size (plus the singleton mass) — the shape of
     // the duplicate graph at a glance. Label arithmetic only.
@@ -123,6 +160,27 @@ object GraphStlQueries {
          |$kcoreRoundsDuck
          |SELECT a AS vec_id, count(*) AS core_degree
          |FROM e$PeelRounds GROUP BY a""".stripMargin,
+
+    "graph_lpa" -> {
+      def layer(k: Int): String = {
+        val (prev, n, b, next) = (s"l${k - 1}", s"n$k", s"b$k", s"l$k")
+        s"""$n AS (SELECT e.a, l.lbl AS nlbl, count(*)::BIGINT AS c
+           |  FROM e JOIN $prev l ON l.id = e.b GROUP BY 1, 2),
+           |$b AS (SELECT a AS id, nlbl AS newlbl FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY a ORDER BY c DESC, nlbl) AS rk
+           |    FROM $n) WHERE rk = 1),
+           |$next AS MATERIALIZED (SELECT l.id, coalesce(b.newlbl, l.lbl) AS lbl
+           |  FROM $prev l LEFT JOIN $b b USING (id))""".stripMargin
+      }
+      s"""WITH ${ExtQueries.embPairsDuck},
+         |e AS MATERIALIZED (SELECT a, b FROM epr UNION ALL SELECT b, a FROM epr),
+         |l0 AS MATERIALIZED (SELECT vec_id::BIGINT AS id, vec_id::BIGINT AS lbl
+         |  FROM embeddings),
+         |${layer(1)},
+         |${layer(2)},
+         |${layer(3)}
+         |SELECT id AS vec_id, lbl AS label FROM l3""".stripMargin
+    },
 
     "graph_cc_hist" ->
       s"""WITH RECURSIVE ${ExtQueries.embPairsDuck},
