@@ -66,7 +66,7 @@ object ExtQueries {
     * c_id and NULL csim (zero norms) sorts last, matching
     * `row_number() OVER (ORDER BY csim DESC, c_id)` exactly.
     * Columns: (vec_id, v, nrm, cell). */
-  private[queries] def assignCells(e: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def assignCells(e: DataFrame, cents: DataFrame): DataFrame =
     e.crossJoin(broadcast(cents))
       .withColumn("csim", expr("coalesce(" +
         s"try_divide(${dotS("v", "cv")}, nrm * cnrm)" +
@@ -1779,6 +1779,57 @@ object ExtQueries {
             .as("recall"))
     }),
 
+    // Matryoshka truncation curve: recall@3 of cosine search over the
+    // PREFIX dims (d/4, d/2) against the full-dimension ground truth
+    // — the measurement behind serving truncated embeddings (MRL):
+    // how much ranking quality each prefix keeps, published per query.
+    // Truncated searches reuse the block-partitioned all-pairs shape
+    // (slice happens in the scan projection, so the join moves k-dim
+    // arrays, not full vectors); the dims are driver literals from one
+    // max(len) job, oracle-mirrored as scalar subqueries.
+    "emb_mrl_recall" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+      val d = {
+        val r = e.agg(max(size(col("v")))).collect()(0)
+        if (r.isNullAt(0)) 0 else r.getInt(0)
+      }
+      val dims = Seq(math.max(1, d / 4), math.max(1, d / 2)).distinct
+      val exact = queries("sim_topk")(s, dir)
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("n_id"))
+        .crossJoin(dims.map(_.toLong).toDF("dim_k"))
+      val anns = dims.map { k =>
+        val t = e.select(col("vec_id"), expr(s"slice(v, 1, $k)").as("vk"))
+          .withColumn("nrm", expr(s"sqrt(${dotS("vk", "vk")})"))
+        val qb = t.filter(col("vec_id") % 10 === 0)
+          .withColumn("bi", expr(s"CAST(vec_id % $PairBlocks AS INT)"))
+          .withColumn("bj", explode(expr(s"sequence(0, ${PairBlocks - 1})")))
+        val yb = t.withColumn("bj", expr(s"CAST(vec_id % $PairBlocks AS INT)"))
+          .withColumn("bi", explode(expr(s"sequence(0, ${PairBlocks - 1})")))
+        qb.as("x").hint("shuffle_hash")
+          .join(yb.as("y").hint("shuffle_hash"),
+            col("x.bi") === col("y.bi") && col("x.bj") === col("y.bj") &&
+              col("x.vec_id") =!= col("y.vec_id"))
+          .withColumn("sim", expr(
+            s"try_divide(${dotS("x.vk", "y.vk")}, x.nrm * y.nrm)"))
+          .withColumn("rank", expr(
+            "row_number() OVER (PARTITION BY x.vec_id ORDER BY sim DESC, y.vec_id)"))
+          .filter(col("rank") <= 3)
+          .select(lit(k.toLong).as("dim_k"), col("x.vec_id").as("q_id"),
+            col("y.vec_id").as("n_id"), lit(1L).as("hit"))
+      }.reduce(_ union _)
+      exact.join(anns, Seq("dim_k", "q_id", "n_id"), "left")
+        .groupBy("dim_k", "q_id")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("dim_k"), col("q_id"), col("k"), col("n_hits"),
+          Rounding.r6(expr("CAST(n_hits AS DOUBLE) / CAST(k AS DOUBLE)"))
+            .as("recall"))
+    }),
+
     // Recall@3 per IVF probe depth — probe1 (own cell) vs probe2 (two
     // nearest cells) against the brute-force ground truth on the
     // shared query split (q_id % 50 = 0). nprobe is THE knob a vector
@@ -2744,6 +2795,51 @@ object ExtQueries {
          |  FROM qs x JOIN assigned y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
          |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)::BIGINT AS rank FROM sims)
          |SELECT q_id, n_id, rank, (round(sim, 6) + 0.0) AS sim FROM rk WHERE rank <= 3""".stripMargin,
+
+    "emb_mrl_recall" ->
+      s"""WITH $embBase,
+         |dk AS (SELECT greatest(1, coalesce(max(len(v)), 0) // 4) AS k1,
+         |    greatest(1, coalesce(max(len(v)), 0) // 2) AS k2 FROM eb),
+         |t1 AS (SELECT vec_id, v[1:dk.k1] AS vk FROM eb CROSS JOIN dk),
+         |n1 AS (SELECT *, sqrt(${dotD("vk", "vk")}) AS nrm FROM t1),
+         |q1 AS (SELECT * FROM n1 WHERE vec_id % 10 = 0),
+         |s1 AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
+         |    ${dotD("x.vk", "y.vk")} / (x.nrm * y.nrm) AS sim
+         |  FROM q1 x JOIN n1 y ON x.vec_id <> y.vec_id),
+         |a1 AS (SELECT q_id, n_id FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM s1)
+         |  WHERE rank <= 3),
+         |t2 AS (SELECT vec_id, v[1:dk.k2] AS vk FROM eb CROSS JOIN dk),
+         |n2 AS (SELECT *, sqrt(${dotD("vk", "vk")}) AS nrm FROM t2),
+         |q2 AS (SELECT * FROM n2 WHERE vec_id % 10 = 0),
+         |s2 AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
+         |    ${dotD("x.vk", "y.vk")} / (x.nrm * y.nrm) AS sim
+         |  FROM q2 x JOIN n2 y ON x.vec_id <> y.vec_id),
+         |a2 AS (SELECT q_id, n_id FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM s2)
+         |  WHERE rank <= 3),
+         |xq AS (SELECT * FROM en WHERE vec_id % 10 = 0),
+         |xs AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
+         |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+         |  FROM xq x JOIN en y ON x.vec_id <> y.vec_id),
+         |ex AS MATERIALIZED (SELECT q_id, n_id FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM xs)
+         |  WHERE rank <= 3),
+         |m1 AS (SELECT (SELECT k1 FROM dk)::BIGINT AS dim_k, ex.q_id,
+         |    count(*)::BIGINT AS k,
+         |    sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits
+         |  FROM ex LEFT JOIN a1 a ON a.q_id = ex.q_id AND a.n_id = ex.n_id
+         |  GROUP BY ex.q_id),
+         |m2 AS (SELECT (SELECT k2 FROM dk)::BIGINT AS dim_k, ex.q_id,
+         |    count(*)::BIGINT AS k,
+         |    sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits
+         |  FROM ex LEFT JOIN a2 a ON a.q_id = ex.q_id AND a.n_id = ex.n_id
+         |  GROUP BY ex.q_id
+         |  HAVING (SELECT k1 FROM dk) <> (SELECT k2 FROM dk)),
+         |mm AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2)
+         |SELECT dim_k, q_id, k, n_hits,
+         |  (round(n_hits::DOUBLE / k::DOUBLE, 6) + 0.0) AS recall
+         |FROM mm""".stripMargin,
 
     // One WITH: the shared IVF chain feeds both probe depths; the
     // exact side is one window over the % 50 query split.

@@ -386,6 +386,41 @@ object EngineProps extends Properties("engine") {
       got == want
     }
 
+  property("assignCells ≡ window-argmax cell assignment (ties, zero norms)") =
+    Prop.forAll(
+      Gen.choose(4, 24).flatMap { n =>
+        Gen.listOfN(n * 3, Gen.oneOf(-1.0, 0.0, 0.0, 1.0, 2.0))
+      }) { xs =>
+      import org.apache.spark.sql.functions._
+      // Integer-ish coordinates force cosine TIES (scaled copies of
+      // the same direction) and zero vectors (NULL cosine on the
+      // try_divide path) — exactly where the aggregate form could
+      // silently diverge from the window ordering.
+      val vecs = xs.grouped(3).toSeq.zipWithIndex
+        .map { case (v, i) => Row(i.toLong, v) }
+      val schema = StructType(Seq(StructField("vec_id", LongType),
+        StructField("v", ArrayType(DoubleType))))
+      graft.functions.GraftFunctions.register(spark)
+      val e = spark.createDataFrame(
+          java.util.Arrays.asList(vecs: _*), schema)
+        .repartition(3)
+        .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+      val cents = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"),
+          col("nrm").as("cnrm"))
+      val got = graft.queries.ExtQueries.assignCells(e, cents)
+        .select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = e.crossJoin(org.apache.spark.sql.functions.broadcast(cents))
+        .withColumn("csim", expr("try_divide(graft_dot(v, cv), nrm * cnrm)"))
+        .withColumn("crank", expr("row_number() OVER (" +
+          "PARTITION BY vec_id ORDER BY csim DESC, c_id)"))
+        .filter(col("crank") === 1)
+        .select("vec_id", "c_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == want
+    }
+
   property("graft_st_w equals the sequential Supertrend fold, bit-for-bit") =
     Prop.forAll(Gen.choose(1, 80), Gen.choose(10.0, 200.0)) { (n, base) =>
       import org.apache.spark.sql.functions._
