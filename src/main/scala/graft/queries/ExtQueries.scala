@@ -750,6 +750,32 @@ object ExtQueries {
           col("_rk").cast("long").as("rk"))
     }),
 
+    // Class-balanced downsample over the labeled embeddings: every
+    // label keeps exactly n_min = |smallest class| vectors, chosen by
+    // the deterministic Knuth-hash order (h, vec_id) — the balancing
+    // step before training on skewed classes. n_min is a driver
+    // literal from one count job (scalar-subquery mirror in the
+    // oracle); selection runs through the same two-phase KMin
+    // bottom-K as sample_stratified, so no task ever windows a whole
+    // class. (When n_min itself is huge at true scale, the rate-based
+    // hash-threshold keep of sample_weighted is the cheaper
+    // approximate form; this is the exact one.)
+    "sample_balanced" -> ((s, dir) => {
+      val e = emb(s, dir)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("label").cast("long").as("label"),
+          expr(s"((vec_id % ${P}L) * 2654435761L) % ${P}L").as("h"))
+      val nMin = {
+        val r = e.groupBy("label").agg(count(lit(1)).as("c"))
+          .agg(min(col("c"))).collect()(0)
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+      KMin.smallestBy(e, Seq("label"), Seq("h", "vec_id"),
+          nMin.toInt, "_rk")
+        .select(col("vec_id"), col("label"),
+          col("_rk").cast("long").as("rk"))
+    }),
+
     // Weighted domain mixing: each source keeps a different fraction of
     // its docs (rates 1/5..5/5, derived from the source index — in a
     // real pipeline this is the mixture-weights table). Keep rule is
@@ -2509,6 +2535,16 @@ object ExtQueries {
          |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id)::BIGINT AS rk
          |  FROM h)
          |SELECT doc_id, source, rk FROM r WHERE rk <= 10""".stripMargin,
+
+    "sample_balanced" ->
+      s"""WITH hb AS (SELECT vec_id::BIGINT AS vec_id, label::BIGINT AS label,
+         |    ((vec_id::BIGINT % $P) * 2654435761) % $P AS h FROM embeddings),
+         |nm AS (SELECT coalesce(min(c), 0)::BIGINT AS n_min FROM (
+         |    SELECT count(*)::BIGINT AS c FROM hb GROUP BY label)),
+         |r AS (SELECT vec_id, label,
+         |    row_number() OVER (PARTITION BY label ORDER BY h, vec_id)::BIGINT AS rk
+         |  FROM hb)
+         |SELECT vec_id, label, rk FROM r CROSS JOIN nm WHERE rk <= nm.n_min""".stripMargin,
 
     "sample_weighted" ->
       s"""SELECT doc_id::BIGINT AS doc_id, source, n_chars,
