@@ -1161,6 +1161,30 @@ object ExtQueries {
           col("rank"), Rounding.r6(col("sim")).as("sim"))
     }),
 
+    // Incremental embedding near-dup: a NEW shard (vec_id ≡ 3 mod 20)
+    // probes the EXISTING corpus via the hyperplane-signature
+    // equi-join WITHOUT re-pairing the corpus with itself — the
+    // vector face of dedup_incremental (daily-ingest shape: the
+    // corpus side is the persisted at-rest index; only the shard
+    // hashes fresh). Emits (shard vec, corpus vec, cosine) above the
+    // emb_neardup_lsh threshold.
+    "emb_neardup_incremental" -> ((s, dir) => {
+      val e0 = emb(s, dir)
+      val e = e0
+        .select(col("vec_id").cast("long").as("vec_id"),
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+        .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
+        .withColumn("sig", expr(sigS(annBits(e0))))
+      val shard = e.filter(col("vec_id") % 20 === 3)
+      val corpus = e.filter(col("vec_id") % 20 =!= 3)
+      shard.as("x").join(corpus.as("y"), col("x.sig") === col("y.sig"))
+        .withColumn("sim", expr(
+          s"try_divide(${dotS("x.v", "y.v")}, x.nrm * y.nrm)"))
+        .filter(col("sim") > 0.3)
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+          Rounding.r6(col("sim")).as("sim"))
+    }),
+
     // Visibility report for the adaptive hyperplane signature (the
     // dedup_lsh_skipped pattern): the chosen bit count and the bucket
     // profile it produced — vector count, distinct buckets, largest
@@ -2740,6 +2764,16 @@ object ExtQueries {
          |  FROM es x JOIN es y ON x.sig = y.sig AND x.vec_id <> y.vec_id),
          |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)::BIGINT AS rank FROM sims)
          |SELECT q_id, n_id, rank, (round(sim, 6) + 0.0) AS sim FROM rk WHERE rank <= 3""".stripMargin,
+
+    "emb_neardup_incremental" ->
+      s"""WITH $embBase,
+         |es AS (SELECT *, ${sigD(annBitsD)} AS sig FROM en),
+         |sh AS (SELECT * FROM es WHERE vec_id % 20 = 3),
+         |co AS (SELECT * FROM es WHERE vec_id % 20 <> 3)
+         |SELECT x.vec_id AS a, y.vec_id AS b,
+         |  (round(${dotD("x.v", "y.v")} / (x.nrm * y.nrm), 6) + 0.0) AS sim
+         |FROM sh x JOIN co y ON x.sig = y.sig
+         |WHERE ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) > 0.3""".stripMargin,
 
     "sim_ann_stats" ->
       s"""WITH $embBase,

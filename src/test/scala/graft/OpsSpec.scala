@@ -69,6 +69,29 @@ class OpsSpec extends SparkSpec {
       s"incremental=${inc.length} batch=${batch.length}")
   }
 
+  test("incremental embedding near-dup ≡ batch pair set touching the shard") {
+    // The vector face of the incremental property: the one-sided
+    // signature probe (shard vec_id ≡ 3 mod 20 vs corpus) must equal
+    // the full emb_neardup_lsh pair set restricted to pairs with
+    // EXACTLY ONE endpoint in the shard, reoriented shard-first.
+    // (Shard↔shard pairs are intra-batch — dedup'd by the batch
+    // pass that built the shard, not the probe.)
+    val inc = graft.queries.ExtQueries.queries("emb_neardup_incremental")(
+        spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Double]("sim"))).toSet
+    val batch = graft.queries.ExtQueries.queries("emb_neardup_lsh")(spark, sf)
+      .filter((col("a") % 20 === 3) =!= (col("b") % 20 === 3))
+      .collect()
+      .map { r =>
+        val (a, b) = (r.getAs[Long]("a"), r.getAs[Long]("b"))
+        val (s1, c1) = if (a % 20 == 3) (a, b) else (b, a)
+        (s1, c1, r.getAs[Double]("sim"))
+      }.toSet
+    assert(inc == batch, s"incremental=${inc.size} batch=${batch.size}")
+  }
+
   test("LSH band-skew guard: a boilerplate flood cannot blow up a bucket") {
     // 400 near-identical boilerplate docs (one hot band bucket) + 30
     // distinct pairs of near-dups. Without the bucket cap the flood
