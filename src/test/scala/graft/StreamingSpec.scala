@@ -515,6 +515,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quantile sketch converges to the batch bottom-K sample") {
+    // The mergeable bottom-K sketch as mapGroupsWithState state: after
+    // ANY micro-batch interleaving, the final per-group estimates must
+    // equal the reference computed from the same bottom-K formula over
+    // all rows at once (the merge-invariance EngineProps proves for
+    // the batch sketch, exercised here across state merges). Two runs
+    // with different batch splits must converge identically.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val K = 16
+    def h(id: Long): Long = ((id % 1000003L) * 2654435761L) % 1000003L
+    val data = (0 until 200).map { i =>
+      val g = if (i % 2 == 0) "A" else "B"
+      (g, h(i.toLong), i.toLong, math.sin(i * 0.7) * 50 + i % 13)
+    }
+    // reference: bottom-K by (h, id) per group, integer-ranked estimates
+    val want = data.groupBy(_._1).map { case (g, rows) =>
+      val sample = rows.map(r => (r._2, r._3, r._4))
+        .sortBy(t => (t._1, t._2)).take(K)
+      val (m, es) = graft.streaming.StreamingQuantile.estimates(sample)
+      g -> ((m, es(0), es(1), es(2), es(3)))
+    }
+    def run(name: String, splits: Seq[Seq[(String, Long, Long, Double)]])
+        : Map[String, (Long, Double, Double, Double, Double)] = {
+      val stream = MemoryStream[(String, Long, Long, Double)]
+      val out = graft.streaming.StreamingQuantile(
+        stream.toDS().toDF("g", "h", "id", "v"), K)
+      val q = out.writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName(name).start()
+      try {
+        var prev = 0
+        var last = Map.empty[String, (Long, Double, Double, Double, Double)]
+        splits.foreach { b =>
+          stream.addData(b)
+          q.processAllAvailable()
+          val rows = spark.table(name).collect().drop(prev)
+          prev += rows.length
+          last = last ++ rows.map(r => r.getString(0) ->
+            ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+              r.getDouble(4), r.getDouble(5)))).toMap
+        }
+        last
+      } finally q.stop()
+    }
+    val shuffled = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(7)).shuffle(data)
+    val got1 = run("squant1", Seq(shuffled.take(70),
+      shuffled.slice(70, 140), shuffled.drop(140)))
+    val got2 = run("squant2", Seq(data.drop(120), data.take(120)))
+    assert(got1 == want, s"split1 diverged: $got1 vs $want")
+    assert(got2 == want, "split2 diverged")
+  }
+
   test("streaming CDC compaction matches batch dedup_latest semantics") {
     // The incremental face of dedup_latest: the same argmax-struct
     // aggregate runs as a streaming Update-mode agg — per-key state is
