@@ -25,7 +25,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("exact all-pairs joins never plan a BroadcastNestedLoopJoin") {
-    Seq("emb_neardup", "sim_topk").foreach { q =>
+    Seq("emb_neardup", "sim_topk", "sim_mips").foreach { q =>
       assert(!plan(q).contains("BroadcastNestedLoop"), q)
     }
   }
