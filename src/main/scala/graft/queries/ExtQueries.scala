@@ -946,6 +946,48 @@ object ExtQueries {
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
     }),
 
+    // Incremental CLUSTER MAINTENANCE: when the daily shard
+    // (doc_id ≡ 3 mod 20) lands, update the near-dup clusters WITHOUT
+    // re-running connected components over the full corpus graph.
+    // Yesterday's labels (CC over corpus-only edges — what a daily
+    // batch has persisted) contract each old component to its label
+    // supernode; the new CC runs on the CONTRACTED graph of shard ids
+    // ∪ old labels with only the shard-touching edges — at scale that
+    // graph is |shard| + |touched components|, not |corpus|. Because
+    // old labels ARE their components' min doc_ids, min-label over
+    // the contracted groups reproduces the full-graph labels exactly:
+    // output ≡ dedup_cluster (same oracle), every doc relabeled by
+    // one label-to-label broadcast-sized join.
+    "dedup_cluster_incremental" -> ((s, dir) => {
+      val isShard = (c: Column) => c % 20 === 3
+      val pairs = minhashPairs(s, dir).filter(jaccardExpr >= 0.8)
+        .select(col("a"), col("b")).localCheckpoint()
+      val ids = docs(s, dir).select(col("doc_id").cast("long").as("id"))
+      val old = ConnectedComponents(
+        ids.filter(!isShard(col("id"))),
+        pairs.filter(!isShard(col("a")) && !isShard(col("b")))
+          .select(col("a").as("src"), col("b").as("dst")))
+        .localCheckpoint()
+      val contracted = pairs
+        .filter(isShard(col("a")) || isShard(col("b")))
+        .join(old.select(col("id").as("a"), col("lbl").as("la")), Seq("a"), "left")
+        .join(old.select(col("id").as("b"), col("lbl").as("lb")), Seq("b"), "left")
+        .select(coalesce(col("la"), col("a")).as("src"),
+          coalesce(col("lb"), col("b")).as("dst"))
+      val merged = ConnectedComponents(
+        ids.filter(isShard(col("id")))
+          .union(old.select(col("lbl").as("id")).distinct()),
+        contracted)
+        .select(col("id").as("node"), col("lbl").as("new_lbl"))
+        .localCheckpoint()
+      val corpusFinal = old
+        .join(merged, col("lbl") === col("node"))
+        .select(col("id").as("doc_id"), col("new_lbl").as("cluster_id"))
+      val shardFinal = merged.filter(isShard(col("node")))
+        .select(col("node").as("doc_id"), col("new_lbl").as("cluster_id"))
+      corpusFinal.union(shardFinal)
+    }),
+
     // Modularity of the SOURCE partition over the near-dup graph —
     // "do near-dups concentrate within sources, or leak across
     // them?". Per source c: within-edge count e_c, cross-edge count,
@@ -2617,6 +2659,27 @@ object ExtQueries {
          |FROM t, k""".stripMargin,
 
     "dedup_cluster" ->
+      s"""WITH RECURSIVE $docHashes,
+         |df AS (SELECT * FROM ds WHERE len(sh) > 0),
+         |dm AS (SELECT *, $mhD AS mh FROM df),
+         |db AS (SELECT *, $bandsD AS mbands FROM dm),
+         |dk0 AS (SELECT doc_id, sh, mh, unnest($bkD) AS bk FROM db),
+         |dkc AS (SELECT *, count(*) OVER (PARTITION BY bk) AS bucket_n FROM dk0),
+         |dk AS (SELECT doc_id, sh, mh, bk FROM dkc WHERE bucket_n <= $MaxBandBucket),
+         |pr AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM dk x JOIN dk y ON x.bk = y.bk AND x.doc_id < y.doc_id
+         |  WHERE len(list_distinct(list_intersect(list_distinct(x.sh), list_distinct(y.sh))))::DOUBLE
+         |      / len(list_distinct(list_concat(list_distinct(x.sh), list_distinct(y.sh))))::DOUBLE >= 0.8),
+         |e AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id::BIGINT, doc_id::BIGINT FROM documents
+         |  UNION
+         |  SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.id)
+         |SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+
+    // The incremental path must reproduce the full-graph clustering
+    // exactly — its oracle IS the full-graph CC.
+    "dedup_cluster_incremental" ->
       s"""WITH RECURSIVE $docHashes,
          |df AS (SELECT * FROM ds WHERE len(sh) > 0),
          |dm AS (SELECT *, $mhD AS mh FROM df),
