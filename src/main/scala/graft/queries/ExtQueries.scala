@@ -43,7 +43,7 @@ object ExtQueries {
     * at 100 TB). Driver literal from one count job; the oracle mirrors
     * it as a scalar subquery with the identical float-free outcome
     * (floor∘sqrt agrees with integer isqrt for any n < 2⁵¹). */
-  private[queries] def ivfNlist(e: DataFrame): Long = {
+  private[graft] def ivfNlist(e: DataFrame): Long = {
     val s = math.floor(math.sqrt(e.count().toDouble)).toLong
     var p = 16L
     while (p < s && p < 4096L) p <<= 1
@@ -55,6 +55,15 @@ object ExtQueries {
     "(SELECT least(4096, greatest(16, CAST(power(2, " +
       "ceil(log2(greatest(1, floor(sqrt(count(*)))))) ) AS BIGINT)))" +
       " FROM embeddings)"
+
+  /** Untrained IVF init centroids: the [[ivfNlist]] lowest vec_ids of
+    * `e(vec_id, v, nrm)` as `(c_id, cv, cnrm)` — the ONE definition
+    * of the deterministic coarse-quantizer init every IVF query and
+    * the trained chain share. */
+  private[graft] def ivfInitCents(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < lit(ivfNlist(e)))
+      .select(col("vec_id").as("c_id"), col("v").as("cv"),
+        col("nrm").as("cnrm"))
 
   /** Argmax-cosine cell assignment of `e(vec_id, v, nrm)` against a
     * small centroid table `cents(c_id, cv, cnrm)` (broadcast). The
@@ -98,8 +107,7 @@ object ExtQueries {
   private[graft] def ivfKmeansIndex(corpus: DataFrame): (DataFrame, DataFrame) = {
     GraftFunctions.register(corpus.sparkSession)
     val e = corpus.withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
-    val c0 = e.filter(col("vec_id") < lit(ivfNlist(e)))
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val c0 = ivfInitCents(e)
     val a1 = assignCells(e.filter(col("vec_id") % 4 === 0), c0)
       .select(col("cell"), col("v"))
     val c1 = a1
@@ -770,6 +778,12 @@ object ExtQueries {
           .agg(min(col("c"))).collect()(0)
         if (r.isNullAt(0)) 0L else r.getLong(0)
       }
+      // Clamp before the Int narrowing: a > 2^31 smallest class would
+      // otherwise WRAP nMin negative and silently keep zero rows. At
+      // that size the rate-based sampler is the right tool anyway
+      // (see above); failing loudly beats an empty result.
+      require(nMin <= Int.MaxValue,
+        s"sample_balanced: n_min $nMin exceeds the exact bottom-K range")
       KMin.smallestBy(e, Seq("label"), Seq("h", "vec_id"),
           nMin.toInt, "_rk")
         .select(col("vec_id"), col("label"),
@@ -1506,8 +1520,7 @@ object ExtQueries {
         .select(col("vec_id").cast("long").as("vec_id"),
           expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
         .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
-      val cents = e.filter(col("vec_id") < lit(ivfNlist(e)))
-        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+      val cents = ivfInitCents(e)
       val assigned = assignCells(e, cents)
       val qs = assigned.filter(col("vec_id") % 25 === 0)
       qs.as("x").join(assigned.as("y"),
@@ -1529,8 +1542,7 @@ object ExtQueries {
         .select(col("vec_id").cast("long").as("vec_id"),
           expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
         .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
-      val cents = e.filter(col("vec_id") < lit(ivfNlist(e)))
-        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+      val cents = ivfInitCents(e)
       val assigned = assignCells(e, cents)
       // The top-2 probe list needs a per-vector RANK (not just the
       // argmax), so the window survives here — but only over the
@@ -1964,8 +1976,7 @@ object ExtQueries {
         .select(col("vec_id").cast("long").as("vec_id"),
           expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
         .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
-      val c0 = e.filter(col("vec_id") < lit(ivfNlist(e)))
-        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+      val c0 = ivfInitCents(e)
       val init = assignCells(e, c0)
         .select(lit("init").as("method"), col("cell"))
       val trained = ivfKmeansAssigned(s, dir)

@@ -80,6 +80,12 @@ object TokQueries {
           "concat(acc, array(x))))"
       var cur = docs(s, dir)
         .select(explode(expr(toksSpark)).as("w"))
+        // The oracle's fold encodes symbol lists as chr(1)-joined
+        // strings; a token CONTAINING chr(1) would corrupt that
+        // encoding, so both engines exclude such tokens up front
+        // (none exist in the gate corpora — the restriction is a
+        // parity guard, not a semantic choice).
+        .filter(!col("w").contains("\u0001"))
         .groupBy("w").agg(count(lit(1)).as("wc"))
         .select(col("wc"), expr(
           "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
@@ -203,7 +209,8 @@ object TokQueries {
            |  FROM $prev CROSS JOIN $b)""".stripMargin
       }
       s"""WITH tk2 AS (SELECT unnest($toksDuck) AS w FROM documents),
-         |wf AS (SELECT w, count(*)::BIGINT AS wc FROM tk2 GROUP BY 1),
+         |wf AS (SELECT w, count(*)::BIGINT AS wc FROM tk2
+         |  WHERE strpos(w, chr(1)) = 0 GROUP BY 1),
          |s0 AS MATERIALIZED (SELECT wc,
          |    list_transform(generate_series(1, length(w)), i -> w[i]) AS syms
          |  FROM wf),

@@ -49,8 +49,14 @@ object StreamingQuantile {
       .mapGroupsWithState[QState,
         (String, Long, Double, Double, Double, Double)](
         GroupStateTimeout.NoTimeout) { (g, rows, state) =>
+        // distinctBy (h, id) makes the merge IDEMPOTENT: an
+        // at-least-once source re-delivering a micro-batch must not
+        // let a duplicate occupy a bottom-K slot and evict a genuine
+        // row (the sibling streaming ops suppress re-arrivals the
+        // same way, via their pair-keyed state).
         val merged = (state.getOption.map(_.sample).getOrElse(Nil) ++
             rows.map(r => (r._2, r._3, r._4)))
+          .distinctBy(t => (t._1, t._2))
           .sortBy(t => (t._1, t._2))
           .take(k)
         state.update(QState(merged))

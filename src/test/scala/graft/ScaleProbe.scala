@@ -297,20 +297,13 @@ object ScaleProbe {
       val tSizes = trained.groupBy("cell").agg(count(lit(1)).as("s"))
         .agg(sum(expr("s * (s - 1)")).as("m"), max(col("s")).as("mx"))
         .collect()(0)
+      // init side reuses the ENGINE's own init quantizer + aggregate
+      // assignment (ivfInitCents/assignCells) — the probe must measure
+      // the quantizer the engine ships, not a drifting copy.
       val en = ev.withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
-      val n0 = en.count()
-      val sq0 = math.floor(math.sqrt(n0.toDouble)).toLong
-      var p0 = 16L
-      while (p0 < sq0 && p0 < 4096L) p0 <<= 1
-      val cents0 = en.filter(col("vec_id") < p0)
-        .select(col("vec_id").as("c_id"), col("v").as("cv"),
-          col("nrm").as("cnrm"))
-      val iSizes = en.crossJoin(broadcast(cents0))
-        .withColumn("csim", expr("try_divide(graft_dot(v, cv), nrm * cnrm)"))
-        .withColumn("crank", expr(
-          "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id)"))
-        .filter(col("crank") === 1)
-        .groupBy("c_id").agg(count(lit(1)).as("s"))
+      val iSizes = graft.queries.ExtQueries.assignCells(en,
+          graft.queries.ExtQueries.ivfInitCents(en))
+        .groupBy("cell").agg(count(lit(1)).as("s"))
         .agg(sum(expr("s * (s - 1)")).as("m"), max(col("s")).as("mx"))
         .collect()(0)
       println(f"TRAINKM_VECTORS=${ev.count()} " +
