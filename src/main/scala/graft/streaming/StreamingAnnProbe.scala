@@ -51,7 +51,7 @@ object StreamingAnnProbe {
     * literal, folded left in ascending c_id order with a strict
     * improvement test — ties keep the LOWEST c_id, matching the batch
     * `row_number() OVER (ORDER BY csim DESC, c_id)` assignment. */
-  private[streaming] def cellOf(v: Column, nrm: Column,
+  private[graft] def cellOf(v: Column, nrm: Column,
       cents: Array[Centroid]): Column = {
     val centArr = array(cents.map(c =>
       struct(lit(c.cId).as("c_id"), lit(c.cv).as("cv"),

@@ -125,6 +125,38 @@ class IoFormatsSpec extends SparkSpec {
       s"index scan must be bucket-aware:\n${plan.take(2000)}")
   }
 
+  test("persisted IVF index: cell probe re-shuffles only the query side") {
+    // The vector twin of the band-index posture: the trained,
+    // cell-assigned corpus is written ONCE bucketed on cell; a later
+    // query batch (already quantized — StreamingAnnProbe's fold or a
+    // batch assignCells pass) joins it with ONE exchange on the query
+    // side and a bucket-aware index scan — the corpus vectors never
+    // reshuffle, at any corpus size.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def vec(g: Int, tilt: Double): Seq[Double] = {
+      val v = Array.fill(4)(0.0); v(g) = 1.0; v((g + 1) % 4) += tilt; v.toSeq
+    }
+    val corpus = (0 until 40).map(i => (i.toLong, vec(i % 4, 0.02 * i)))
+      .toDF("vec_id", "v")
+    val (cents, cells) = graft.streaming.StreamingAnnProbe.buildIndex(corpus)
+    graft.io.BarsIO.writeBucketed(cells, "ivf_cell_idx", "cell", 8)
+    val idx = spark.table("ivf_cell_idx")
+    val probe = Seq((100L, vec(2, 0.01))).toDF("q_id", "v")
+      .withColumn("nrm", org.apache.spark.sql.functions.expr(
+        "sqrt(graft_dot(v, v))"))
+      .withColumn("cell", graft.streaming.StreamingAnnProbe.cellOf(
+        col("v"), col("nrm"), cents))
+    val joined = probe.hint("merge").join(idx, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+    assert(joined.count() > 0)
+    val plan = joined.queryExecution.executedPlan.toString
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nEx == 1, s"expected 1 exchange (probe side only):\n${plan.take(2000)}")
+    assert(plan.contains("Bucketed: true"),
+      s"index scan must be bucket-aware:\n${plan.take(2000)}")
+  }
+
   test("csv ticker list source appends the two ETF literals") {
     val dir = java.nio.file.Files.createTempDirectory("tick").toString
     java.nio.file.Files.writeString(
