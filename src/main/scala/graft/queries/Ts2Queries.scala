@@ -33,6 +33,22 @@ object Ts2Queries {
 
   private val r6 = Rounding.r6 _
 
+  /** FFD(d = 0.4) truncated at [[FracDiffK]] terms; the weight
+    * recursion runs driver-side and the literals (shortest
+    * round-trip Double strings — both engines parse them back to the
+    * identical doubles) splice into one left-to-right sum shared by
+    * query and oracle. */
+  private val FracDiffK = 10
+  private val fracDiffTerms: String = {
+    val d = 0.4
+    val ws = new Array[Double](FracDiffK)
+    ws(0) = 1.0
+    for (k <- 1 until FracDiffK) ws(k) = -ws(k - 1) * (d - k + 1) / k
+    ws.zipWithIndex.map { case (wk, k) =>
+      if (k == 0) s"($wk) * close" else s"($wk) * lag$k"
+    }.mkString(" + ")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // EMA/DEMA/TEMA(12) from ONE EmaTripleWindow state machine — e2/e3
@@ -375,6 +391,27 @@ object Ts2Queries {
           r6(when(col("rn") >= 21, col("med") / lit(100.0))).as("roll_med"),
           r6(when(col("rn") >= 21, (col("q3") - col("q1")) / lit(100.0)))
             .as("roll_iqr"))
+    }),
+
+    // Fractional differentiation (fixed-width FFD, d = 0.4, 10 terms):
+    // the quant-ML stationarity transform that keeps long memory a
+    // full integer difference destroys. Weights follow the binomial
+    // recursion w_k = −w_{k−1}·(d−k+1)/k, computed ONCE driver-side
+    // and embedded as double literals in an expression whose textual
+    // term order is identical on both engines (left-to-right sum of
+    // 10 products → bit-equal); warm-up rows (< 10 bars) drop, like
+    // the reference pipelines drop indicator warm-ups. One ticker
+    // exchange; the lags share the one sort.
+    "ts_fracdiff" -> ((s, dir) => {
+      val terms = fracDiffTerms
+      val base = EventBars.bars(s, dir)
+        .withColumn("rn", row_number().over(w))
+      (1 until FracDiffK).foldLeft(base) { (d2, k) =>
+        d2.withColumn(s"lag$k", lag(col("close"), k).over(w))
+      }
+        .filter(col("rn") >= FracDiffK)
+        .select(col("ticker"), col("t"), col("event_id"),
+          r6(expr(terms)).as("fracdiff"))
     }),
 
     // RiskMetrics-style EWMA volatility, λ = 0.9 (= the EMA(19) decay,
@@ -1245,6 +1282,19 @@ object Ts2Queries {
            |     / sum(volume) OVER ($Over ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
            |   END) * 1000000.0) / 1000000.0 + 0.0) AS cmf
            |FROM m""".stripMargin,
+
+      "ts_fracdiff" -> {
+        val lags = (1 until FracDiffK).map(k =>
+          s"lag(close, $k) OVER ($Over) AS lag$k").mkString(",\n|    ")
+        s"""WITH bars AS (${EventBars.sqlBars}),
+           |l AS (SELECT ticker, t, event_id, close,
+           |    row_number() OVER ($Over) AS rn,
+           |    $lags
+           |  FROM bars)
+           |SELECT ticker, t, event_id,
+           |  (round(($fracDiffTerms) * 1000000.0) / 1000000.0 + 0.0) AS fracdiff
+           |FROM l WHERE rn >= $FracDiffK""".stripMargin
+      },
 
       "ts_hurst" ->
         s"""WITH bars AS (${EventBars.sqlBars}),
