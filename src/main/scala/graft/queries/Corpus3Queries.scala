@@ -52,12 +52,42 @@ object Corpus3Queries {
       .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       .localCheckpoint()
 
-  /** lazy: assembled from the two blocks declared below (a plain val
-    * would read them before their initializers run). */
-  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2
+  /** Token budget for the greedy corpus selection — generous enough
+    * that the gate SFs keep a meaningful prefix, not everything. */
+  private val TokenBudget = 20000L
 
-  private val queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+
+    // Greedy corpus selection under a TOKEN BUDGET: rank every doc by
+    // lexical-diversity score (distinct/total tokens — deterministic,
+    // one division) and keep the prefix whose cumulative token count
+    // fits the budget — the data-mixing step that turns "score every
+    // doc" into "pick what we can afford to train on". The global
+    // rank + running sum go through [[DistRank]]'s range-bucketed
+    // two-phase (no single-partition window at any corpus size);
+    // integer token counts make the running sum exact.
+    "corpus_token_budget" -> ((s, dir) => {
+      val d = docs(s, dir)
+        // NULL text folds to the empty doc on BOTH engines (the
+        // dedup_bow contract): without this, Spark's NULL token array
+        // gives a NULL score that hard-fails DistRank's non-null
+        // bucket-key guard while DuckDB silently drops the row.
+        .withColumn("text", coalesce(col("text"), lit("")))
+        .withColumn("toks", expr(toksSpark))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          expr("CAST(size(toks) AS BIGINT)").as("n_toks"),
+          expr("CASE WHEN size(toks) = 0 THEN 0.0D ELSE " +
+            "CAST(size(array_distinct(toks)) AS DOUBLE)" +
+            " / CAST(size(toks) AS DOUBLE) END").as("score"))
+      DistRank.rowNumber(d, "rn", negate(col("score")),
+          Seq(col("score").desc, col("doc_id")), runSumCols = Seq("n_toks")).df
+        .filter(col("run_n_toks") <= TokenBudget)
+        .select(col("doc_id"), col("n_toks"),
+          Rounding.r6(col("score")).as("score"),
+          col("run_n_toks").as("run_toks"))
+    }),
+
 
     // Duplicated-span mass (the groupBy form of suffix-array exact
     // substring dedup à la "Deduplicating Training Data Makes
@@ -168,35 +198,6 @@ object Corpus3Queries {
         .select(col("source"), col("n_docs"), col("n_exact"), col("n_bow"),
           (col("n_exact") - col("n_bow")).as("shuffle_dups"))))
 
-  /** Token budget for the greedy selection below — generous enough
-    * that the gate SFs keep a meaningful prefix, not everything. */
-  private val TokenBudget = 20000L
-
-  private val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
-
-    // Greedy corpus selection under a TOKEN BUDGET: rank every doc by
-    // lexical-diversity score (distinct/total tokens — deterministic,
-    // one division) and keep the prefix whose cumulative token count
-    // fits the budget — the data-mixing step that turns "score every
-    // doc" into "pick what we can afford to train on". The global
-    // rank + running sum go through [[DistRank]]'s range-bucketed
-    // two-phase (no single-partition window at any corpus size);
-    // integer token counts make the running sum exact.
-    "corpus_token_budget" -> ((s, dir) => {
-      val d = docs(s, dir)
-        .withColumn("toks", expr(toksSpark))
-        .select(col("doc_id").cast("long").as("doc_id"),
-          expr("CAST(size(toks) AS BIGINT)").as("n_toks"),
-          expr("CASE WHEN size(toks) = 0 THEN 0.0D ELSE " +
-            "CAST(size(array_distinct(toks)) AS DOUBLE)" +
-            " / CAST(size(toks) AS DOUBLE) END").as("score"))
-      DistRank.rowNumber(d, "rn", negate(col("score")),
-          Seq(col("score").desc, col("doc_id")), runSumCols = Seq("n_toks")).df
-        .filter(col("run_n_toks") <= TokenBudget)
-        .select(col("doc_id"), col("n_toks"),
-          Rounding.r6(col("score")).as("score"),
-          col("run_n_toks").as("run_toks"))
-    }))
 
   // ---- DuckDB oracles ----
 
@@ -210,8 +211,10 @@ object Corpus3Queries {
   val oracles: Map[String, String] = Map(
 
     "corpus_token_budget" ->
-      s"""WITH dt AS (SELECT doc_id::BIGINT AS doc_id,
-         |    $toksDuck AS toks FROM documents),
+      s"""WITH dn AS (SELECT doc_id, coalesce(text, '') AS text
+         |  FROM documents),
+         |dt AS (SELECT doc_id::BIGINT AS doc_id,
+         |    $toksDuck AS toks FROM dn),
          |sc AS (SELECT doc_id, len(toks)::BIGINT AS n_toks,
          |    CASE WHEN len(toks) = 0 THEN 0.0::DOUBLE
          |      ELSE len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE
