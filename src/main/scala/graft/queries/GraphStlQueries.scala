@@ -104,6 +104,41 @@ object GraphStlQueries {
       lbl.select(col("id").as("vec_id"), col("lbl").as("label"))
     }),
 
+    // Multi-source BFS over the embedding near-dup graph: every node
+    // with vec_id ≡ 0 (mod 8) seeds at distance 0, and 3 synchronous
+    // frontier rounds propagate (dist, seed) — each round ONE
+    // equi-join of the state against the checkpointed edge list plus
+    // a map-side-combinable min-of-struct argmin (no windows): the
+    // bounded-round BSP traversal (Pregel's shape) that costs R
+    // key-partitioned shuffles at ANY graph size. Keeping the full
+    // state in the union makes dist monotone, so 3 rounds ≡ hop
+    // distances capped at 3. Output: every reached node, its hop
+    // distance, and the nearest seed (lowest seed id on ties).
+    "graph_bfs" -> ((s, dir) => {
+      val pairs = ExtQueries.queries("emb_neardup_lsh")(s, dir)
+        .select(col("a"), col("b"))
+      val edges = pairs
+        .union(pairs.select(col("b").as("a"), col("a").as("b")))
+        .localCheckpoint()
+      var state = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").cast("long").as("id"))
+        .filter(col("id") % 8 === 0)
+        .select(col("id"), lit(0L).as("dist"), col("id").as("seed"))
+        .localCheckpoint()
+      for (_ <- 1 to 3) {
+        val cand = edges
+          .join(state.select(col("id").as("a"), col("dist"), col("seed")),
+            Seq("a"))
+          .select(col("b").as("id"), (col("dist") + 1).as("dist"), col("seed"))
+        state = state.union(cand)
+          .groupBy("id")
+          .agg(min(struct(col("dist"), col("seed"))).as("m"))
+          .select(col("id"), col("m.dist").as("dist"), col("m.seed").as("seed"))
+          .localCheckpoint()
+      }
+      state.select(col("id").as("vec_id"), col("dist"), col("seed"))
+    }),
+
     // Component-size census of the semantic-dup clusters: how many
     // components of each size (plus the singleton mass) — the shape of
     // the duplicate graph at a glance. Label arithmetic only.
@@ -180,6 +215,26 @@ object GraphStlQueries {
          |${layer(2)},
          |${layer(3)}
          |SELECT id AS vec_id, lbl AS label FROM l3""".stripMargin
+    },
+
+    "graph_bfs" -> {
+      def hop(k: Int): String = {
+        val (prev, c, u, next) = (s"s${k - 1}", s"c$k", s"u$k", s"s$k")
+        s"""$c AS (SELECT e.b AS id, s.dist + 1 AS dist, s.seed
+           |  FROM e JOIN $prev s ON s.id = e.a),
+           |$u AS (SELECT * FROM $prev UNION ALL SELECT * FROM $c),
+           |$next AS MATERIALIZED (SELECT id, dist, seed FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY id
+           |      ORDER BY dist, seed) AS rk FROM $u) WHERE rk = 1)""".stripMargin
+      }
+      s"""WITH ${ExtQueries.embPairsDuck},
+         |e AS MATERIALIZED (SELECT a, b FROM epr UNION ALL SELECT b, a FROM epr),
+         |s0 AS MATERIALIZED (SELECT vec_id::BIGINT AS id, 0::BIGINT AS dist,
+         |    vec_id::BIGINT AS seed FROM embeddings WHERE vec_id % 8 = 0),
+         |${hop(1)},
+         |${hop(2)},
+         |${hop(3)}
+         |SELECT id AS vec_id, dist::BIGINT AS dist, seed FROM s3""".stripMargin
     },
 
     "graph_cc_hist" ->

@@ -109,6 +109,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sim_ivf_pq_residual: one Window (final rank), equi-joins only") {
+    // the residual subtraction must stay a broadcast equi-join on the
+    // cell id and the codebook argmin an aggregate — the only Window
+    // exec node is the per-query candidate rank; any second one is a
+    // corpus-wide window creeping into the encode path
+    val p = plan("sim_ivf_pq_residual")
+    assert("Window \\[".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("LSH band/pair exchanges carry no arrays; arrays join back by id") {
     // The band-bucket self-join and the pair dropDuplicates move
     // (doc_id, bk)/(a, b) — longs only. Shingle sets and minhash
