@@ -88,6 +88,48 @@ object Corpus3Queries {
           col("run_n_toks").as("run_toks"))
     }),
 
+    // Interpolated Kneser–Ney bigram scorer (fixed discount 0.75) —
+    // the LM smoothing actually used for n-gram quality filters:
+    // P(w₂|w₁) = max(c₁₂−d,0)/c₁• + d·N₁₊(w₁,·)/c₁• · N₁₊(·,w₂)/N₁₊(·,·),
+    // where the continuation counts are bigram-TYPE counts, so "of the"
+    // stops inflating P(the|·) the way add-one smoothing lets it.
+    // Same plan shape as text_bigram_lp: every statistic is a groupBy
+    // over the bigram-type table (map-side partials, counts exact
+    // longs), the three dictionaries broadcast back onto the per-doc
+    // bigram stream, and each doc's positions fold in explode order
+    // inside one map task — documents never shuffle. λ > 0 for every
+    // observed history, so the log never sees zero.
+    "text_kn_bigram" -> ((s, dir) => {
+      val dt = docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          expr(toksSpark).as("toks"))
+      val bg = dt.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(element_at(toks, i) AS w1," +
+            " element_at(toks, i + 1) AS w2))")).as(Seq("pos", "b")))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        .localCheckpoint()
+      val hist = c2.groupBy("w1")
+        .agg(sum(col("c2")).as("c1h"), count(lit(1)).as("n1f"))
+      val cont = c2.groupBy("w2").agg(count(lit(1)).as("n1b"))
+      val tot = c2.agg(count(lit(1)).cast("double").as("n1a"))
+      bg.join(broadcast(c2), Seq("w1", "w2"))
+        .join(broadcast(hist), Seq("w1"))
+        .join(broadcast(cont), Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          Rounding.r6(avg(log10(
+            greatest(col("c2").cast("double") - lit(0.75), lit(0.0))
+              / col("c1h").cast("double")
+              + (lit(0.75) * col("n1f").cast("double")
+                / col("c1h").cast("double"))
+                * (col("n1b").cast("double") / col("n1a")))))
+            .as("avg_lp"))
+    }),
+
 
     // Duplicated-span mass (the groupBy form of suffix-array exact
     // substring dedup à la "Deduplicating Training Data Makes
@@ -209,6 +251,29 @@ object Corpus3Queries {
        |  FROM occ GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    "text_kn_bigram" ->
+      s"""WITH dt AS (SELECT doc_id::BIGINT AS doc_id, $toksDuck AS toks
+         |    FROM documents),
+         |bg AS (SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, len(toks) - 1),
+         |      i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS b
+         |  FROM dt WHERE len(toks) >= 2),
+         |b2 AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+         |c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM b2 GROUP BY 1, 2),
+         |hist AS (SELECT w1, sum(c2)::BIGINT AS c1h, count(*)::BIGINT AS n1f
+         |  FROM c2 GROUP BY 1),
+         |cont AS (SELECT w2, count(*)::BIGINT AS n1b FROM c2 GROUP BY 1),
+         |tot AS (SELECT count(*)::DOUBLE AS n1a FROM c2)
+         |SELECT b2.doc_id, count(*)::BIGINT AS n_bigrams,
+         |  (round(avg(log10(
+         |    greatest(CAST(c2.c2 AS DOUBLE) - 0.75, 0.0)
+         |      / CAST(hist.c1h AS DOUBLE)
+         |    + (0.75 * CAST(hist.n1f AS DOUBLE) / CAST(hist.c1h AS DOUBLE))
+         |      * (CAST(cont.n1b AS DOUBLE) / tot.n1a))), 6) + 0.0) AS avg_lp
+         |FROM b2 JOIN c2 USING (w1, w2) JOIN hist USING (w1)
+         |  JOIN cont USING (w2) CROSS JOIN tot
+         |GROUP BY 1""".stripMargin,
 
     "corpus_token_budget" ->
       s"""WITH dn AS (SELECT doc_id, coalesce(text, '') AS text
