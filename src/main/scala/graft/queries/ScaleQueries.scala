@@ -799,6 +799,50 @@ object ScaleQueries {
             .as("recall"))
     }),
 
+    // Farthest-point (k-center greedy) coreset selection — the
+    // diversity-maximizing subset pick (Gonzalez's 2-approximation to
+    // k-center; the "coreset" step of active-learning / data-pruning
+    // pipelines): seed with vec_id 0, then 4 rounds each add the
+    // vector FARTHEST from the chosen set. Fully distributed: the
+    // per-round argmax is a map-side-combinable min-of-struct global
+    // aggregate (one row crosses the exchange per task), the new
+    // center flows back as a broadcast single row (the sanctioned
+    // 1-row crossJoin), and the running (mind2, nearest) state
+    // checkpoints per round — k rounds cost k linear passes at ANY
+    // corpus size, never a k×n join. Output: every vector with its
+    // nearest selected center and the distance (the k-center
+    // assignment + its radius profile).
+    "sample_fps" -> ((s, dir) => {
+      val en = t(s, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"),
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+      val l2 = "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y))," +
+        " 0D, (a, c) -> a + c)"
+      val c0 = en.filter(col("vec_id") === 0L)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      var state = en.crossJoin(broadcast(c0))
+        .select(col("vec_id"), col("v"),
+          expr(l2).as("mind2"), col("cid").as("nearest"))
+        .localCheckpoint()
+      for (_ <- 1 to 4) {
+        val pick = state.groupBy()
+          .agg(min(struct(negate(col("mind2")).as("nd"), col("vec_id"))).as("m"))
+          .select(col("m.vec_id").as("vec_id"))
+        val ctr = state.join(broadcast(pick), Seq("vec_id"))
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        state = state.crossJoin(broadcast(ctr))
+          .withColumn("d2n", expr(l2))
+          .select(col("vec_id"), col("v"),
+            when(col("d2n") < col("mind2"), col("d2n"))
+              .otherwise(col("mind2")).as("mind2"),
+            when(col("d2n") < col("mind2"), col("cid"))
+              .otherwise(col("nearest")).as("nearest"))
+          .localCheckpoint()
+      }
+      state.select(col("vec_id"), col("nearest"),
+        Rounding.r6(col("mind2")).as("d2"))
+    }),
+
     // OHLC + VWAP downsampling: one-minute bars → five-minute bars.
     // Open/close are argmin/argmax structs on the (ws, event_id) total
     // order — they ride the partial aggregates, so the shuffle carries
@@ -1306,6 +1350,37 @@ object ScaleQueries {
          |    / count(*)::DOUBLE, 6) + 0.0) AS recall
          |FROM ex LEFT JOIN ivf ON ivf.q_id = ex.q_id AND ivf.n_id = ex.n_id
          |GROUP BY ex.q_id""".stripMargin,
+
+    "sample_fps" -> {
+      def l2(a: String, b: String): String =
+        s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(" +
+          s"generate_series(1, len($a)), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))," +
+          s" (x, y) -> x + y)"
+      def round(k: Int): String = {
+        val (prev, p, x, next) = (s"m${k - 1}", s"p$k", s"x$k", s"m$k")
+        s"""$p AS (SELECT vec_id AS cid, v AS cv FROM $prev
+           |  ORDER BY mind2 DESC, vec_id LIMIT 1),
+           |$x AS (SELECT m.vec_id, m.v, m.mind2, m.nearest, p.cid,
+           |    ${l2("m.v", "p.cv")} AS d2n
+           |  FROM $prev m CROSS JOIN $p p),
+           |$next AS MATERIALIZED (SELECT vec_id, v,
+           |    CASE WHEN d2n < mind2 THEN d2n ELSE mind2 END AS mind2,
+           |    CASE WHEN d2n < mind2 THEN cid ELSE nearest END AS nearest
+           |  FROM $x)""".stripMargin
+      }
+      s"""WITH eb AS (SELECT vec_id::BIGINT AS vec_id,
+         |    embedding::DOUBLE[] AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, v AS cv FROM eb WHERE vec_id = 0),
+         |m0 AS MATERIALIZED (SELECT e.vec_id, e.v,
+         |    ${l2("e.v", "c.cv")} AS mind2, c.cid AS nearest
+         |  FROM eb e CROSS JOIN c0 c),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |${round(4)}
+         |SELECT vec_id, nearest, (round(mind2, 6) + 0.0) AS d2
+         |FROM m4""".stripMargin
+    },
 
     "ts_resample" ->
       s"""WITH ${EventBars.sqlMinuteBars},
