@@ -1121,6 +1121,38 @@ object ExtQueries {
           col("rank"), Rounding.r6(col("sim")).as("sim"))
     }),
 
+    // Hard-negative mining for contrastive training: for each anchor
+    // (the sim_topk query split) the top-3 most-similar vectors with a
+    // DIFFERENT label — the negatives that actually move an embedding
+    // model, mined exactly. Same block-partitioned all-pairs shape as
+    // sim_topk (per-task work (n/B)², shuffle B·n, no BNLJ); the
+    // label inequality rides the join condition so crossed-out pairs
+    // never reach the rank window, and the window is per-anchor
+    // (bounded), never corpus-wide.
+    "sample_hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("label").cast("long").as("label"),
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+        .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
+      val q = e.filter(col("vec_id") % 10 === 0)
+        .withColumn("bi", expr(s"CAST(vec_id % $PairBlocks AS INT)"))
+        .withColumn("bj", explode(expr(s"sequence(0, ${PairBlocks - 1})")))
+      val y = e.withColumn("bj", expr(s"CAST(vec_id % $PairBlocks AS INT)"))
+        .withColumn("bi", explode(expr(s"sequence(0, ${PairBlocks - 1})")))
+      q.as("x").hint("shuffle_hash")
+        .join(y.as("y").hint("shuffle_hash"),
+          col("x.bi") === col("y.bi") && col("x.bj") === col("y.bj") &&
+            col("x.label") =!= col("y.label"))
+        .withColumn("sim", expr(s"try_divide(${dotS("x.v", "y.v")}, x.nrm * y.nrm)"))
+        .withColumn("rank", expr(
+          "CAST(row_number() OVER (PARTITION BY x.vec_id ORDER BY sim DESC, y.vec_id) AS BIGINT)"))
+        .filter(col("rank") <= 3)
+        .select(col("x.vec_id").as("q_id"), col("x.label").as("q_label"),
+          col("y.vec_id").as("n_id"), col("y.label").as("n_label"),
+          col("rank"), Rounding.r6(col("sim")).as("sim"))
+    }),
+
     // Exact maximum-inner-product top-3 (retrieval's actual score
     // when embeddings are trained with dot-product objectives —
     // cosine's norm division is NOT rank-equivalent unless vectors
@@ -2776,6 +2808,20 @@ object ExtQueries {
          |  FROM qs x JOIN en y ON x.vec_id <> y.vec_id),
          |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)::BIGINT AS rank FROM sims)
          |SELECT q_id, n_id, rank, (round(sim, 6) + 0.0) AS sim FROM rk WHERE rank <= 5""".stripMargin,
+
+    "sample_hard_negatives" ->
+      s"""WITH el AS (SELECT vec_id::BIGINT AS vec_id, label::BIGINT AS label,
+         |    embedding::DOUBLE[] AS v FROM embeddings),
+         |eln AS (SELECT *, sqrt(${dotD("v", "v")}) AS nrm FROM el),
+         |qs AS (SELECT * FROM eln WHERE vec_id % 10 = 0),
+         |sims AS (SELECT x.vec_id AS q_id, x.label AS q_label,
+         |    y.vec_id AS n_id, y.label AS n_label,
+         |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+         |  FROM qs x JOIN eln y ON x.label <> y.label),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, n_id)::BIGINT AS rank FROM sims)
+         |SELECT q_id, q_label, n_id, n_label, rank,
+         |  (round(sim, 6) + 0.0) AS sim FROM rk WHERE rank <= 3""".stripMargin,
 
     "sim_mips" ->
       s"""WITH $embBase,

@@ -25,7 +25,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("exact all-pairs joins never plan a BroadcastNestedLoopJoin") {
-    Seq("emb_neardup", "sim_topk", "sim_mips").foreach { q =>
+    Seq("emb_neardup", "sim_topk", "sim_mips",
+      "sample_hard_negatives").foreach { q =>
       assert(!plan(q).contains("BroadcastNestedLoop"), q)
     }
   }
