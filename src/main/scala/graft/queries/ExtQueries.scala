@@ -1153,6 +1153,44 @@ object ExtQueries {
           col("rank"), Rounding.r6(col("sim")).as("sim"))
     }),
 
+    // kNN majority-vote labeling (weak supervision / label-noise
+    // audit): each held-out query vector (the sim_topk split) gets
+    // the majority label of its 5 nearest corpus vectors by cosine;
+    // `agree` flags whether the vote matches the stored label — the
+    // disagreeing rows are the label-noise review queue. Same
+    // block-partitioned exact shape as sim_topk; the vote is a
+    // bounded per-query count + argmin-rank, never a corpus-wide
+    // window. Ties: higher count wins, then smaller label.
+    "emb_knn_label" -> ((s, dir) => {
+      val e = emb(s, dir)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("label").cast("long").as("label"),
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+        .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
+      val q = e.filter(col("vec_id") % 10 === 0)
+        .withColumn("bi", expr(s"CAST(vec_id % $PairBlocks AS INT)"))
+        .withColumn("bj", explode(expr(s"sequence(0, ${PairBlocks - 1})")))
+      val y = e.filter(col("vec_id") % 10 =!= 0)
+        .withColumn("bj", expr(s"CAST(vec_id % $PairBlocks AS INT)"))
+        .withColumn("bi", explode(expr(s"sequence(0, ${PairBlocks - 1})")))
+      q.as("x").hint("shuffle_hash")
+        .join(y.as("y").hint("shuffle_hash"),
+          col("x.bi") === col("y.bi") && col("x.bj") === col("y.bj"))
+        .withColumn("sim", expr(s"try_divide(${dotS("x.v", "y.v")}, x.nrm * y.nrm)"))
+        .withColumn("rank", expr(
+          "row_number() OVER (PARTITION BY x.vec_id ORDER BY sim DESC, y.vec_id)"))
+        .filter(col("rank") <= 5)
+        .groupBy(col("x.vec_id").as("q_id"), col("x.label").as("label"),
+          col("y.label").as("n_label"))
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("vr", expr(
+          "row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, n_label)"))
+        .filter(col("vr") === 1)
+        .select(col("q_id"), col("label"),
+          col("n_label").as("pred_label"), col("votes"),
+          expr("CAST(label = n_label AS BIGINT)").as("agree"))
+    }),
+
     // Exact maximum-inner-product top-3 (retrieval's actual score
     // when embeddings are trained with dot-product objectives —
     // cosine's norm division is NOT rank-equivalent unless vectors
@@ -2822,6 +2860,25 @@ object ExtQueries {
          |    ORDER BY sim DESC, n_id)::BIGINT AS rank FROM sims)
          |SELECT q_id, q_label, n_id, n_label, rank,
          |  (round(sim, 6) + 0.0) AS sim FROM rk WHERE rank <= 3""".stripMargin,
+
+    "emb_knn_label" ->
+      s"""WITH el AS (SELECT vec_id::BIGINT AS vec_id, label::BIGINT AS label,
+         |    embedding::DOUBLE[] AS v FROM embeddings),
+         |eln AS (SELECT *, sqrt(${dotD("v", "v")}) AS nrm FROM el),
+         |qs AS (SELECT * FROM eln WHERE vec_id % 10 = 0),
+         |cs AS (SELECT * FROM eln WHERE vec_id % 10 <> 0),
+         |sims AS (SELECT x.vec_id AS q_id, x.label AS label,
+         |    y.vec_id AS n_id, y.label AS n_label,
+         |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+         |  FROM qs x JOIN cs y ON true),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, n_id) AS rank FROM sims),
+         |vt AS (SELECT q_id, label, n_label, count(*)::BIGINT AS votes
+         |  FROM rk WHERE rank <= 5 GROUP BY q_id, label, n_label),
+         |wv AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY votes DESC, n_label) AS vr FROM vt)
+         |SELECT q_id, label, n_label AS pred_label, votes,
+         |  (label = n_label)::BIGINT AS agree FROM wv WHERE vr = 1""".stripMargin,
 
     "sim_mips" ->
       s"""WITH $embBase,

@@ -26,7 +26,7 @@ class PlanSpec extends SparkSpec {
 
   test("exact all-pairs joins never plan a BroadcastNestedLoopJoin") {
     Seq("emb_neardup", "sim_topk", "sim_mips",
-      "sample_hard_negatives").foreach { q =>
+      "sample_hard_negatives", "emb_knn_label").foreach { q =>
       assert(!plan(q).contains("BroadcastNestedLoop"), q)
     }
   }
