@@ -960,6 +960,29 @@ object ExtQueries {
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
     }),
 
+    // Leakage-safe train/valid/test split: corpus_split hashes
+    // doc_id, so two near-duplicate documents can land in train AND
+    // test — the eval contamination dedup exists to prevent. Here the
+    // split hashes the near-dup CLUSTER id instead, so a whole
+    // duplicate cluster moves as one unit and no near-dup pair ever
+    // straddles a split boundary (OpsSpec pins the property on the
+    // edge set). Same distributed CC as dedup_cluster; the hash/split
+    // assignment is a per-row map over its output — no extra shuffle.
+    "corpus_split_leakage" -> ((s, dir) => {
+      val edges = minhashPairs(s, dir)
+        .filter(jaccardExpr >= 0.8)
+        .select(col("a").as("src"), col("b").as("dst"))
+      val nodes = docs(s, dir).select(col("doc_id").cast("long").as("id"))
+      ConnectedComponents(nodes, edges)
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+        .withColumn("bucket",
+          expr(s"(((cluster_id % ${P}L) * 2654435761L) % ${P}L) % 10"))
+        .select(col("doc_id"), col("cluster_id"),
+          when(col("bucket") < 8, lit("train"))
+            .when(col("bucket") === 8, lit("valid"))
+            .otherwise(lit("test")).as("split"))
+    }),
+
     // Incremental CLUSTER MAINTENANCE: when the daily shard
     // (doc_id ≡ 3 mod 20) lands, update the near-dup clusters WITHOUT
     // re-running connected components over the full corpus graph.
@@ -2757,6 +2780,31 @@ object ExtQueries {
          |  UNION
          |  SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.id)
          |SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+
+    "corpus_split_leakage" ->
+      s"""WITH RECURSIVE $docHashes,
+         |df AS (SELECT * FROM ds WHERE len(sh) > 0),
+         |dm AS (SELECT *, $mhD AS mh FROM df),
+         |db AS (SELECT *, $bandsD AS mbands FROM dm),
+         |dk0 AS (SELECT doc_id, sh, mh, unnest($bkD) AS bk FROM db),
+         |dkc AS (SELECT *, count(*) OVER (PARTITION BY bk) AS bucket_n FROM dk0),
+         |dk AS (SELECT doc_id, sh, mh, bk FROM dkc WHERE bucket_n <= $MaxBandBucket),
+         |pr AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM dk x JOIN dk y ON x.bk = y.bk AND x.doc_id < y.doc_id
+         |  WHERE len(list_distinct(list_intersect(list_distinct(x.sh), list_distinct(y.sh))))::DOUBLE
+         |      / len(list_distinct(list_concat(list_distinct(x.sh), list_distinct(y.sh))))::DOUBLE >= 0.8),
+         |e AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id::BIGINT, doc_id::BIGINT FROM documents
+         |  UNION
+         |  SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.id),
+         |cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |bu AS (SELECT doc_id, cluster_id,
+         |    (((cluster_id % $P) * 2654435761) % $P) % 10 AS bucket FROM cl)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN bucket < 8 THEN 'train'
+         |       WHEN bucket = 8 THEN 'valid'
+         |       ELSE 'test' END AS split FROM bu""".stripMargin,
 
     // The incremental path must reproduce the full-graph clustering
     // exactly — its oracle IS the full-graph CC.

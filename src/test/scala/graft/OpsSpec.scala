@@ -92,6 +92,25 @@ class OpsSpec extends SparkSpec {
     assert(inc == batch, s"incremental=${inc.size} batch=${batch.size}")
   }
 
+  test("leakage-safe split: no near-dup pair straddles a split boundary") {
+    // The property corpus_split_leakage exists for: hash the CLUSTER,
+    // not the doc, so every jaccard ≥ 0.8 edge has both endpoints in
+    // the same split (doc-hash splits leak near-dups into eval).
+    val split = graft.queries.ExtQueries.queries("corpus_split_leakage")(
+        spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[String]("split"))).toMap
+    val edges = graft.queries.ExtQueries.queries("dedup_minhash_lsh")(spark, sf)
+      .filter(col("jaccard") >= 0.8)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    assert(edges.nonEmpty)
+    edges.foreach { case (a, b) =>
+      assert(split(a)._2 == split(b)._2, s"pair ($a,$b) straddles splits")
+      assert(split(a)._1 == split(b)._1)
+    }
+    assert(split.values.map(_._2).toSet.subsetOf(Set("train", "valid", "test")))
+  }
+
   test("LSH band-skew guard: a boilerplate flood cannot blow up a bucket") {
     // 400 near-identical boilerplate docs (one hot band bucket) + 30
     // distinct pairs of near-dups. Without the bucket cap the flood
