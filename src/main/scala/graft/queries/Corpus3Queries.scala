@@ -238,7 +238,44 @@ object Corpus3Queries {
           countDistinct(md5(col("text"))).as("n_exact"),
           countDistinct(col("bow_h")).as("n_bow"))
         .select(col("source"), col("n_docs"), col("n_exact"), col("n_bow"),
-          (col("n_exact") - col("n_bow")).as("shuffle_dups"))))
+          (col("n_exact") - col("n_bow")).as("shuffle_dups"))),
+
+    // Cross-doc exact-substring DEDUP (the removal pass text_dup_spans
+    // only measures): every 3-token shingle occurrence that is not the
+    // corpus-global FIRST occurrence of its shingle (keeper = min
+    // (doc_id, pos) struct — one map-side-combinable argmin per hash)
+    // marks its three token positions for removal; each doc rebuilds
+    // from the surviving tokens. Ownership and the join back both key
+    // on the 8-byte shingle hash; removal positions shuffle as
+    // (doc_id, int) pairs bounded by token count; the rebuild is one
+    // projection over the checkpointed token table — text never rides
+    // a shuffle twice.
+    "dedup_substring" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          expr(toksSpark).as("toks"))
+        .withColumn("wh", expr("graft_word_hashes(toks)"))
+        .localCheckpoint()
+      val occ = base
+        .select(col("doc_id"),
+          posexplode(expr("graft_shingles(wh)")).as(Seq("p0", "g")))
+        .select(col("doc_id"), (col("p0") + 1).as("i"), col("g"))
+      val own = occ.groupBy("g")
+        .agg(min(struct(col("doc_id"), col("i"))).as("k"))
+      val rm = occ.join(own, Seq("g"))
+        .filter(col("doc_id") =!= col("k.doc_id") || col("i") =!= col("k.i"))
+        .select(col("doc_id"), explode(expr("sequence(i, i + 2)")).as("p"))
+        .groupBy("doc_id").agg(collect_set(col("p")).as("rm"))
+      base.join(rm, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          expr("CAST(size(toks) AS BIGINT)").as("n_toks"),
+          expr("CAST(coalesce(size(rm), 0) AS BIGINT)").as("n_removed"),
+          expr("CASE WHEN size(toks) = 0 THEN '' ELSE " +
+            "array_join(filter(transform(sequence(1, size(toks)), p -> " +
+            "CASE WHEN coalesce(array_contains(rm, p), false) THEN NULL " +
+            "ELSE element_at(toks, p) END), x -> x IS NOT NULL), ' ') END")
+            .as("clean_text"))
+    }))
 
 
   // ---- DuckDB oracles ----
@@ -251,6 +288,31 @@ object Corpus3Queries {
        |  FROM occ GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    "dedup_substring" ->
+      s"""WITH dt AS (SELECT doc_id::BIGINT AS doc_id, $toksDuck AS toks
+         |    FROM documents),
+         |dh AS (SELECT *, ${wordHashesDuck("toks")} AS wh FROM dt),
+         |occ0 AS (SELECT doc_id, wh,
+         |    unnest(generate_series(1, len(wh) - 2)) AS i FROM dh),
+         |occ AS (SELECT doc_id, i,
+         |    (((wh[i]*131 + wh[i+1]) % $P)*131 + wh[i+2]) % $P AS g FROM occ0),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY g
+         |    ORDER BY doc_id, i) AS rn FROM occ),
+         |rmp0 AS (SELECT doc_id, unnest([i, i + 1, i + 2]) AS p
+         |  FROM rk WHERE rn > 1),
+         |rmp AS (SELECT DISTINCT doc_id, p FROM rmp0),
+         |rmagg AS (SELECT doc_id, count(*)::BIGINT AS n_removed,
+         |    list(p) AS rm FROM rmp GROUP BY 1)
+         |SELECT dt.doc_id, len(dt.toks)::BIGINT AS n_toks,
+         |  coalesce(rmagg.n_removed, 0)::BIGINT AS n_removed,
+         |  CASE WHEN len(dt.toks) = 0 THEN '' ELSE
+         |    coalesce(array_to_string(list_filter(list_transform(
+         |      generate_series(1, len(dt.toks)),
+         |      p -> CASE WHEN coalesce(list_contains(rmagg.rm, p), false)
+         |        THEN NULL ELSE dt.toks[p] END),
+         |      x -> x IS NOT NULL), ' '), '') END AS clean_text
+         |FROM dt LEFT JOIN rmagg ON rmagg.doc_id = dt.doc_id""".stripMargin,
 
     "text_kn_bigram" ->
       s"""WITH dt AS (SELECT doc_id::BIGINT AS doc_id, $toksDuck AS toks
