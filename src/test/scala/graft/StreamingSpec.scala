@@ -568,6 +568,58 @@ class StreamingSpec extends SparkSpec {
     assert(got2 == want, "split2 diverged")
   }
 
+  test("streaming CMS heavy-hitter estimates are micro-batch-split invariant") {
+    // Counter addition commutes, so the final watchlist estimates must
+    // be IDENTICAL under any micro-batch interleaving and equal the
+    // hand-computed batch sketch over all rows at once — plus the CMS
+    // one-sided guarantee (estimates only overcount the exact count).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val (d, w) = (3, 1024)
+    val rng = new java.util.Random(11)
+    val noise = Seq.fill(400)(("A", math.abs(rng.nextLong()) % 100000L))
+    val heavy = Seq.fill(150)(("A", 12345L)) ++ Seq.fill(60)(("A", 777L))
+    val data = scala.util.Random.javaRandomToRandom(new java.util.Random(3))
+      .shuffle(noise ++ heavy)
+    val probes = Seq(("heavy", 12345L), ("mid", 777L), ("absent", 31L))
+    // batch reference: exact d×w cells from all rows, min over rows
+    val want = probes.map { case (tok, h) =>
+      tok -> (0 until d).map { j =>
+        val c = graft.streaming.StreamingCms.cellOf(h, j, w)
+        data.count(r => graft.streaming.StreamingCms.cellOf(r._2, j, w) == c)
+          .toLong
+      }.min
+    }.toMap
+    def run(name: String, splits: Seq[Seq[(String, Long)]]): Map[String, Long] = {
+      val stream = MemoryStream[(String, Long)]
+      val out = graft.streaming.StreamingCms(
+        stream.toDS().toDF("g", "h"), probes, d, w)
+      val q = out.writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName(name).start()
+      try {
+        var last = Map.empty[String, Long]
+        var prev = 0
+        splits.foreach { b =>
+          stream.addData(b)
+          q.processAllAvailable()
+          val rows = spark.table(name).collect().drop(prev)
+          prev += rows.length
+          last = last ++ rows.map(r => r.getString(1) -> r.getLong(2)).toMap
+        }
+        last
+      } finally q.stop()
+    }
+    val got1 = run("scms1", Seq(data.take(100), data.slice(100, 430),
+      data.drop(430)))
+    val got2 = run("scms2", Seq(data.drop(500), data.take(500)))
+    assert(got1 == want, s"split1 diverged: $got1 vs $want")
+    assert(got2 == want, "split2 diverged")
+    val exact = Map("heavy" -> 150L, "mid" -> 60L, "absent" -> 0L)
+    exact.foreach { case (tok, n) =>
+      assert(got1(tok) >= n, s"$tok undercounted: ${got1(tok)} < $n")
+    }
+  }
+
   test("streaming CDC compaction matches batch dedup_latest semantics") {
     // The incremental face of dedup_latest: the same argmax-struct
     // aggregate runs as a streaming Update-mode agg — per-key state is
