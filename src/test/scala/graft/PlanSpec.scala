@@ -152,6 +152,38 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("substring-dedup shingle exchanges carry hashes and ints, no text") {
+    // Ownership groupBy and the occurrence join key on the 8-byte
+    // shingle hash; removal positions shuffle as (doc_id, int) pairs.
+    // Token arrays and rebuilt text may only ride a single-id-keyed
+    // exchange (the final per-doc join) — a string/array column on the
+    // g-keyed fan-out would mean the whole corpus text re-shuffles per
+    // shingle occurrence.
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val exec = SparkEntry.queries("dedup_substring")(spark, sf)
+      .queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    val exs = exec.collect { case e: ShuffleExchangeExec => e }
+    assert(exs.nonEmpty)
+    exs.foreach { e =>
+      val wide = e.output.exists(a => a.dataType.isInstanceOf[ArrayType]
+        || a.dataType == StringType)
+      if (wide) {
+        val nKeys = e.outputPartitioning match {
+          case h: HashPartitioning => h.expressions.length
+          case _ => -1
+        }
+        assert(nKeys == 1,
+          s"text/array column on a non-id exchange: ${e.simpleStringWithNodeId()}")
+      }
+    }
+  }
+
   test("incremental dedup probes the band index one-sided") {
     // The shard predicate must sit BELOW the probe side's band
     // exchange — the daily ingest shuffles ~5% of the banded rows into
