@@ -758,6 +758,37 @@ object ExtQueries {
           col("_rk").cast("long").as("rk"))
     }),
 
+    // Temperature-scaled source rebalancing (the multilingual-corpus
+    // α-sampling recipe): sampling weight w_i ∝ n_i^α with α = 0.5 —
+    // sqrt is correctly-rounded IEEE on both engines, so unlike a pow()
+    // temperature the weights are bit-identical; they micro-quantize
+    // to longs before the (few-row) total so the denominator is an
+    // exact integer. Each source's quota of the 100-doc target fills
+    // by the deterministic hash order through the two-phase KMin (cap
+    // k at the target; the per-source cut joins the broadcast quota
+    // table). Head sources downweight, tail sources upweight — the
+    // rebalance every multi-source 100 TB mix runs before training.
+    "sample_temperature" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+          expr(s"((doc_id % ${P}L) * 2654435761L) % ${P}L").as("h"))
+        .localCheckpoint()
+      val cnt = d.groupBy("source").agg(count(lit(1)).as("n"))
+        .withColumn("w",
+          expr("CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)"))
+      val tot = cnt.agg(sum(col("w")).as("tw"))
+      val quota = cnt.crossJoin(broadcast(tot))
+        .withColumn("quota", expr(
+          "greatest(CAST(1 AS BIGINT), CAST(floor(CAST(100 AS DOUBLE)" +
+            " * CAST(w AS DOUBLE) / CAST(tw AS DOUBLE)) AS BIGINT))"))
+        .select("source", "quota")
+      KMin.smallestBy(d, Seq("source"), Seq("h", "doc_id"), 100, "_rk")
+        .join(broadcast(quota), Seq("source"))
+        .filter(col("_rk").cast("long") <= col("quota"))
+        .select(col("doc_id"), col("source"),
+          col("_rk").cast("long").as("rk"), col("quota"))
+    }),
+
     // Class-balanced downsample over the labeled embeddings: every
     // label keeps exactly n_min = |smallest class| vectors, chosen by
     // the deterministic Knuth-hash order (h, vec_id) — the balancing
@@ -2705,6 +2736,20 @@ object ExtQueries {
          |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id)::BIGINT AS rk
          |  FROM h)
          |SELECT doc_id, source, rk FROM r WHERE rk <= 10""".stripMargin,
+
+    "sample_temperature" ->
+      s"""WITH d AS (SELECT doc_id::BIGINT AS doc_id, source,
+         |    ((doc_id::BIGINT % $P) * 2654435761) % $P AS h FROM documents),
+         |c AS (SELECT source, count(*)::BIGINT AS n FROM d GROUP BY 1),
+         |cw AS (SELECT *, CAST(round(sqrt(n::DOUBLE) * 1000000.0) AS BIGINT)
+         |    AS w FROM c),
+         |t AS (SELECT sum(w)::BIGINT AS tw FROM cw),
+         |q AS (SELECT source, greatest(1, CAST(floor(100.0 * w::DOUBLE
+         |    / tw::DOUBLE) AS BIGINT)) AS quota FROM cw, t),
+         |r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source
+         |    ORDER BY h, doc_id)::BIGINT AS rk FROM d)
+         |SELECT r.doc_id, r.source, r.rk, q.quota
+         |FROM r JOIN q USING (source) WHERE r.rk <= q.quota""".stripMargin,
 
     "sample_balanced" ->
       s"""WITH hb AS (SELECT vec_id::BIGINT AS vec_id, label::BIGINT AS label,
