@@ -1207,6 +1207,97 @@ object ExtQueries {
           col("rank"), Rounding.r6(col("sim")).as("sim"))
     }),
 
+    // Hybrid retrieval with reciprocal-rank fusion: the RAG-corpus
+    // query shape — a lexical BM25 list and a dense cosine list fuse
+    // per query as Σ 1/(60 + rank). Corpus = docs that have an
+    // embedding (id-aligned generator; the bound is a one-count driver
+    // literal, scalar-subquery-mirrored). Lexical candidates come from
+    // an inverted-index posting join (query tokens × per-doc tf),
+    // never doc×doc — with a deterministic df·4 ≤ n stopword cut so a
+    // flood token can't quadratic the join at 100 TB; per-term BM25
+    // scores micro-quantize to longs BEFORE the per-(q,d) sum so the
+    // cross-partition reduce is order-independent. Dense candidates
+    // are the block-partitioned exact cosine top-20 (the sim_topk
+    // shape). Both rank columns are integers; the fused score is two
+    // IEEE divisions and one add — bit-equal on both engines. 0 in
+    // lex_rank/dense_rank marks "absent from that side's top-20".
+    "sim_hybrid_rrf" -> ((s, dir) => {
+      val e = emb(s, dir)
+        .select(col("vec_id").cast("long").as("id"),
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+        .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
+      val nvec = e.count()
+      val dd = docs(s, dir)
+        .select(col("doc_id").cast("long").as("id"),
+          expr(toksSpark).as("toks"))
+        .filter(col("id") < nvec)
+        .localCheckpoint()
+      val dl = dd.select(col("id"), size(col("toks")).cast("long").as("dl"))
+      val st = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sdl"))
+      val tf = dd.select(col("id"), explode(col("toks")).as("tok"))
+        .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("tok").agg(count(lit(1)).as("dfc"))
+      val qt = dd.filter(col("id") % 50 === 0)
+        .select(col("id").as("q_id"),
+          explode(array_distinct(col("toks"))).as("tok"))
+      val term = {
+        val avgdl = col("sdl").cast("double") / col("nd").cast("double")
+        val idf = log(lit(1.0) + (col("nd").cast("double") - col("dfc") + lit(0.5))
+          / (col("dfc").cast("double") + lit(0.5)))
+        val tfn = (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + lit(1.2)
+            * (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl))
+        round(idf * tfn * lit(1e6), 0).cast("long")
+      }
+      // stopword cut BEFORE the posting join — the broadcast df table
+      // prunes flood tokens from the query side, so the tok-keyed
+      // exchange never fans a stopword's posting list per query
+      val goodTok = dfT.filter(col("dfc") * 4 <= nvec)
+      val lexTop = qt
+        .join(broadcast(goodTok), Seq("tok"))
+        .join(tf, Seq("tok"))
+        .filter(col("id") =!= col("q_id"))
+        .join(dl, Seq("id"))
+        .crossJoin(broadcast(st))
+        .withColumn("tm", term)
+        .groupBy("q_id", "id").agg(sum(col("tm")).as("lexm"))
+        .withColumn("lr", expr(
+          "CAST(row_number() OVER (PARTITION BY q_id ORDER BY lexm DESC, id) AS BIGINT)"))
+        .filter(col("lr") <= 20)
+        .select(col("q_id"), col("id"), col("lr"))
+      val q = e.filter(col("id") % 50 === 0)
+        .withColumn("bi", expr(s"CAST(id % $PairBlocks AS INT)"))
+        .withColumn("bj", explode(expr(s"sequence(0, ${PairBlocks - 1})")))
+      val y = e.withColumn("bj", expr(s"CAST(id % $PairBlocks AS INT)"))
+        .withColumn("bi", explode(expr(s"sequence(0, ${PairBlocks - 1})")))
+      val denseTop = q.as("x").hint("shuffle_hash")
+        .join(y.as("y").hint("shuffle_hash"),
+          col("x.bi") === col("y.bi") && col("x.bj") === col("y.bj") &&
+            col("x.id") =!= col("y.id"))
+        .withColumn("sim", expr(s"try_divide(${dotS("x.v", "y.v")}, x.nrm * y.nrm)"))
+        .withColumn("dr", expr(
+          "CAST(row_number() OVER (PARTITION BY x.id ORDER BY sim DESC, y.id) AS BIGINT)"))
+        .filter(col("dr") <= 20)
+        .select(col("x.id").as("q_id"), col("y.id").as("id"), col("dr"))
+      lexTop.join(denseTop, Seq("q_id", "id"), "full_outer")
+        .select(col("q_id"), col("id"),
+          coalesce(col("lr"), lit(0L)).as("lex_rank"),
+          coalesce(col("dr"), lit(0L)).as("dense_rank"))
+        .withColumn("rrf",
+          when(col("lex_rank") > 0,
+            lit(1.0) / (lit(60.0) + col("lex_rank").cast("double")))
+            .otherwise(lit(0.0))
+            + when(col("dense_rank") > 0,
+              lit(1.0) / (lit(60.0) + col("dense_rank").cast("double")))
+              .otherwise(lit(0.0)))
+        .withColumn("rank", expr(
+          "CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, id) AS BIGINT)"))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("id").as("doc_id"), col("rank"),
+          Rounding.r6(col("rrf")).as("rrf"),
+          col("lex_rank"), col("dense_rank"))
+    }),
+
     // kNN majority-vote labeling (weak supervision / label-noise
     // audit): each held-out query vector (the sim_topk split) gets
     // the majority label of its 5 nearest corpus vectors by cosine;
@@ -2953,6 +3044,57 @@ object ExtQueries {
          |    ORDER BY sim DESC, n_id)::BIGINT AS rank FROM sims)
          |SELECT q_id, q_label, n_id, n_label, rank,
          |  (round(sim, 6) + 0.0) AS sim FROM rk WHERE rank <= 3""".stripMargin,
+
+    "sim_hybrid_rrf" ->
+      s"""WITH nv AS (SELECT count(*)::BIGINT AS nvec FROM embeddings),
+         |dd AS (SELECT doc_id::BIGINT AS id, $toksDuck AS toks
+         |  FROM documents, nv WHERE doc_id::BIGINT < nvec),
+         |dl AS (SELECT id, len(toks)::BIGINT AS dl FROM dd),
+         |st AS (SELECT count(*)::BIGINT AS nd, sum(dl)::BIGINT AS sdl FROM dl),
+         |tf AS (SELECT id, tok, count(*)::BIGINT AS tf
+         |  FROM (SELECT id, unnest(toks) AS tok FROM dd) GROUP BY 1, 2),
+         |dft AS (SELECT tok, count(*)::BIGINT AS dfc FROM tf GROUP BY 1),
+         |qt AS (SELECT id AS q_id, unnest(list_distinct(toks)) AS tok
+         |  FROM dd WHERE id % 50 = 0),
+         |po AS (SELECT q.q_id, t.id, t.tf, f.dfc, l.dl
+         |  FROM qt q JOIN dft f ON f.tok = q.tok
+         |  JOIN tf t ON t.tok = q.tok JOIN dl l ON l.id = t.id, nv
+         |  WHERE f.dfc * 4 <= nv.nvec AND t.id <> q.q_id),
+         |tm AS (SELECT q_id, id, CAST(round(
+         |    ln(1.0 + (nd::DOUBLE - dfc + 0.5) / (dfc::DOUBLE + 0.5))
+         |    * ((tf::DOUBLE * 2.2) / (tf::DOUBLE + 1.2 * (0.25
+         |      + 0.75 * dl::DOUBLE / (sdl::DOUBLE / nd::DOUBLE))))
+         |    * 1000000.0) AS BIGINT) AS tm FROM po, st),
+         |lx AS (SELECT q_id, id, sum(tm)::BIGINT AS lexm FROM tm GROUP BY 1, 2),
+         |lr AS (SELECT q_id, id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY lexm DESC, id)::BIGINT AS lr FROM lx),
+         |ltop AS (SELECT * FROM lr WHERE lr <= 20),
+         |$embBase,
+         |qs AS (SELECT * FROM en WHERE vec_id % 50 = 0),
+         |ds AS (SELECT x.vec_id AS q_id, y.vec_id AS id,
+         |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+         |  FROM qs x JOIN en y ON x.vec_id <> y.vec_id),
+         |dr AS (SELECT q_id, id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, id)::BIGINT AS dr FROM ds),
+         |dtop AS (SELECT * FROM dr WHERE dr <= 20),
+         |fu AS (SELECT coalesce(l.q_id, d.q_id) AS q_id,
+         |    coalesce(l.id, d.id) AS id,
+         |    coalesce(l.lr, 0)::BIGINT AS lex_rank,
+         |    coalesce(d.dr, 0)::BIGINT AS dense_rank
+         |  FROM ltop l FULL OUTER JOIN dtop d
+         |    ON l.q_id = d.q_id AND l.id = d.id),
+         |sc AS (SELECT *,
+         |    (CASE WHEN lex_rank > 0
+         |      THEN 1.0 / (60.0 + lex_rank::DOUBLE) ELSE 0.0 END
+         |     + CASE WHEN dense_rank > 0
+         |       THEN 1.0 / (60.0 + dense_rank::DOUBLE)
+         |       ELSE 0.0 END)::DOUBLE AS rrf FROM fu),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY rrf DESC, id)::BIGINT AS rank FROM sc)
+         |SELECT q_id, id AS doc_id, rank,
+         |  (round(rrf * 1000000.0) / 1000000.0 + 0.0) AS rrf,
+         |  lex_rank, dense_rank
+         |FROM rk WHERE rank <= 5""".stripMargin,
 
     "emb_knn_label" ->
       s"""WITH el AS (SELECT vec_id::BIGINT AS vec_id, label::BIGINT AS label,
