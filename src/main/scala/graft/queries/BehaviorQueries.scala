@@ -48,6 +48,36 @@ object BehaviorQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Exponentially time-decayed event popularity (half-life 7 days at
+    // the 2024-02-01 horizon) — the freshness-weighted count feature
+    // stores keep. A naive Σ exp(−λ·age) is a cross-partition DOUBLE
+    // sum (order-nondeterministic) with a libm pow (ulp-divergent
+    // across engines). Instead: (1) the big shuffle aggregates EXACT
+    // integer counts per (event_type, age_day); (2) the day weight
+    // r^d unrolls as a left fold of the LITERAL per-day factor — the
+    // identical IEEE multiply chain on both engines; (3) per-day terms
+    // micro-quantize to longs before the final (31-row) sum. Events
+    // older than the fold horizon would cost O(d) per DAY GROUP, not
+    // per row — bounded by retention, and the weight underflows to ~0
+    // past 50 half-lives anyway.
+    "agg_decayed_count" -> ((s, dir) => {
+      val r = math.pow(0.5, 1.0 / 7.0) // per-day factor, half-life 7d
+      val T0 = 1706745600000000L // 2024-02-01T00:00:00Z epoch micros
+      ev(s, dir)
+        .select(col("event_type"),
+          expr(s"CAST((${T0}L - t) DIV 86400000000L AS INT)").as("d"))
+        .groupBy("event_type", "d").agg(count(lit(1)).as("cnt"))
+        .withColumn("w", expr(s"CASE WHEN d <= 0 THEN CAST(1.0 AS DOUBLE) " +
+          s"ELSE aggregate(sequence(1, d), CAST(1.0 AS DOUBLE), " +
+          s"(a, x) -> a * $r) END"))
+        .withColumn("tm", expr(
+          "CAST(round(CAST(cnt AS DOUBLE) * w * 1000000.0) AS BIGINT)"))
+        .groupBy("event_type")
+        .agg(sum(col("cnt")).as("n_events"),
+          Rounding.r6(sum(col("tm")).cast("double") / lit(1e6))
+            .as("decayed_count"))
+    }),
+
     // First/last-touch attribution: for each user with a purchase, the
     // earliest and latest non-purchase touch strictly before their LAST
     // purchase. Argmax structs ride the partial aggregates; the
@@ -529,6 +559,24 @@ object BehaviorQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+
+    "agg_decayed_count" -> {
+      val r = math.pow(0.5, 1.0 / 7.0)
+      s"""WITH $evDuck,
+         |ag AS (SELECT event_type,
+         |    ((1706745600000000 - t) // 86400000000)::INTEGER AS d,
+         |    count(*)::BIGINT AS cnt FROM ev GROUP BY 1, 2),
+         |wt AS (SELECT *, CASE WHEN d <= 0 THEN 1.0::DOUBLE
+         |    ELSE list_reduce(list_prepend(1.0::DOUBLE,
+         |      list_transform(generate_series(1, d), x -> $r::DOUBLE)),
+         |      (a, b) -> a * b) END AS w FROM ag),
+         |tm AS (SELECT event_type, cnt,
+         |    CAST(round(cnt::DOUBLE * w * 1000000.0) AS BIGINT) AS tm FROM wt)
+         |SELECT event_type, sum(cnt)::BIGINT AS n_events,
+         |  (round((sum(tm)::DOUBLE / 1000000.0) * 1000000.0) / 1000000.0 + 0.0)
+         |    AS decayed_count
+         |FROM tm GROUP BY 1""".stripMargin
+    },
 
     "attr_touch" ->
       s"""WITH $evDuck,
