@@ -56,6 +56,26 @@ object ScaleQueries {
   private val CmsD = 3
   private val CmsW = 1024L
 
+  /** One level of the Hilbert xy2d recurrence at s = 2^i: given the
+    * level-k coordinate/key column names, returns (x', y', d')
+    * expression texts made of CASE/mask/integer arithmetic only —
+    * valid verbatim in BOTH Spark SQL and DuckDB, so the engines run
+    * the identical integer program. q is (3·rx) xor ry spelled as a
+    * CASE (DuckDB's ^ is power, not xor). */
+  private[graft] def hilbertLevel(i: Int, x: String, y: String, d: String)
+      : (String, String, String) = {
+    val s = 1L << i
+    val rx = s"(CASE WHEN ($x & $s) > 0 THEN 1 ELSE 0 END)"
+    val ry = s"(CASE WHEN ($y & $s) > 0 THEN 1 ELSE 0 END)"
+    val q = s"(CASE WHEN $rx = 0 AND $ry = 0 THEN 0 WHEN $rx = 0 THEN 1" +
+      s" WHEN $ry = 1 THEN 2 ELSE 3 END)"
+    val xT = s"(CASE WHEN $rx = 1 THEN ${s - 1} - $x ELSE $x END)"
+    val yT = s"(CASE WHEN $rx = 1 THEN ${s - 1} - $y ELSE $y END)"
+    (s"(CASE WHEN $ry = 0 THEN $yT ELSE $x END)",
+      s"(CASE WHEN $ry = 0 THEN $xT ELSE $y END)",
+      s"($d + ${s * s} * $q)")
+  }
+
   /** Five-minute bars from the one-minute grid. */
   private val BarStep = 5L * EventBars.StepMicros
 
@@ -635,6 +655,32 @@ object ScaleQueries {
         .agg(count(lit(1)).as("n"),
           min(col("xk")).as("min_x"), max(col("xk")).as("max_x"),
           min(col("yk")).as("min_y"), max(col("yk")).as("max_y"))
+    }),
+
+    // Hilbert-curve layout clustering — layout_zorder's companion with
+    // the better space-filling curve: unlike Z-order's jump
+    // discontinuities, consecutive Hilbert keys are always grid
+    // neighbors (unit-step continuity), so sorted buckets carry
+    // strictly tighter min/max column ranges and a range filter prunes
+    // more files. The xy2d recurrence unrolls as 8 fixed levels of
+    // pure integer CASE/mask arithmetic (shared text on both engines
+    // via [[hilbertLevel]]) — no HOF fold, stays in whole-stage
+    // codegen like the zorder interleave; one groupBy.
+    "layout_hilbert" -> ((s, dir) => {
+      var df = t(s, dir, "lineitem")
+        .select((col("l_partkey") % 256).as("x0"),
+          (col("l_suppkey") % 256).as("y0"))
+        .withColumn("d0", lit(0L))
+      for (k <- 0 until 8) {
+        val (xe, ye, de) = hilbertLevel(7 - k, s"x$k", s"y$k", s"d$k")
+        df = df.withColumn(s"x${k + 1}", expr(xe))
+          .withColumn(s"y${k + 1}", expr(ye))
+          .withColumn(s"d${k + 1}", expr(de))
+      }
+      df.groupBy(expr("d8 DIV 4096").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x0")).as("min_x"), max(col("x0")).as("max_x"),
+          min(col("y0")).as("min_y"), max(col("y0")).as("max_y"))
     }),
 
     // The composed IVF-PQ ANN query — the index structure a 100 TB
@@ -1284,6 +1330,21 @@ object ScaleQueries {
         |  (round(min(x), 6) + 0.0) AS mn,
         |  (round(max(x), 6) + 0.0) AS mx
         |FROM x GROUP BY 1""".stripMargin,
+
+    "layout_hilbert" -> {
+      val lvls = (0 until 8).map { k =>
+        val (xe, ye, de) = hilbertLevel(7 - k, s"x$k", s"y$k", s"d$k")
+        s"""h${k + 1} AS (SELECT *, $xe AS x${k + 1}, $ye AS y${k + 1},
+           |  $de AS d${k + 1} FROM h$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH h0 AS (SELECT l_partkey % 256 AS x0, l_suppkey % 256 AS y0,
+         |    0::BIGINT AS d0 FROM lineitem),
+         |$lvls
+         |SELECT d8 // 4096 AS bucket, count(*)::BIGINT AS n,
+         |  min(x0) AS min_x, max(x0) AS max_x,
+         |  min(y0) AS min_y, max(y0) AS max_y
+         |FROM h8 GROUP BY 1""".stripMargin
+    },
 
     "layout_zorder" -> {
       val z = (0 until 8).map(i =>

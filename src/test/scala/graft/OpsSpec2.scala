@@ -273,6 +273,34 @@ class OpsSpec2 extends SparkSpec {
       s"pc1 var $pcVar < best axis var $axisVar")
   }
 
+  test("SQL Hilbert key: bijection on the 256×256 grid, unit-step curve") {
+    // The two properties that make layout_hilbert a layout key: every
+    // cell gets a distinct d in [0, 65536) (sorted order partitions
+    // evenly), and consecutive d's are GRID NEIGHBORS (|Δx|+|Δy| = 1)
+    // — the locality Z-order lacks at its jump discontinuities.
+    import spark.implicits._
+    var df = (0 until 256).flatMap(x => (0 until 256).map(y => (x.toLong, y.toLong)))
+      .toDF("x0", "y0")
+      .withColumn("d0", lit(0L))
+    for (k <- 0 until 8) {
+      val (xe, ye, de) = graft.queries.ScaleQueries.hilbertLevel(
+        7 - k, s"x$k", s"y$k", s"d$k")
+      df = df.withColumn(s"x${k + 1}", expr(xe))
+        .withColumn(s"y${k + 1}", expr(ye))
+        .withColumn(s"d${k + 1}", expr(de))
+    }
+    val cells = df.select(col("d8"), col("x0"), col("y0")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+    assert(cells.length == 65536)
+    val byD = cells.toMap
+    assert(byD.size == 65536 && byD.keys.min == 0L && byD.keys.max == 65535L)
+    (0L until 65535L).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump at d=$d: ($x1,$y1)->($x2,$y2)")
+    }
+  }
+
   test("ts_twap stays inside each day's [min close, max close]") {
     val tw = graft.queries.Ts2Queries.queries("ts_twap")(spark, sf)
     val bounds = graft.queries.EventBars.bars(spark, sf)
