@@ -104,6 +104,34 @@ object GraphStlQueries {
       lbl.select(col("id").as("vec_id"), col("lbl").as("label"))
     }),
 
+    // Strongly connected components of the DIRECTED containment graph:
+    // edge a→b when ≥90% of a's shingles appear in b (the asymmetric
+    // relation dedup_containment measures) — SCCs are groups of
+    // MUTUALLY containing docs (true near-identical content), while
+    // one-way quote/superset chains stay separate, which undirected CC
+    // cannot distinguish. Candidates come from the same band index as
+    // every dedup query; the 0.9 threshold compares exact integers
+    // (ia·10 ≥ na·9), no float boundary. The component solve is
+    // [[graft.ext.StronglyConnectedComponents]]: Tarjan under the
+    // 100k-edge cutover, min-label forward/backward peeling above it.
+    "graph_scc" -> ((s, dir) => {
+      val m = ExtQueries.minhashPairs(s, dir)
+        .withColumn("ia", expr("CAST(size(array_intersect(" +
+          "array_distinct(sha), array_distinct(shb))) AS BIGINT)"))
+        .withColumn("na", expr("CAST(size(array_distinct(sha)) AS BIGINT)"))
+        .withColumn("nb", expr("CAST(size(array_distinct(shb)) AS BIGINT)"))
+        .select(col("a"), col("b"), col("ia"), col("na"), col("nb"))
+        .localCheckpoint()
+      val e = m.filter(col("ia") * 10 >= col("na") * 9)
+        .select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(m.filter(col("ia") * 10 >= col("nb") * 9)
+          .select(col("b").as("src"), col("a").as("dst")))
+      val nodes = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long").as("id"))
+      graft.ext.StronglyConnectedComponents(nodes, e)
+        .select(col("id").as("doc_id"), col("scc_id"))
+    }),
+
     // Multi-source BFS over the embedding near-dup graph: every node
     // with vec_id ≡ 0 (mod 8) seeds at distance 0, and 3 synchronous
     // frontier rounds propagate (dist, seed) — each round ONE
@@ -195,6 +223,24 @@ object GraphStlQueries {
          |$kcoreRoundsDuck
          |SELECT a AS vec_id, count(*) AS core_degree
          |FROM e$PeelRounds GROUP BY a""".stripMargin,
+
+    "graph_scc" ->
+      s"""WITH RECURSIVE ${ExtQueries.candPairsDuck},
+         |m AS (SELECT a, b,
+         |    len(list_distinct(list_intersect(list_distinct(sha),
+         |      list_distinct(shb))))::BIGINT AS ia,
+         |    len(list_distinct(sha))::BIGINT AS na,
+         |    len(list_distinct(shb))::BIGINT AS nb
+         |  FROM cp),
+         |e AS (SELECT a AS src, b AS dst FROM m WHERE ia * 10 >= na * 9
+         |  UNION SELECT b, a FROM m WHERE ia * 10 >= nb * 9),
+         |reach(ra, rb) AS (
+         |  SELECT doc_id::BIGINT, doc_id::BIGINT FROM documents
+         |  UNION
+         |  SELECT r.ra, e.dst FROM reach r JOIN e ON e.src = r.rb)
+         |SELECT x.ra AS doc_id, min(x.rb) AS scc_id
+         |FROM reach x JOIN reach y ON y.ra = x.rb AND y.rb = x.ra
+         |GROUP BY 1""".stripMargin,
 
     "graph_lpa" -> {
       def layer(k: Int): String = {

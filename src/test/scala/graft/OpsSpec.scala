@@ -92,6 +92,37 @@ class OpsSpec extends SparkSpec {
     assert(inc == batch, s"incremental=${inc.size} batch=${batch.size}")
   }
 
+  test("distributed SCC peel ≡ driver Tarjan on adversarial digraphs") {
+    // Shapes that stress the peel: a 3-cycle, a 2-cycle, an
+    // id-ASCENDING chain (worst case — one SCC assigned per outer
+    // round), an id-descending chain (converges in one round), a
+    // cycle with an outgoing tail, and singletons. The distributed
+    // min-forward/min-backward loop (driverMaxEdges = 0) must emit
+    // exactly the Tarjan labels.
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), // 3-cycle {1,2,3}
+      (10L, 11L), (11L, 10L), // 2-cycle {10,11}
+      (20L, 21L), (21L, 22L), (22L, 23L), // ascending chain
+      (33L, 32L), (32L, 31L), (31L, 30L), // descending chain
+      (3L, 40L), (40L, 41L), (41L, 40L) // tail off the 3-cycle into a 2-cycle
+    ).toDF("src", "dst")
+    val nodes = ((1L to 3L) ++ (10L to 11L) ++ (20L to 23L) ++
+      (30L to 33L) ++ (40L to 41L) ++ Seq(99L)).toDF("id")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = toMap(graft.ext.StronglyConnectedComponents(
+      nodes, edges, driverMaxEdges = 0))
+    val tarjan = toMap(graft.ext.StronglyConnectedComponents(nodes, edges))
+    assert(dist == tarjan, s"dist=$dist tarjan=$tarjan")
+    assert(dist(1L) == 1L && dist(2L) == 1L && dist(3L) == 1L)
+    assert(dist(10L) == 10L && dist(11L) == 10L)
+    assert(dist(40L) == 40L && dist(41L) == 40L)
+    (20L to 23L).foreach(v => assert(dist(v) == v)) // chains: singletons
+    (30L to 33L).foreach(v => assert(dist(v) == v))
+    assert(dist(99L) == 99L)
+  }
+
   test("leakage-safe split: no near-dup pair straddles a split boundary") {
     // The property corpus_split_leakage exists for: hash the CLUSTER,
     // not the doc, so every jaccard ≥ 0.8 edge has both endpoints in
