@@ -188,6 +188,59 @@ object BehaviorQueries {
     // the t statistic and Welch–Satterthwaite df are derived on the
     // |event_types|-row aggregate with a mirrored expression tree, so
     // the doubles are bit-equal. One exchange, map-side partials.
+    // CUPED variance reduction for the A/B readout: per-user PRE-period
+    // spend (days 1–15) is the covariate X, POST-period spend the
+    // metric Y; adjusted mean per arm = Ȳ_arm − θ·(X̄_arm − X̄), with
+    // θ = cov(X,Y)/var(X) pooled. Everything that crosses a shuffle is
+    // an exact cent-long (per-user conditional sums fold map-side, the
+    // comoment products sum as longs — ts_beta's posture; at 100 TB
+    // user-sums widen the products to DECIMAL(38,0)/HUGEINT per the
+    // wrap caveat); θ/ρ² are single deterministic double expressions.
+    // ρ² is the variance-reduction factor CUPED buys (1−ρ² of the
+    // metric variance remains).
+    "ab_cuped" -> ((s, dir) => {
+      val Tm = 1705363200000000L // 2024-01-16T00:00:00Z pre/post split
+      val u = ev(s, dir)
+        .withColumn("c", expr("CAST(round(value * 100) AS BIGINT)"))
+        .groupBy("user_id")
+        .agg(sum(when(col("t") < Tm, col("c")).otherwise(lit(0L))).as("x"),
+          sum(when(col("t") >= Tm, col("c")).otherwise(lit(0L))).as("y"))
+        .localCheckpoint()
+      val g = u.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      u.withColumn("arm", (col("user_id") % 2).cast("bigint"))
+        .groupBy("arm")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("x")).as("sax"), sum(col("y")).as("say"))
+        .crossJoin(broadcast(g))
+        .withColumn("theta", expr(
+          "try_divide(CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)" +
+            " - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)," +
+            " CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)" +
+            " - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))"))
+        .select(col("arm"), col("n_users"),
+          r6(expr("(CAST(sax AS DOUBLE)/100.0)/CAST(n_users AS DOUBLE)"))
+            .as("mean_pre"),
+          r6(expr("(CAST(say AS DOUBLE)/100.0)/CAST(n_users AS DOUBLE)"))
+            .as("mean_post"),
+          r6(expr("(CAST(say AS DOUBLE)/100.0)/CAST(n_users AS DOUBLE)" +
+            " - theta*((CAST(sax AS DOUBLE)/100.0)/CAST(n_users AS DOUBLE)" +
+            " - (CAST(sx AS DOUBLE)/100.0)/CAST(n AS DOUBLE))"))
+            .as("mean_adj"),
+          r6(col("theta")).as("theta"),
+          r6(expr("try_divide((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)" +
+            " - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))" +
+            "*(CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)" +
+            " - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))," +
+            " (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)" +
+            " - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))" +
+            "*(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)" +
+            " - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))")).as("rho2"))
+    }),
+
     "ab_ttest" -> ((s, dir) => {
       val e = ev(s, dir)
         .withColumn("arm", (col("user_id") % 2).cast("int"))
@@ -644,6 +697,52 @@ object BehaviorQueries {
         |     ELSE CAST(sum(k) AS DOUBLE) / CAST(count(k) AS DOUBLE) END)
         |   * 1000000.0) / 1000000.0 + 0.0) AS avg_k
         |FROM j GROUP BY 1""".stripMargin,
+
+    "ab_cuped" ->
+      s"""WITH $evDuck,
+         |c AS (SELECT user_id, t, CAST(round(value * 100) AS BIGINT) AS c
+         |  FROM ev),
+         |u AS (SELECT user_id,
+         |    sum(CASE WHEN t < 1705363200000000 THEN c ELSE 0 END)::BIGINT AS x,
+         |    sum(CASE WHEN t >= 1705363200000000 THEN c ELSE 0 END)::BIGINT AS y
+         |  FROM c GROUP BY 1),
+         |g AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+         |    sum(y)::BIGINT AS sy, sum(x*x)::BIGINT AS sxx,
+         |    sum(x*y)::BIGINT AS sxy, sum(y*y)::BIGINT AS syy FROM u),
+         |a AS (SELECT user_id % 2 AS arm, count(*)::BIGINT AS n_users,
+         |    sum(x)::BIGINT AS sax, sum(y)::BIGINT AS say FROM u GROUP BY 1),
+         |th AS (SELECT *,
+         |    CASE WHEN CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+         |        - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) = 0 THEN NULL
+         |      ELSE (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+         |        - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+         |        / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+         |        - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) END AS theta
+         |  FROM a, g)
+         |SELECT arm, n_users,
+         |  (round(((CAST(sax AS DOUBLE)/100.0)/CAST(n_users AS DOUBLE))
+         |   * 1000000.0) / 1000000.0 + 0.0) AS mean_pre,
+         |  (round(((CAST(say AS DOUBLE)/100.0)/CAST(n_users AS DOUBLE))
+         |   * 1000000.0) / 1000000.0 + 0.0) AS mean_post,
+         |  (round(((CAST(say AS DOUBLE)/100.0)/CAST(n_users AS DOUBLE)
+         |    - theta*((CAST(sax AS DOUBLE)/100.0)/CAST(n_users AS DOUBLE)
+         |    - (CAST(sx AS DOUBLE)/100.0)/CAST(n AS DOUBLE)))
+         |   * 1000000.0) / 1000000.0 + 0.0) AS mean_adj,
+         |  (round(theta * 1000000.0) / 1000000.0 + 0.0) AS theta,
+         |  (round((CASE WHEN (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+         |      *(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+         |      - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)) = 0 THEN NULL
+         |    ELSE (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+         |      *(CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+         |      / ((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+         |      *(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+         |      - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) END)
+         |   * 1000000.0) / 1000000.0 + 0.0) AS rho2
+         |FROM th""".stripMargin,
 
     "ab_ttest" ->
       s"""WITH $evDuck,
