@@ -188,6 +188,50 @@ object BehaviorQueries {
     // the t statistic and Welch–Satterthwaite df are derived on the
     // |event_types|-row aggregate with a mirrored expression tree, so
     // the doubles are bit-equal. One exchange, map-side partials.
+    // Kaplan-Meier retention curve with right-censoring: per-user
+    // lifetime = (last − first activity day) + 1; users still active
+    // in the final 3 observed days are CENSORED (they didn't churn,
+    // the window just ended) — the estimator plain retention tables
+    // get wrong. S(t) = Π_{t_i ≤ t} (1 − d_i / n_i) over churn
+    // durations. Scale shape: ONE user_id aggregate reduces events to
+    // a ≤31-row duration table; the risk-set suffix sum and the KM
+    // product are broadcast self-joins of that tiny table (the
+    // one-row-agg crossJoin posture — NOT an unpartitioned window,
+    // which the PlanSpec sweep bans suite-wide), and the product folds
+    // a SORTED struct array so both engines multiply in ascending-dur
+    // order — bit-equal doubles.
+    "behav_survival" -> ((s, dir) => {
+      val byDur = ev(s, dir)
+        .withColumn("day", expr("CAST(t DIV 86400000000L AS BIGINT) - 19723L"))
+        .groupBy("user_id")
+        .agg(min(col("day")).as("fd"), max(col("day")).as("ld"))
+        .select((col("ld") - col("fd") + lit(1L)).as("dur"),
+          when(col("ld") < 27L, lit(1L)).otherwise(lit(0L)).as("evt"))
+        .groupBy("dur")
+        .agg(count(lit(1)).as("n_total"), sum(col("evt")).as("d_churn"))
+        .localCheckpoint()
+      val risk = byDur.as("a")
+        .join(broadcast(byDur.select(col("dur").as("bdur"),
+          col("n_total").as("bn"))), col("bdur") >= col("a.dur"))
+        .groupBy(col("a.dur").as("dur"), col("a.n_total").as("n_total"),
+          col("a.d_churn").as("d_churn"))
+        .agg(sum(col("bn")).as("n_risk"))
+        .withColumn("ratio", expr(
+          "1.0D - CAST(d_churn AS DOUBLE) / CAST(n_risk AS DOUBLE)"))
+        .localCheckpoint()
+      risk.as("x")
+        .join(broadcast(risk.select(col("dur").as("ydur"),
+          col("ratio").as("yratio"))), col("ydur") <= col("x.dur"))
+        .groupBy(col("x.dur").as("dur"), col("x.n_risk").as("n_risk"),
+          col("x.d_churn").as("d_churn"),
+          (col("x.n_total") - col("x.d_churn")).as("c_censored"))
+        .agg(expr("aggregate(transform(array_sort(" +
+          "collect_list(struct(ydur, yratio))), p -> p.yratio), " +
+          "CAST(1.0 AS DOUBLE), (a, x) -> a * x)").as("km0"))
+        .select(col("dur"), col("n_risk"), col("d_churn"),
+          col("c_censored"), r6(col("km0")).as("km"))
+    }),
+
     // CUPED variance reduction for the A/B readout: per-user PRE-period
     // spend (days 1–15) is the covariate X, POST-period spend the
     // metric Y; adjusted mean per arm = Ȳ_arm − θ·(X̄_arm − X̄), with
@@ -697,6 +741,28 @@ object BehaviorQueries {
         |     ELSE CAST(sum(k) AS DOUBLE) / CAST(count(k) AS DOUBLE) END)
         |   * 1000000.0) / 1000000.0 + 0.0) AS avg_k
         |FROM j GROUP BY 1""".stripMargin,
+
+    "behav_survival" ->
+      s"""WITH $evDuck,
+         |ud AS (SELECT user_id, min(t // 86400000000 - 19723) AS fd,
+         |    max(t // 86400000000 - 19723) AS ld FROM ev GROUP BY 1),
+         |uu AS (SELECT (ld - fd + 1)::BIGINT AS dur,
+         |    CASE WHEN ld < 27 THEN 1 ELSE 0 END AS evt FROM ud),
+         |bd AS (SELECT dur, count(*)::BIGINT AS n_total,
+         |    sum(evt)::BIGINT AS d_churn FROM uu GROUP BY 1),
+         |rk AS (SELECT a.dur, a.n_total, a.d_churn,
+         |    sum(b.n_total)::BIGINT AS n_risk
+         |  FROM bd a JOIN bd b ON b.dur >= a.dur GROUP BY 1, 2, 3),
+         |rt AS (SELECT *, 1.0::DOUBLE - CAST(d_churn AS DOUBLE)
+         |    / CAST(n_risk AS DOUBLE) AS ratio FROM rk),
+         |km AS (SELECT x.dur, x.n_risk, x.d_churn,
+         |    (x.n_total - x.d_churn)::BIGINT AS c_censored,
+         |    list_reduce(list_prepend(1.0::DOUBLE, list_transform(
+         |      list_sort(list(struct_pack(ydur := y.dur, yratio := y.ratio))),
+         |      p -> p.yratio)), (a, b) -> a * b) AS km0
+         |  FROM rt x JOIN rt y ON y.dur <= x.dur GROUP BY 1, 2, 3, 4)
+         |SELECT dur, n_risk, d_churn, c_censored,
+         |  (round(km0 * 1000000.0) / 1000000.0 + 0.0) AS km FROM km""".stripMargin,
 
     "ab_cuped" ->
       s"""WITH $evDuck,
