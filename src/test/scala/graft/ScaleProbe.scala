@@ -311,6 +311,51 @@ object ScaleProbe {
         f"MAXCELL_INIT=${iSizes.getLong(1)} MAXCELL_TRAIN=${tSizes.getLong(1)} " +
         f"TRAIN_SEC=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
+    // Exact-substring dedup at reps× docs (the replicated corpus IS
+    // the dup-heavy ingest shape): times the ownership argmin + span
+    // removal and reports the removed token mass — at 30× every
+    // replica beyond a shingle's first occurrence loses those spans,
+    // so removed_frac should approach (reps−1)/reps on the replicated
+    // mass. Shuffle stays (hash, id) pairs; text rides only the final
+    // id-keyed join (the PlanSpec pin at any scale).
+    {
+      val tSub = System.nanoTime()
+      val sub = graft.SparkEntry.queries("dedup_substring")(
+        spark, "/tmp/scale_docs")
+        .agg(sum(col("n_toks")).as("nt"), sum(col("n_removed")).as("nr"))
+        .collect()(0)
+      println(f"SUBSTR_DOCS=$nd SUBSTR_TOKS=${sub.getLong(0)} " +
+        f"SUBSTR_REMOVED_FRAC=${sub.getLong(1).toDouble / sub.getLong(0)}%.3f " +
+        f"SUBSTR_SEC=${(System.nanoTime() - tSub) / 1e9}%.2f")
+    }
+
+    // Distributed SCC peel (driver cutover forced off) on a 1M-node
+    // digraph: 25k directed 4-cycles (true SCCs — one outer round) +
+    // 1k id-ASCENDING 10-chains (the documented worst case: each
+    // round assigns only the chain heads, so the peel runs ~10 outer
+    // rounds with inner fixpoints — bounded by chain length, not
+    // graph size). Correctness pin: exactly 75k non-self labels (3 per
+    // 4-cycle), chains and singletons label themselves.
+    {
+      val nScc = 1000000L
+      val sccNodes = spark.range(nScc).select(col("id"))
+      val cyc2 = spark.range(25000L).select(col("id").as("g"))
+        .select(explode(expr("transform(sequence(0, 3), " +
+          "i -> struct(g*4 + i AS src, g*4 + pmod(i + 1, 4) AS dst))")).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val chains2 = spark.range(1000L).select((col("id") * 10L + 200000L).as("b"))
+        .select(explode(expr(
+          "transform(sequence(0, 8), i -> struct(b + i AS src, b + i + 1 AS dst))")).as("e"))
+        .select(col("e.src"), col("e.dst"))
+      val tScc = System.nanoTime()
+      val scc = graft.ext.StronglyConnectedComponents(
+        sccNodes, cyc2.union(chains2), driverMaxEdges = 0)
+        .localCheckpoint()
+      val nonSelf = scc.where(col("id") =!= col("scc_id")).count()
+      println(f"SCC_NODES=$nScc SCC_NONSELF=$nonSelf " +
+        f"SCC_OK=${nonSelf == 75000L} " +
+        f"SCC_SEC=${(System.nanoTime() - tScc) / 1e9}%.2f")
+    }
     spark.stop()
   }
 }
