@@ -212,6 +212,35 @@ object ExtQueries {
   /** Exact 3-gram-shingle jaccard over a candidate pair (raw — callers
     * round for output, filter on the raw value).
     */
+  /** Nearest-centroid assignment by euclidean d², min-of-struct
+    * (map-side combinable; ties by cluster id) — shared by emb_kmeans
+    * and emb_silhouette. `cents` is (cluster, c). */
+  private def assignEuclid(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("d2", expr(
+        "graft_dot(v, v) - 2.0 * graft_dot(v, c) + graft_dot(c, c)"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cluster"), col("v"))).as("m"))
+      .select(col("vec_id"), col("m.cluster").as("cluster"),
+        col("m.d2").as("d2"), col("m.v").as("v"))
+
+  /** One Lloyd round of euclidean k-means (k = 8, init = the 8 lowest
+    * vec_ids; micro-quantized integer mean update) → (cluster, c). */
+  private def lloyd1Cents(e: DataFrame): DataFrame = {
+    val c0 = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cluster"), col("v").as("c"))
+    assignEuclid(e, c0)
+      .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+      .withColumn("xi", expr("CAST(round(x * 1000000.0) AS BIGINT)"))
+      .groupBy("cluster", "dim")
+      .agg(sum(col("xi")).as("sx"), count(lit(1)).as("n"))
+      .withColumn("cx", expr("CAST(CAST(round(CAST(sx AS DOUBLE)" +
+        " / CAST(n AS DOUBLE)) AS BIGINT) AS DOUBLE) / 1000000.0"))
+      .groupBy("cluster")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, cx)))," +
+        " s -> s.cx)").as("c"))
+  }
+
   private[queries] def jaccardExpr: Column =
     expr("CAST(size(array_intersect(array_distinct(sha), array_distinct(shb))) AS DOUBLE) / CAST(size(array_union(array_distinct(sha), array_distinct(shb))) AS DOUBLE)")
 
@@ -2053,28 +2082,38 @@ object ExtQueries {
     "emb_kmeans" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id").cast("long").as("vec_id"),
         expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
-      def assign(cents: DataFrame): DataFrame =
-        e.crossJoin(broadcast(cents))
-          .withColumn("d2", expr(
-            "graft_dot(v, v) - 2.0 * graft_dot(v, c) + graft_dot(c, c)"))
-          .groupBy("vec_id")
-          .agg(min(struct(col("d2"), col("cluster"), col("v"))).as("m"))
-          .select(col("vec_id"), col("m.cluster").as("cluster"),
-            col("m.d2").as("d2"), col("m.v").as("v"))
-      val c0 = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cluster"), col("v").as("c"))
-      val c1 = assign(c0)
-        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
-        .withColumn("xi", expr("CAST(round(x * 1000000.0) AS BIGINT)"))
-        .groupBy("cluster", "dim")
-        .agg(sum(col("xi")).as("sx"), count(lit(1)).as("n"))
-        .withColumn("cx", expr("CAST(CAST(round(CAST(sx AS DOUBLE)" +
-          " / CAST(n AS DOUBLE)) AS BIGINT) AS DOUBLE) / 1000000.0"))
-        .groupBy("cluster")
-        .agg(expr("transform(array_sort(collect_list(struct(dim, cx)))," +
-          " s -> s.cx)").as("c"))
-      assign(c1)
+      assignEuclid(e, lloyd1Cents(e))
         .select(col("vec_id"), col("cluster"), Rounding.r6(col("d2")).as("d2"))
+    }),
+
+    // Simplified silhouette of the one-Lloyd-round k-means clustering:
+    // per vector a = dist to OWN centroid, b = dist to the nearest
+    // OTHER centroid, s = (b−a)/max(a,b) — the separation metric a
+    // clustering run reports before anyone trusts its groups. One
+    // broadcast of the 8 centroids; the two distances come out of ONE
+    // sorted 8-struct collect per vector (clusters are distinct per
+    // row, so element 2 IS the nearest other); per-vector scores
+    // micro-quantize before the per-cluster mean so the reduce is
+    // order-independent.
+    "emb_silhouette" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").cast("long").as("vec_id"),
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+      e.crossJoin(broadcast(lloyd1Cents(e)))
+        .withColumn("d2", expr(
+          "graft_dot(v, v) - 2.0 * graft_dot(v, c) + graft_dot(c, c)"))
+        .groupBy("vec_id")
+        .agg(expr("array_sort(collect_list(struct(d2, cluster)))").as("ds"))
+        .select(col("vec_id"),
+          expr("element_at(ds, 1).cluster").as("cluster"),
+          expr("sqrt(greatest(element_at(ds, 1).d2, 0D))").as("a"),
+          expr("sqrt(greatest(element_at(ds, 2).d2, 0D))").as("b"))
+        .withColumn("sil", expr("CASE WHEN greatest(a, b) <= 0D THEN 0D" +
+          " ELSE (b - a) / greatest(a, b) END"))
+        .withColumn("sm", expr("CAST(round(sil * 1000000.0) AS BIGINT)"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_vectors"),
+          Rounding.r6(expr("CAST(sum(sm) AS DOUBLE) / 1000000.0" +
+            " / CAST(count(1) AS DOUBLE)")).as("mean_sil"))
     }),
 
     // ANN quality evaluation — recall@3 of the LSH index against the
@@ -2379,6 +2418,37 @@ object ExtQueries {
     s"""$docToks,
        |dh AS (SELECT *, $whD AS wh FROM dt),
        |ds AS (SELECT *, $shD AS sh FROM dh)""".stripMargin
+
+  /** Shared oracle prefix for the one-Lloyd-round euclidean k-means:
+    * CTE chain e → c0 → x1/a1 (init assign) → c1 (integer-mean
+    * update) → x2 (all vec × centroid d² pairs) — [[lloyd1Cents]] /
+    * [[assignEuclid]] mirrored. Splice as `WITH $kmLloyd1Duck, ...`. */
+  private val kmLloyd1Duck: String =
+    s"""e AS (SELECT vec_id::BIGINT AS vec_id,
+       |    embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (SELECT vec_id AS cluster, v AS c FROM e WHERE vec_id < 8),
+       |x1 AS (SELECT e.vec_id, e.v, c0.cluster,
+       |    ${dotD("e.v", "e.v")} - 2.0 * ${dotD("e.v", "c0.c")}
+       |      + ${dotD("c0.c", "c0.c")} AS d2
+       |  FROM e CROSS JOIN c0),
+       |a1 AS (SELECT vec_id, v, cluster, d2 FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d2, cluster) AS rk FROM x1)
+       |  WHERE rk = 1),
+       |p1 AS (SELECT cluster,
+       |    generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x FROM a1),
+       |s1 AS (SELECT cluster, dim,
+       |    sum(CAST(round(x * 1000000.0) AS BIGINT))::BIGINT AS sx,
+       |    count(*)::BIGINT AS n
+       |  FROM p1 GROUP BY 1, 2),
+       |c1 AS (SELECT cluster,
+       |    list(CAST(CAST(round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+       |      AS BIGINT) AS DOUBLE) / 1000000.0 ORDER BY dim) AS c
+       |  FROM s1 GROUP BY 1),
+       |x2 AS (SELECT e.vec_id, c1.cluster,
+       |    ${dotD("e.v", "e.v")} - 2.0 * ${dotD("e.v", "c1.c")}
+       |      + ${dotD("c1.c", "c1.c")} AS d2
+       |  FROM e CROSS JOIN c1)""".stripMargin
 
   private val embBase =
     s"""eb AS (SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -3757,31 +3827,7 @@ object ExtQueries {
          |FROM g""".stripMargin,
 
     "emb_kmeans" ->
-      s"""WITH e AS (SELECT vec_id::BIGINT AS vec_id,
-         |    embedding::DOUBLE[] AS v FROM embeddings),
-         |c0 AS (SELECT vec_id AS cluster, v AS c FROM e WHERE vec_id < 8),
-         |x1 AS (SELECT e.vec_id, e.v, c0.cluster,
-         |    ${dotD("e.v", "e.v")} - 2.0 * ${dotD("e.v", "c0.c")}
-         |      + ${dotD("c0.c", "c0.c")} AS d2
-         |  FROM e CROSS JOIN c0),
-         |a1 AS (SELECT vec_id, v, cluster, d2 FROM (
-         |    SELECT *, row_number() OVER (
-         |      PARTITION BY vec_id ORDER BY d2, cluster) AS rk FROM x1)
-         |  WHERE rk = 1),
-         |p1 AS (SELECT cluster,
-         |    generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x FROM a1),
-         |s1 AS (SELECT cluster, dim,
-         |    sum(CAST(round(x * 1000000.0) AS BIGINT))::BIGINT AS sx,
-         |    count(*)::BIGINT AS n
-         |  FROM p1 GROUP BY 1, 2),
-         |c1 AS (SELECT cluster,
-         |    list(CAST(CAST(round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
-         |      AS BIGINT) AS DOUBLE) / 1000000.0 ORDER BY dim) AS c
-         |  FROM s1 GROUP BY 1),
-         |x2 AS (SELECT e.vec_id, c1.cluster,
-         |    ${dotD("e.v", "e.v")} - 2.0 * ${dotD("e.v", "c1.c")}
-         |      + ${dotD("c1.c", "c1.c")} AS d2
-         |  FROM e CROSS JOIN c1),
+      s"""WITH $kmLloyd1Duck,
          |a2 AS (SELECT vec_id, cluster, d2 FROM (
          |    SELECT *, row_number() OVER (
          |      PARTITION BY vec_id ORDER BY d2, cluster) AS rk FROM x2)
@@ -3789,6 +3835,26 @@ object ExtQueries {
          |SELECT vec_id, cluster,
          |  (round((d2) * 1000000.0) / 1000000.0 + 0.0) AS d2
          |FROM a2""".stripMargin,
+
+    "emb_silhouette" ->
+      s"""WITH $kmLloyd1Duck,
+         |rk AS (SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY d2, cluster) AS rk FROM x2),
+         |ab AS (SELECT r1.vec_id, r1.cluster,
+         |    sqrt(greatest(r1.d2, 0.0::DOUBLE)) AS a,
+         |    sqrt(greatest(r2.d2, 0.0::DOUBLE)) AS b
+         |  FROM rk r1 JOIN rk r2 ON r2.vec_id = r1.vec_id AND r2.rk = 2
+         |  WHERE r1.rk = 1),
+         |si AS (SELECT cluster,
+         |    CASE WHEN greatest(a, b) <= 0.0::DOUBLE THEN 0.0::DOUBLE
+         |      ELSE (b - a) / greatest(a, b) END AS sil FROM ab),
+         |sm AS (SELECT cluster,
+         |    CAST(round(sil * 1000000.0) AS BIGINT) AS sm FROM si)
+         |SELECT cluster, count(*)::BIGINT AS n_vectors,
+         |  (round((CAST(sum(sm) AS DOUBLE) / 1000000.0
+         |    / CAST(count(*) AS DOUBLE)) * 1000000.0) / 1000000.0 + 0.0)
+         |    AS mean_sil
+         |FROM sm GROUP BY 1""".stripMargin,
 
     "emb_pca1" -> {
       // 12 unrolled power-iteration layers; HUGEINT keeps every
