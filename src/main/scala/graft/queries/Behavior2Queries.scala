@@ -149,6 +149,36 @@ object Behavior2Queries {
     // gaps within each user's stream (exact integer micros), then the
     // shared quantile_cont-bit-equal kernel; seconds conversion happens
     // AFTER interpolation so the r6 gate sits far above quantile ulps.
+    // Funnel conversion LATENCY by signup cohort day: per user the
+    // first view and the first purchase strictly after it; the
+    // view→purchase delay distribution (p50/p90, exact interpolated
+    // quantiles) per first-view day — the drift curve growth teams
+    // watch, where agg_funnel only counts stage hits. Both firsts are
+    // min aggregates (map-side combinable); the 30-value cohort key
+    // rides the range-bucketed grouped quantile, never a whole-cohort
+    // window.
+    "behav_funnel_latency" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val fv = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("t")).as("tv"))
+      val lat = e.filter(col("event_type") === "purchase")
+        .join(fv, Seq("user_id"))
+        .filter(col("t") > col("tv"))
+        .groupBy("user_id")
+        .agg(min(col("t")).as("tp"), min(col("tv")).as("tv0"))
+        .withColumn("cohort_day",
+          expr("CAST(tv0 DIV 86400000000L AS BIGINT) - 19723L"))
+        .withColumn("latd", (col("tp") - col("tv0")).cast("double"))
+        .localCheckpoint()
+      val q = ExactQuantile.grouped(lat, "cohort_day", "latd",
+        Seq(0.5 -> "q50", 0.9 -> "q90"), checkpoint = false)
+      lat.groupBy("cohort_day").agg(count(lit(1)).as("n_converted"))
+        .join(broadcast(q), "cohort_day")
+        .select(col("cohort_day"), col("n_converted"),
+          r6(col("q50") / lit(1e6)).as("p50_s"),
+          r6(col("q90") / lit(1e6)).as("p90_s"))
+    }),
+
     "behav_interevent" -> ((s, dir) => {
       val g = ev(s, dir)
         .withColumn("gap",
@@ -236,6 +266,20 @@ object Behavior2Queries {
         |FROM pr CROSS JOIN n
         |JOIN nb na ON na.p_brand = pr.brand_a
         |JOIN nb nbb ON nbb.p_brand = pr.brand_b""".stripMargin,
+
+    "behav_funnel_latency" ->
+      s"""WITH $evDuck,
+         |fv AS (SELECT user_id, min(t) AS tv FROM ev
+         |  WHERE event_type = 'view' GROUP BY 1),
+         |fp AS (SELECT e.user_id, min(e.t) AS tp, min(fv.tv) AS tv0
+         |  FROM ev e JOIN fv ON fv.user_id = e.user_id
+         |  WHERE e.event_type = 'purchase' AND e.t > fv.tv GROUP BY 1),
+         |lat AS (SELECT (tv0 // 86400000000 - 19723)::BIGINT AS cohort_day,
+         |    CAST(tp - tv0 AS DOUBLE) AS latd FROM fp)
+         |SELECT cohort_day, count(*)::BIGINT AS n_converted,
+         |  (round(quantile_cont(latd, 0.5) / 1e6, 6) + 0.0) AS p50_s,
+         |  (round(quantile_cont(latd, 0.9) / 1e6, 6) + 0.0) AS p90_s
+         |FROM lat GROUP BY 1""".stripMargin,
 
     "behav_interevent" ->
       s"""WITH $evDuck,
