@@ -240,6 +240,29 @@ object Corpus3Queries {
         .select(col("source"), col("n_docs"), col("n_exact"), col("n_bow"),
           (col("n_exact") - col("n_bow")).as("shuffle_dups"))),
 
+    // Vocabulary coverage curve: what share of corpus token MASS the
+    // top-k most frequent types cover, at k ∈ {100, 1k, 10k} — the
+    // curve that sizes a tokenizer's vocab (tok_vocab_coverage checks
+    // one fixed vocab; this emits the frontier). Ranking the vocab by
+    // frequency rides the range-bucketed DistRank (a global ORDER BY
+    // over the type table would single-task at web-scale vocabularies);
+    // the three cutoffs are conditional integer sums over the ranked
+    // table, one scan each.
+    "tok_coverage_curve" -> ((s, dir) => {
+      val vf = docs(s, dir).select(explode(expr(toksSpark)).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .withColumn("neg", negate(col("cnt")))
+      val ranked = DistRank.rowNumber(vf, "_rk", col("neg"),
+        Seq(col("neg"), col("tok"))).df.localCheckpoint()
+      Seq(100L, 1000L, 10000L).map { k =>
+        ranked.groupBy(lit(k).as("k"))
+          .agg(sum(when(col("_rk") <= k, lit(1L)).otherwise(lit(0L)))
+            .as("vocab_k"),
+            r6(expr(s"CAST(sum(CASE WHEN _rk <= $k THEN cnt ELSE 0 END)" +
+              " AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)")).as("coverage"))
+      }.reduce(_ unionAll _)
+    }),
+
     // Cross-doc exact-substring DEDUP (the removal pass text_dup_spans
     // only measures): every 3-token shingle occurrence that is not the
     // corpus-global FIRST occurrence of its shingle (keeper = min
@@ -288,6 +311,18 @@ object Corpus3Queries {
        |  FROM occ GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    "tok_coverage_curve" ->
+      s"""WITH tk AS (SELECT unnest($toksDuck) AS tok FROM documents),
+         |vf AS (SELECT tok, count(*)::BIGINT AS cnt FROM tk GROUP BY 1),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY cnt DESC, tok)
+         |    ::BIGINT AS rk FROM vf)
+         |SELECT k::BIGINT AS k,
+         |  sum(CASE WHEN rk <= k THEN 1 ELSE 0 END)::BIGINT AS vocab_k,
+         |  (round((sum(CASE WHEN rk <= k THEN cnt ELSE 0 END)::DOUBLE
+         |    / sum(cnt)::DOUBLE) * 1000000.0) / 1000000.0 + 0.0) AS coverage
+         |FROM rk, (VALUES (100), (1000), (10000)) AS ks(k)
+         |GROUP BY 1""".stripMargin,
 
     "dedup_substring" ->
       s"""WITH dt AS (SELECT doc_id::BIGINT AS doc_id, $toksDuck AS toks
