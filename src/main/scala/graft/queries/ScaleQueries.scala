@@ -448,6 +448,41 @@ object ScaleQueries {
           Rounding.r4(col("raw")).as("est_distinct"))
     }),
 
+    // The MERGE story sketch_hll's single pass doesn't show: per-DAY
+    // (per-shard) HLL registers, merged by register-wise max into the
+    // union estimate — what a 100 TB ingest persists per shard and
+    // folds at read time; distinct counts don't add, registers do.
+    // The report sets est_merged beside the exact global distinct AND
+    // the per-shard-exact SUM (the naive number, overcounting every
+    // cross-shard repeat). 2^-m terms are dyadic rationals — exact in
+    // double, so even the estimate's sum is order-independent.
+    "sketch_hll_merge" -> ((s, dir) => {
+      val hashed = EventBars.events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .select(expr("t DIV 86400000000").as("day"),
+          col("user_id").cast("long").as("uid"),
+          expr(s"((user_id % ${P}L) * 2654435761L) % ${P}L").as("h"))
+        .localCheckpoint()
+      val shardRegs = hashed
+        .select(col("day"), (col("h") % 64).as("reg"), expr("h DIV 64").as("v"))
+        .withColumn("rho",
+          when(col("v") === 0, lit(25L))
+            .otherwise(lit(25L) - length(bin(col("v"))).cast("long")))
+        .groupBy("day", "reg").agg(max(col("rho")).as("m"))
+      val est = shardRegs.groupBy("reg").agg(max(col("m")).as("m"))
+        .agg(sum(pow(lit(2.0), -col("m"))).as("sp"), count(lit(1)).as("nr"))
+        .select((lit(0.709 * 64.0 * 64.0) /
+          (col("sp") + (lit(64L) - col("nr")).cast("double"))).as("raw"))
+      val exact = hashed.agg(countDistinct(col("uid")).as("n_exact"))
+      val perShard = hashed.groupBy("day")
+        .agg(countDistinct(col("uid")).as("d"))
+        .agg(count(lit(1)).as("n_shards"),
+          sum(col("d")).as("sum_shard_exact"))
+      exact.crossJoin(broadcast(perShard)).crossJoin(broadcast(est))
+        .select(col("n_exact"), col("n_shards"), col("sum_shard_exact"),
+          Rounding.r4(col("raw")).as("est_merged"))
+    }),
+
     // Expectations-suite DQ (the declarative cousin of dq_rules'
     // violation report): every expectation's observed statistic
     // computes as a conditional count in ONE aggregate pass over the
@@ -1198,6 +1233,27 @@ object ScaleQueries {
          |  (round(0.709 * 64.0 * 64.0 / (e.sp + (64 - e.nr)::DOUBLE), 4) + 0.0)
          |    AS est_distinct
          |FROM x JOIN e USING (event_type)""".stripMargin,
+
+    "sketch_hll_merge" ->
+      s"""WITH h AS (SELECT epoch_us(ts) // 86400000000 AS day,
+         |    user_id::BIGINT AS uid,
+         |    ((user_id % ${P}) * 2654435761) % ${P} AS h
+         |  FROM events WHERE user_id IS NOT NULL),
+         |r AS (SELECT day, h % 64 AS reg, h // 64 AS v FROM h),
+         |m AS (SELECT day, reg,
+         |    max(CASE WHEN v = 0 THEN 25 ELSE 25 - length(bin(v)) END)::BIGINT AS m
+         |  FROM r GROUP BY 1, 2),
+         |mm AS (SELECT reg, max(m)::BIGINT AS m FROM m GROUP BY 1),
+         |e AS (SELECT sum(power(2.0, -m)) AS sp, count(*)::BIGINT AS nr
+         |  FROM mm),
+         |x AS (SELECT count(DISTINCT uid)::BIGINT AS n_exact FROM h),
+         |ps AS (SELECT count(*)::BIGINT AS n_shards,
+         |    sum(d)::BIGINT AS sum_shard_exact FROM (
+         |    SELECT day, count(DISTINCT uid)::BIGINT AS d FROM h GROUP BY 1))
+         |SELECT x.n_exact, ps.n_shards, ps.sum_shard_exact,
+         |  (round(0.709 * 64.0 * 64.0 / (e.sp + (64 - e.nr)::DOUBLE), 4) + 0.0)
+         |    AS est_merged
+         |FROM x, ps, e""".stripMargin,
 
     "dq_expectations" ->
       """WITH e AS (SELECT user_id, event_type, value,
