@@ -6,7 +6,7 @@ object PlanProbeDrive {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.001"
-    for (q <- Seq("q2_min_cost_supplier","q4_priority_returns","q9_product_profit","q11_important_parts","q12_late_shipments","q16_supplier_cnt","q19_disjunctive_revenue","q20_heavy_shippers","q21_waiting_supplier")) {
+    for (q <- Seq("sample_hard_negatives","emb_knn_label","corpus_split_leakage","dedup_substring","sample_temperature","sim_hybrid_rrf","agg_decayed_count","layout_hilbert","graph_scc","ab_cuped","behav_survival","emb_silhouette","behav_funnel_latency","tok_coverage_curve","sketch_hll_merge")) {
       val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
       println(p.linesIterator.filter(l => l.contains("PushedFilters") && q == "q6_forecast").take(2).mkString("\n"))
       val ex = "Exchange hashpartitioning".r.findAllIn(p).length

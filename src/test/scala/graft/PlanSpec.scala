@@ -152,6 +152,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("layout_hilbert: the 8-level recurrence is one projection + one agg") {
+    // The unrolled integer CASE/mask chain must stay a scan-side
+    // projection: exactly ONE hash exchange (the bucket groupBy), no
+    // windows, no codegen fallback — same budget as layout_zorder.
+    val p = plan("layout_hilbert")
+    assert(shuffles(p) == 1, p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CodegenFallback"), p)
+  }
+
+  test("agg_decayed_count: integer day-counts shuffle, weights stay post-agg") {
+    // Exchange 1 collapses events to (event_type, age_day) integer
+    // counts map-side; exchange 2 is the 5-row event_type rollup. The
+    // multiply-chain weight fold must run on the ~155-row aggregate,
+    // never per event row.
+    assert(shuffles(plan("agg_decayed_count")) == 2)
+  }
+
+  test("behav_survival: one user exchange, zero windows") {
+    // Events collapse in ONE user_id aggregate; the risk-set and KM
+    // product ride broadcast self-joins of the ≤31-row duration table
+    // — no window anywhere (the sweep bans unpartitioned ones; this
+    // pins none sneaks in partitioned either).
+    val p = plan("behav_survival")
+    assert(shuffles(p) <= 2, p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("substring-dedup shingle exchanges carry hashes and ints, no text") {
     // Ownership groupBy and the occurrence join key on the 8-byte
     // shingle hash; removal positions shuffle as (doc_id, int) pairs.
