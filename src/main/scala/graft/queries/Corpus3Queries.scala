@@ -275,6 +275,11 @@ object Corpus3Queries {
     // a shuffle twice.
     "dedup_substring" -> ((s, dir) => {
       val base = docs(s, dir)
+        // NULL text folds to the empty doc on BOTH engines (the
+        // dedup_bow / corpus_token_budget contract): without this a
+        // NULL-text doc yields NULL n_toks/clean_text on Spark while
+        // the oracle coalesces clean_text to ''.
+        .withColumn("text", coalesce(col("text"), lit("")))
         .select(col("doc_id").cast("long").as("doc_id"),
           expr(toksSpark).as("toks"))
         .withColumn("wh", expr("graft_word_hashes(toks)"))
@@ -325,8 +330,10 @@ object Corpus3Queries {
          |GROUP BY 1""".stripMargin,
 
     "dedup_substring" ->
-      s"""WITH dt AS (SELECT doc_id::BIGINT AS doc_id, $toksDuck AS toks
+      s"""WITH d0 AS (SELECT doc_id, coalesce(text, '') AS text
          |    FROM documents),
+         |dt AS (SELECT doc_id::BIGINT AS doc_id, $toksDuck AS toks
+         |    FROM d0),
          |dh AS (SELECT *, ${wordHashesDuck("toks")} AS wh FROM dt),
          |occ0 AS (SELECT doc_id, wh,
          |    unnest(generate_series(1, len(wh) - 2)) AS i FROM dh),

@@ -126,6 +126,79 @@ object ExtQueries {
     (c1, assignCells(e, c1))
   }
 
+  /** Shared hybrid-retrieval lexical side (sim_hybrid_rrf family):
+    * BM25 top-20 per query over the vec-aligned doc corpus (id % 50
+    * query split) via an inverted-index posting join with the
+    * df·4 ≤ n stopword cut. Returns (lexTop(q_id, id, lr), nvec). */
+  private def hybridLexTop(s: SparkSession, dir: String)
+      : (DataFrame, Long) = {
+    val nvec = emb(s, dir).count()
+    val dd = docs(s, dir)
+      .select(col("doc_id").cast("long").as("id"),
+        expr(toksSpark).as("toks"))
+      .filter(col("id") < nvec)
+      .localCheckpoint()
+    val dl = dd.select(col("id"), size(col("toks")).cast("long").as("dl"))
+    val st = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sdl"))
+    val tf = dd.select(col("id"), explode(col("toks")).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("tok").agg(count(lit(1)).as("dfc"))
+    val qt = dd.filter(col("id") % 50 === 0)
+      .select(col("id").as("q_id"),
+        explode(array_distinct(col("toks"))).as("tok"))
+    val term = {
+      val avgdl = col("sdl").cast("double") / col("nd").cast("double")
+      val idf = log(lit(1.0) + (col("nd").cast("double") - col("dfc") + lit(0.5))
+        / (col("dfc").cast("double") + lit(0.5)))
+      val tfn = (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") + lit(1.2)
+          * (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl))
+      round(idf * tfn * lit(1e6), 0).cast("long")
+    }
+    // stopword cut BEFORE the posting join — the broadcast df table
+    // prunes flood tokens from the query side, so the tok-keyed
+    // exchange never fans a stopword's posting list per query
+    val goodTok = dfT.filter(col("dfc") * 4 <= nvec)
+    val lexTop = qt
+      .join(broadcast(goodTok), Seq("tok"))
+      .join(tf, Seq("tok"))
+      .filter(col("id") =!= col("q_id"))
+      .join(dl, Seq("id"))
+      .crossJoin(broadcast(st))
+      .withColumn("tm", term)
+      .groupBy("q_id", "id").agg(sum(col("tm")).as("lexm"))
+      .withColumn("lr", expr(
+        "CAST(row_number() OVER (PARTITION BY q_id ORDER BY lexm DESC, id) AS BIGINT)"))
+      .filter(col("lr") <= 20)
+      .select(col("q_id"), col("id"), col("lr"))
+    (lexTop, nvec)
+  }
+
+  /** Shared hybrid RRF fuse: full-outer join of the per-query lexical
+    * and dense top-20 rank lists, Σ 1/(60 + rank) score, fused top-5.
+    * 0 in lex_rank/dense_rank marks "absent from that side's top-20";
+    * both rank columns are integers so the fused score is two IEEE
+    * divisions and one add — bit-equal on both engines. */
+  private def hybridFuse(lexTop: DataFrame, denseTop: DataFrame)
+      : DataFrame =
+    lexTop.join(denseTop, Seq("q_id", "id"), "full_outer")
+      .select(col("q_id"), col("id"),
+        coalesce(col("lr"), lit(0L)).as("lex_rank"),
+        coalesce(col("dr"), lit(0L)).as("dense_rank"))
+      .withColumn("rrf",
+        when(col("lex_rank") > 0,
+          lit(1.0) / (lit(60.0) + col("lex_rank").cast("double")))
+          .otherwise(lit(0.0))
+          + when(col("dense_rank") > 0,
+            lit(1.0) / (lit(60.0) + col("dense_rank").cast("double")))
+            .otherwise(lit(0.0)))
+      .withColumn("rank", expr(
+        "CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, id) AS BIGINT)"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("id").as("doc_id"), col("rank"),
+        Rounding.r6(col("rrf")).as("rrf"),
+        col("lex_rank"), col("dense_rank"))
+
   // ---- shared Spark expression fragments ----
   // Native graft_* expressions (tight JVM loops) replace the HOF
   // formulations on the Spark side; TextOps' HOF strings remain the
@@ -1251,49 +1324,11 @@ object ExtQueries {
     // IEEE divisions and one add — bit-equal on both engines. 0 in
     // lex_rank/dense_rank marks "absent from that side's top-20".
     "sim_hybrid_rrf" -> ((s, dir) => {
+      val (lexTop, _) = hybridLexTop(s, dir)
       val e = emb(s, dir)
         .select(col("vec_id").cast("long").as("id"),
           expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
         .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
-      val nvec = e.count()
-      val dd = docs(s, dir)
-        .select(col("doc_id").cast("long").as("id"),
-          expr(toksSpark).as("toks"))
-        .filter(col("id") < nvec)
-        .localCheckpoint()
-      val dl = dd.select(col("id"), size(col("toks")).cast("long").as("dl"))
-      val st = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sdl"))
-      val tf = dd.select(col("id"), explode(col("toks")).as("tok"))
-        .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
-      val dfT = tf.groupBy("tok").agg(count(lit(1)).as("dfc"))
-      val qt = dd.filter(col("id") % 50 === 0)
-        .select(col("id").as("q_id"),
-          explode(array_distinct(col("toks"))).as("tok"))
-      val term = {
-        val avgdl = col("sdl").cast("double") / col("nd").cast("double")
-        val idf = log(lit(1.0) + (col("nd").cast("double") - col("dfc") + lit(0.5))
-          / (col("dfc").cast("double") + lit(0.5)))
-        val tfn = (col("tf").cast("double") * lit(2.2)) /
-          (col("tf").cast("double") + lit(1.2)
-            * (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl))
-        round(idf * tfn * lit(1e6), 0).cast("long")
-      }
-      // stopword cut BEFORE the posting join — the broadcast df table
-      // prunes flood tokens from the query side, so the tok-keyed
-      // exchange never fans a stopword's posting list per query
-      val goodTok = dfT.filter(col("dfc") * 4 <= nvec)
-      val lexTop = qt
-        .join(broadcast(goodTok), Seq("tok"))
-        .join(tf, Seq("tok"))
-        .filter(col("id") =!= col("q_id"))
-        .join(dl, Seq("id"))
-        .crossJoin(broadcast(st))
-        .withColumn("tm", term)
-        .groupBy("q_id", "id").agg(sum(col("tm")).as("lexm"))
-        .withColumn("lr", expr(
-          "CAST(row_number() OVER (PARTITION BY q_id ORDER BY lexm DESC, id) AS BIGINT)"))
-        .filter(col("lr") <= 20)
-        .select(col("q_id"), col("id"), col("lr"))
       val q = e.filter(col("id") % 50 === 0)
         .withColumn("bi", expr(s"CAST(id % $PairBlocks AS INT)"))
         .withColumn("bj", explode(expr(s"sequence(0, ${PairBlocks - 1})")))
@@ -1308,23 +1343,60 @@ object ExtQueries {
           "CAST(row_number() OVER (PARTITION BY x.id ORDER BY sim DESC, y.id) AS BIGINT)"))
         .filter(col("dr") <= 20)
         .select(col("x.id").as("q_id"), col("y.id").as("id"), col("dr"))
-      lexTop.join(denseTop, Seq("q_id", "id"), "full_outer")
-        .select(col("q_id"), col("id"),
-          coalesce(col("lr"), lit(0L)).as("lex_rank"),
-          coalesce(col("dr"), lit(0L)).as("dense_rank"))
-        .withColumn("rrf",
-          when(col("lex_rank") > 0,
-            lit(1.0) / (lit(60.0) + col("lex_rank").cast("double")))
-            .otherwise(lit(0.0))
-            + when(col("dense_rank") > 0,
-              lit(1.0) / (lit(60.0) + col("dense_rank").cast("double")))
-              .otherwise(lit(0.0)))
-        .withColumn("rank", expr(
-          "CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, id) AS BIGINT)"))
-        .filter(col("rank") <= 5)
-        .select(col("q_id"), col("id").as("doc_id"), col("rank"),
-          Rounding.r6(col("rrf")).as("rrf"),
-          col("lex_rank"), col("dense_rank"))
+      hybridFuse(lexTop, denseTop)
+    }),
+
+    // Hybrid retrieval, ANN dense side: the 100 TB form of
+    // sim_hybrid_rrf. Same BM25 posting-join lexical list and the same
+    // RRF fuse, but the dense top-20 probes the TRAINED bucketed IVF
+    // index (sim_ivf_kmeans' quantizer) at nprobe=2: one broadcast
+    // assignment pass over the corpus, a query-side 2-best-cell rank
+    // (bounded: |Q| × nlist rows, never the corpus), then a cell
+    // equi-join whose candidate set is two cells (~2n/nlist rows per
+    // query) — the exact block top-20's O(|Q|·n) work (effectively
+    // quadratic at |Q| = n/50) never happens. Recall vs the exact
+    // variant is measured by sim_hybrid_rrf_ann_recall.
+    "sim_hybrid_rrf_ann" -> ((s, dir) => {
+      val (lexTop, _) = hybridLexTop(s, dir)
+      val (cents, assigned) = ivfKmeansIndex(emb(s, dir)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v")))
+      val qs = assigned.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id"), col("v"), col("nrm"))
+        .crossJoin(broadcast(cents))
+        .withColumn("csim", expr(s"try_divide(${dotS("v", "cv")}, nrm * cnrm)"))
+        .withColumn("crank", expr(
+          "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id)"))
+        .filter(col("crank") <= 2)
+        .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
+      val denseTop = qs.as("x").join(assigned.as("y"),
+          col("x.cell") === col("y.cell") &&
+            col("x.vec_id") =!= col("y.vec_id"))
+        .withColumn("sim", expr(s"try_divide(${dotS("x.v", "y.v")}, x.nrm * y.nrm)"))
+        .withColumn("dr", expr(
+          "CAST(row_number() OVER (PARTITION BY x.vec_id ORDER BY sim DESC, y.vec_id) AS BIGINT)"))
+        .filter(col("dr") <= 20)
+        .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("id"),
+          col("dr"))
+      hybridFuse(lexTop, denseTop)
+    }),
+
+    // Measured RRF-recall of the ANN-fused hybrid vs the exact one:
+    // per query, the fraction of the exact fused top-5 the ANN fused
+    // top-5 recovers. The join keys are (q_id, doc_id) id pairs —
+    // recall math on bounded 5-row-per-query lists, never vectors.
+    "sim_hybrid_rrf_ann_recall" -> ((s, dir) => {
+      val exact = queries("sim_hybrid_rrf")(s, dir)
+        .select(col("q_id"), col("doc_id"))
+      val ann = queries("sim_hybrid_rrf_ann")(s, dir)
+        .select(col("q_id"), col("doc_id"), lit(1L).as("hit"))
+      exact.join(ann, Seq("q_id", "doc_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("q_id"), col("k"), col("n_hits"),
+          Rounding.r6(col("n_hits").cast("double") / col("k").cast("double"))
+            .as("recall"))
     }),
 
     // kNN majority-vote labeling (weak supervision / label-noise
@@ -2479,6 +2551,92 @@ object ExtQueries {
        |  FROM ks1 GROUP BY 1),
        |cn AS (SELECT c_id, cv, sqrt(${dotD("cv", "cv")}) AS cnrm FROM kc1)""".stripMargin
 
+  /** Shared oracle fragment: hybrid-retrieval lexical BM25 top-20
+    * (mirrors [[hybridLexTop]]); ends in `ltop(q_id, id, lr)`.
+    * Splice first inside a WITH (defines `nv`). */
+  private val hybridLexDuck: String =
+    s"""nv AS (SELECT count(*)::BIGINT AS nvec FROM embeddings),
+       |dd AS (SELECT doc_id::BIGINT AS id, $toksDuck AS toks
+       |  FROM documents, nv WHERE doc_id::BIGINT < nvec),
+       |dl AS (SELECT id, len(toks)::BIGINT AS dl FROM dd),
+       |st AS (SELECT count(*)::BIGINT AS nd, sum(dl)::BIGINT AS sdl FROM dl),
+       |tf AS (SELECT id, tok, count(*)::BIGINT AS tf
+       |  FROM (SELECT id, unnest(toks) AS tok FROM dd) GROUP BY 1, 2),
+       |dft AS (SELECT tok, count(*)::BIGINT AS dfc FROM tf GROUP BY 1),
+       |qt AS (SELECT id AS q_id, unnest(list_distinct(toks)) AS tok
+       |  FROM dd WHERE id % 50 = 0),
+       |po AS (SELECT q.q_id, t.id, t.tf, f.dfc, l.dl
+       |  FROM qt q JOIN dft f ON f.tok = q.tok
+       |  JOIN tf t ON t.tok = q.tok JOIN dl l ON l.id = t.id, nv
+       |  WHERE f.dfc * 4 <= nv.nvec AND t.id <> q.q_id),
+       |tm AS (SELECT q_id, id, CAST(round(
+       |    ln(1.0 + (nd::DOUBLE - dfc + 0.5) / (dfc::DOUBLE + 0.5))
+       |    * ((tf::DOUBLE * 2.2) / (tf::DOUBLE + 1.2 * (0.25
+       |      + 0.75 * dl::DOUBLE / (sdl::DOUBLE / nd::DOUBLE))))
+       |    * 1000000.0) AS BIGINT) AS tm FROM po, st),
+       |lx AS (SELECT q_id, id, sum(tm)::BIGINT AS lexm FROM tm GROUP BY 1, 2),
+       |lr AS (SELECT q_id, id, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY lexm DESC, id)::BIGINT AS lr FROM lx),
+       |ltop AS (SELECT * FROM lr WHERE lr <= 20)""".stripMargin
+
+  /** Shared oracle fragment: hybrid exact dense top-20 (the sim_topk
+    * all-pairs shape); ends in `dtop(q_id, id, dr)`. Needs
+    * [[embBase]]. */
+  private val hybridDenseExactDuck: String =
+    s"""hqx AS (SELECT * FROM en WHERE vec_id % 50 = 0),
+       |hds AS (SELECT x.vec_id AS q_id, y.vec_id AS id,
+       |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+       |  FROM hqx x JOIN en y ON x.vec_id <> y.vec_id),
+       |hdr AS (SELECT q_id, id, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY sim DESC, id)::BIGINT AS dr FROM hds),
+       |dtop AS (SELECT * FROM hdr WHERE dr <= 20)""".stripMargin
+
+  /** Shared oracle fragment: hybrid ANN dense top-20 via the trained
+    * IVF quantizer's cell probe (mirrors sim_hybrid_rrf_ann's dense
+    * side); ends in `adtop(q_id, id, dr)`. Needs [[embBase]] and
+    * [[ivfKmeansCentsDuck]]. */
+  private val hybridDenseAnnDuck: String =
+    s"""aag0 AS (SELECT e.vec_id, e.v, e.nrm, c.c_id,
+       |    ${dotD("e.v", "c.cv")} / (e.nrm * c.cnrm) AS csim
+       |  FROM en e CROSS JOIN cn c),
+       |aagr AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY csim DESC, c_id) AS crank FROM aag0),
+       |aasg AS MATERIALIZED (SELECT vec_id, v, nrm, c_id AS cell
+       |  FROM aagr WHERE crank = 1),
+       |aqx AS (SELECT vec_id, v, nrm, c_id AS cell FROM aagr
+       |  WHERE crank <= 2 AND vec_id % 50 = 0),
+       |ads AS (SELECT x.vec_id AS q_id, y.vec_id AS id,
+       |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+       |  FROM aqx x JOIN aasg y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+       |adr AS (SELECT q_id, id, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY sim DESC, id)::BIGINT AS dr FROM ads),
+       |adtop AS (SELECT * FROM adr WHERE dr <= 20)""".stripMargin
+
+  /** Shared oracle fragment: the RRF fuse of `ltopCte(q_id, id, lr)`
+    * and `dtopCte(q_id, id, dr)`, fused top-5 — mirrors
+    * [[hybridFuse]]; ends in `${p}top(q_id, doc_id, rank, rrf,
+    * lex_rank, dense_rank)`. */
+  private def hybridFuseDuck(p: String, ltopCte: String,
+      dtopCte: String): String =
+    s"""${p}fu AS (SELECT coalesce(l.q_id, d.q_id) AS q_id,
+       |    coalesce(l.id, d.id) AS id,
+       |    coalesce(l.lr, 0)::BIGINT AS lex_rank,
+       |    coalesce(d.dr, 0)::BIGINT AS dense_rank
+       |  FROM $ltopCte l FULL OUTER JOIN $dtopCte d
+       |    ON l.q_id = d.q_id AND l.id = d.id),
+       |${p}scf AS (SELECT *,
+       |    (CASE WHEN lex_rank > 0
+       |      THEN 1.0 / (60.0 + lex_rank::DOUBLE) ELSE 0.0 END
+       |     + CASE WHEN dense_rank > 0
+       |       THEN 1.0 / (60.0 + dense_rank::DOUBLE)
+       |       ELSE 0.0 END)::DOUBLE AS rrf FROM ${p}fu),
+       |${p}top AS (SELECT q_id, id AS doc_id, rank,
+       |    (round(rrf * 1000000.0) / 1000000.0 + 0.0) AS rrf,
+       |    lex_rank, dense_rank
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY rrf DESC, id)::BIGINT AS rank FROM ${p}scf)
+       |  WHERE rank <= 5)""".stripMargin
+
   /** Shared oracle fragment: hyperplane-bucketed embedding near-dup
     * pairs at cosine > 0.3 (token-equivalent to emb_neardup_lsh's
     * pair set); ends in `epr(a, b)`. Splice inside a WITH. */
@@ -3116,55 +3274,38 @@ object ExtQueries {
          |  (round(sim, 6) + 0.0) AS sim FROM rk WHERE rank <= 3""".stripMargin,
 
     "sim_hybrid_rrf" ->
-      s"""WITH nv AS (SELECT count(*)::BIGINT AS nvec FROM embeddings),
-         |dd AS (SELECT doc_id::BIGINT AS id, $toksDuck AS toks
-         |  FROM documents, nv WHERE doc_id::BIGINT < nvec),
-         |dl AS (SELECT id, len(toks)::BIGINT AS dl FROM dd),
-         |st AS (SELECT count(*)::BIGINT AS nd, sum(dl)::BIGINT AS sdl FROM dl),
-         |tf AS (SELECT id, tok, count(*)::BIGINT AS tf
-         |  FROM (SELECT id, unnest(toks) AS tok FROM dd) GROUP BY 1, 2),
-         |dft AS (SELECT tok, count(*)::BIGINT AS dfc FROM tf GROUP BY 1),
-         |qt AS (SELECT id AS q_id, unnest(list_distinct(toks)) AS tok
-         |  FROM dd WHERE id % 50 = 0),
-         |po AS (SELECT q.q_id, t.id, t.tf, f.dfc, l.dl
-         |  FROM qt q JOIN dft f ON f.tok = q.tok
-         |  JOIN tf t ON t.tok = q.tok JOIN dl l ON l.id = t.id, nv
-         |  WHERE f.dfc * 4 <= nv.nvec AND t.id <> q.q_id),
-         |tm AS (SELECT q_id, id, CAST(round(
-         |    ln(1.0 + (nd::DOUBLE - dfc + 0.5) / (dfc::DOUBLE + 0.5))
-         |    * ((tf::DOUBLE * 2.2) / (tf::DOUBLE + 1.2 * (0.25
-         |      + 0.75 * dl::DOUBLE / (sdl::DOUBLE / nd::DOUBLE))))
-         |    * 1000000.0) AS BIGINT) AS tm FROM po, st),
-         |lx AS (SELECT q_id, id, sum(tm)::BIGINT AS lexm FROM tm GROUP BY 1, 2),
-         |lr AS (SELECT q_id, id, row_number() OVER (PARTITION BY q_id
-         |    ORDER BY lexm DESC, id)::BIGINT AS lr FROM lx),
-         |ltop AS (SELECT * FROM lr WHERE lr <= 20),
+      s"""WITH $hybridLexDuck,
          |$embBase,
-         |qs AS (SELECT * FROM en WHERE vec_id % 50 = 0),
-         |ds AS (SELECT x.vec_id AS q_id, y.vec_id AS id,
-         |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
-         |  FROM qs x JOIN en y ON x.vec_id <> y.vec_id),
-         |dr AS (SELECT q_id, id, row_number() OVER (PARTITION BY q_id
-         |    ORDER BY sim DESC, id)::BIGINT AS dr FROM ds),
-         |dtop AS (SELECT * FROM dr WHERE dr <= 20),
-         |fu AS (SELECT coalesce(l.q_id, d.q_id) AS q_id,
-         |    coalesce(l.id, d.id) AS id,
-         |    coalesce(l.lr, 0)::BIGINT AS lex_rank,
-         |    coalesce(d.dr, 0)::BIGINT AS dense_rank
-         |  FROM ltop l FULL OUTER JOIN dtop d
-         |    ON l.q_id = d.q_id AND l.id = d.id),
-         |sc AS (SELECT *,
-         |    (CASE WHEN lex_rank > 0
-         |      THEN 1.0 / (60.0 + lex_rank::DOUBLE) ELSE 0.0 END
-         |     + CASE WHEN dense_rank > 0
-         |       THEN 1.0 / (60.0 + dense_rank::DOUBLE)
-         |       ELSE 0.0 END)::DOUBLE AS rrf FROM fu),
-         |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id
-         |    ORDER BY rrf DESC, id)::BIGINT AS rank FROM sc)
-         |SELECT q_id, id AS doc_id, rank,
-         |  (round(rrf * 1000000.0) / 1000000.0 + 0.0) AS rrf,
-         |  lex_rank, dense_rank
-         |FROM rk WHERE rank <= 5""".stripMargin,
+         |$hybridDenseExactDuck,
+         |${hybridFuseDuck("x", "ltop", "dtop")}
+         |SELECT q_id, doc_id, rank, rrf, lex_rank, dense_rank
+         |FROM xtop""".stripMargin,
+
+    "sim_hybrid_rrf_ann" ->
+      s"""WITH $hybridLexDuck,
+         |$embBase,
+         |$ivfKmeansCentsDuck,
+         |$hybridDenseAnnDuck,
+         |${hybridFuseDuck("a", "ltop", "adtop")}
+         |SELECT q_id, doc_id, rank, rrf, lex_rank, dense_rank
+         |FROM atop""".stripMargin,
+
+    "sim_hybrid_rrf_ann_recall" ->
+      s"""WITH $hybridLexDuck,
+         |$embBase,
+         |$hybridDenseExactDuck,
+         |$ivfKmeansCentsDuck,
+         |$hybridDenseAnnDuck,
+         |${hybridFuseDuck("x", "ltop", "dtop")},
+         |${hybridFuseDuck("a", "ltop", "adtop")}
+         |SELECT x.q_id, count(*)::BIGINT AS k,
+         |  sum(CASE WHEN a.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_hits,
+         |  (round(sum(CASE WHEN a.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    ::DOUBLE / count(*)::DOUBLE, 6) + 0.0) AS recall
+         |FROM xtop x LEFT JOIN atop a
+         |  ON a.q_id = x.q_id AND a.doc_id = x.doc_id
+         |GROUP BY x.q_id""".stripMargin,
 
     "emb_knn_label" ->
       s"""WITH el AS (SELECT vec_id::BIGINT AS vec_id, label::BIGINT AS label,

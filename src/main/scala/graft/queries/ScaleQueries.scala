@@ -479,6 +479,10 @@ object ScaleQueries {
         .agg(count(lit(1)).as("n_shards"),
           sum(col("d")).as("sum_shard_exact"))
       exact.crossJoin(broadcast(perShard)).crossJoin(broadcast(est))
+        // empty-in → empty-out (repo convention, cf. dq_expectations):
+        // n_shards is 0 iff events is empty, so the gate is a no-op on
+        // real data and suppresses the vacuous global-aggregate row
+        .filter(col("n_shards") > 0)
         .select(col("n_exact"), col("n_shards"), col("sum_shard_exact"),
           Rounding.r4(col("raw")).as("est_merged"))
     }),
@@ -1253,7 +1257,7 @@ object ScaleQueries {
          |SELECT x.n_exact, ps.n_shards, ps.sum_shard_exact,
          |  (round(0.709 * 64.0 * 64.0 / (e.sp + (64 - e.nr)::DOUBLE), 4) + 0.0)
          |    AS est_merged
-         |FROM x, ps, e""".stripMargin,
+         |FROM x, ps, e WHERE ps.n_shards > 0""".stripMargin,
 
     "dq_expectations" ->
       """WITH e AS (SELECT user_id, event_type, value,

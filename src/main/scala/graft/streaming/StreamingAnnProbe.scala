@@ -50,23 +50,34 @@ object StreamingAnnProbe {
   /** The per-row quantizer: argmax-cosine cell over the centroid
     * literal, folded left in ascending c_id order with a strict
     * improvement test — ties keep the LOWEST c_id, matching the batch
-    * `row_number() OVER (ORDER BY csim DESC, c_id)` assignment. */
+    * `row_number() OVER (ORDER BY csim DESC, c_id)` assignment. The
+    * fold is SEEDED with the first (lowest-id) centroid's struct, not
+    * a (-Inf, -1) sentinel: a zero-norm vector (all cosines -Inf)
+    * then lands in the lowest cell exactly like the batch kernel,
+    * instead of dropping out at a sentinel cell -1. */
   private[graft] def cellOf(v: Column, nrm: Column,
       cents: Array[Centroid]): Column = {
-    val centArr = array(cents.map(c =>
-      struct(lit(c.cId).as("c_id"), lit(c.cv).as("cv"),
-        lit(c.cnrm).as("cnrm"))): _*)
-    aggregate(centArr,
-      struct(lit(Double.NegativeInfinity).as("csim"), lit(-1L).as("cell")),
-      (acc, c) => {
-        val sim = coalesce(
-          try_divide(call_function("graft_dot", v, c.getField("cv")),
-            nrm * c.getField("cnrm")),
-          lit(Double.NegativeInfinity))
-        when(sim > acc.getField("csim"),
-          struct(sim.as("csim"), c.getField("c_id").as("cell")))
-          .otherwise(acc)
-      }).getField("cell")
+    require(cents.nonEmpty, "centroid list is empty")
+    def simOf(cv: Column, cnrm: Column): Column = coalesce(
+      try_divide(call_function("graft_dot", v, cv), nrm * cnrm),
+      lit(Double.NegativeInfinity))
+    val head = cents.head
+    val seed = struct(
+      simOf(lit(head.cv), lit(head.cnrm)).as("csim"),
+      lit(head.cId).as("cell"))
+    if (cents.length == 1) lit(head.cId)
+    else {
+      val centArr = array(cents.tail.map(c =>
+        struct(lit(c.cId).as("c_id"), lit(c.cv).as("cv"),
+          lit(c.cnrm).as("cnrm"))): _*)
+      aggregate(centArr, seed,
+        (acc, c) => {
+          val sim = simOf(c.getField("cv"), c.getField("cnrm"))
+          when(sim > acc.getField("csim"),
+            struct(sim.as("csim"), c.getField("c_id").as("cell")))
+            .otherwise(acc)
+        }).getField("cell")
+    }
   }
 
   /** stream (eventTimeCol, q_id, v ARRAY<DOUBLE>) → one row per

@@ -110,6 +110,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sim_hybrid_rrf_ann dense side probes the IVF index, never the block join") {
+    // The ANN-fused hybrid exists because the exact variant's dense
+    // side is the O(|Q|·n) block-partitioned cross join (bi/bj block
+    // ids exploded PairBlocks ways) — a scale-killer at |Q| = n/50.
+    // Pin: no block ids anywhere in the plan (the dense candidates
+    // come from the trained quantizer's cell equi-join), corpus
+    // assignment stays the map-side partial_min aggregate (never a
+    // corpus-wide window), and the only Window nodes are the four
+    // bounded ranks (lex top-20, query 2-cell probe, dense top-20,
+    // fused top-5).
+    // (BroadcastNestedLoopJoins DO appear — the sanctioned bounded
+    // broadcast mirrors: the one-row corpus stats and the ≤nlist
+    // centroid table. The scale hazard pinned here is the n-row block
+    // fan-out, not those.)
+    val p = plan("sim_hybrid_rrf_ann")
+    assert(!p.contains("bi#") && !p.contains("bj#"),
+      "block-join ids leaked into the ANN dense side")
+    assert(p.contains("partial_min"),
+      "corpus cell assignment lost its partial aggregation")
+    assert("Window \\[".r.findAllIn(p).length == 4,
+      "unexpected Window beyond the four bounded ranks")
+  }
+
   test("sim_ivf_pq_residual: one Window (final rank), equi-joins only") {
     // the residual subtraction must stay a broadcast equi-join on the
     // cell id and the codebook argmin an aggregate — the only Window
