@@ -66,26 +66,37 @@ object Sessionize {
       from: String,
       tickerCol: String,
       tsCol: String,
+      allowedGaps: Seq[Long]): String =
+    sqlStages(from, Seq(tickerCol), tickerCol, tsCol, allowedGaps)
+
+  /** Composite-key mirror of the multi-day [[apply]] overload:
+    * series identity = `partCols`, sub-ticker label from `nameCol`. */
+  def sqlStages(
+      from: String,
+      partCols: Seq[String],
+      nameCol: String,
+      tsCol: String,
       allowedGaps: Seq[Long]): String = {
     val gaps = allowedGaps.mkString(", ")
+    val pk = partCols.mkString(", ")
     s"""sz_s1 AS (
-       |  SELECT *, $tsCol - lag($tsCol, 1) OVER (PARTITION BY $tickerCol ORDER BY $tsCol) AS _gap
+       |  SELECT *, $tsCol - lag($tsCol, 1) OVER (PARTITION BY $pk ORDER BY $tsCol) AS _gap
        |  FROM $from),
        |sz_s2 AS (
        |  SELECT *, CASE WHEN _gap IS NULL THEN 0
        |    WHEN _gap IN ($gaps) THEN 0 ELSE 1 END AS _brk
        |  FROM sz_s1),
        |sz_s3 AS (
-       |  SELECT *, sum(_brk) OVER (PARTITION BY $tickerCol ORDER BY $tsCol
+       |  SELECT *, sum(_brk) OVER (PARTITION BY $pk ORDER BY $tsCol
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _isl_raw
        |  FROM sz_s2),
        |sz_s4 AS (
-       |  SELECT *, count(*) OVER (PARTITION BY $tickerCol, _isl_raw) AS _isl_n
+       |  SELECT *, count(*) OVER (PARTITION BY $pk, _isl_raw) AS _isl_n
        |  FROM sz_s3),
        |sz_final AS (
        |  SELECT * EXCLUDE (_gap, _brk, _isl_raw, _isl_n),
-       |    dense_rank() OVER (PARTITION BY $tickerCol ORDER BY _isl_raw) - 1 AS island,
-       |    $tickerCol || '-' || CAST(dense_rank() OVER (PARTITION BY $tickerCol ORDER BY _isl_raw) - 1 AS VARCHAR) AS sub_ticker
+       |    dense_rank() OVER (PARTITION BY $pk ORDER BY _isl_raw) - 1 AS island,
+       |    $nameCol || '-' || CAST(dense_rank() OVER (PARTITION BY $pk ORDER BY _isl_raw) - 1 AS VARCHAR) AS sub_ticker
        |  FROM sz_s4 WHERE _isl_n >= 2)""".stripMargin
   }
 }

@@ -130,9 +130,11 @@ object GraftFunctions {
     ("graft_macd_hist_w", classOf[MacdHistWindow],
       arity("graft_macd_hist_w", 1)(cs => MacdHistWindow(cs(0)))),
     ("graft_adx_w", classOf[AdxWindow],
-      arity("graft_adx_w", 3)(cs => AdxWindow(cs(0), cs(1), cs(2)))),
+      arity("graft_adx_w", 3, 4)(cs => AdxWindow(cs(0), cs(1), cs(2),
+        if (cs.length > 3) litInt(cs(3), "graft_adx_w") else 14))),
     ("graft_adx_hist_w", classOf[AdxHistWindow],
-      arity("graft_adx_hist_w", 3)(cs => AdxHistWindow(cs(0), cs(1), cs(2)))),
+      arity("graft_adx_hist_w", 3, 4)(cs => AdxHistWindow(cs(0), cs(1), cs(2),
+        if (cs.length > 3) litInt(cs(3), "graft_adx_hist_w") else 14))),
     ("graft_atr_w", classOf[AtrWindow],
       arity("graft_atr_w", 3, 4)(cs => AtrWindow(cs(0), cs(1), cs(2),
         if (cs.length > 3) litInt(cs(3), "graft_atr_w") else 14))),
@@ -140,7 +142,8 @@ object GraftFunctions {
       arity("graft_wilder_w", 1, 2)(cs =>
         WilderPairWindow(cs(0), wilderPeriod(cs, "graft_wilder_w")))),
     ("graft_adx_pair_w", classOf[AdxPairWindow],
-      arity("graft_adx_pair_w", 3)(cs => AdxPairWindow(cs(0), cs(1), cs(2)))),
+      arity("graft_adx_pair_w", 3, 4)(cs => AdxPairWindow(cs(0), cs(1), cs(2),
+        if (cs.length > 3) litInt(cs(3), "graft_adx_pair_w") else 14))),
     ("graft_absdev_sum", classOf[AbsDevSum],
       arity("graft_absdev_sum", 2)(cs => AbsDevSum(cs(0), cs(1)))),
     ("graft_simhash", classOf[SimHash],
@@ -156,9 +159,10 @@ object GraftFunctions {
     ("graft_adaptive_ema_w", classOf[AdaptiveEmaWindow],
       arity("graft_adaptive_ema_w", 2)(cs => AdaptiveEmaWindow(cs(0), cs(1)))),
     ("graft_ind_w", classOf[IndicatorPackWindow],
-      arity("graft_ind_w", 4, 5)(cs => IndicatorPackWindow(
+      arity("graft_ind_w", 4, 5, 6)(cs => IndicatorPackWindow(
         cs(0), cs(1), cs(2), cs(3),
-        if (cs.length > 4) litInt(cs(4), "graft_ind_w") else 14))),
+        if (cs.length > 4) litInt(cs(4), "graft_ind_w") else 14,
+        if (cs.length > 5) litInt(cs(5), "graft_ind_w") else 14))),
     ("graft_kalman_w", classOf[KalmanWindow],
       arity("graft_kalman_w", 1)(cs => KalmanWindow(cs(0)))),
     ("graft_ha_w", classOf[HeikinAshiWindow],

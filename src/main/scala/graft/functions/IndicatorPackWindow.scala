@@ -19,15 +19,17 @@ import org.apache.spark.sql.types._
   * by side (same TA-Lib seed conventions, same arithmetic — see
   * [[graft.ind.RecursiveIndicators.scan]], reference
   * stockdata/indicators.py:404-487), so outputs are bit-identical to
-  * the unfused functions and the DuckDB oracle. The Wilder period is
-  * threadable; MACDFIX and ADX are fixed-constant by definition.
+  * the unfused functions and the DuckDB oracle. The Wilder and ADX
+  * periods thread through (every row threshold derives from them);
+  * MACDFIX is fixed-constant by definition (TA-Lib's fixed 12/26/9 k).
   */
 case class IndicatorPackWindow(
     price: Expression,
     high: Expression,
     low: Expression,
     close: Expression,
-    period: Int = 14)
+    period: Int = 14,
+    adxPeriod: Int = 14)
   extends AggregateWindowFunction {
 
   override def children: Seq[Expression] = Seq(price, high, low, close)
@@ -80,6 +82,13 @@ case class IndicatorPackWindow(
   private val pD = Literal(period.toDouble)
   private val pm1D = Literal((period - 1).toDouble)
   private val seedRow = Literal(period.toLong + 1L)
+  // ADX thresholds: prefix sums through row q, Wilder rolls after;
+  // DX mean accumulates rows q+1..2q, ADX seeds at row 2q.
+  private val qL = Literal(adxPeriod.toLong)
+  private val qD = Literal(adxPeriod.toDouble)
+  private val qm1D = Literal((adxPeriod - 1).toDouble)
+  private val q1L = Literal(adxPeriod.toLong + 1L)
+  private val q2L = Literal(2L * adxPeriod)
 
   override val updateExpressions: Seq[Expression] = {
     val p = Cast(price, DoubleType)
@@ -135,8 +144,8 @@ case class IndicatorPackWindow(
       Abs(Subtract(l, prevC))))
     def roll(s: Expression, x: Expression): Expression = CaseWhen(Seq(
       (EqualTo(rn1, Literal(1L)), zeroD),
-      (LessThanOrEqual(rn1, Literal(14L)), Add(s, x))),
-      Add(Subtract(s, Divide(s, d(14.0))), x))
+      (LessThanOrEqual(rn1, qL), Add(s, x))),
+      Add(Subtract(s, Divide(s, qD)), x))
     val sTR1 = roll(sTR, tr)
     val sPDM1 = roll(sPDM, pdm)
     val sMDM1 = roll(sMDM, mdm)
@@ -147,12 +156,12 @@ case class IndicatorPackWindow(
     val dx1 = If(EqualTo(Add(pdi1, mdi1), zeroD), zeroD,
       Divide(Multiply(d(100.0), Abs(Subtract(pdi1, mdi1))), Add(pdi1, mdi1)))
     val dxsum1 = If(
-      And(GreaterThanOrEqual(rn1, Literal(15L)), LessThanOrEqual(rn1, Literal(28L))),
+      And(GreaterThanOrEqual(rn1, q1L), LessThanOrEqual(rn1, q2L)),
       Add(dxsum, dx1), dxsum)
     val adxraw1 = CaseWhen(Seq(
-      (LessThan(rn1, Literal(28L)), nullD),
-      (EqualTo(rn1, Literal(28L)), Divide(Add(dxsum, dx1), d(14.0)))),
-      Divide(Add(Multiply(adxraw, d(13.0)), dx1), d(14.0)))
+      (LessThan(rn1, q2L), nullD),
+      (EqualTo(rn1, q2L), Divide(Add(dxsum, dx1), qD))),
+      Divide(Add(Multiply(adxraw, qm1D), dx1), qD))
 
     Seq(rn1, p, gsum1, lsum1, avgg1, avgl1,
       psumAll1, psum14n, emaf1, emas1, sigsum1, sig1,
@@ -175,9 +184,9 @@ case class IndicatorPackWindow(
       If(GreaterThanOrEqual(rn, Literal(34L)),
         Divide(Subtract(Subtract(emaf, emas), sig), d(10.0)), nullD),
       Literal("adx"),
-      If(GreaterThanOrEqual(rn, Literal(28L)), Divide(adxraw, d(100.0)), nullD),
+      If(GreaterThanOrEqual(rn, q2L), Divide(adxraw, d(100.0)), nullD),
       Literal("adx_hist"),
-      If(GreaterThanOrEqual(rn, Literal(15L)),
+      If(GreaterThanOrEqual(rn, q1L),
         Divide(Subtract(pdiOf(sPDM), pdiOf(sMDM)), d(100.0)), nullD)))
 
   override protected def withNewChildrenInternal(

@@ -80,12 +80,20 @@ case class MacdHistWindow(price: Expression) extends MacdAdxBase {
     copy(price = newChildren(0))
 }
 
-/** Shared ADX state (reference indicators.py:459-487): 13-row ±DM/TR
-  * prefix sums, Wilder running sums from row 15, DX mean seed at row 28. */
+/** Shared ADX state (reference indicators.py:459-487), period-threaded
+  * (reference default q = 14): (q-1)-row ±DM/TR prefix sums, Wilder
+  * running sums from row q+1, DX mean seed at row 2q. */
 abstract class AdxWindowBase extends MacdAdxBase {
   def high: Expression
   def low: Expression
   def close: Expression
+  def period: Int
+
+  protected val qL: Literal = Literal(period.toLong)
+  protected val qD: Literal = Literal(period.toDouble)
+  protected val qm1D: Literal = Literal((period - 1).toDouble)
+  protected val q1L: Literal = Literal(period.toLong + 1L)
+  protected val q2L: Literal = Literal(2L * period)
 
   override def children: Seq[Expression] = Seq(high, low, close)
   override def dataType: DataType = DoubleType
@@ -122,8 +130,8 @@ abstract class AdxWindowBase extends MacdAdxBase {
       Abs(Subtract(l, prevC))))
     def roll(s: Expression, x: Expression): Expression = CaseWhen(Seq(
       (EqualTo(rn1, Literal(1L)), zeroD), // first row: no prev, no TR/DM yet
-      (LessThanOrEqual(rn1, Literal(14L)), Add(s, x))),
-      Add(Subtract(s, Divide(s, d(14.0))), x))
+      (LessThanOrEqual(rn1, qL), Add(s, x))),
+      Add(Subtract(s, Divide(s, qD)), x))
     val sTR1 = roll(sTR, tr)
     val sPDM1 = roll(sPDM, pdm)
     val sMDM1 = roll(sMDM, mdm)
@@ -134,33 +142,33 @@ abstract class AdxWindowBase extends MacdAdxBase {
     val dx1 = If(EqualTo(Add(pdi1, mdi1), zeroD), zeroD,
       Divide(Multiply(d(100.0), Abs(Subtract(pdi1, mdi1))), Add(pdi1, mdi1)))
     val dxsum1 = If(
-      And(GreaterThanOrEqual(rn1, Literal(15L)), LessThanOrEqual(rn1, Literal(28L))),
+      And(GreaterThanOrEqual(rn1, q1L), LessThanOrEqual(rn1, q2L)),
       Add(dxsum, dx1), dxsum)
     val adxraw1 = CaseWhen(Seq(
-      (LessThan(rn1, Literal(28L)), nullD),
-      (EqualTo(rn1, Literal(28L)), Divide(Add(dxsum, dx1), d(14.0)))),
-      Divide(Add(Multiply(adxraw, d(13.0)), dx1), d(14.0)))
+      (LessThan(rn1, q2L), nullD),
+      (EqualTo(rn1, q2L), Divide(Add(dxsum, dx1), qD))),
+      Divide(Add(Multiply(adxraw, qm1D), dx1), qD))
     Seq(rn1, h, l, c, sTR1, sPDM1, sMDM1, dxsum1, adxraw1)
   }
 }
 
 /** adx/100 ∈ [0,1]. */
-case class AdxWindow(high: Expression, low: Expression, close: Expression)
-    extends AdxWindowBase {
+case class AdxWindow(high: Expression, low: Expression, close: Expression,
+    period: Int = 14) extends AdxWindowBase {
   override def prettyName: String = "graft_adx_w"
   override val evaluateExpression: Expression =
-    If(GreaterThanOrEqual(rn, Literal(28L)), Divide(adxraw, d(100.0)), nullD)
+    If(GreaterThanOrEqual(rn, q2L), Divide(adxraw, d(100.0)), nullD)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): AdxWindow =
     copy(high = newChildren(0), low = newChildren(1), close = newChildren(2))
 }
 
 /** (+DI − −DI)/100 ∈ [-1,1] (the reference's adx_hist, tuple-swapped). */
-case class AdxHistWindow(high: Expression, low: Expression, close: Expression)
-    extends AdxWindowBase {
+case class AdxHistWindow(high: Expression, low: Expression, close: Expression,
+    period: Int = 14) extends AdxWindowBase {
   override def prettyName: String = "graft_adx_hist_w"
   override val evaluateExpression: Expression =
-    If(GreaterThanOrEqual(rn, Literal(15L)),
+    If(GreaterThanOrEqual(rn, q1L),
       Divide(Subtract(pdiOf(sPDM), pdiOf(sMDM)), d(100.0)), nullD)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): AdxHistWindow =
@@ -168,17 +176,17 @@ case class AdxHistWindow(high: Expression, low: Expression, close: Expression)
 }
 
 /** Both ADX outputs from ONE state evaluation: struct(adx, adx_hist). */
-case class AdxPairWindow(high: Expression, low: Expression, close: Expression)
-    extends AdxWindowBase {
+case class AdxPairWindow(high: Expression, low: Expression, close: Expression,
+    period: Int = 14) extends AdxWindowBase {
   override def dataType: DataType = StructType(Seq(
     StructField("adx", DoubleType), StructField("adx_hist", DoubleType)))
   override def prettyName: String = "graft_adx_pair_w"
   override val evaluateExpression: Expression =
     CreateNamedStruct(Seq(
       Literal("adx"),
-      If(GreaterThanOrEqual(rn, Literal(28L)), Divide(adxraw, d(100.0)), nullD),
+      If(GreaterThanOrEqual(rn, q2L), Divide(adxraw, d(100.0)), nullD),
       Literal("adx_hist"),
-      If(GreaterThanOrEqual(rn, Literal(15L)),
+      If(GreaterThanOrEqual(rn, q1L),
         Divide(Subtract(pdiOf(sPDM), pdiOf(sMDM)), d(100.0)), nullD)))
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): AdxPairWindow =

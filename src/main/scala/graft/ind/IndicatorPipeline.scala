@@ -57,19 +57,20 @@ object IndicatorPipeline {
     // R1-R4 recursive family. Default path: the fused graft_ind_w
     // AggregateWindowFunction over the SAME (ticker, island) window the
     // frame indicators ride — the whole pipeline is ONE hash exchange.
-    // The flatMapGroups scan (cross-checked per round by ind_recursive
-    // vs ind_recursive_window) remains the fallback for configs the
-    // fixed-constant window kernels don't thread (split Wilder periods,
-    // non-14 ADX).
+    // Both the Wilder and ADX periods thread through the kernel; the
+    // flatMapGroups scan (cross-checked per round by ind_recursive vs
+    // ind_recursive_window) remains the fallback for the one config the
+    // shared-state kernel can't express (split rsi/cmo Wilder periods —
+    // which the scan path itself also rejects today).
     val all =
-      if (cfg.rsiPeriod == cfg.cmoPeriod && cfg.adxPeriod == 14) {
+      if (cfg.rsiPeriod == cfg.cmoPeriod) {
         graft.functions.GraftFunctions.register(raw.sparkSession)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("ticker", "island").orderBy(cfg.timeColumn)
         framed
           .withColumn("_x", expr(s"graft_ind_w(${cfg.closeColumn}, " +
             s"${cfg.highColumn}, ${cfg.lowColumn}, ${cfg.closeUnadjColumn}, " +
-            s"${cfg.rsiPeriod})").over(w))
+            s"${cfg.rsiPeriod}, ${cfg.adxPeriod})").over(w))
           .withColumn("rsi", col("_x.rsi"))
           .withColumn("cmo", col("_x.cmo"))
           .withColumn("macd_hist", col("_x.macd_hist"))
@@ -145,23 +146,19 @@ object IndicatorPipeline {
     val framed = FrameIndicators.addAll(filled,
       keys :+ "island", Seq(ts), price = cfg.closeColumn, cfg = cfg)
 
-    // The Wilder pair kernel threads its period; the MACD/ADX window
-    // kernels are fixed-constant (MACDFIX by definition, ADX at the
-    // reference's 14) — reject non-default configs loudly instead of
-    // silently diverging from the scan path, which honors them.
+    // The fused kernel threads both the Wilder and ADX periods
+    // (MACDFIX stays fixed-constant by definition). The one config it
+    // can't express — split rsi/cmo Wilder periods, which share one
+    // state — is rejected loudly, exactly as the scan path rejects it.
     require(cfg.rsiPeriod == cfg.cmoPeriod,
-      "runRange's shared Wilder kernel needs rsiPeriod == cmoPeriod; " +
-        "use run() for split periods")
-    require(cfg.adxPeriod == 14,
-      "runRange's ADX window kernel is fixed at period 14; " +
-        "use run() for non-default adxPeriod")
+      "runRange's shared Wilder kernel needs rsiPeriod == cmoPeriod")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("ticker", "ds", "island").orderBy(ts)
     val p = col(cfg.closeColumn)
     val projected = framed
       .withColumn("_x", expr(s"graft_ind_w(${cfg.closeColumn}, " +
         s"${cfg.highColumn}, ${cfg.lowColumn}, ${cfg.closeUnadjColumn}, " +
-        s"${cfg.rsiPeriod})").over(w))
+        s"${cfg.rsiPeriod}, ${cfg.adxPeriod})").over(w))
       .select(
         col(ts).as("window_start"), p.as("close_price"),
         col("rocp_1"), col("rocp_2"), col("rocp_3"), col("rocp_4"), col("rocp_5"),

@@ -43,6 +43,11 @@ object EtlQueries {
 
   private def r6(c: String) = Rounding.r6(col(c)).as(c)
 
+  /** Synthetic "trading day" length (grid slots) for pipeline_range —
+    * short enough that the gate SFs genuinely span several days
+    * (sf0.01 ≈ 100 slots/ticker → 2-3 days; sf0.1 → ~6). */
+  private val RangeDaySlots = 50L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_sessionize" -> ((s, dir) =>
       sessionized(s, dir).select(col("ticker"), col("ws"), col("island"),
@@ -128,6 +133,45 @@ object EtlQueries {
           Rounding.r6(col("_x.adx_hist")).as("adx_hist"),
           col("sub_ticker").as("ticker"))
         .na.drop()
+    }),
+
+    // IndicatorPipeline.runRange's 100 TB multi-day shape, oracle-gated:
+    // N "trading days" in ONE plan — series identity (ticker, ds), every
+    // stage (sessionize → densify → interpolate → frame + fused
+    // recursive kernel) keyed by (ticker, ds[, island]) so the whole
+    // range rides one hash exchange (PlanSpec pin). Days here slice the
+    // synthetic grid every RangeDaySlots slots (pure integer epoch
+    // math; the calendar-bound variant is test-pinned by PipelineSpec's
+    // runRange ≡ per-day-union). Warm-up rows stay (P4's dropna is
+    // pipeline_full's pin; days are short, and the shape under test is
+    // the multi-day partitioning, not the trim).
+    "pipeline_range" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.GraftFunctions.register(s)
+      val mb = EventBars.minuteBars(s, dir)
+        .withColumn("ds", expr(s"(ws - ${EventBars.GridBaseMicros}L) DIV " +
+          s"${Step * RangeDaySlots}L"))
+      val keys = Seq("ticker", "ds")
+      val sz = Sessionize(mb, keys, "ticker", "ws", Gaps)
+      val dz = Densify(sz.drop("event_id"),
+        keys ++ Seq("island", "sub_ticker"), "ws", Step)
+      val ip = Interpolate(dz, keys :+ "island", "ws", FillCols)
+      val fi = FrameIndicators.addAll(ip, keys :+ "island", Seq("ws"))
+      val w = Window.partitionBy("ticker", "ds", "island").orderBy("ws")
+      fi.withColumn("_x",
+          expr("graft_ind_w(close, high, low, close)").over(w))
+        .select(col("ws").as("window_start"),
+          Rounding.r6(col("close")).as("close_price"),
+          r6("rocp_1"), r6("rocp_2"), r6("rocp_3"), r6("rocp_4"), r6("rocp_5"),
+          Rounding.r6(col("_x.rsi")).as("rsi"),
+          r6("mfi"), r6("ultosc"),
+          Rounding.r6(col("_x.cmo")).as("cmo"),
+          r6("aroonosc"),
+          Rounding.r6(col("_x.macd_hist")).as("macd_hist"),
+          r6("ppo"), r6("sok"), r6("sok_hist"),
+          Rounding.r6(col("_x.adx")).as("adx"),
+          Rounding.r6(col("_x.adx_hist")).as("adx_hist"),
+          col("sub_ticker").as("ticker"), col("ds"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -164,7 +208,34 @@ object EtlQueries {
          |  AND sok_hist IS NOT NULL""".stripMargin,
 
     "pipeline_window" -> pipelineFullOracle,
-    "pipeline_full" -> pipelineFullOracle)
+    "pipeline_full" -> pipelineFullOracle,
+
+    "pipeline_range" -> {
+      val keys = Seq("ticker", "ds")
+      s"""WITH RECURSIVE ${EventBars.sqlMinuteBars},
+         |mbd AS (SELECT *, (ws - ${EventBars.GridBaseMicros})
+         |    // ${Step * RangeDaySlots} AS ds FROM minute_bars),
+         |${Sessionize.sqlStages("mbd", keys, "ticker", "ws", Gaps)},
+         |no_eid AS (SELECT * EXCLUDE (event_id) FROM sz_final),
+         |${Densify.sqlStages("no_eid", keys ++ Seq("island", "sub_ticker"), "ws", Step)},
+         |${Interpolate.sqlStages("dz_final", keys :+ "island", "ws", FillCols)},
+         |${FrameIndicators.sqlStages("ip_final", "ticker, ds, island", "ws")},
+         |${RecursiveIndicators.sqlStages("ip_final", keys :+ "island", Seq("ws"))}
+         |SELECT f.ws AS window_start, (round(f.close, 6) + 0.0) AS close_price,
+         |  (round(f.rocp_1, 6) + 0.0) AS rocp_1, (round(f.rocp_2, 6) + 0.0) AS rocp_2,
+         |  (round(f.rocp_3, 6) + 0.0) AS rocp_3, (round(f.rocp_4, 6) + 0.0) AS rocp_4,
+         |  (round(f.rocp_5, 6) + 0.0) AS rocp_5,
+         |  (round(r.rsi, 6) + 0.0) AS rsi, (round(f.mfi, 6) + 0.0) AS mfi,
+         |  (round(f.ultosc, 6) + 0.0) AS ultosc, (round(r.cmo, 6) + 0.0) AS cmo,
+         |  (round(f.aroonosc, 6) + 0.0) AS aroonosc,
+         |  (round(r.macd_hist, 6) + 0.0) AS macd_hist, (round(f.ppo, 6) + 0.0) AS ppo,
+         |  (round(f.sok, 6) + 0.0) AS sok, (round(f.sok_hist, 6) + 0.0) AS sok_hist,
+         |  (round(r.adx, 6) + 0.0) AS adx, (round(r.adx_hist, 6) + 0.0) AS adx_hist,
+         |  f.sub_ticker AS ticker, f.ds
+         |FROM fi_final f JOIN ri_final r
+         |  ON f.ticker = r.ticker AND f.ds = r.ds AND f.island = r.island
+         |    AND f.ws = r.ws""".stripMargin
+    })
 
   private lazy val pipelineFullOracle: String =
       s"""WITH RECURSIVE $sqlInterp,

@@ -117,6 +117,53 @@ class PipelineSpec extends SparkSpec {
     assert(ranged.nonEmpty)
   }
 
+  test("fused window kernel ≡ scan at non-default periods (wilder=7, adx=10)") {
+    // The graft_ind_w kernel threads BOTH its periods; this pins the
+    // non-default config path runRange used to hard-reject: every one
+    // of the five outputs must match the reference-faithful scan
+    // bit-for-bit at (rsiPeriod=cmoPeriod=7, adxPeriod=10).
+    val cfg = graft.model.IndicatorConfig(
+      rsiPeriod = 7, cmoPeriod = 7, adxPeriod = 10)
+    val n = 80
+    val close = Array.tabulate(n)(i => 100.0 + math.sin(i * 0.7) * 3 + (i % 5))
+    val high = close.map(_ + 1.5)
+    val low = close.map(_ - 1.2)
+    val want = graft.ind.RecursiveIndicators.scan(close, high, low, close, cfg)
+    graft.functions.GraftFunctions.register(spark)
+    val rows = (0 until n).map(i =>
+      Row(i.toLong, close(i), high(i), low(i)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("i", LongType),
+        StructField("c", DoubleType), StructField("h", DoubleType),
+        StructField("l", DoubleType))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(org.apache.spark.sql.functions.lit(1)).orderBy("i")
+    val got = df
+      .withColumn("_x", org.apache.spark.sql.functions
+        .expr("graft_ind_w(c, h, l, c, 7, 10)").over(w))
+      .selectExpr("i", "_x.rsi", "_x.cmo", "_x.macd_hist", "_x.adx", "_x.adx_hist")
+      .collect().sortBy(_.getLong(0))
+    assert(got.length == n)
+    got.foreach { r =>
+      val i = r.getLong(0).toInt
+      (0 until 5).foreach { j =>
+        val exp = want(i)(j)
+        val act = if (r.isNullAt(j + 1)) null else r.getDouble(j + 1)
+        // macd_hist (col 2) carries the kernel's documented deliberate
+        // arithmetic difference — the fast EMA seed is (Σ₂₆ − Σ₁₄)/12,
+        // not a re-sum of rows 15..26 — so it matches to ~1e-12, far
+        // below the 1e-6 rounding both engines apply; the four
+        // period-threaded outputs are bit-identical.
+        val tol = if (j == 2) 1e-9 else 0.0
+        assert((exp == null && act == null) ||
+          (exp != null && act != null &&
+            math.abs(exp.asInstanceOf[Double] - act.asInstanceOf[Double]) <= tol),
+          s"row $i col $j: scan=$exp window=$act")
+      }
+    }
+  }
+
   test("bucketed tables join without any exchange") {
     import org.apache.spark.sql.functions.lit
     val a = rawDay().filter(org.apache.spark.sql.functions.col("ticker").isNotNull)

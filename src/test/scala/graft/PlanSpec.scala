@@ -56,6 +56,15 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(plan("pipeline_window")) == 1)
   }
 
+  test("pipeline_range: the whole multi-day range is ONE hash exchange") {
+    // runRange's 100 TB shape: N trading days in one plan, every stage
+    // keyed by (ticker, ds[, island]) — one exchange feeds
+    // sessionize → densify → interpolate → frame + fused recursive
+    // kernel across the full range. A per-day loop (or a second
+    // exchange per stage) is exactly what this replaces.
+    assert(shuffles(plan("pipeline_range")) == 1)
+  }
+
   test("pipeline_full runs end-to-end on ONE hash exchange") {
     // the recursive family rides the fused AggregateWindowFunction on
     // the same (ticker, island) window as the frame indicators — the
