@@ -174,6 +174,43 @@ object ExtQueries {
     (lexTop, nvec)
   }
 
+  /** ScaleProbe-facing: posting-join candidate mass of the hybrid
+    * lexical side — the (query-token × posting-list) row count the
+    * tok-keyed exchange carries WITH the df·4 ≤ n stopword cut
+    * (measured by running the real join) and WITHOUT it (computed
+    * analytically as Σ_{(q,tok)} df(tok) − |qt| — each query-token row
+    * matches its posting list, one entry of which is the query doc
+    * itself; materializing the flood join at probe scale would be
+    * O(10¹⁰) rows, which is precisely the point). Same toks/tf/df/query
+    * construction as [[hybridLexTop]], with n = doc count so the probe
+    * corpus needs no embeddings table. Returns
+    * (nDocs, qtRows, withCutActual, withCutAnalytic, noCutAnalytic). */
+  private[graft] def hybridLexCandidateMass(s: SparkSession, dir: String)
+      : (Long, Long, Long, Long, Long) = {
+    val dd = docs(s, dir)
+      .select(col("doc_id").cast("long").as("id"), expr(toksSpark).as("toks"))
+      .localCheckpoint()
+    val n = dd.count()
+    val tf = dd.select(col("id"), explode(col("toks")).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("tok").agg(count(lit(1)).as("dfc")).localCheckpoint()
+    val qt = dd.filter(col("id") % 50 === 0)
+      .select(col("id").as("q_id"),
+        explode(array_distinct(col("toks"))).as("tok"))
+    val goodTok = dfT.filter(col("dfc") * 4 <= n)
+    val withCutActual = qt.join(broadcast(goodTok), Seq("tok"))
+      .join(tf, Seq("tok")).filter(col("id") =!= col("q_id")).count()
+    // analytic masses: every (q, tok) row fans to df(tok) postings, one
+    // of which is q itself (tok came from q's own token set)
+    def mass(dfTab: DataFrame): Long = {
+      val r = qt.join(dfTab, Seq("tok"))
+        .agg(sum(col("dfc")).as("s"), count(lit(1)).as("q")).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0) - r.getLong(1)
+    }
+    val qtRows = qt.count()
+    (n, qtRows, withCutActual, mass(goodTok), mass(dfT))
+  }
+
   /** Shared hybrid RRF fuse: full-outer join of the per-query lexical
     * and dense top-20 rank lists, Σ 1/(60 + rank) score, fused top-5.
     * 0 in lex_rank/dense_rank marks "absent from that side's top-20";

@@ -329,6 +329,26 @@ object ScaleProbe {
         f"SUBSTR_SEC=${(System.nanoTime() - tSub) / 1e9}%.2f")
     }
 
+    // Hybrid-retrieval lexical side at reps× docs: the df·4 ≤ n
+    // stopword cut is the claimed flood-token defense — without it
+    // every stopword fans its WHOLE posting list to every query that
+    // contains it. The probe runs the REAL cut posting join (timing +
+    // row count) and computes the uncut mass analytically
+    // (Σ df(tok) over query tokens, minus the self matches —
+    // materializing it would be the accident the cut prevents).
+    // CUT_EXACT_OK pins the analytic formula against the actual join,
+    // so the reported flood ratio is trustworthy.
+    {
+      val tH = System.nanoTime()
+      val (nDocs, qtRows, cutActual, cutAnalytic, noCut) =
+        graft.queries.ExtQueries.hybridLexCandidateMass(spark, "/tmp/scale_docs")
+      println(f"HYBRID_DOCS=$nDocs HYBRID_QTOKS=$qtRows " +
+        f"CAND_CUT=$cutActual CAND_NOCUT=$noCut " +
+        f"CUT_EXACT_OK=${cutActual == cutAnalytic} " +
+        f"FLOOD_RATIO=${noCut.toDouble / math.max(1L, cutActual)}%.1f " +
+        f"HYBRID_SEC=${(System.nanoTime() - tH) / 1e9}%.2f")
+    }
+
     // Distributed SCC peel (driver cutover forced off) on a 1M-node
     // digraph: 25k directed 4-cycles (true SCCs — one outer round) +
     // 1k id-ASCENDING 10-chains (the documented worst case: each

@@ -620,6 +620,59 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming HLL shard-merge is split-invariant and re-delivery idempotent") {
+    // Register-wise max is commutative, associative AND idempotent, so
+    // the final per-group estimate must equal the batch formula over
+    // all rows at once under ANY micro-batch interleaving — and must
+    // not move when a whole batch is blindly re-delivered (the
+    // guarantee CMS counters cannot give).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def h(id: Long): Long = ((id % 1000003L) * 2654435761L) % 1000003L
+    val rng = new java.util.Random(19)
+    val data = (0 until 600).map { i =>
+      val g = if (i % 3 == 0) "A" else "B"
+      (g, h(math.abs(rng.nextLong()) % 5000L)) // repeats guaranteed
+    }
+    // batch reference: same register/rho/estimate formulas over all rows
+    val want = data.groupBy(_._1).map { case (g, rows) =>
+      val regs = rows.groupBy(r => (r._2 % 64L).toInt)
+        .map { case (reg, rs) =>
+          reg -> rs.map(r => graft.streaming.StreamingHll.rhoOf(r._2)).max
+        }
+      g -> ((regs.size, graft.streaming.StreamingHll.estimate(regs)))
+    }
+    def run(name: String, splits: Seq[Seq[(String, Long)]])
+        : Map[String, (Int, Double)] = {
+      val stream = MemoryStream[(String, Long)]
+      val out = graft.streaming.StreamingHll(stream.toDS().toDF("g", "h"))
+      val q = out.writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName(name).start()
+      try {
+        var last = Map.empty[String, (Int, Double)]
+        var prev = 0
+        splits.foreach { b =>
+          stream.addData(b)
+          q.processAllAvailable()
+          val rows = spark.table(name).collect().drop(prev)
+          prev += rows.length
+          last = last ++ rows.map(r =>
+            r.getString(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+        }
+        last
+      } finally q.stop()
+    }
+    val got1 = run("shll1", Seq(data.take(200), data.slice(200, 450),
+      data.drop(450)))
+    val got2 = run("shll2", Seq(data.drop(300), data.take(300)))
+    // re-delivery: the middle batch replays verbatim — estimates frozen
+    val got3 = run("shll3", Seq(data.take(300), data.slice(100, 300),
+      data.drop(300)))
+    assert(got1 == want, s"split1 diverged: $got1 vs $want")
+    assert(got2 == want, "split2 diverged")
+    assert(got3 == want, "re-delivered batch moved a register")
+  }
+
   test("streaming CDC compaction matches batch dedup_latest semantics") {
     // The incremental face of dedup_latest: the same argmax-struct
     // aggregate runs as a streaming Update-mode agg — per-key state is
