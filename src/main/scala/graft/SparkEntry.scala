@@ -39,7 +39,8 @@ object SparkEntry {
     (CandleQueries.queries, CandleQueries.oracles),
     (Corpus2Queries.queries, Corpus2Queries.oracles),
     (Corpus3Queries.queries, Corpus3Queries.oracles),
-    (TokQueries.queries, TokQueries.oracles))
+    (TokQueries.queries, TokQueries.oracles),
+    (ClassifyQueries.queries, ClassifyQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

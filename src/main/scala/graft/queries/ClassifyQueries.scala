@@ -1,0 +1,244 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.TextOps
+import graft.functions.GraftFunctions
+
+/** Counting-based classifier / encoding operators: a multinomial
+  * naive-Bayes text classifier (the train-on-heuristic-labels →
+  * score-the-corpus shape quality and language filters use in
+  * large-scale curation pipelines) and weight-of-evidence categorical
+  * encoding with information value (the classic supervised encoder for
+  * tabular features).
+  *
+  * Scale notes (100 TB design point):
+  *  - NB training is ONE token-count aggregate over the train split —
+  *    the same (tok)-keyed exchange text_wordfreq pays; the class
+  *    totals (Ng, Nb, V, priors) are one-row aggregates broadcast back;
+  *  - scoring joins the held-out side's per-doc term frequencies
+  *    against the log-likelihood-ratio table on tok — a plain hash
+  *    join keyed by token (the posting-join shape), never a broadcast
+  *    of the corpus-sized vocabulary and never doc×doc;
+  *  - WoE is a scan-local projection into a ≤24-group aggregate plus a
+  *    broadcast one-row total — nothing grows with the data.
+  *
+  * Float discipline: the only transcendental is ln() (1-ulp across
+  * engines), always micro-quantized to exact BIGINT units immediately
+  * (the hybridLexTop/BM25 convention) so every cross-partition sum is
+  * integer-exact and order-independent.
+  */
+object ClassifyQueries {
+
+  import TextOps._
+  import Rounding.r6
+
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    s.read.parquet(s"$dir/documents.parquet")
+  }
+
+  /** The heuristic training label: relational-marker count exceeds
+    * scan-marker count (TextOps.LangMarkers — the ONE definition the
+    * langid family shares). Token-derived on purpose: the synthetic
+    * corpus draws every metadata facet (lang, source) from the SAME
+    * unigram distribution, so a metadata label has no token evidence
+    * and any bag-of-words classifier degenerates to the prior —
+    * measured here as 53% accuracy on lang before this label. A rule
+    * the classifier CAN learn is the honest demo of the distill-a-
+    * curation-rule-into-a-classifier shape. */
+  private val RelM = LangMarkers.find(_._1 == "relational").get._2
+  private val ScanM = LangMarkers.find(_._1 == "scan").get._2
+  private def labelSpark =
+    s"${langScoreSpark("toks", RelM)} > ${langScoreSpark("toks", ScanM)}"
+  private def labelDuck =
+    s"${langScoreDuck("toks", RelM)} > ${langScoreDuck("toks", ScanM)}"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Multinomial naive Bayes, trained on the doc_id % 50 != 0 split
+    // with the deterministic heuristic label [[labelSpark]] — the
+    // CCNet/fastText curation shape: cheap rule labels train a
+    // classifier that then scores everything. Laplace-smoothed
+    // per-token log-likelihood ratios llr(tok) =
+    // ln((cg+1)/(Ng+V)) − ln((cb+1)/(Nb+V)) are micro-quantized to
+    // BIGINT at birth, so the per-doc score Σ tf·llr + prior is an
+    // exact integer sum (order-independent). Held-out docs
+    // (doc_id % 50 == 0) score via a tok-keyed hash join; OOV tokens
+    // contribute nothing (standard NB practice) and a doc with no
+    // known tokens keeps the prior alone.
+    "text_nb_quality" -> ((s, dir) => {
+      val dd = docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          expr(toksSpark).as("toks"))
+        .withColumn("is_pos", expr(labelSpark))
+        .localCheckpoint()
+      val train = dd.filter(col("doc_id") % 50 =!= 0)
+      val tf = train.select(col("is_pos"), explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(
+          sum(when(col("is_pos"), 1L).otherwise(0L)).as("cg"),
+          sum(when(!col("is_pos"), 1L).otherwise(0L)).as("cb"))
+      val st = tf.agg(sum(col("cg")).as("ng"), sum(col("cb")).as("nb"),
+        count(lit(1)).as("v"))
+      val pri = train.agg(expr("CAST(round((ln(CAST(" +
+        "sum(CASE WHEN is_pos THEN 1 ELSE 0 END) + 1 AS DOUBLE)) - ln(CAST(" +
+        "sum(CASE WHEN NOT is_pos THEN 1 ELSE 0 END) + 1 AS DOUBLE)))" +
+        " * 1000000.0) AS BIGINT)").as("prior"))
+      val llr = tf.crossJoin(broadcast(st))
+        .select(col("tok"), expr("CAST(round((" +
+          "ln(CAST(cg + 1 AS DOUBLE)) - ln(CAST(ng + v AS DOUBLE)) - " +
+          "ln(CAST(cb + 1 AS DOUBLE)) + ln(CAST(nb + v AS DOUBLE)))" +
+          " * 1000000.0) AS BIGINT)").as("llr"))
+      val held = dd.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), col("is_pos"),
+          expr("CAST(size(toks) AS BIGINT)").as("n_toks"), col("toks"))
+      val dsum = held
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tfq"))
+        .join(llr, Seq("tok"))
+        .groupBy("doc_id").agg(sum(col("tfq") * col("llr")).as("ssum"))
+      held.join(dsum, Seq("doc_id"), "left")
+        .crossJoin(broadcast(pri))
+        .select(col("doc_id"), col("n_toks"),
+          (coalesce(col("ssum"), lit(0L)) + col("prior")).as("score_micro"),
+          (coalesce(col("ssum"), lit(0L)) + col("prior") > 0).as("pred_pos"),
+          col("is_pos"))
+    }),
+
+    // The classifier's measured quality: 2×2 confusion counts of
+    // pred_pos vs the rule label over the held-out split, with the
+    // cell rate — the readout that justifies (or kills) deploying the
+    // filter. Derived from text_nb_quality so the two can never drift.
+    "text_nb_confusion" -> ((s, dir) => {
+      val scored = queries("text_nb_quality")(s, dir)
+      val tot = scored.agg(count(lit(1)).as("n_held"))
+      scored.groupBy("pred_pos", "is_pos").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .select(col("pred_pos"), col("is_pos"), col("n"),
+          r6(col("n").cast("double") / col("n_held").cast("double"))
+            .as("rate"))
+    }),
+
+    // Weight-of-evidence encoding of hour-of-day against the purchase
+    // event, with the per-bucket information-value term: woe(h) =
+    // ln(((pos_h+0.5)/(P+12)) / ((neg_h+0.5)/(N+12))) (0.5 smoothing ×
+    // 24 buckets), iv_term = (pos_h/P − neg_h/N)·woe. Counts are exact
+    // longs; woe is micro-quantized once and both reported doubles
+    // derive from the same integers in the same expression order.
+    "feat_woe" -> ((s, dir) => {
+      val hh = EventBars.events(s, dir)
+        .select(expr("(t DIV 3600000000) % 24").as("hr"),
+          (col("event_type") <=> "purchase").as("pos"))
+        .groupBy("hr").agg(
+          sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+          sum(when(!col("pos"), 1L).otherwise(0L)).as("n_neg"))
+      val tot = hh.agg(sum(col("n_pos")).as("tp"), sum(col("n_neg")).as("tn"),
+        count(lit(1)).as("nh"))
+      hh.crossJoin(broadcast(tot))
+        .filter(col("nh") > 0)
+        .withColumn("woe_micro", expr("CAST(round((" +
+          "ln((CAST(n_pos AS DOUBLE) + 0.5) / " +
+          "(CAST(tp AS DOUBLE) + 0.5 * CAST(nh AS DOUBLE))) - " +
+          "ln((CAST(n_neg AS DOUBLE) + 0.5) / " +
+          "(CAST(tn AS DOUBLE) + 0.5 * CAST(nh AS DOUBLE))))" +
+          " * 1000000.0) AS BIGINT)"))
+        .select(col("hr"), col("n_pos"), col("n_neg"),
+          r6(col("woe_micro").cast("double") / lit(1000000.0)).as("woe"),
+          r6((col("n_pos").cast("double") / col("tp").cast("double")
+            - col("n_neg").cast("double") / col("tn").cast("double"))
+            * (col("woe_micro").cast("double") / lit(1000000.0)))
+            .as("iv_term"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+
+    "text_nb_quality" ->
+      s"""WITH dt AS (SELECT doc_id::BIGINT AS doc_id,
+         |    $toksDuck AS toks FROM documents),
+         |dl AS (SELECT *, $labelDuck AS is_pos FROM dt),
+         |tr AS (SELECT * FROM dl WHERE doc_id % 50 <> 0),
+         |tf AS (SELECT tok,
+         |    sum(CASE WHEN is_pos THEN 1 ELSE 0 END)::BIGINT AS cg,
+         |    sum(CASE WHEN NOT is_pos THEN 1 ELSE 0 END)::BIGINT AS cb
+         |  FROM (SELECT is_pos, unnest(toks) AS tok FROM tr) GROUP BY tok),
+         |st AS (SELECT sum(cg)::BIGINT AS ng, sum(cb)::BIGINT AS nb,
+         |    count(*)::BIGINT AS v FROM tf),
+         |pri AS (SELECT CAST(round((ln((
+         |    sum(CASE WHEN is_pos THEN 1 ELSE 0 END) + 1)::DOUBLE) - ln((
+         |    sum(CASE WHEN NOT is_pos THEN 1 ELSE 0 END) + 1)::DOUBLE))
+         |    * 1000000.0) AS BIGINT) AS prior FROM tr),
+         |llr AS (SELECT tok, CAST(round((
+         |    ln((cg + 1)::DOUBLE) - ln((ng + v)::DOUBLE) -
+         |    ln((cb + 1)::DOUBLE) + ln((nb + v)::DOUBLE))
+         |    * 1000000.0) AS BIGINT) AS llr FROM tf CROSS JOIN st),
+         |held AS (SELECT doc_id, is_pos, len(toks)::BIGINT AS n_toks, toks
+         |  FROM dl WHERE doc_id % 50 = 0),
+         |htf AS (SELECT doc_id, tok, count(*)::BIGINT AS tfq
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM held)
+         |  GROUP BY doc_id, tok),
+         |dsum AS (SELECT doc_id, sum(tfq * llr)::BIGINT AS ssum
+         |  FROM htf JOIN llr USING (tok) GROUP BY doc_id)
+         |SELECT h.doc_id, h.n_toks,
+         |  (coalesce(d.ssum, 0) + (SELECT prior FROM pri))::BIGINT
+         |    AS score_micro,
+         |  (coalesce(d.ssum, 0) + (SELECT prior FROM pri)) > 0 AS pred_pos,
+         |  h.is_pos
+         |FROM held h LEFT JOIN dsum d USING (doc_id)""".stripMargin,
+
+    "text_nb_confusion" ->
+      s"""WITH dt AS (SELECT doc_id::BIGINT AS doc_id,
+         |    $toksDuck AS toks FROM documents),
+         |dl AS (SELECT *, $labelDuck AS is_pos FROM dt),
+         |tr AS (SELECT * FROM dl WHERE doc_id % 50 <> 0),
+         |tf AS (SELECT tok,
+         |    sum(CASE WHEN is_pos THEN 1 ELSE 0 END)::BIGINT AS cg,
+         |    sum(CASE WHEN NOT is_pos THEN 1 ELSE 0 END)::BIGINT AS cb
+         |  FROM (SELECT is_pos, unnest(toks) AS tok FROM tr) GROUP BY tok),
+         |st AS (SELECT sum(cg)::BIGINT AS ng, sum(cb)::BIGINT AS nb,
+         |    count(*)::BIGINT AS v FROM tf),
+         |pri AS (SELECT CAST(round((ln((
+         |    sum(CASE WHEN is_pos THEN 1 ELSE 0 END) + 1)::DOUBLE) - ln((
+         |    sum(CASE WHEN NOT is_pos THEN 1 ELSE 0 END) + 1)::DOUBLE))
+         |    * 1000000.0) AS BIGINT) AS prior FROM tr),
+         |llr AS (SELECT tok, CAST(round((
+         |    ln((cg + 1)::DOUBLE) - ln((ng + v)::DOUBLE) -
+         |    ln((cb + 1)::DOUBLE) + ln((nb + v)::DOUBLE))
+         |    * 1000000.0) AS BIGINT) AS llr FROM tf CROSS JOIN st),
+         |held AS (SELECT doc_id, is_pos FROM dl WHERE doc_id % 50 = 0),
+         |htf AS (SELECT doc_id, tok, count(*)::BIGINT AS tfq
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM dt
+         |        WHERE doc_id % 50 = 0)
+         |  GROUP BY doc_id, tok),
+         |dsum AS (SELECT doc_id, sum(tfq * llr)::BIGINT AS ssum
+         |  FROM htf JOIN llr USING (tok) GROUP BY doc_id),
+         |scored AS (SELECT h.is_pos,
+         |    (coalesce(d.ssum, 0) + (SELECT prior FROM pri)) > 0 AS pred_pos
+         |  FROM held h LEFT JOIN dsum d USING (doc_id)),
+         |tot AS (SELECT count(*)::BIGINT AS n_held FROM scored)
+         |SELECT pred_pos, is_pos, count(*)::BIGINT AS n,
+         |  (round(count(*)::DOUBLE / (SELECT n_held FROM tot)::DOUBLE, 6)
+         |    + 0.0) AS rate
+         |FROM scored GROUP BY pred_pos, is_pos""".stripMargin,
+
+    "feat_woe" ->
+      s"""WITH ev AS (SELECT (epoch_us(ts) // 3600000000) % 24 AS hr,
+         |    (event_type IS NOT DISTINCT FROM 'purchase') AS pos
+         |  FROM events),
+         |hh AS (SELECT hr,
+         |    sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+         |    sum(CASE WHEN NOT pos THEN 1 ELSE 0 END)::BIGINT AS n_neg
+         |  FROM ev GROUP BY hr),
+         |tot AS (SELECT sum(n_pos)::BIGINT AS tp, sum(n_neg)::BIGINT AS tn,
+         |    count(*)::BIGINT AS nh FROM hh),
+         |w AS (SELECT hr, n_pos, n_neg, CAST(round((
+         |    ln((n_pos::DOUBLE + 0.5) / (tp::DOUBLE + 0.5 * nh::DOUBLE)) -
+         |    ln((n_neg::DOUBLE + 0.5) / (tn::DOUBLE + 0.5 * nh::DOUBLE)))
+         |    * 1000000.0) AS BIGINT) AS woe_micro, tp, tn
+         |  FROM hh CROSS JOIN tot WHERE nh > 0)
+         |SELECT hr, n_pos, n_neg,
+         |  (round(woe_micro::DOUBLE / 1000000.0, 6) + 0.0) AS woe,
+         |  (round((n_pos::DOUBLE / tp::DOUBLE - n_neg::DOUBLE / tn::DOUBLE)
+         |    * (woe_micro::DOUBLE / 1000000.0), 6) + 0.0) AS iv_term
+         |FROM w""".stripMargin)
+}
