@@ -39,6 +39,60 @@ object ClassifyQueries {
     s.read.parquet(s"$dir/documents.parquet")
   }
 
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    s.read.parquet(s"$dir/embeddings.parquet")
+  }
+
+  /** One MMD² readout between the g=true/false halves of a labeled
+    * vector frame eg(g BOOLEAN, v ARRAY<DOUBLE>) under the degree-2
+    * polynomial kernel
+    * k(x,y) = (x·y + 1)², LINEARIZED through its explicit feature map:
+    * mean-embedding moments E[xxᵀ] (2080 upper-triangle cells) and
+    * E[x] (64 cells) per group, then
+    * MMD² = Σ w·ΔM² + 2·Σ Δm² (w = 1 diagonal, 2 off-diagonal; the c²
+    * terms cancel). One scan, one (g,i,j)-keyed aggregate of
+    * micro-quantized products (map-side combinable), a 2144-row join —
+    * never the O(n²) pairwise kernel sum a naive two-sample test pays.
+    * Linear moments ride the same exchange as pseudo-pairs (i, 0). */
+  private def mmdOf(eg: DataFrame, splitName: String): DataFrame = {
+    val mom = eg.select(col("g"), explode(expr(
+      "concat(" +
+        "transform(sequence(1, 64), i -> " +
+        "  struct(i AS i, 0 AS j, element_at(v, i) AS p)), " +
+        "flatten(transform(sequence(1, 64), i -> " +
+        "  transform(sequence(i, 64), j -> " +
+        "    struct(i AS i, j AS j, element_at(v, i) * element_at(v, j)" +
+        "      AS p)))))")).as("e"))
+      .select(col("g"), col("e.i").as("i"), col("e.j").as("j"),
+        col("e.p").as("p"))
+      .groupBy("g", "i", "j")
+      .agg(sum(expr("CAST(round(p * 1000000.0) AS BIGINT)")).as("sp"))
+    val nrow = eg.agg(
+      sum(when(col("g"), 1L).otherwise(0L)).as("na"),
+      sum(when(!col("g"), 1L).otherwise(0L)).as("nb"))
+    val a = mom.filter(col("g")).select(col("i"), col("j"),
+      col("sp").as("sa"))
+    val b = mom.filter(!col("g")).select(col("i"), col("j"),
+      col("sp").as("sb"))
+    val terms = a.join(b, Seq("i", "j"))
+      .crossJoin(broadcast(nrow))
+      .withColumn("d", expr("CAST(sa AS DOUBLE) / 1000000.0 / " +
+        "CAST(na AS DOUBLE) - CAST(sb AS DOUBLE) / 1000000.0 / " +
+        "CAST(nb AS DOUBLE)"))
+      .select(expr("CAST(round((CASE WHEN j = 0 THEN 2.0 " +
+        "WHEN i = j THEN 1.0 ELSE 2.0 END) * d * d * 1000000000000.0)" +
+        " AS BIGINT)").as("q"))
+    terms.agg(sum(col("q")).as("sq"))
+      // empty-in → empty-out: sq is NULL iff a group (or the table)
+      // is empty, where a two-sample statistic is undefined
+      .filter(col("sq").isNotNull)
+      .crossJoin(broadcast(nrow))
+      .select(lit(splitName).as("split"), col("na").as("n_a"),
+        col("nb").as("n_b"),
+        r6(col("sq").cast("double") / lit(1e12)).as("mmd2"))
+  }
+
   /** The heuristic training label: relational-marker count exceeds
     * scan-marker count (TextOps.LangMarkers — the ONE definition the
     * langid family shares). Token-derived on purpose: the synthetic
@@ -149,9 +203,71 @@ object ClassifyQueries {
             - col("n_neg").cast("double") / col("tn").cast("double"))
             * (col("woe_micro").cast("double") / lit(1000000.0)))
             .as("iv_term"))
+    }),
+
+    // Two-sample distribution-shift test on the embedding corpus: MMD²
+    // under the degree-2 polynomial kernel via [[mmdOf]], reported as
+    // a CALIBRATION PAIR — a null split (vec_id parity: same
+    // distribution, the statistic's noise floor) next to an injected
+    // mean shift (+0.25 on coordinate 1: a known positive, well above
+    // the floor). A drift monitor deploys exactly this way: alert when
+    // a new shard's MMD² against the corpus leaves the null band. The
+    // metadata labels are NOT used as the positive on purpose — this
+    // corpus' labels are near-noise in embedding space (measured mean
+    // separation ≈ the parity split's), so they'd demo a non-detection.
+    "emb_mmd_poly" -> ((s, dir) => {
+      val e = emb(s, dir).localCheckpoint()
+      val vd = "CAST(embedding AS ARRAY<DOUBLE>)"
+      val nullEg = e.select(expr("vec_id % 2 = 0").as("g"),
+        expr(vd).as("v"))
+      val shiftEg = e.select(lit(true).as("g"), expr(vd).as("v"))
+        .unionByName(e.select(lit(false).as("g"),
+          expr(s"concat(array(CAST(element_at(embedding, 1) AS DOUBLE)" +
+            s" + 0.25D), slice($vd, 2, 63))").as("v")))
+      mmdOf(nullEg, "shard_parity")
+        .unionByName(mmdOf(shiftEg, "inject_mean_shift"))
     }))
 
+  /** One split's oracle block (mirrors [[mmdOf]] 1:1); `egSql` must
+    * produce eg(g BOOLEAN, v DOUBLE[]). */
+  private def mmdDuck(splitName: String, egSql: String): String =
+    s"""(WITH eg AS ($egSql),
+       |px AS (SELECT g, i, 0 AS j, v[i] AS p
+       |  FROM eg, range(1, 65) r(i)),
+       |pq AS (SELECT g, i, j, v[i] * v[j] AS p
+       |  FROM eg, range(1, 65) r1(i), range(1, 65) r2(j) WHERE j >= i),
+       |mom AS (SELECT g, i, j,
+       |    sum(CAST(round(p * 1000000.0) AS BIGINT))::BIGINT AS sp
+       |  FROM (SELECT * FROM px UNION ALL SELECT * FROM pq)
+       |  GROUP BY g, i, j),
+       |cnt AS (SELECT sum(CASE WHEN g THEN 1 ELSE 0 END)::BIGINT AS na,
+       |    sum(CASE WHEN NOT g THEN 1 ELSE 0 END)::BIGINT AS nb FROM eg),
+       |t AS (SELECT a.i AS i, a.j AS j,
+       |    (a.sp::DOUBLE / 1000000.0 / na::DOUBLE
+       |      - b.sp::DOUBLE / 1000000.0 / nb::DOUBLE) AS d
+       |  FROM mom a JOIN mom b ON a.i = b.i AND a.j = b.j AND a.g AND NOT b.g
+       |  CROSS JOIN cnt),
+       |q AS (SELECT CAST(round((CASE WHEN j = 0 THEN 2.0
+       |    WHEN i = j THEN 1.0 ELSE 2.0 END)
+       |    * d * d * 1000000000000.0) AS BIGINT) AS q FROM t),
+       |s AS (SELECT sum(q)::BIGINT AS sq FROM q)
+       |SELECT '$splitName' AS split, na AS n_a, nb AS n_b,
+       |  (round(sq::DOUBLE / 1000000000000.0, 6) + 0.0) AS mmd2
+       |FROM s CROSS JOIN cnt WHERE sq IS NOT NULL)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+
+    "emb_mmd_poly" ->
+      (mmdDuck("shard_parity",
+        "SELECT (vec_id % 2 = 0) AS g, " +
+          "list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings") +
+        "\nUNION ALL\n" +
+        mmdDuck("inject_mean_shift",
+          "SELECT true AS g, list_transform(embedding, x -> x::DOUBLE) AS v" +
+            " FROM embeddings UNION ALL " +
+            "SELECT false AS g, list_prepend(v0[1] + 0.25, v0[2:]) AS v" +
+            " FROM (SELECT list_transform(embedding, x -> x::DOUBLE) AS v0" +
+            " FROM embeddings)")),
 
     "text_nb_quality" ->
       s"""WITH dt AS (SELECT doc_id::BIGINT AS doc_id,

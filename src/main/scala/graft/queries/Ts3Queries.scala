@@ -152,11 +152,79 @@ object Ts3Queries {
           r6(when(col("rn") >= 28,
             try_divide(col("rsi") - col("minr"), col("maxr") - col("minr"))
               * lit(100.0))).as("stochrsi"))
+    }),
+
+    // 4-level Haar wavelet decomposition of the close series: per
+    // (ticker, level) the detail-coefficient count and energy —
+    // multi-resolution volatility (which timescale carries the
+    // variance), the spectral cousin of ts_seasonality/ts_stl.
+    // Level k pairs consecutive samples of level k−1's approximation:
+    // d = (x₂ᵢ − x₂ᵢ₊₁)/2, a = (x₂ᵢ + x₂ᵢ₊₁)/2; a trailing unpaired
+    // sample is dropped (standard dyadic truncation). Pair averages /
+    // halved differences are exact IEEE; d² is micro-quantized per row
+    // so the energy sum is an exact long (order-independent). All four
+    // levels ride hash(ticker) exchanges only — each level shrinks the
+    // data 2×, localCheckpointed so the union of the four per-level
+    // aggregates doesn't recompute the lineage prefix per branch.
+    "ts_wavelet_haar" -> ((s, dir) => {
+      var cur = EventBars.bars(s, dir)
+        .withColumn("rn", row_number().over(w).cast("long") - 1)
+        .select(col("ticker"), col("rn"), col("close").as("x"))
+      val levels = (1 to 4).map { lvl =>
+        val wl = Window.partitionBy("ticker").orderBy("rn")
+        val paired = cur
+          .withColumn("nxt", lead(col("x"), 1).over(wl))
+          .filter(col("rn") % 2 === 0 && col("nxt").isNotNull)
+          .withColumn("d", (col("x") - col("nxt")) / lit(2.0))
+          .withColumn("a", (col("x") + col("nxt")) / lit(2.0))
+          .localCheckpoint()
+        val e = paired.groupBy("ticker").agg(
+          count(lit(1)).as("n_pairs"),
+          sum(expr("CAST(round(d * d * 1000000.0) AS BIGINT)"))
+            .as("em"))
+          .withColumn("level", lit(lvl.toLong))
+        cur = paired.select(col("ticker"), expr("rn DIV 2").as("rn"),
+          col("a").as("x"))
+        e
+      }
+      levels.reduce(_ unionByName _)
+        .select(col("ticker"), col("level"), col("n_pairs"),
+          r6(col("em").cast("double") / lit(1000000.0)).as("energy"))
     }))
 
   private def bars = EventBars.sqlBars
 
+  /** ts_wavelet_haar oracle: the four pair/detail/energy levels
+    * unrolled (mirrors the Spark loop 1:1 — same truncation, same
+    * per-row micro-quantization of d²). */
+  private val haarDuck: String = {
+    val lvls = (1 to 4).map { k =>
+      val src = if (k == 1) "l0" else s"d${k - 1}"
+      val xc = if (k == 1) "x" else "a"
+      s"""p$k AS (SELECT ticker, rn, $xc AS x,
+         |  lead($xc, 1) OVER (PARTITION BY ticker ORDER BY rn) AS nxt
+         |  FROM $src),
+         |d$k AS (SELECT ticker, rn // 2 AS rn, (x - nxt) / 2.0 AS d,
+         |  (x + nxt) / 2.0 AS a FROM p$k
+         |  WHERE rn % 2 = 0 AND nxt IS NOT NULL),
+         |e$k AS (SELECT ticker, $k::BIGINT AS level,
+         |  count(*)::BIGINT AS n_pairs,
+         |  sum(CAST(round(d * d * 1000000.0) AS BIGINT))::BIGINT AS em
+         |  FROM d$k GROUP BY ticker)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH bars AS ($bars),
+       |l0 AS (SELECT ticker, row_number() OVER ($Over) - 1 AS rn,
+       |  close AS x FROM bars),
+       |$lvls
+       |SELECT ticker, level, n_pairs,
+       |  (round(em::DOUBLE / 1000000.0, 6) + 0.0) AS energy
+       |FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+       |      UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+
+    "ts_wavelet_haar" -> haarDuck,
 
     "ind_natr" ->
       s"""WITH RECURSIVE bars AS ($bars),

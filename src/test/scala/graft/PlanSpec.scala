@@ -973,4 +973,29 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CodegenFallback"), q)
     }
   }
+
+  test("NB classifier: equi-joins only, class totals broadcast") {
+    // The 100 TB shape: train counts and held-out scoring are tok/doc
+    // keyed equi-joins (SortMergeJoin on those keys is the RIGHT
+    // big-big plan — not banned); the one-row stats (Ng, Nb, V, prior)
+    // ride BroadcastExchange scalar mirrors (BuildRight Cross BNLJ of
+    // a one-row aggregate — the repo's sanctioned shape). Any OTHER
+    // nested loop or a cartesian means a real relation crept into a
+    // non-equi position.
+    val p = plan("text_nb_quality")
+    val mirrors =
+      "BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(p).length
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == mirrors, p)
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastExchange"))
+  }
+
+  test("feat_woe: one 24-bucket exchange, totals broadcast back") {
+    // hour histogram = one hash exchange of 24 integer-count rows; the
+    // (tp, tn, nh) totals are a one-row aggregate broadcast onto them.
+    val p = plan("feat_woe")
+    assert(shuffles(p) <= 2, p)
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("SortMergeJoin"))
+  }
 }
