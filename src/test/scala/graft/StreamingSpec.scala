@@ -673,6 +673,56 @@ class StreamingSpec extends SparkSpec {
     assert(got3 == want, "re-delivered batch moved a register")
   }
 
+  test("streaming MMD drift monitor is split-invariant and detects a shift") {
+    // Moment sums are commutative/associative longs: after all rows
+    // arrive, every group's MMD² against the static reference must
+    // equal the same formula over all rows at once, under any
+    // micro-batch interleaving — and the group fed a +0.25 mean shift
+    // must sit well above the same-distribution group's floor.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingMmd
+    val dim = 8
+    def vec(seed: Int, shift: Double): Array[Double] =
+      Array.tabulate(dim)(k =>
+        math.sin(seed * 0.37 + k * 1.13) * 0.5 + (if (k == 0) shift else 0.0))
+    val ref = StreamingMmd.momentsOf((0 until 300).map(vec(_, 0.0)))
+    val data = (300 until 500).map(i => ("null_g", vec(i, 0.0))) ++
+      (300 until 500).map(i => ("shift_g", vec(i, 0.25)))
+    val want = data.groupBy(_._1).map { case (g, rows) =>
+      val m = StreamingMmd.momentsOf(rows.map(_._2))
+      g -> StreamingMmd.mmd2(m.sums, m.n, ref.sums, ref.n)
+    }
+    def run(name: String, splits: Seq[Seq[(String, Array[Double])]])
+        : Map[String, Double] = {
+      val stream = MemoryStream[(String, Array[Double])]
+      val out = StreamingMmd(stream.toDS().toDF("g", "v"), ref)
+      val q = out.writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName(name).start()
+      try {
+        var last = Map.empty[String, Double]
+        var prev = 0
+        splits.foreach { b =>
+          stream.addData(b)
+          q.processAllAvailable()
+          val rows = spark.table(name).collect().drop(prev)
+          prev += rows.length
+          last = last ++ rows.map(r => r.getString(0) -> r.getDouble(2)).toMap
+        }
+        last
+      } finally q.stop()
+    }
+    val shuffled = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(23)).shuffle(data)
+    val got1 = run("smmd1", Seq(shuffled.take(130),
+      shuffled.slice(130, 290), shuffled.drop(290)))
+    val got2 = run("smmd2", Seq(data.drop(250), data.take(250)))
+    assert(got1 == want, s"split1 diverged: $got1 vs $want")
+    assert(got2 == want, "split2 diverged")
+    assert(got1("shift_g") > 4.0 * got1("null_g"),
+      s"shift not detected: ${got1("shift_g")} vs floor ${got1("null_g")}")
+  }
+
   test("streaming CDC compaction matches batch dedup_latest semantics") {
     // The incremental face of dedup_latest: the same argmax-struct
     // aggregate runs as a streaming Update-mode agg — per-key state is
