@@ -413,6 +413,23 @@ object ScaleQueries {
         .select(col("id").as("doc_id"), Rounding.r6(col("rank")).as("rank"))
     }),
 
+    // Personalized PageRank over the same near-dup graph — TrustRank /
+    // seed-expansion for data selection: rank every doc by random-walk
+    // proximity to a curated seed set (here the deterministic ~1%
+    // doc_id % 97 slice). Docs unreachable from the seeds hold exactly
+    // 0 (no uniform teleport), so the score doubles as a reachability
+    // certificate. Same fixed-round / no-dangling conventions and
+    // exchange-aligned per-round shape as graph_pagerank.
+    "graph_ppr" -> ((s, dir) => {
+      val edges = ExtQueries.minhashPairs(s, dir)
+        .filter(ExtQueries.jaccardExpr >= 0.8)
+        .select(col("a").as("src"), col("b").as("dst"))
+      val nodes = docs(s, dir).select(col("doc_id").cast("long").as("id"))
+      val seeds = nodes.filter(col("id") % 97 === 0)
+      PageRank.personalized(nodes, edges, seeds, iters = 5, d = 0.85)
+        .select(col("id").as("doc_id"), Rounding.r6(col("rank")).as("rank"))
+    }),
+
     // HyperLogLog distinct sketch (m=64 registers, deterministic Knuth
     // hash): register = h mod 64, rho = leading-zero rank of h div 64
     // in a 24-bit space via the binary-string length both engines
@@ -1219,6 +1236,32 @@ object ScaleQueries {
          |r0 AS (SELECT id, 1.0/(SELECT n FROM cnt) AS r FROM nd),
          |$iters
          |SELECT id AS doc_id, (round(r, 6) + 0.0) AS rank FROM r5""".stripMargin
+    },
+
+    "graph_ppr" -> {
+      val iters = (1 to 5).map { k =>
+        s"""r$k AS (SELECT act.id,
+           |    (1.0 - 0.85) * act.sb + 0.85 * coalesce(s.c, 0.0) AS r,
+           |    act.sb
+           |  FROM act LEFT JOIN (SELECT e.b AS id, sum(r${k - 1}.r / dg.deg) AS c
+           |    FROM e JOIN r${k - 1} ON e.a = r${k - 1}.id
+           |    JOIN dg ON dg.src = e.a GROUP BY 1) s USING (id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${ExtQueries.lshPairsDuck},
+         |e AS (SELECT a, b FROM pr UNION ALL SELECT b, a FROM pr),
+         |dg AS (SELECT a AS src, count(*)::DOUBLE AS deg FROM e GROUP BY 1),
+         |nd AS (SELECT doc_id::BIGINT AS id FROM documents),
+         |sd AS (SELECT id FROM nd WHERE id % 97 = 0),
+         |scnt AS (SELECT count(*)::DOUBLE AS ns FROM sd),
+         |ep AS (SELECT DISTINCT a AS id FROM e),
+         |act AS (SELECT coalesce(ep.id, sd.id) AS id,
+         |    CASE WHEN sd.id IS NOT NULL
+         |      THEN 1.0 / (SELECT ns FROM scnt) ELSE 0.0 END AS sb
+         |  FROM ep FULL OUTER JOIN sd ON ep.id = sd.id),
+         |r0 AS (SELECT id, sb AS r, sb FROM act),
+         |$iters
+         |SELECT nd.id AS doc_id, (round(coalesce(r5.r, 0.0), 6) + 0.0) AS rank
+         |FROM nd LEFT JOIN r5 USING (id)""".stripMargin
     },
 
     "sketch_hll" ->
