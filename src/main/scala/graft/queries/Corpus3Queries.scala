@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ext.TextOps
@@ -303,6 +304,45 @@ object Corpus3Queries {
             "CASE WHEN coalesce(array_contains(rm, p), false) THEN NULL " +
             "ELSE element_at(toks, p) END), x -> x IS NOT NULL), ' ') END")
             .as("clean_text"))
+    }),
+
+    // Content-defined chunking (the FastCDC shape at token
+    // granularity): a chunk boundary falls AFTER any token whose hash
+    // ≡ 0 (mod 8) — boundaries move with CONTENT, not position, so an
+    // insertion redraws only the chunk it lands in, where the
+    // fixed-stride text_chunk redraws every later chunk (the property
+    // that makes CDC the standard for storage/corpus dedup of long,
+    // lightly-edited documents). Chunk identity = ordered base-31 fold
+    // of its token hashes; the cross-corpus chunk-dedup readout
+    // reports each doc's chunk count and duplicated chunk/token mass.
+    // Scale shape: one posexplode, ONE hash(doc_id) window exchange
+    // (docs are bounded length — this is not an unpartitioned window),
+    // the chunk-key table shuffles (doc_id, chunk, 2 longs) — never
+    // text; copies is a key-keyed count joined back by key.
+    "text_cdc_chunks" -> ((s, dir) => {
+      val tok = docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          posexplode(expr(whS)).as(Seq("pos", "h")))
+      val wd = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val keys = tok
+        .withColumn("b", when(col("h") % 8 === 0, 1L).otherwise(0L))
+        .withColumn("chunk", coalesce(sum(col("b")).over(wd), lit(0L)))
+        .groupBy("doc_id", "chunk")
+        .agg(count(lit(1)).as("n_toks"),
+          expr("aggregate(transform(array_sort(collect_list(struct(pos, h)))," +
+            s" x -> x.h), CAST(7 AS BIGINT), (a, b) -> (a*31 + b) % $P)")
+            .as("ck"))
+        .localCheckpoint()
+      val copies = keys.groupBy("ck").agg(count(lit(1)).as("n_copies"))
+      keys.join(copies, Seq("ck"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_chunks"),
+          sum(col("n_toks")).as("n_toks"),
+          sum(when(col("n_copies") > 1, 1L).otherwise(0L))
+            .as("n_dup_chunks"),
+          sum(when(col("n_copies") > 1, col("n_toks")).otherwise(0L))
+            .as("dup_toks"))
     }))
 
 
@@ -316,6 +356,29 @@ object Corpus3Queries {
        |  FROM occ GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    "text_cdc_chunks" ->
+      s"""WITH dh AS (SELECT doc_id::BIGINT AS doc_id,
+         |    ${wordHashesDuck(toksDuck)} AS wh FROM documents),
+         |tk AS (SELECT doc_id, unnest(wh) AS h,
+         |    generate_subscripts(wh, 1) AS pos FROM dh),
+         |cb AS (SELECT doc_id, pos, h,
+         |    coalesce(sum(CASE WHEN h % 8 = 0 THEN 1 ELSE 0 END) OVER
+         |      (PARTITION BY doc_id ORDER BY pos
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS chunk FROM tk),
+         |ks AS (SELECT doc_id, chunk, count(*)::BIGINT AS n_toks,
+         |    list_reduce(list_prepend(7::BIGINT, list(h ORDER BY pos)),
+         |      (a, b) -> (a*31 + b) % $P) AS ck
+         |  FROM cb GROUP BY doc_id, chunk),
+         |cp AS (SELECT ck, count(*)::BIGINT AS n_copies FROM ks GROUP BY ck)
+         |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+         |  sum(n_toks)::BIGINT AS n_toks,
+         |  sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_dup_chunks,
+         |  sum(CASE WHEN n_copies > 1 THEN n_toks ELSE 0 END)::BIGINT
+         |    AS dup_toks
+         |FROM ks JOIN cp USING (ck) GROUP BY doc_id""".stripMargin,
 
     "tok_coverage_curve" ->
       s"""WITH tk AS (SELECT unnest($toksDuck) AS tok FROM documents),
