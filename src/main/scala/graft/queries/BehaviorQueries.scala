@@ -285,6 +285,44 @@ object BehaviorQueries {
             " - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))")).as("rho2"))
     }),
 
+    // Difference-in-differences readout — the panel cousin of
+    // ab_cuped: per-user PRE/POST cent-sums (same fixed 2024-01-16
+    // split), arms by user parity, user-level cell means, and
+    // DiD = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre)
+    // — the parallel-trends estimate of the treatment effect when
+    // assignment isn't randomized per event. Everything crossing a
+    // shuffle is an exact cent-long; the four means and the DiD are
+    // one fixed-order double expression over six broadcast scalars.
+    "behav_did" -> ((s, dir) => {
+      val Tm = 1705363200000000L // 2024-01-16T00:00:00Z pre/post split
+      val u = ev(s, dir)
+        .filter(col("user_id").isNotNull)
+        .withColumn("c", expr("CAST(round(value * 100) AS BIGINT)"))
+        .groupBy("user_id")
+        .agg(sum(when(col("t") < Tm, col("c")).otherwise(lit(0L))).as("x"),
+          sum(when(col("t") >= Tm, col("c")).otherwise(lit(0L))).as("y"))
+      def mean(sc: String, n: String) =
+        s"CASE WHEN $n = 0 THEN NULL ELSE " +
+          s"(CAST($sc AS DOUBLE)/100.0)/CAST($n AS DOUBLE) END"
+      u.agg(
+        sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n_treat"),
+        sum(when(col("user_id") % 2 =!= 0, 1L).otherwise(0L)).as("n_ctrl"),
+        sum(when(col("user_id") % 2 === 0, col("x")).otherwise(0L)).as("stx"),
+        sum(when(col("user_id") % 2 === 0, col("y")).otherwise(0L)).as("sty"),
+        sum(when(col("user_id") % 2 =!= 0, col("x")).otherwise(0L)).as("scx"),
+        sum(when(col("user_id") % 2 =!= 0, col("y")).otherwise(0L)).as("scy"))
+        // empty-in → empty-out (repo convention for global aggregates)
+        .filter(col("n_treat") + col("n_ctrl") > 0)
+        .withColumn("mtp", expr(mean("stx", "n_treat")))
+        .withColumn("mtq", expr(mean("sty", "n_treat")))
+        .withColumn("mcp", expr(mean("scx", "n_ctrl")))
+        .withColumn("mcq", expr(mean("scy", "n_ctrl")))
+        .select(col("n_treat"), col("n_ctrl"),
+          r6(col("mtp")).as("treat_pre"), r6(col("mtq")).as("treat_post"),
+          r6(col("mcp")).as("ctrl_pre"), r6(col("mcq")).as("ctrl_post"),
+          r6(col("mtq") - col("mtp") - (col("mcq") - col("mcp"))).as("did"))
+    }),
+
     "ab_ttest" -> ((s, dir) => {
       val e = ev(s, dir)
         .withColumn("arm", (col("user_id") % 2).cast("int"))
@@ -763,6 +801,41 @@ object BehaviorQueries {
          |  FROM rt x JOIN rt y ON y.dur <= x.dur GROUP BY 1, 2, 3, 4)
          |SELECT dur, n_risk, d_churn, c_censored,
          |  (round(km0 * 1000000.0) / 1000000.0 + 0.0) AS km FROM km""".stripMargin,
+
+    "behav_did" ->
+      s"""WITH $evDuck,
+         |c AS (SELECT user_id, t, CAST(round(value * 100) AS BIGINT) AS c
+         |  FROM ev WHERE user_id IS NOT NULL),
+         |u AS (SELECT user_id,
+         |    sum(CASE WHEN t < 1705363200000000 THEN c ELSE 0 END)::BIGINT AS x,
+         |    sum(CASE WHEN t >= 1705363200000000 THEN c ELSE 0 END)::BIGINT AS y
+         |  FROM c GROUP BY 1),
+         |g AS (SELECT
+         |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_treat,
+         |    sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_ctrl,
+         |    sum(CASE WHEN user_id % 2 = 0 THEN x ELSE 0 END)::BIGINT AS stx,
+         |    sum(CASE WHEN user_id % 2 = 0 THEN y ELSE 0 END)::BIGINT AS sty,
+         |    sum(CASE WHEN user_id % 2 <> 0 THEN x ELSE 0 END)::BIGINT AS scx,
+         |    sum(CASE WHEN user_id % 2 <> 0 THEN y ELSE 0 END)::BIGINT AS scy
+         |  FROM u),
+         |m AS (SELECT *,
+         |    CASE WHEN n_treat = 0 THEN NULL ELSE
+         |      (CAST(stx AS DOUBLE)/100.0)/CAST(n_treat AS DOUBLE) END AS mtp,
+         |    CASE WHEN n_treat = 0 THEN NULL ELSE
+         |      (CAST(sty AS DOUBLE)/100.0)/CAST(n_treat AS DOUBLE) END AS mtq,
+         |    CASE WHEN n_ctrl = 0 THEN NULL ELSE
+         |      (CAST(scx AS DOUBLE)/100.0)/CAST(n_ctrl AS DOUBLE) END AS mcp,
+         |    CASE WHEN n_ctrl = 0 THEN NULL ELSE
+         |      (CAST(scy AS DOUBLE)/100.0)/CAST(n_ctrl AS DOUBLE) END AS mcq
+         |  FROM g WHERE n_treat + n_ctrl > 0)
+         |SELECT n_treat, n_ctrl,
+         |  (round(mtp * 1000000.0) / 1000000.0 + 0.0) AS treat_pre,
+         |  (round(mtq * 1000000.0) / 1000000.0 + 0.0) AS treat_post,
+         |  (round(mcp * 1000000.0) / 1000000.0 + 0.0) AS ctrl_pre,
+         |  (round(mcq * 1000000.0) / 1000000.0 + 0.0) AS ctrl_post,
+         |  (round((mtq - mtp - (mcq - mcp)) * 1000000.0) / 1000000.0 + 0.0)
+         |    AS did
+         |FROM m""".stripMargin,
 
     "ab_cuped" ->
       s"""WITH $evDuck,
