@@ -346,6 +346,69 @@ object Ts2Queries {
             " - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))))")).as("corr"))
     }),
 
+    // Pairs-trading screen vs the reference ticker (min ticker id):
+    // per-ticker hedge ratio β = OLS of daily close LEVELS on the
+    // reference's (exact cent-integer comoments, one double division),
+    // then the spread sₜ = Pₐ − β·P_ref rounded to integer cents and
+    // its diagnostics — spread vol and the lag-1 autocorrelation ρ₁
+    // (the mean-reversion screen: ρ₁ ≪ 1 = tradeable pair). Every
+    // cross-partition sum is an exact long; the BIGINT variance terms
+    // n·Σx² − (Σx)² are exactly ≥ 0, so zero-variance guards compare
+    // integers, not doubles. Scale: one daily rollup exchange, the
+    // reference series broadcast, two aligned ticker exchanges.
+    "ts_pairs_spread" -> ((s, dir) => {
+      val dc = EventBars.bars(s, dir)
+        .withColumn("day", expr("t div 86400000000"))
+        .withColumn("c", expr("CAST(round(close * 100) AS BIGINT)"))
+        .groupBy("ticker", "day")
+        .agg(max(struct(col("t"), col("event_id"), col("c"))).as("lc"))
+        .select(col("ticker"), col("day"), col("lc.c").as("c"))
+        .localCheckpoint()
+      val ref = dc.agg(min(col("ticker")).as("rt"))
+      val dr = dc.crossJoin(broadcast(ref))
+        .filter(col("ticker") === col("rt"))
+        .select(col("day"), col("c").as("cr"))
+      val pj = dc.crossJoin(broadcast(ref))
+        .filter(col("ticker") =!= col("rt"))
+        .join(broadcast(dr), Seq("day"))
+        .select(col("ticker"), col("day"), col("c").as("ca"), col("cr"))
+        .localCheckpoint()
+      val bt = pj.groupBy("ticker")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("ca")).as("sx"), sum(col("cr")).as("sy"),
+          sum(col("ca") * col("cr")).as("sxy"),
+          sum(col("cr") * col("cr")).as("syy"))
+        .filter(col("n_days") >= 3)
+        .withColumn("dn",
+          expr("n_days * syy - sy * sy"))
+        .withColumn("beta", expr("CASE WHEN dn = 0 THEN NULL ELSE " +
+          "CAST(n_days * sxy - sx * sy AS DOUBLE) / CAST(dn AS DOUBLE) END"))
+        .select(col("ticker"), col("n_days"), col("beta"))
+      val wt2 = Window.partitionBy("ticker").orderBy("day")
+      pj.join(bt, Seq("ticker"))
+        .withColumn("sm", expr("CAST(round(CAST(ca AS DOUBLE) " +
+          "- beta * CAST(cr AS DOUBLE)) AS BIGINT)"))
+        .withColumn("sl", lag(col("sm"), 1).over(wt2))
+        .groupBy("ticker", "n_days", "beta")
+        .agg(sum(col("sm")).as("vs"), sum(col("sm") * col("sm")).as("vss"),
+          count(col("sl")).as("n2"),
+          sum(when(col("sl").isNotNull, col("sm")).otherwise(0L)).as("ps"),
+          sum(when(col("sl").isNotNull, col("sl")).otherwise(0L)).as("pl"),
+          sum(col("sm") * col("sl")).as("psl"),
+          sum(when(col("sl").isNotNull, col("sm") * col("sm"))
+            .otherwise(0L)).as("pss"),
+          sum(col("sl") * col("sl")).as("pll"))
+        .withColumn("da", expr("n2 * pss - ps * ps"))
+        .withColumn("db", expr("n2 * pll - pl * pl"))
+        .select(col("ticker"), col("n_days"), r6(col("beta")).as("beta"),
+          r6(expr("sqrt(CAST(n_days * vss - vs * vs AS DOUBLE)) " +
+            "/ CAST(n_days AS DOUBLE) / 100.0")).as("spread_vol"),
+          r6(expr("CASE WHEN da = 0 OR db = 0 THEN NULL ELSE " +
+            "CAST(n2 * psl - ps * pl AS DOUBLE) " +
+            "/ (sqrt(CAST(da AS DOUBLE)) * sqrt(CAST(db AS DOUBLE))) END"))
+            .as("rho1"))
+    }),
+
     // Ichimoku cloud (9/26/52): every line is frame max/min arithmetic
     // or a pure shift on the ONE ticker exchange — the leading spans
     // displace 26 bars forward (lag of the gated midpoints), the
@@ -1373,6 +1436,56 @@ object Ts2Queries {
            |   * 1000000.0) / 1000000.0 + 0.0) AS kc_up,
            |  (round((CASE WHEN rn >= 20 THEN mid - 2.0 * rng END)
            |   * 1000000.0) / 1000000.0 + 0.0) AS kc_dn
+           |FROM g""".stripMargin,
+
+      "ts_pairs_spread" ->
+        s"""WITH bars AS (${EventBars.sqlBars}),
+           |db AS (SELECT ticker, t // 86400000000 AS day, t, event_id,
+           |    CAST(round(close * 100) AS BIGINT) AS c FROM bars),
+           |dc AS (SELECT ticker, day, last(c ORDER BY t, event_id) AS c
+           |  FROM db GROUP BY 1, 2),
+           |rf AS (SELECT min(ticker) AS rt FROM dc),
+           |dr AS (SELECT day, c AS cr FROM dc
+           |  WHERE ticker = (SELECT rt FROM rf)),
+           |pj AS (SELECT a.ticker, a.day, a.c AS ca, dr.cr
+           |  FROM dc a JOIN dr USING (day)
+           |  WHERE a.ticker <> (SELECT rt FROM rf)),
+           |bt AS (SELECT ticker, count(*)::BIGINT AS n_days,
+           |    sum(ca)::BIGINT AS sx, sum(cr)::BIGINT AS sy,
+           |    sum(ca*cr)::BIGINT AS sxy, sum(cr*cr)::BIGINT AS syy
+           |  FROM pj GROUP BY 1),
+           |b2 AS (SELECT ticker, n_days,
+           |    CASE WHEN n_days * syy - sy * sy = 0 THEN NULL ELSE
+           |      CAST(n_days * sxy - sx * sy AS DOUBLE)
+           |      / CAST(n_days * syy - sy * sy AS DOUBLE) END AS beta
+           |  FROM bt WHERE n_days >= 3),
+           |s1 AS (SELECT p.ticker, p.day, b2.n_days, b2.beta,
+           |    CAST(round(CAST(p.ca AS DOUBLE)
+           |      - b2.beta * CAST(p.cr AS DOUBLE)) AS BIGINT) AS sm
+           |  FROM pj p JOIN b2 USING (ticker)),
+           |s2 AS (SELECT *, lag(sm) OVER (PARTITION BY ticker ORDER BY day)
+           |    AS sl FROM s1),
+           |g AS (SELECT ticker, n_days, beta,
+           |    sum(sm)::BIGINT AS vs, sum(sm*sm)::BIGINT AS vss,
+           |    count(sl)::BIGINT AS n2,
+           |    sum(CASE WHEN sl IS NOT NULL THEN sm ELSE 0 END)::BIGINT AS ps,
+           |    sum(CASE WHEN sl IS NOT NULL THEN sl ELSE 0 END)::BIGINT AS pl,
+           |    sum(sm*sl)::BIGINT AS psl,
+           |    sum(CASE WHEN sl IS NOT NULL THEN sm*sm ELSE 0 END)::BIGINT
+           |      AS pss,
+           |    sum(sl*sl)::BIGINT AS pll
+           |  FROM s2 GROUP BY 1, 2, 3)
+           |SELECT ticker, n_days,
+           |  (round(beta * 1000000.0) / 1000000.0 + 0.0) AS beta,
+           |  (round((sqrt(CAST(n_days * vss - vs * vs AS DOUBLE))
+           |    / CAST(n_days AS DOUBLE) / 100.0) * 1000000.0) / 1000000.0
+           |    + 0.0) AS spread_vol,
+           |  (round((CASE WHEN n2 * pss - ps * ps = 0
+           |      OR n2 * pll - pl * pl = 0 THEN NULL ELSE
+           |    CAST(n2 * psl - ps * pl AS DOUBLE)
+           |    / (sqrt(CAST(n2 * pss - ps * ps AS DOUBLE))
+           |       * sqrt(CAST(n2 * pll - pl * pl AS DOUBLE))) END)
+           |   * 1000000.0) / 1000000.0 + 0.0) AS rho1
            |FROM g""".stripMargin,
 
       "ts_beta" ->
