@@ -329,6 +329,24 @@ object ScaleProbe {
         f"SUBSTR_SEC=${(System.nanoTime() - tSub) / 1e9}%.2f")
     }
 
+    // Content-defined chunking at reps× docs: the chunk-key dedup is
+    // one (doc, chunk)-keyed fold + one key-keyed count — shuffles
+    // carry ids and longs only. Replicas share every chunk, so dup
+    // chunk mass should approach 1 at high reps (each chunk occurs
+    // reps× plus intra-corpus repeats).
+    {
+      val tC = System.nanoTime()
+      val cdc = graft.SparkEntry.queries("text_cdc_chunks")(
+        spark, "/tmp/scale_docs")
+        .agg(sum(col("n_chunks")).as("nc"), sum(col("n_dup_chunks")).as("nd"),
+          sum(col("n_toks")).as("nt"), sum(col("dup_toks")).as("dt"))
+        .collect()(0)
+      println(f"CDC_CHUNKS=${cdc.getLong(0)} " +
+        f"CDC_DUP_FRAC=${cdc.getLong(1).toDouble / cdc.getLong(0)}%.3f " +
+        f"CDC_DUPTOK_FRAC=${cdc.getLong(3).toDouble / cdc.getLong(2)}%.3f " +
+        f"CDC_SEC=${(System.nanoTime() - tC) / 1e9}%.2f")
+    }
+
     // Hybrid-retrieval lexical side at reps× docs: the df·4 ≤ n
     // stopword cut is the claimed flood-token defense — without it
     // every stopword fans its WHOLE posting list to every query that
