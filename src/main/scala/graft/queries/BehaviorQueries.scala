@@ -426,6 +426,36 @@ object BehaviorQueries {
         .filter(col("n_edges") > 0) // empty-in → empty-out
     }),
 
+    // Per-node LOCAL clustering coefficient — the node-level face of
+    // graph_triangles' global census: lcc(v) = 2·tri(v)/(deg(v)·(deg−1))
+    // flags near-dup docs whose neighborhoods are cliques (template
+    // families) vs hubs bridging unrelated dup groups (boilerplate).
+    // Per-node triangle counts explode the same single wedge-close
+    // join's three corners; everything keys on node ids.
+    "graph_local_cc" -> ((s, dir) => {
+      val ed = edges(s, dir).localCheckpoint()
+      val triN = ed.as("e1")
+        .join(ed.as("e2"), col("e1.b") === col("e2.a"))
+        .join(ed.as("e3"),
+          col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+        .select(explode(array(col("e1.a"), col("e1.b"), col("e2.b")))
+          .as("id"))
+        .groupBy("id").agg(count(lit(1)).as("n_tri"))
+      val deg = ed.select(explode(array(col("a"), col("b"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long").as("id"))
+        .join(deg, Seq("id"), "left")
+        .join(triN, Seq("id"), "left")
+        .select(col("id").as("doc_id"),
+          coalesce(col("deg"), lit(0L)).as("degree"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          r6(expr("CASE WHEN coalesce(deg, 0) >= 2 THEN " +
+            "2.0 * CAST(coalesce(n_tri, 0) AS DOUBLE) " +
+            "/ (CAST(deg AS DOUBLE) * CAST(deg - 1 AS DOUBLE)) END"))
+            .as("lcc"))
+    }),
+
     // Per-user lifetime summary (the LTV rollup): first/last touch via
     // argmin/argmax structs, purchase totals as exact cents, tenure
     // from the exact epoch extremes — ONE exchange, every aggregate a
@@ -964,6 +994,27 @@ object BehaviorQueries {
          |  CASE WHEN n_wedges > 0
          |    THEN (3.0 * n_triangles) / n_wedges END AS clustering
          |FROM ne, tr, wg WHERE n_edges > 0""".stripMargin,
+
+    "graph_local_cc" ->
+      s"""WITH ${ExtQueries.lshPairsDuck},
+         |t3 AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM pr e1 JOIN pr e2 ON e1.b = e2.a
+         |  JOIN pr e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |tn AS (SELECT id, count(*)::BIGINT AS n_tri FROM (
+         |    SELECT x AS id FROM t3 UNION ALL SELECT y FROM t3
+         |    UNION ALL SELECT z FROM t3) GROUP BY id),
+         |dg AS (SELECT id, count(*)::BIGINT AS d FROM (
+         |    SELECT a AS id FROM pr UNION ALL SELECT b FROM pr)
+         |  GROUP BY id),
+         |al AS (SELECT doc_id::BIGINT AS id FROM documents)
+         |SELECT al.id AS doc_id, coalesce(dg.d, 0)::BIGINT AS degree,
+         |  coalesce(tn.n_tri, 0)::BIGINT AS n_tri,
+         |  (round((CASE WHEN coalesce(dg.d, 0) >= 2 THEN
+         |    2.0 * coalesce(tn.n_tri, 0)::DOUBLE
+         |    / (dg.d::DOUBLE * (dg.d - 1)::DOUBLE) END) * 1000000.0)
+         |   / 1000000.0 + 0.0) AS lcc
+         |FROM al LEFT JOIN dg ON al.id = dg.id
+         |LEFT JOIN tn ON al.id = tn.id""".stripMargin,
 
     "behav_cohort_ltv" ->
       s"""WITH $evDuck,
