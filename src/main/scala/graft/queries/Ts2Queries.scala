@@ -409,6 +409,61 @@ object Ts2Queries {
             .as("rho1"))
     }),
 
+    // Dynamic-time-warping distance of every ticker's daily-close
+    // series to the reference ticker's (min id) — the elastic
+    // similarity screen fixed-lag correlation can't give (it matches
+    // shifted/stretched shapes). Sakoe-Chiba band w = 3 bounds the DP
+    // to O(L·w) useful cells; the whole DP runs as a NESTED
+    // SEQUENTIAL FOLD inside one projection (outer fold over rows i,
+    // accumulator = previous DP row; inner fold over columns j,
+    // accumulator = the row built so far) — both engines execute the
+    // identical fold order, so the doubles match bit-for-bit with no
+    // quantization needed. Scale shape: one daily rollup exchange, one
+    // per-ticker sorted-array fold (≤ ~31 entries), the reference
+    // array a broadcast literal-sized join; the DP itself is
+    // scan-local per ticker.
+    "ts_dtw_ref" -> ((s, dir) => {
+      val dc = EventBars.bars(s, dir)
+        .withColumn("day", expr("t div 86400000000"))
+        .withColumn("c", expr("CAST(round(close * 100) AS BIGINT)"))
+        .groupBy("ticker", "day")
+        .agg(max(struct(col("t"), col("event_id"), col("c"))).as("lc"))
+        .select(col("ticker"), col("day"), col("lc.c").as("c"))
+        .localCheckpoint()
+      val arr = dc.groupBy("ticker")
+        .agg(expr("transform(array_sort(collect_list(struct(day, c))), " +
+          "s -> s.c)").as("xs"))
+        .localCheckpoint()
+      val ref = arr.crossJoin(broadcast(
+          dc.agg(min(col("ticker")).as("rt"))))
+        .filter(col("ticker") === col("rt"))
+        .select(col("xs").as("ys"))
+      // inner fold: one DP row given prev row P (i = 1 has no P)
+      def rowF(p: String, i: String): String =
+        s"aggregate(sequence(1, size(ys)), CAST(array() AS ARRAY<DOUBLE>), " +
+          s"(acc, j) -> concat(acc, array(" +
+          s"CASE WHEN abs($i - j) > w THEN CAST('Infinity' AS DOUBLE) ELSE " +
+          s"abs(CAST(element_at(xs, $i) - element_at(ys, j) AS DOUBLE)) + " +
+          s"CASE WHEN $i = 1 AND j = 1 THEN 0.0D " +
+          s"WHEN $i = 1 THEN element_at(acc, j - 1) " +
+          s"WHEN j = 1 THEN element_at($p, j) " +
+          s"ELSE least(element_at($p, j), element_at($p, j - 1), " +
+          s"element_at(acc, j - 1)) END END)))"
+      arr.crossJoin(broadcast(ref))
+        .filter(expr("size(xs) >= 5 AND size(ys) >= 5"))
+        // the band must cover the length mismatch or the DP corner is
+        // unreachable (Infinity) — standard Sakoe-Chiba adaptation
+        .withColumn("w", expr("greatest(3, abs(size(xs) - size(ys)) + 1)"))
+        .withColumn("row1", expr(rowF("CAST(NULL AS ARRAY<DOUBLE>)", "1")))
+        .withColumn("dp", expr(
+          // Spark sequence(2, 1) DESCENDS instead of emptying — guard
+          "IF(size(xs) >= 2, aggregate(sequence(2, size(xs)), row1, " +
+            s"(P, i) -> ${rowF("P", "i")}), row1)"))
+        .select(col("ticker"),
+          expr("CAST(size(xs) AS BIGINT)").as("n_days"),
+          r6(expr("element_at(dp, size(ys)) / 100.0")).as("dtw"))
+    }),
+
     // Ichimoku cloud (9/26/52): every line is frame max/min arithmetic
     // or a pure shift on the ONE ticker exchange — the leading spans
     // displace 26 bars forward (lag of the gated midpoints), the
@@ -1437,6 +1492,52 @@ object Ts2Queries {
            |  (round((CASE WHEN rn >= 20 THEN mid - 2.0 * rng END)
            |   * 1000000.0) / 1000000.0 + 0.0) AS kc_dn
            |FROM g""".stripMargin,
+
+      "ts_dtw_ref" -> {
+        // One DP row as a DuckDB fold: list_reduce's accumulator must
+        // share the element type (the BPE-oracle lesson), so the row
+        // (DOUBLE[]) folds over [j]-singleton DOUBLE[] elements with
+        // the empty row prepended as init. `xi`/`pRow` splice the
+        // outer row index and previous-row reference in.
+        def rowD(xi: String, pInit: String, pStep: String): String =
+          s"""list_reduce(
+             |  list_prepend([]::DOUBLE[], list_transform(
+             |    generate_series(1, len(ys)), j -> [j::DOUBLE])),
+             |  (acc, x) -> acc || [
+             |    CASE WHEN abs($xi - x[1]::INT) > w
+             |      THEN 'Infinity'::DOUBLE ELSE
+             |      abs((xs[$xi] - ys[x[1]::INT])::DOUBLE) +
+             |      CASE WHEN x[1]::INT = 1 THEN $pInit
+             |        ELSE $pStep END
+             |    END])""".stripMargin
+        val row1 = rowD("1", "0.0", "acc[x[1]::INT - 1]")
+        val rowI = rowD("e[1]::INT", "P[1]",
+          "least(P[x[1]::INT], P[x[1]::INT - 1], acc[x[1]::INT - 1])")
+        s"""WITH bars AS (${EventBars.sqlBars}),
+           |db AS (SELECT ticker, t // 86400000000 AS day, t, event_id,
+           |    CAST(round(close * 100) AS BIGINT) AS c FROM bars),
+           |dc AS (SELECT ticker, day, last(c ORDER BY t, event_id) AS c
+           |  FROM db GROUP BY 1, 2),
+           |ar AS (SELECT ticker, list(c ORDER BY day) AS xs
+           |  FROM dc GROUP BY 1),
+           |rf AS (SELECT min(ticker) AS rt FROM dc),
+           |ry AS (SELECT xs AS ys FROM ar
+           |  WHERE ticker = (SELECT rt FROM rf)),
+           |base AS (SELECT a.ticker, a.xs, ry.ys,
+           |    greatest(3, abs(len(a.xs) - len(ry.ys)) + 1) AS w
+           |  FROM ar a CROSS JOIN ry
+           |  WHERE len(a.xs) >= 5 AND len(ry.ys) >= 5),
+           |dp AS (SELECT ticker, len(xs)::BIGINT AS n_days,
+           |    list_reduce(
+           |      list_prepend($row1,
+           |        list_transform(generate_series(2, len(xs)),
+           |          i -> [i::DOUBLE])),
+           |      (P, e) -> $rowI)[len(ys)] AS d
+           |  FROM base)
+           |SELECT ticker, n_days,
+           |  (round((d / 100.0) * 1000000.0) / 1000000.0 + 0.0) AS dtw
+           |FROM dp""".stripMargin
+      },
 
       "ts_pairs_spread" ->
         s"""WITH bars AS (${EventBars.sqlBars}),
