@@ -226,6 +226,89 @@ object ClassifyQueries {
             s" + 0.25D), slice($vd, 2, 63))").as("v")))
       mmdOf(nullEg, "shard_parity")
         .unionByName(mmdOf(shiftEg, "inject_mean_shift"))
+    }),
+
+    // Entropic optimal-transport dataset distance (OTDD-lite): the two
+    // vec_id-parity halves reduce to per-label centroids (the
+    // micro-quantized integer-mean kernel emb_kmeans/ivfKmeansIndex
+    // use), the 10×10 squared-L2 cost matrix folds per cell in dim
+    // order, and 5 Sinkhorn iterations at ε = 0.5·mean(C) run as a
+    // NESTED SEQUENTIAL FOLD over one assembled row (the ts_dtw_ref
+    // pattern: u ++ v rides the fold accumulator; identical fold order
+    // on both engines ⇒ bit-matched doubles; the one libm exp() is
+    // nano-quantized at birth). The scale story: n vectors collapse to
+    // L·d exact integer moments in ONE map-side-combinable aggregate —
+    // dataset similarity for mixture weighting/curricula at any corpus
+    // size, never an n×n coupling.
+    "emb_otdd_sinkhorn" -> ((s, dir) => {
+      val e = emb(s, dir).localCheckpoint()
+      val dsv = e.select((col("vec_id") % 2 === 0).as("dsa"), col("label"),
+        posexplode(expr("CAST(embedding AS ARRAY<DOUBLE>)"))
+          .as(Seq("dim", "x")))
+      val cent = dsv.groupBy("dsa", "label", "dim")
+        .agg(sum(expr("CAST(round(x * 1000000.0) AS BIGINT)")).as("sx"),
+          count(lit(1)).as("n"))
+        .withColumn("m", expr("CAST(CAST(round(CAST(sx AS DOUBLE) " +
+          "/ CAST(n AS DOUBLE)) AS BIGINT) AS DOUBLE) / 1000000.0"))
+        .groupBy("dsa", "label")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, m))), " +
+          "s -> s.m)").as("v"))
+        .localCheckpoint()
+      val cost = cent.filter(col("dsa"))
+        .select(col("label").as("a"), col("v").as("va"))
+        .crossJoin(cent.filter(!col("dsa"))
+          .select(col("label").as("b"), col("v").as("vb")))
+        .withColumn("c", expr("aggregate(transform(sequence(1, size(va)), " +
+          "k -> (element_at(va, k) - element_at(vb, k)) " +
+          "* (element_at(va, k) - element_at(vb, k))), 0.0D, " +
+          "(s1, z) -> s1 + z)"))
+      val wn = e.select((col("vec_id") % 2 === 0).as("dsa"), col("label"))
+        .groupBy("dsa", "label").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val waR = wn.filter(col("dsa")).agg(expr(
+        "transform(array_sort(collect_list(struct(label, n))), " +
+          "s -> CAST(s.n AS DOUBLE))").as("nas"))
+      val wbR = wn.filter(!col("dsa")).agg(expr(
+        "transform(array_sort(collect_list(struct(label, n))), " +
+          "s -> CAST(s.n AS DOUBLE))").as("nbs"))
+      // u-update text (from the accumulator's v half) — inlined twice
+      // below (Spark HOF lambdas have no let-binding), so the v-update
+      // recomputes it exactly like the oracle does
+      val uNew = "transform(sequence(1, size(nas)), a1 -> " +
+        "element_at(was, a1) / aggregate(transform(sequence(1, size(nbs)), " +
+        "b1 -> element_at(ks, (a1 - 1) * size(nbs) + b1) " +
+        "* element_at(acc, size(nas) + b1)), 0.0D, (s2, z) -> s2 + z))"
+      val uNew3 = uNew.replace("a1", "a3").replace("b1", "b3")
+        .replace("s2", "s3")
+      val vNew = "transform(sequence(1, size(nbs)), b2 -> " +
+        "element_at(wbs, b2) / aggregate(transform(sequence(1, size(nas)), " +
+        s"a2 -> element_at(ks, (a2 - 1) * size(nbs) + b2) " +
+        s"* element_at($uNew3, a2)), 0.0D, (s4, z) -> s4 + z))"
+      cost.agg(expr("transform(array_sort(collect_list(struct(a, b, c))), " +
+          "s -> s.c)").as("cs"))
+        .crossJoin(broadcast(waR)).crossJoin(broadcast(wbR))
+        .filter(expr("size(cs) = size(nas) * size(nbs) AND size(cs) > 0"))
+        .withColumn("sna", expr("aggregate(nas, 0.0D, (s1, z) -> s1 + z)"))
+        .withColumn("snb", expr("aggregate(nbs, 0.0D, (s1, z) -> s1 + z)"))
+        .withColumn("eps", expr("0.5 * aggregate(cs, 0.0D, " +
+          "(s1, z) -> s1 + z) / CAST(size(cs) AS DOUBLE)"))
+        .filter(col("eps") > 0.0)
+        .withColumn("was", expr("transform(nas, x -> x / sna)"))
+        .withColumn("wbs", expr("transform(nbs, x -> x / snb)"))
+        .withColumn("ks", expr("transform(cs, c -> CAST(CAST(round(" +
+          "exp(-c / eps) * 1000000000.0) AS BIGINT) AS DOUBLE) " +
+          "/ 1000000000.0)"))
+        .withColumn("uv", expr("aggregate(sequence(1, 5), " +
+          "concat(transform(nas, x -> 1.0D), transform(nbs, x -> 1.0D)), " +
+          s"(acc, k) -> concat($uNew, $vNew))"))
+        .withColumn("otdd", expr("aggregate(transform(sequence(1, size(cs)), " +
+          "i -> element_at(uv, CAST((i - 1) DIV size(nbs) + 1 AS INT)) " +
+          "* element_at(ks, i) " +
+          "* element_at(uv, CAST(size(nas) + pmod(i - 1, size(nbs)) + 1 " +
+          "AS INT)) * element_at(cs, i)), 0.0D, (s5, z) -> s5 + z)"))
+        .select(expr("CAST(sna AS BIGINT)").as("n_a"),
+          expr("CAST(snb AS BIGINT)").as("n_b"),
+          r6(col("eps")).as("eps"), r6(col("otdd")).as("otdd"))
     }))
 
   /** One split's oracle block (mirrors [[mmdOf]] 1:1); `egSql` must
@@ -256,6 +339,82 @@ object ClassifyQueries {
        |FROM s CROSS JOIN cnt WHERE sq IS NOT NULL)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    "emb_otdd_sinkhorn" ->
+      s"""WITH dsv AS (SELECT (vec_id % 2 = 0) AS dsa, label,
+         |    generate_subscripts(embedding, 1) AS dim,
+         |    unnest(embedding)::DOUBLE AS x
+         |  FROM embeddings),
+         |cm AS (SELECT dsa, label, dim,
+         |    sum(CAST(round(x * 1000000.0) AS BIGINT))::BIGINT AS sx,
+         |    count(*)::BIGINT AS n
+         |  FROM dsv GROUP BY 1, 2, 3),
+         |ct AS (SELECT dsa, label,
+         |    list(CAST(round(sx::DOUBLE / n::DOUBLE) AS BIGINT)::DOUBLE
+         |         / 1000000.0 ORDER BY dim) AS v
+         |  FROM cm GROUP BY 1, 2),
+         |cost AS (SELECT ca.label AS a, cb.label AS b,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+         |      generate_series(1, len(ca.v)),
+         |      k -> (ca.v[k] - cb.v[k]) * (ca.v[k] - cb.v[k]))),
+         |      (s1, z) -> s1 + z) AS c
+         |  FROM ct ca JOIN ct cb ON ca.dsa AND NOT cb.dsa),
+         |wn AS (SELECT dsa, label, count(*)::BIGINT AS n FROM
+         |    (SELECT (vec_id % 2 = 0) AS dsa, label FROM embeddings)
+         |  GROUP BY 1, 2),
+         |wa AS (SELECT list(n::DOUBLE ORDER BY label) AS nas
+         |  FROM wn WHERE dsa),
+         |wb AS (SELECT list(n::DOUBLE ORDER BY label) AS nbs
+         |  FROM wn WHERE NOT dsa),
+         |cr AS (SELECT list(c ORDER BY a, b) AS cs FROM cost),
+         |base AS (SELECT cs, nas, nbs,
+         |    list_reduce(list_prepend(0.0::DOUBLE, nas),
+         |      (s1, z) -> s1 + z) AS sna,
+         |    list_reduce(list_prepend(0.0::DOUBLE, nbs),
+         |      (s1, z) -> s1 + z) AS snb,
+         |    0.5 * list_reduce(list_prepend(0.0::DOUBLE, cs),
+         |      (s1, z) -> s1 + z) / CAST(len(cs) AS DOUBLE) AS eps
+         |  FROM cr, wa, wb
+         |  WHERE len(cs) = len(nas) * len(nbs) AND len(cs) > 0),
+         |kb AS (SELECT *,
+         |    list_transform(nas, x -> x / sna) AS was,
+         |    list_transform(nbs, x -> x / snb) AS wbs,
+         |    list_transform(cs, c -> CAST(round(exp(-c / eps)
+         |      * 1000000000.0) AS BIGINT)::DOUBLE / 1000000000.0) AS ks
+         |  FROM base WHERE eps > 0.0),
+         |it AS (SELECT *, list_reduce(
+         |    list_prepend(
+         |      list_transform(nas, x -> 1.0::DOUBLE)
+         |        || list_transform(nbs, x -> 1.0::DOUBLE),
+         |      list_transform(generate_series(1, 5), k -> [k::DOUBLE])),
+         |    (acc, e) ->
+         |      list_transform(generate_series(1, len(nas)), a1 -> was[a1] /
+         |        list_reduce(list_prepend(0.0::DOUBLE,
+         |          list_transform(generate_series(1, len(nbs)),
+         |            b1 -> ks[(a1 - 1) * len(nbs) + b1]
+         |              * acc[len(nas) + b1])), (s2, z) -> s2 + z))
+         |      ||
+         |      list_transform(generate_series(1, len(nbs)), b2 -> wbs[b2] /
+         |        list_reduce(list_prepend(0.0::DOUBLE,
+         |          list_transform(generate_series(1, len(nas)),
+         |            a2 -> ks[(a2 - 1) * len(nbs) + b2] *
+         |              (list_transform(generate_series(1, len(nas)),
+         |                a3 -> was[a3] /
+         |                list_reduce(list_prepend(0.0::DOUBLE,
+         |                  list_transform(generate_series(1, len(nbs)),
+         |                    b3 -> ks[(a3 - 1) * len(nbs) + b3]
+         |                      * acc[len(nas) + b3])),
+         |                  (s3, z) -> s3 + z)))[a2]
+         |        )), (s4, z) -> s4 + z))
+         |  ) AS uv FROM kb)
+         |SELECT CAST(sna AS BIGINT) AS n_a, CAST(snb AS BIGINT) AS n_b,
+         |  (round(eps * 1000000.0) / 1000000.0 + 0.0) AS eps,
+         |  (round((list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+         |      generate_series(1, len(cs)), i ->
+         |        uv[(i - 1) // len(nbs) + 1] * ks[i]
+         |        * uv[len(nas) + ((i - 1) % len(nbs)) + 1] * cs[i])),
+         |    (s5, z) -> s5 + z)) * 1000000.0) / 1000000.0 + 0.0) AS otdd
+         |FROM it""".stripMargin,
 
     "emb_mmd_poly" ->
       (mmdDuck("shard_parity",
