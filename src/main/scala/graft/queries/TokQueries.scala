@@ -115,6 +115,97 @@ object TokQueries {
       steps.reduce(_.unionAll(_))
     }),
 
+    // Unigram-LM (SentencePiece-style) tokenizer training, one hard-EM
+    // round — the OTHER real-world tokenizer algorithm next to BPE:
+    // candidate vocab = every single char plus the top-40 substrings
+    // (length 2–4) by corpus frequency; initial piece log-probs
+    // ln(f/Σf) micro-quantized to BIGINT; the E-step Viterbi-segments
+    // every DISTINCT word (the word-frequency reduction again) by an
+    // integer-score DP run as a nested sequential fold (scores AND
+    // backpointers ride one ARRAY<BIGINT> accumulator; ties take the
+    // smaller split point = longer piece, an integer compare on both
+    // engines); a second bounded fold backtracks the path; the M-step
+    // re-counts pieces weighted by word count. Emits the top-20
+    // re-estimated pieces. Scale: the corpus collapses to the word-
+    // frequency table once; the vocab map is a ≤ ~80-entry broadcast;
+    // the DP is scan-local per word (≤ 4·|w| cells).
+    "tok_unigram_em" -> ((s, dir) => {
+      val wc = docs(s, dir)
+        .select(explode(expr(toksSpark)).as("w"))
+        .filter(!col("w").contains("\u0001"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val sub = wc.select(col("n"), explode(expr(
+        "flatten(transform(sequence(1, length(w)), i -> " +
+          "transform(sequence(i, least(length(w), i + 3)), " +
+          "j -> substring(w, i, j - i + 1))))")).as("piece"))
+        .groupBy("piece").agg(sum(col("n")).as("f"))
+        .localCheckpoint()
+      val voc = sub.filter(length(col("piece")) === 1)
+        .unionByName(sub.filter(length(col("piece")) >= 2)
+          .orderBy(col("f").desc, col("piece")).limit(40))
+        .localCheckpoint()
+      val vocLp = voc.crossJoin(broadcast(voc.agg(sum(col("f")).as("tf"))))
+        .select(col("piece"), expr("CAST(round(ln(CAST(f AS DOUBLE) " +
+          "/ CAST(tf AS DOUBLE)) * 1000000.0) AS BIGINT)").as("lp"))
+        .localCheckpoint()
+      val lpMap = vocLp.agg(expr(
+        "map_from_entries(array_sort(collect_list(struct(piece, lp))))")
+        .as("lp"))
+      val NEG = "-1000000000000000L"
+      // best score into position e, folded over split points j2
+      val innerMax =
+        s"aggregate(transform(sequence(greatest(0, e - 4), e - 1), j2 -> " +
+          s"CASE WHEN element_at(lp, substring(w, j2 + 1, e - j2)) IS NOT " +
+          s"NULL AND element_at(acc, j2 + 1) > -100000000000000L THEN " +
+          s"element_at(acc, j2 + 1) " +
+          s"+ element_at(lp, substring(w, j2 + 1, e - j2)) " +
+          s"ELSE $NEG END), $NEG, (m2, x2) -> greatest(m2, x2))"
+      val dp = wc.crossJoin(broadcast(lpMap))
+        // scores at cells 1..L+1, backpointers at cells L+2..2L+2
+        .withColumn("dpv", expr("aggregate(sequence(1, length(w)), " +
+          s"concat(array(0L), transform(sequence(1, length(w)), " +
+          s"z -> $NEG), transform(sequence(0, length(w)), z -> 0L)), " +
+          "(acc, e) -> transform(sequence(1, 2 * (length(w) + 1)), q2 -> " +
+          "CASE WHEN q2 - 1 <> e AND q2 <> length(w) + 2 + e " +
+          "THEN element_at(acc, q2) " +
+          s"WHEN q2 - 1 = e THEN $innerMax " +
+          "ELSE aggregate(transform(sequence(greatest(0, e - 4), e - 1), " +
+          "j -> CASE WHEN element_at(lp, substring(w, j + 1, e - j)) IS " +
+          "NOT NULL AND element_at(acc, j + 1) > -100000000000000L AND " +
+          "element_at(acc, j + 1) " +
+          "+ element_at(lp, substring(w, j + 1, e - j)) " +
+          s"= $innerMax THEN CAST(j AS BIGINT) ELSE 1000000000000000L " +
+          "END), 1000000000000000L, (m3, x3) -> least(m3, x3)) END))"))
+      val bt = dp.withColumn("bt", expr(
+        "aggregate(sequence(1, length(w)), " +
+          "concat(array(CAST(length(w) AS STRING)), " +
+          "transform(sequence(1, length(w)), z -> '#')), " +
+          "(acc, e) -> IF(CAST(element_at(acc, 1) AS INT) = 0, acc, " +
+          "concat(array(CAST(CAST(element_at(dpv, CAST(length(w) + 2 " +
+          "+ CAST(element_at(acc, 1) AS INT) AS INT)) AS INT) AS STRING)), " +
+          "slice(acc, 2, size(acc) - 1), " +
+          "array(substring(w, CAST(element_at(dpv, CAST(length(w) + 2 " +
+          "+ CAST(element_at(acc, 1) AS INT) AS INT)) AS INT) + 1, " +
+          "CAST(element_at(acc, 1) AS INT) " +
+          "- CAST(element_at(dpv, CAST(length(w) + 2 " +
+          "+ CAST(element_at(acc, 1) AS INT) AS INT)) AS INT))))))"))
+      val counts = bt
+        .select(col("n"), explode(expr("slice(bt, 2, size(bt) - 1)"))
+          .as("piece"))
+        .filter(col("piece") =!= "#")
+        .groupBy("piece").agg(sum(col("n")).as("em_cnt"))
+        .localCheckpoint()
+      counts.join(vocLp, Seq("piece"))
+        .crossJoin(broadcast(counts.agg(sum(col("em_cnt")).as("tc"))))
+        .select(col("piece"),
+          Rounding.r6(expr("CAST(lp AS DOUBLE) / 1000000.0")).as("lp_init"),
+          col("em_cnt"),
+          Rounding.r6(expr("CAST(em_cnt AS DOUBLE) / CAST(tc AS DOUBLE)"))
+            .as("p_new"))
+        .orderBy(col("em_cnt").desc, col("piece")).limit(20)
+    }),
+
     // Coverage of a fixed top-1000 global vocabulary per language —
     // the post-build sanity check: what fraction of each language's
     // token OCCURRENCES the vocabulary explains, and how many fall
@@ -180,7 +271,93 @@ object TokQueries {
   private val tokStream =
     s"tk AS (SELECT lang, unnest($toksDuck) AS tok FROM documents)"
 
+  /** tok_unigram_em oracle: the Viterbi DP as nested list_reduce folds
+    * over a BIGINT[] accumulator holding scores (cells 1..L+1) and
+    * backpointers (cells L+2..2L+2). The inner best-score fold is
+    * spliced twice (fold lambdas have no let-binding) — the argmin-j
+    * pass recomputes it per candidate, exactly like the Spark
+    * expression. The BACKTRACK deliberately runs as a recursive CTE
+    * (one row per path step), NOT a second per-row fold: DuckDB 1.0
+    * misbinds a list_reduce lambda's captured columns for some rows
+    * when two large independent folds share a query (verified: dpv
+    * identical on both engines, yet a fold-based backtrack read
+    * another row's w/dpv for one word; MATERIALIZED and lambda-renames
+    * don't fix it — the row-per-step CTE does). */
+  private val unigramInnerMaxD =
+    """list_reduce(list_prepend(-1000000000000000::BIGINT,
+      |  list_transform(generate_series(greatest(0, e[1] - 4), e[1] - 1),
+      |    j2 -> CASE WHEN len(map_extract(lp, w[j2 + 1 : e[1]::INT])) > 0
+      |      AND acc[j2 + 1] > -100000000000000
+      |      THEN acc[j2 + 1]
+      |        + map_extract(lp, w[j2 + 1 : e[1]::INT])[1]
+      |      ELSE -1000000000000000 END)),
+      |  (m2, x2) -> greatest(m2, x2))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+
+    "tok_unigram_em" ->
+      s"""WITH RECURSIVE tk0 AS (SELECT unnest($toksDuck) AS w FROM documents),
+         |wc AS (SELECT w, count(*)::BIGINT AS n FROM tk0
+         |  WHERE NOT contains(w, chr(1)) GROUP BY 1),
+         |sub AS (SELECT piece, sum(n)::BIGINT AS f FROM (
+         |    SELECT n, unnest(flatten(list_transform(
+         |      generate_series(1, length(w)), i ->
+         |      list_transform(generate_series(i, least(length(w), i + 3)),
+         |        j -> w[i : j::INT])))) AS piece FROM wc) GROUP BY 1),
+         |voc AS (SELECT piece, f FROM sub WHERE length(piece) = 1
+         |  UNION ALL SELECT piece, f FROM (
+         |    SELECT piece, f FROM sub WHERE length(piece) >= 2
+         |    ORDER BY f DESC, piece LIMIT 40)),
+         |vl AS (SELECT piece, CAST(round(ln(f::DOUBLE
+         |    / (SELECT sum(f)::DOUBLE FROM voc)) * 1000000.0) AS BIGINT)
+         |    AS lp FROM voc),
+         |mp AS (SELECT map(list(piece ORDER BY piece),
+         |    list(lp ORDER BY piece)) AS lp FROM vl),
+         |dp AS (SELECT w, n, length(w) AS L,
+         |    list_reduce(
+         |      list_prepend(
+         |        [0::BIGINT] || list_transform(generate_series(1, length(w)),
+         |          z -> -1000000000000000::BIGINT)
+         |        || list_transform(generate_series(0, length(w)),
+         |          z -> 0::BIGINT),
+         |        list_transform(generate_series(1, length(w)), i -> [i])),
+         |      (acc, e) -> list_transform(
+         |        generate_series(1, 2 * (length(w) + 1)), q2 ->
+         |        CASE WHEN q2 - 1 <> e[1] AND q2 <> length(w) + 2 + e[1]
+         |          THEN acc[q2]
+         |        WHEN q2 - 1 = e[1] THEN $unigramInnerMaxD
+         |        ELSE list_reduce(list_prepend(1000000000000000::BIGINT,
+         |          list_transform(
+         |            generate_series(greatest(0, e[1] - 4), e[1] - 1), j ->
+         |            CASE WHEN len(map_extract(lp,
+         |                w[j + 1 : e[1]::INT])) > 0
+         |              AND acc[j + 1] > -100000000000000
+         |              AND acc[j + 1]
+         |                + map_extract(lp, w[j + 1 : e[1]::INT])[1]
+         |                = $unigramInnerMaxD
+         |              THEN j ELSE 1000000000000000 END)),
+         |          (m3, x3) -> least(m3, x3)) END)) AS dpv
+         |  FROM wc, mp),
+         |pth AS (
+         |  SELECT w, n, L, L AS pos FROM dp WHERE L > 0
+         |  UNION ALL
+         |  SELECT p.w, p.n, p.L,
+         |    d.dpv[(p.L + 2 + p.pos)::INT]::INT AS pos
+         |  FROM pth p JOIN dp d ON p.w = d.w WHERE p.pos > 0),
+         |pieces AS (SELECT p.w, p.n,
+         |    p.w[d.dpv[(p.L + 2 + p.pos)::INT]::INT + 1 : p.pos] AS piece
+         |  FROM pth p JOIN dp d ON p.w = d.w WHERE p.pos > 0),
+         |cnts AS (SELECT piece, sum(n)::BIGINT AS em_cnt
+         |  FROM pieces GROUP BY 1)
+         |SELECT c.piece,
+         |  (round((vl.lp::DOUBLE / 1000000.0) * 1000000.0) / 1000000.0
+         |    + 0.0) AS lp_init,
+         |  c.em_cnt,
+         |  (round((c.em_cnt::DOUBLE
+         |    / (SELECT sum(em_cnt)::DOUBLE FROM cnts)) * 1000000.0)
+         |    / 1000000.0 + 0.0) AS p_new
+         |FROM cnts c JOIN vl ON c.piece = vl.piece
+         |ORDER BY c.em_cnt DESC, c.piece LIMIT 20""".stripMargin,
 
     "tok_bpe_pairs" ->
       s"""WITH $tokStream,
