@@ -323,6 +323,55 @@ object BehaviorQueries {
           r6(col("mtq") - col("mtp") - (col("mcq") - col("mcp"))).as("did"))
     }),
 
+    // Poisson bootstrap confidence intervals — THE large-scale
+    // resampling method (per-row independent Poisson(1) weights stand
+    // in for with-replacement resampling, so replicas aggregate in one
+    // map-side-combinable pass instead of B shuffles of the data).
+    // Weights are DETERMINISTIC: the inverse-CDF of Poisson(1)
+    // truncated at 4, looked up by integer thresholds on a Knuth hash
+    // of (event_id, replica) — a defined resampling scheme both
+    // engines share bit-for-bit. B = 64 replica means per arm are
+    // exact cent-long ratios; the 95% CI reads order statistics 2 and
+    // 63 off the sorted 64-value array (no percentile interpolation
+    // ambiguity). At 100 TB the explode is ×64 on the scan — the
+    // price of the bootstrap — but the exchange carries only
+    // (arm, replica) cells.
+    "ab_bootstrap" -> ((s, dir) => {
+      val B = 64
+      val rep = ev(s, dir)
+        .filter(col("user_id").isNotNull)
+        .withColumn("arm", (col("user_id") % 2).cast("bigint"))
+        .withColumn("c", expr("CAST(round(value * 100) AS BIGINT)"))
+        .select(col("arm"), col("c"), explode(expr(
+          // event_id reduced mod 1000003 BEFORE the Knuth multiply so
+          // the product never leaves Long range (DuckDB BIGINT
+          // overflow throws where Spark would silently wrap)
+          s"transform(sequence(1, $B), b -> struct(b AS b, " +
+            "pmod(((event_id % 1000003) * 2654435761L + b * 40503L), " +
+            "10000) AS h))")).as("r"))
+        .select(col("arm"), col("c"), col("r.b").as("b"),
+          // Poisson(1) inverse CDF at 1e-4 resolution:
+          // P(0)=.3679 P(1)=.3679 P(2)=.1839 P(3)=.0613 rest → 4
+          expr("CASE WHEN r.h < 3679 THEN 0L WHEN r.h < 7358 THEN 1L " +
+            "WHEN r.h < 9197 THEN 2L WHEN r.h < 9810 THEN 3L " +
+            "ELSE 4L END").as("w"))
+      val means = rep.groupBy("arm", "b")
+        .agg(sum(col("w") * col("c")).as("swc"), sum(col("w")).as("sw"))
+        .withColumn("m", expr("CAST(round(try_divide(" +
+          "CAST(swc AS DOUBLE), CAST(sw AS DOUBLE)) * 10000.0)" +
+          " AS BIGINT)"))
+      means.filter(col("m").isNotNull)
+        .groupBy("arm")
+        .agg(count(lit(1)).as("n_reps"),
+          expr("array_sort(collect_list(m))").as("ms"))
+        .filter(col("n_reps") === B)
+        .select(col("arm"), col("n_reps"),
+          r6(expr("CAST(element_at(ms, 2) AS DOUBLE) / 1000000.0"))
+            .as("ci_lo"),
+          r6(expr("CAST(element_at(ms, 63) AS DOUBLE) / 1000000.0"))
+            .as("ci_hi"))
+    }),
+
     "ab_ttest" -> ((s, dir) => {
       val e = ev(s, dir)
         .withColumn("arm", (col("user_id") % 2).cast("int"))
@@ -831,6 +880,32 @@ object BehaviorQueries {
          |  FROM rt x JOIN rt y ON y.dur <= x.dur GROUP BY 1, 2, 3, 4)
          |SELECT dur, n_risk, d_churn, c_censored,
          |  (round(km0 * 1000000.0) / 1000000.0 + 0.0) AS km FROM km""".stripMargin,
+
+    "ab_bootstrap" ->
+      s"""WITH $evDuck,
+         |base AS (SELECT user_id % 2 AS arm,
+         |    CAST(round(value * 100) AS BIGINT) AS c, event_id
+         |  FROM ev WHERE user_id IS NOT NULL),
+         |rep AS (SELECT arm, c, b,
+         |    ((event_id % 1000003) * 2654435761 + b * 40503) % 10000 AS h
+         |  FROM base, generate_series(1, 64) g(b)),
+         |wt AS (SELECT arm, b,
+         |    CASE WHEN h < 3679 THEN 0 WHEN h < 7358 THEN 1
+         |      WHEN h < 9197 THEN 2 WHEN h < 9810 THEN 3
+         |      ELSE 4 END::BIGINT AS w, c FROM rep),
+         |mn AS (SELECT arm, b, CAST(round((CASE WHEN sum(w) = 0 THEN NULL
+         |      ELSE sum(w * c)::DOUBLE / sum(w)::DOUBLE END) * 10000.0)
+         |      AS BIGINT) AS m
+         |  FROM wt GROUP BY 1, 2),
+         |ci AS (SELECT arm, count(*)::BIGINT AS n_reps,
+         |    list_sort(list(m)) AS ms
+         |  FROM mn WHERE m IS NOT NULL GROUP BY 1 HAVING count(*) = 64)
+         |SELECT arm, n_reps,
+         |  (round((ms[2]::DOUBLE / 1000000.0) * 1000000.0) / 1000000.0
+         |    + 0.0) AS ci_lo,
+         |  (round((ms[63]::DOUBLE / 1000000.0) * 1000000.0) / 1000000.0
+         |    + 0.0) AS ci_hi
+         |FROM ci""".stripMargin,
 
     "behav_did" ->
       s"""WITH $evDuck,
