@@ -887,7 +887,8 @@ object BehaviorQueries {
          |    CAST(round(value * 100) AS BIGINT) AS c, event_id
          |  FROM ev WHERE user_id IS NOT NULL),
          |rep AS (SELECT arm, c, b,
-         |    ((event_id % 1000003) * 2654435761 + b * 40503) % 10000 AS h
+         |    ((((event_id % 1000003) * 2654435761 + b * 40503) % 10000)
+         |      + 10000) % 10000 AS h
          |  FROM base, generate_series(1, 64) g(b)),
          |wt AS (SELECT arm, b,
          |    CASE WHEN h < 3679 THEN 0 WHEN h < 7358 THEN 1

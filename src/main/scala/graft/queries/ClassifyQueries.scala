@@ -295,9 +295,13 @@ object ClassifyQueries {
         .filter(col("eps") > 0.0)
         .withColumn("was", expr("transform(nas, x -> x / sna)"))
         .withColumn("wbs", expr("transform(nbs, x -> x / snb)"))
+        // kernel quantized at 1e-6, NOT the ln()-convention 1e-9: libm
+        // exp() carries no cross-engine 1-ulp guarantee, and 1e-6 sits
+        // well above any plausible exp() ulp divergence at a rounding
+        // boundary (ADVICE r10)
         .withColumn("ks", expr("transform(cs, c -> CAST(CAST(round(" +
-          "exp(-c / eps) * 1000000000.0) AS BIGINT) AS DOUBLE) " +
-          "/ 1000000000.0)"))
+          "exp(-c / eps) * 1000000.0) AS BIGINT) AS DOUBLE) " +
+          "/ 1000000.0)"))
         .withColumn("uv", expr("aggregate(sequence(1, 5), " +
           "concat(transform(nas, x -> 1.0D), transform(nbs, x -> 1.0D)), " +
           s"(acc, k) -> concat($uNew, $vNew))"))
@@ -380,7 +384,7 @@ object ClassifyQueries {
          |    list_transform(nas, x -> x / sna) AS was,
          |    list_transform(nbs, x -> x / snb) AS wbs,
          |    list_transform(cs, c -> CAST(round(exp(-c / eps)
-         |      * 1000000000.0) AS BIGINT)::DOUBLE / 1000000000.0) AS ks
+         |      * 1000000.0) AS BIGINT)::DOUBLE / 1000000.0) AS ks
          |  FROM base WHERE eps > 0.0),
          |it AS (SELECT *, list_reduce(
          |    list_prepend(

@@ -43,8 +43,9 @@ object StreamingHll {
     0.709 * 64.0 * 64.0 / (sp + (64 - regs.size).toDouble)
   }
 
-  /** stream (g STRING, h BIGINT — the pre-hashed id, the caller owns
-    * the Knuth multiply like the batch query) → Update-mode rows
+  /** stream (g STRING, h BIGINT — the pre-hashed NON-NEGATIVE id, the
+    * caller owns the Knuth multiply like the batch query; a negative h
+    * throws rather than corrupting registers) → Update-mode rows
     * (g, n_regs, est_distinct): the merged-register raw estimate after
     * every micro-batch that touched the group. */
   def apply(stream: DataFrame): DataFrame = {
@@ -56,6 +57,12 @@ object StreamingHll {
         OutputMode.Update, GroupStateTimeout.NoTimeout) { (g, rows, state) =>
         var regs = state.getOption.map(_.regs).getOrElse(Map.empty[Int, Long])
         rows.foreach { r =>
+          // fail loudly on a raw (unhashed) negative long: `% 64` would
+          // yield a negative register key and rhoOf a negative rho,
+          // silently corrupting state into a plausible-but-wrong
+          // estimate (ADVICE r10)
+          require(r._2 >= 0L,
+            s"StreamingHll requires a non-negative pre-hashed id, got ${r._2}")
           val reg = (r._2 % 64L).toInt
           val rho = rhoOf(r._2)
           if (rho > regs.getOrElse(reg, Long.MinValue))
