@@ -40,10 +40,10 @@ object BehaviorQueries {
       |  event_id, event_type, value FROM events)""".stripMargin
 
   /** LSH near-dup edges (a < b, jaccard ≥ 0.8) — Spark side of
-    * [[ExtQueries.lshPairsDuck]]. */
+    * [[ExtCommon.lshPairsDuck]]. */
   private def edges(s: SparkSession, dir: String): DataFrame =
-    ExtQueries.minhashPairs(s, dir)
-      .filter(ExtQueries.jaccardExpr >= 0.8)
+    ExtCommon.minhashPairs(s, dir)
+      .filter(ExtCommon.jaccardExpr >= 0.8)
       .select(col("a"), col("b"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -422,7 +422,7 @@ object BehaviorQueries {
     "dedup_editdist" -> ((s, dir) => {
       val dd = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-      ExtQueries.minhashIdPairs(s, dir)
+      ExtCommon.minhashIdPairs(s, dir)
         .join(dd.select(col("doc_id").as("a"), col("text").as("ta")), Seq("a"))
         .join(dd.select(col("doc_id").as("b"), col("text").as("tb")), Seq("b"))
         .withColumn("ed", levenshtein(col("ta"), col("tb")))
@@ -1034,7 +1034,7 @@ object BehaviorQueries {
          |FROM s2""".stripMargin,
 
     "dedup_editdist" ->
-      s"""WITH ${ExtQueries.candPairsDuck},
+      s"""WITH ${ExtCommon.candPairsDuck},
          |tx AS (SELECT cp.a, cp.b, da.text AS ta, db3.text AS tb
          |  FROM cp JOIN dt da ON da.doc_id = cp.a
          |  JOIN dt db3 ON db3.doc_id = cp.b)
@@ -1045,7 +1045,7 @@ object BehaviorQueries {
          |FROM tx""".stripMargin,
 
     "graph_degree" ->
-      s"""WITH ${ExtQueries.lshPairsDuck},
+      s"""WITH ${ExtCommon.lshPairsDuck},
          |dg AS (SELECT id, count(*)::BIGINT AS deg FROM (
          |    SELECT a AS id FROM pr UNION ALL SELECT b FROM pr)
          |  GROUP BY id),
@@ -1056,7 +1056,7 @@ object BehaviorQueries {
          |GROUP BY degree""".stripMargin,
 
     "graph_triangles" ->
-      s"""WITH ${ExtQueries.lshPairsDuck},
+      s"""WITH ${ExtCommon.lshPairsDuck},
          |tr AS (SELECT count(*)::BIGINT AS n_triangles
          |  FROM pr e1 JOIN pr e2 ON e1.b = e2.a
          |  JOIN pr e3 ON e3.a = e1.a AND e3.b = e2.b),
@@ -1072,7 +1072,7 @@ object BehaviorQueries {
          |FROM ne, tr, wg WHERE n_edges > 0""".stripMargin,
 
     "graph_local_cc" ->
-      s"""WITH ${ExtQueries.lshPairsDuck},
+      s"""WITH ${ExtCommon.lshPairsDuck},
          |t3 AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
          |  FROM pr e1 JOIN pr e2 ON e1.b = e2.a
          |  JOIN pr e3 ON e3.a = e1.a AND e3.b = e2.b),
@@ -1177,7 +1177,7 @@ object BehaviorQueries {
          |FROM r WHERE rk = 1""".stripMargin,
 
     "graph_jaccard" ->
-      s"""WITH ${ExtQueries.lshPairsDuck},
+      s"""WITH ${ExtCommon.lshPairsDuck},
          |sym AS (SELECT a AS u, b AS v FROM pr
          |  UNION ALL SELECT b, a FROM pr),
          |deg AS (SELECT u, count(*)::BIGINT AS d FROM sym GROUP BY 1),

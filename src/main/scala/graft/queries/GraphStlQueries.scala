@@ -115,7 +115,7 @@ object GraphStlQueries {
     // [[graft.ext.StronglyConnectedComponents]]: Tarjan under the
     // 100k-edge cutover, min-label forward/backward peeling above it.
     "graph_scc" -> ((s, dir) => {
-      val m = ExtQueries.minhashPairs(s, dir)
+      val m = ExtCommon.minhashPairs(s, dir)
         .withColumn("ia", expr("CAST(size(array_intersect(" +
           "array_distinct(sha), array_distinct(shb))) AS BIGINT)"))
         .withColumn("na", expr("CAST(size(array_distinct(sha)) AS BIGINT)"))
@@ -218,14 +218,14 @@ object GraphStlQueries {
   val oracles: Map[String, String] = Map(
 
     "graph_kcore" ->
-      s"""WITH ${ExtQueries.embPairsDuck},
+      s"""WITH ${ExtCommon.embPairsDuck},
          |e0 AS (SELECT a, b FROM epr UNION ALL SELECT b, a FROM epr),
          |$kcoreRoundsDuck
          |SELECT a AS vec_id, count(*) AS core_degree
          |FROM e$PeelRounds GROUP BY a""".stripMargin,
 
     "graph_scc" ->
-      s"""WITH RECURSIVE ${ExtQueries.candPairsDuck},
+      s"""WITH RECURSIVE ${ExtCommon.candPairsDuck},
          |m AS (SELECT a, b,
          |    len(list_distinct(list_intersect(list_distinct(sha),
          |      list_distinct(shb))))::BIGINT AS ia,
@@ -253,7 +253,7 @@ object GraphStlQueries {
            |$next AS MATERIALIZED (SELECT l.id, coalesce(b.newlbl, l.lbl) AS lbl
            |  FROM $prev l LEFT JOIN $b b USING (id))""".stripMargin
       }
-      s"""WITH ${ExtQueries.embPairsDuck},
+      s"""WITH ${ExtCommon.embPairsDuck},
          |e AS MATERIALIZED (SELECT a, b FROM epr UNION ALL SELECT b, a FROM epr),
          |l0 AS MATERIALIZED (SELECT vec_id::BIGINT AS id, vec_id::BIGINT AS lbl
          |  FROM embeddings),
@@ -273,7 +273,7 @@ object GraphStlQueries {
            |    SELECT *, row_number() OVER (PARTITION BY id
            |      ORDER BY dist, seed) AS rk FROM $u) WHERE rk = 1)""".stripMargin
       }
-      s"""WITH ${ExtQueries.embPairsDuck},
+      s"""WITH ${ExtCommon.embPairsDuck},
          |e AS MATERIALIZED (SELECT a, b FROM epr UNION ALL SELECT b, a FROM epr),
          |s0 AS MATERIALIZED (SELECT vec_id::BIGINT AS id, 0::BIGINT AS dist,
          |    vec_id::BIGINT AS seed FROM embeddings WHERE vec_id % 8 = 0),
@@ -284,7 +284,7 @@ object GraphStlQueries {
     },
 
     "graph_cc_hist" ->
-      s"""WITH RECURSIVE ${ExtQueries.embPairsDuck},
+      s"""WITH RECURSIVE ${ExtCommon.embPairsDuck},
          |e AS (SELECT a, b FROM epr UNION SELECT b, a FROM epr),
          |reach(id, lbl) AS (
          |  SELECT vec_id::BIGINT, vec_id::BIGINT FROM embeddings

@@ -405,8 +405,8 @@ object ScaleQueries {
     // once, each round is one exchange-aligned join + groupBy-sum,
     // singletons never iterate.
     "graph_pagerank" -> ((s, dir) => {
-      val edges = ExtQueries.minhashPairs(s, dir)
-        .filter(ExtQueries.jaccardExpr >= 0.8)
+      val edges = ExtCommon.minhashPairs(s, dir)
+        .filter(ExtCommon.jaccardExpr >= 0.8)
         .select(col("a").as("src"), col("b").as("dst"))
       val nodes = docs(s, dir).select(col("doc_id").cast("long").as("id"))
       PageRank(nodes, edges, iters = 5, d = 0.85)
@@ -421,8 +421,8 @@ object ScaleQueries {
     // certificate. Same fixed-round / no-dangling conventions and
     // exchange-aligned per-round shape as graph_pagerank.
     "graph_ppr" -> ((s, dir) => {
-      val edges = ExtQueries.minhashPairs(s, dir)
-        .filter(ExtQueries.jaccardExpr >= 0.8)
+      val edges = ExtCommon.minhashPairs(s, dir)
+        .filter(ExtCommon.jaccardExpr >= 0.8)
         .select(col("a").as("src"), col("b").as("dst"))
       val nodes = docs(s, dir).select(col("doc_id").cast("long").as("id"))
       val seeds = nodes.filter(col("id") % 97 === 0)
@@ -668,11 +668,11 @@ object ScaleQueries {
     // containment 1.0. Same candidate machinery, one extra per-pair
     // projection.
     "dedup_containment" -> ((s, dir) =>
-      ExtQueries.minhashPairs(s, dir)
+      ExtCommon.minhashPairs(s, dir)
         .withColumn("ia", expr(
           "CAST(size(array_intersect(array_distinct(sha), array_distinct(shb))) AS DOUBLE)"))
         .select(col("a"), col("b"),
-          Rounding.r6(ExtQueries.jaccardExpr).as("jaccard"),
+          Rounding.r6(ExtCommon.jaccardExpr).as("jaccard"),
           Rounding.r6(expr(
             "try_divide(ia, CAST(size(array_distinct(sha)) AS DOUBLE))")).as("cont_a"),
           Rounding.r6(expr(
@@ -761,9 +761,9 @@ object ScaleQueries {
       // (The 16 in pqCodebook below is the PQ codebook SIZE — 2⁴
       // codes per block, fixed by design like any PQ bit width — not
       // a partition count, so it does not grow with n.)
-      val cents = e.filter(col("vec_id") < lit(ExtQueries.ivfNlist(e)))
+      val cents = e.filter(col("vec_id") < lit(ExtCommon.ivfNlist(e)))
         .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-      val assigned = ExtQueries.assignCells(e, cents)
+      val assigned = ExtCommon.assignCells(e, cents)
         .select(col("vec_id"), col("v"), col("cell"))
       // PQ codes — the SAME codebook emb_pq emits (shared helper)
       val blocks = pqBlocks(e)
@@ -834,12 +834,12 @@ object ScaleQueries {
         .select(col("vec_id").cast("long").as("vec_id"),
           expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
         .withColumn("nrm", expr(s"sqrt(${"graft_dot(v, v)"})"))
-      val nlist = ExtQueries.ivfNlist(e)
+      val nlist = ExtCommon.ivfNlist(e)
       val cents = e.filter(col("vec_id") < lit(nlist))
         .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
       // (vec_id, v=residual, cell): the broadcast centroid join is the
       // only addition over sim_ivf_pq — v never re-shuffles for it
-      val res = ExtQueries.assignCells(e, cents)
+      val res = ExtCommon.assignCells(e, cents)
         .join(broadcast(cents.select(col("c_id").as("cell"), col("cv"))),
           Seq("cell"))
         .select(col("vec_id"),
@@ -1004,7 +1004,7 @@ object ScaleQueries {
        |    embedding::DOUBLE[] AS v FROM embeddings),
        |en AS (SELECT *, sqrt(${ivfDotD("v", "v")}) AS nrm FROM eb),
        |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM en
-       |  WHERE vec_id < ${ExtQueries.ivfNlistD}),
+       |  WHERE vec_id < ${ExtCommon.ivfNlistD}),
        |asg0 AS (SELECT e.vec_id, e.v, c.c_id,
        |    ${ivfDotD("e.v", "c.cv")} / (e.nrm * c.cnrm) AS csim
        |  FROM en e CROSS JOIN cents c),
@@ -1063,7 +1063,7 @@ object ScaleQueries {
        |      i -> a.v[i] - c.cv[i]) AS v, a.cell
        |  FROM assigned a JOIN cents c ON c.c_id = a.cell),
        |${ivfPqSuffixDuck("res",
-          s"vec_id >= ${ExtQueries.ivfNlistD} AND vec_id < ${ExtQueries.ivfNlistD} + 16")}""".stripMargin
+          s"vec_id >= ${ExtCommon.ivfNlistD} AND vec_id < ${ExtCommon.ivfNlistD} + 16")}""".stripMargin
 
   val oracles: Map[String, String] = Map(
 
@@ -1193,7 +1193,7 @@ object ScaleQueries {
          |SELECT tok, n_exact, n_est FROM est""".stripMargin,
 
     "dedup_semantic" ->
-      s"""WITH RECURSIVE ${ExtQueries.embPairsDuck},
+      s"""WITH RECURSIVE ${ExtCommon.embPairsDuck},
          |e AS (SELECT a, b FROM epr UNION SELECT b, a FROM epr),
          |reach(id, lbl) AS (
          |  SELECT vec_id::BIGINT, vec_id::BIGINT FROM embeddings
@@ -1228,7 +1228,7 @@ object ScaleQueries {
            |    FROM e JOIN r${k - 1} ON e.a = r${k - 1}.id
            |    JOIN dg ON dg.src = e.a GROUP BY 1) s USING (id))""".stripMargin
       }.mkString(",\n")
-      s"""WITH ${ExtQueries.lshPairsDuck},
+      s"""WITH ${ExtCommon.lshPairsDuck},
          |e AS (SELECT a, b FROM pr UNION ALL SELECT b, a FROM pr),
          |dg AS (SELECT a AS src, count(*)::DOUBLE AS deg FROM e GROUP BY 1),
          |nd AS (SELECT doc_id::BIGINT AS id FROM documents),
@@ -1247,7 +1247,7 @@ object ScaleQueries {
            |    FROM e JOIN r${k - 1} ON e.a = r${k - 1}.id
            |    JOIN dg ON dg.src = e.a GROUP BY 1) s USING (id))""".stripMargin
       }.mkString(",\n")
-      s"""WITH ${ExtQueries.lshPairsDuck},
+      s"""WITH ${ExtCommon.lshPairsDuck},
          |e AS (SELECT a, b FROM pr UNION ALL SELECT b, a FROM pr),
          |dg AS (SELECT a AS src, count(*)::DOUBLE AS deg FROM e GROUP BY 1),
          |nd AS (SELECT doc_id::BIGINT AS id FROM documents),
@@ -1411,7 +1411,7 @@ object ScaleQueries {
          |FROM g GROUP BY 1""".stripMargin,
 
     "dedup_containment" ->
-      s"""WITH ${ExtQueries.candPairsDuck},
+      s"""WITH ${ExtCommon.candPairsDuck},
          |m AS (SELECT a, b,
          |    len(list_distinct(list_intersect(list_distinct(sha), list_distinct(shb))))::DOUBLE AS ia,
          |    len(list_distinct(list_concat(list_distinct(sha), list_distinct(shb))))::DOUBLE AS iu,

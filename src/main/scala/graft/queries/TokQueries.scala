@@ -39,6 +39,175 @@ object TokQueries {
   private val pairsD =
     "list_transform(generate_series(1, length(tok) - 1), i -> substr(tok, i, 2))"
 
+  private val NEG = "-1000000000000000L"
+
+  /** Best Viterbi score into position e (folded over split points j2)
+    * against the piece→log-prob map in column `lpCol`; `ban` optionally
+    * names a column holding a piece excluded from the vocabulary (the
+    * loss-if-removed DP). */
+  private def innerMaxS(lpCol: String, ban: Option[String]): String = {
+    val banC = ban.fold("")(b => s"AND substring(w, j2 + 1, e - j2) <> $b ")
+    s"aggregate(transform(sequence(greatest(0, e - 4), e - 1), j2 -> " +
+      s"CASE WHEN element_at($lpCol, substring(w, j2 + 1, e - j2)) IS NOT " +
+      s"NULL $banC" +
+      s"AND element_at(acc, j2 + 1) > -100000000000000L THEN " +
+      s"element_at(acc, j2 + 1) " +
+      s"+ element_at($lpCol, substring(w, j2 + 1, e - j2)) " +
+      s"ELSE $NEG END), $NEG, (m2, x2) -> greatest(m2, x2))"
+  }
+
+  /** Scores-only Viterbi DP over word column `w` (cells 1..L+1, cell
+    * L+1 = the word's total best score) — the banned-piece rescoring
+    * pass needs no backpointers, so it folds half the state of
+    * [[dpExprS]]. */
+  private def dpScoreS(lpCol: String, ban: Option[String]): String =
+    "aggregate(sequence(1, length(w)), " +
+      s"concat(array(0L), transform(sequence(1, length(w)), z -> $NEG)), " +
+      "(acc, e) -> transform(sequence(1, length(w) + 1), q2 -> " +
+      s"IF(q2 - 1 <> e, element_at(acc, q2), ${innerMaxS(lpCol, ban)})))"
+
+  /** Full Viterbi DP: scores at cells 1..L+1, backpointers at cells
+    * L+2..2L+2 (ties take the smaller split point = longer piece). */
+  private def dpExprS(lpCol: String): String = {
+    val innerMax = innerMaxS(lpCol, None)
+    "aggregate(sequence(1, length(w)), " +
+      s"concat(array(0L), transform(sequence(1, length(w)), " +
+      s"z -> $NEG), transform(sequence(0, length(w)), z -> 0L)), " +
+      "(acc, e) -> transform(sequence(1, 2 * (length(w) + 1)), q2 -> " +
+      "CASE WHEN q2 - 1 <> e AND q2 <> length(w) + 2 + e " +
+      "THEN element_at(acc, q2) " +
+      s"WHEN q2 - 1 = e THEN $innerMax " +
+      "ELSE aggregate(transform(sequence(greatest(0, e - 4), e - 1), " +
+      s"j -> CASE WHEN element_at($lpCol, substring(w, j + 1, e - j)) IS " +
+      "NOT NULL AND element_at(acc, j + 1) > -100000000000000L AND " +
+      "element_at(acc, j + 1) " +
+      s"+ element_at($lpCol, substring(w, j + 1, e - j)) " +
+      s"= $innerMax THEN CAST(j AS BIGINT) ELSE 1000000000000000L " +
+      "END), 1000000000000000L, (m3, x3) -> least(m3, x3)) END))"
+  }
+
+  /** Backtrack fold over a `dpv` produced by [[dpExprS]]: emits the
+    * path pieces at cells 2.. (cell 1 carries the cursor). */
+  private val btExprS =
+    "aggregate(sequence(1, length(w)), " +
+      "concat(array(CAST(length(w) AS STRING)), " +
+      "transform(sequence(1, length(w)), z -> '#')), " +
+      "(acc, e) -> IF(CAST(element_at(acc, 1) AS INT) = 0, acc, " +
+      "concat(array(CAST(CAST(element_at(dpv, CAST(length(w) + 2 " +
+      "+ CAST(element_at(acc, 1) AS INT) AS INT)) AS INT) AS STRING)), " +
+      "slice(acc, 2, size(acc) - 1), " +
+      "array(substring(w, CAST(element_at(dpv, CAST(length(w) + 2 " +
+      "+ CAST(element_at(acc, 1) AS INT) AS INT)) AS INT) + 1, " +
+      "CAST(element_at(acc, 1) AS INT) " +
+      "- CAST(element_at(dpv, CAST(length(w) + 2 " +
+      "+ CAST(element_at(acc, 1) AS INT) AS INT)) AS INT))))))"
+
+  /** Multi-char vocabulary slots that survive the prune (plus every
+    * single char, which SentencePiece never drops). */
+  private val KeepMulti = 20
+
+  /** Round-1 shared prep: (wc(w, n), vocLp(piece, lp)) — the word-
+    * frequency table and the initial micro-quantized piece log-probs
+    * (every single char + the top-40 length-2..4 substrings). */
+  private def unigramRound1(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val wc = docs(s, dir)
+      .select(explode(expr(toksSpark)).as("w"))
+      .filter(!col("w").contains("\u0001"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val sub = wc.select(col("n"), explode(expr(
+      "flatten(transform(sequence(1, length(w)), i -> " +
+        "transform(sequence(i, least(length(w), i + 3)), " +
+        "j -> substring(w, i, j - i + 1))))")).as("piece"))
+      .groupBy("piece").agg(sum(col("n")).as("f"))
+      .localCheckpoint()
+    val voc = sub.filter(length(col("piece")) === 1)
+      .unionByName(sub.filter(length(col("piece")) >= 2)
+        .orderBy(col("f").desc, col("piece")).limit(40))
+      .localCheckpoint()
+    val vocLp = voc.crossJoin(broadcast(voc.agg(sum(col("f")).as("tf"))))
+      .select(col("piece"), expr("CAST(round(ln(CAST(f AS DOUBLE) " +
+        "/ CAST(tf AS DOUBLE)) * 1000000.0) AS BIGINT)").as("lp"))
+      .localCheckpoint()
+    (wc, vocLp)
+  }
+
+  /** (piece, lp) rows → one broadcastable row holding the sorted
+    * piece→lp map the DP folds look pieces up in. */
+  private def lpMapOf(vocLp: DataFrame): DataFrame =
+    vocLp.agg(expr(
+      "map_from_entries(array_sort(collect_list(struct(piece, lp))))")
+      .as("lp"))
+
+  /** The full SentencePiece-style loop shared by `tok_unigram_prune`
+    * and `tok_unigram_em2`: E1 (Viterbi over the round-1 vocab) → M1 →
+    * loss-if-removed prune of the multi-char vocab down to [[KeepMulti]]
+    * slots → re-estimated log-probs (add-one smoothing over round-1 EM
+    * counts, so a never-used surviving piece stays finite) → E2 under
+    * the pruned vocab. Returns (vocLp1, counts1, pruneTab, vocLp2, dp2)
+    * where dp2 carries (w, n, dpv, bt) for the round-2 M-step and the
+    * Viterbi-optimality property pin (TokSpec).
+    *
+    * Scale shape: the corpus collapses to the word-frequency table
+    * once; every DP is scan-local per distinct word against a ≤ ~80
+    * entry broadcast map; the loss pass re-scores only (word, piece-on
+    * -its-own-Viterbi-path) pairs — pieces OFF a word's best path
+    * cannot change its score, so loss-if-removed over path pieces is
+    * EXACT, not a heuristic (integer micro-units end to end). */
+  private[graft] def unigramEm2Parts(s: SparkSession, dir: String):
+      (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (wc, vocLp1) = unigramRound1(s, dir)
+    val lpMap1 = lpMapOf(vocLp1)
+    val dp1 = wc.crossJoin(broadcast(lpMap1))
+      .withColumn("dpv", expr(dpExprS("lp")))
+      .localCheckpoint()
+    val bt1 = dp1.withColumn("bt", expr(btExprS)).localCheckpoint()
+    val counts1 = bt1
+      .select(col("n"), explode(expr("slice(bt, 2, size(bt) - 1)"))
+        .as("piece"))
+      .filter(col("piece") =!= "#")
+      .groupBy("piece").agg(sum(col("n")).as("em_cnt"))
+      .localCheckpoint()
+    // loss-if-removed: re-score each word's Viterbi DP with one of its
+    // own path pieces banned; Σ n·(S − S_ban) per piece, exact longs
+    val cand = bt1.select(col("w"), col("n"),
+      expr("element_at(dpv, length(w) + 1)").as("s_full"),
+      explode(expr("array_distinct(filter(slice(bt, 2, size(bt) - 1), " +
+        "p -> length(p) >= 2))")).as("bp"))
+    val banned = cand.crossJoin(broadcast(lpMap1))
+      .withColumn("s_ban", expr(
+        s"element_at(${dpScoreS("lp", Some("bp"))}, length(w) + 1)"))
+      .groupBy(col("bp").as("piece"))
+      .agg(sum(col("n") * (col("s_full") - col("s_ban"))).as("loss_rm"))
+    val pruneAll = vocLp1.filter(length(col("piece")) >= 2)
+      .join(counts1, Seq("piece"), "left")
+      .join(banned, Seq("piece"), "left")
+      .select(col("piece"),
+        coalesce(col("em_cnt"), lit(0L)).as("em1_cnt"),
+        coalesce(col("loss_rm"), lit(0L)).as("loss_rm"))
+      .localCheckpoint()
+    val kept = pruneAll
+      .orderBy(col("loss_rm").desc, col("piece")).limit(KeepMulti)
+      .localCheckpoint()
+    val pruneTab = pruneAll
+      .join(kept.select(col("piece"), lit(true).as("k")), Seq("piece"), "left")
+      .select(col("piece"), col("em1_cnt"), col("loss_rm"),
+        coalesce(col("k"), lit(false)).as("kept"))
+    val voc2 = vocLp1.filter(length(col("piece")) === 1).select("piece")
+      .unionByName(kept.select("piece"))
+      .join(counts1, Seq("piece"), "left")
+      .select(col("piece"), (coalesce(col("em_cnt"), lit(0L)) + lit(1L)).as("c1"))
+      .localCheckpoint()
+    val vocLp2 = voc2.crossJoin(broadcast(voc2.agg(sum(col("c1")).as("tc"))))
+      .select(col("piece"), expr("CAST(round(ln(CAST(c1 AS DOUBLE) " +
+        "/ CAST(tc AS DOUBLE)) * 1000000.0) AS BIGINT)").as("lp"))
+      .localCheckpoint()
+    val dp2 = wc.crossJoin(broadcast(lpMapOf(vocLp2)))
+      .withColumn("dpv", expr(dpExprS("lp")))
+      .withColumn("bt", expr(btExprS))
+    (vocLp1, counts1, pruneTab, vocLp2, dp2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // The first step of a BPE tokenizer build: adjacent character-pair
@@ -130,66 +299,10 @@ object TokQueries {
     // frequency table once; the vocab map is a ≤ ~80-entry broadcast;
     // the DP is scan-local per word (≤ 4·|w| cells).
     "tok_unigram_em" -> ((s, dir) => {
-      val wc = docs(s, dir)
-        .select(explode(expr(toksSpark)).as("w"))
-        .filter(!col("w").contains("\u0001"))
-        .groupBy("w").agg(count(lit(1)).as("n"))
-        .localCheckpoint()
-      val sub = wc.select(col("n"), explode(expr(
-        "flatten(transform(sequence(1, length(w)), i -> " +
-          "transform(sequence(i, least(length(w), i + 3)), " +
-          "j -> substring(w, i, j - i + 1))))")).as("piece"))
-        .groupBy("piece").agg(sum(col("n")).as("f"))
-        .localCheckpoint()
-      val voc = sub.filter(length(col("piece")) === 1)
-        .unionByName(sub.filter(length(col("piece")) >= 2)
-          .orderBy(col("f").desc, col("piece")).limit(40))
-        .localCheckpoint()
-      val vocLp = voc.crossJoin(broadcast(voc.agg(sum(col("f")).as("tf"))))
-        .select(col("piece"), expr("CAST(round(ln(CAST(f AS DOUBLE) " +
-          "/ CAST(tf AS DOUBLE)) * 1000000.0) AS BIGINT)").as("lp"))
-        .localCheckpoint()
-      val lpMap = vocLp.agg(expr(
-        "map_from_entries(array_sort(collect_list(struct(piece, lp))))")
-        .as("lp"))
-      val NEG = "-1000000000000000L"
-      // best score into position e, folded over split points j2
-      val innerMax =
-        s"aggregate(transform(sequence(greatest(0, e - 4), e - 1), j2 -> " +
-          s"CASE WHEN element_at(lp, substring(w, j2 + 1, e - j2)) IS NOT " +
-          s"NULL AND element_at(acc, j2 + 1) > -100000000000000L THEN " +
-          s"element_at(acc, j2 + 1) " +
-          s"+ element_at(lp, substring(w, j2 + 1, e - j2)) " +
-          s"ELSE $NEG END), $NEG, (m2, x2) -> greatest(m2, x2))"
-      val dp = wc.crossJoin(broadcast(lpMap))
-        // scores at cells 1..L+1, backpointers at cells L+2..2L+2
-        .withColumn("dpv", expr("aggregate(sequence(1, length(w)), " +
-          s"concat(array(0L), transform(sequence(1, length(w)), " +
-          s"z -> $NEG), transform(sequence(0, length(w)), z -> 0L)), " +
-          "(acc, e) -> transform(sequence(1, 2 * (length(w) + 1)), q2 -> " +
-          "CASE WHEN q2 - 1 <> e AND q2 <> length(w) + 2 + e " +
-          "THEN element_at(acc, q2) " +
-          s"WHEN q2 - 1 = e THEN $innerMax " +
-          "ELSE aggregate(transform(sequence(greatest(0, e - 4), e - 1), " +
-          "j -> CASE WHEN element_at(lp, substring(w, j + 1, e - j)) IS " +
-          "NOT NULL AND element_at(acc, j + 1) > -100000000000000L AND " +
-          "element_at(acc, j + 1) " +
-          "+ element_at(lp, substring(w, j + 1, e - j)) " +
-          s"= $innerMax THEN CAST(j AS BIGINT) ELSE 1000000000000000L " +
-          "END), 1000000000000000L, (m3, x3) -> least(m3, x3)) END))"))
-      val bt = dp.withColumn("bt", expr(
-        "aggregate(sequence(1, length(w)), " +
-          "concat(array(CAST(length(w) AS STRING)), " +
-          "transform(sequence(1, length(w)), z -> '#')), " +
-          "(acc, e) -> IF(CAST(element_at(acc, 1) AS INT) = 0, acc, " +
-          "concat(array(CAST(CAST(element_at(dpv, CAST(length(w) + 2 " +
-          "+ CAST(element_at(acc, 1) AS INT) AS INT)) AS INT) AS STRING)), " +
-          "slice(acc, 2, size(acc) - 1), " +
-          "array(substring(w, CAST(element_at(dpv, CAST(length(w) + 2 " +
-          "+ CAST(element_at(acc, 1) AS INT) AS INT)) AS INT) + 1, " +
-          "CAST(element_at(acc, 1) AS INT) " +
-          "- CAST(element_at(dpv, CAST(length(w) + 2 " +
-          "+ CAST(element_at(acc, 1) AS INT) AS INT)) AS INT))))))"))
+      val (wc, vocLp) = unigramRound1(s, dir)
+      val dp = wc.crossJoin(broadcast(lpMapOf(vocLp)))
+        .withColumn("dpv", expr(dpExprS("lp")))
+      val bt = dp.withColumn("bt", expr(btExprS))
       val counts = bt
         .select(col("n"), explode(expr("slice(bt, 2, size(bt) - 1)"))
           .as("piece"))
@@ -204,6 +317,44 @@ object TokQueries {
           Rounding.r6(expr("CAST(em_cnt AS DOUBLE) / CAST(tc AS DOUBLE)"))
             .as("p_new"))
         .orderBy(col("em_cnt").desc, col("piece")).limit(20)
+    }),
+
+    // The SentencePiece PRUNE step, verified on its own: for every
+    // multi-char candidate piece, the round-1 EM count and the EXACT
+    // loss-if-removed (Σ n·(S − S_ban) over words whose Viterbi path
+    // uses the piece — integer micro-units, so the rank is bit-stable),
+    // plus the keep decision at the KeepMulti=20 target size.
+    "tok_unigram_prune" -> ((s, dir) => {
+      val (_, _, pruneTab, _, _) = unigramEm2Parts(s, dir)
+      pruneTab
+    }),
+
+    // The full unigram-LM loop at two successive vocab sizes: E1 → M1
+    // → loss-if-removed prune (chars + top-20 multis) → re-estimated
+    // log-probs → E2 under the pruned vocab → M2. Emits the top-20
+    // round-2 pieces with their round-1 counts and both vocab sizes —
+    // the artifact pair a SentencePiece build iterates toward its
+    // target size.
+    "tok_unigram_em2" -> ((s, dir) => {
+      val (vocLp1, counts1, _, vocLp2, dp2) = unigramEm2Parts(s, dir)
+      val counts2 = dp2
+        .select(col("n"), explode(expr("slice(bt, 2, size(bt) - 1)"))
+          .as("piece"))
+        .filter(col("piece") =!= "#")
+        .groupBy("piece").agg(sum(col("n")).as("em2_cnt"))
+        .localCheckpoint()
+      counts2
+        .join(counts1.withColumnRenamed("em_cnt", "em1"), Seq("piece"), "left")
+        .crossJoin(broadcast(counts2.agg(sum(col("em2_cnt")).as("tc2"))))
+        .crossJoin(broadcast(vocLp1.agg(count(lit(1)).as("v1"))))
+        .crossJoin(broadcast(vocLp2.agg(count(lit(1)).as("v2"))))
+        .select(col("piece"),
+          coalesce(col("em1"), lit(0L)).as("em1_cnt"),
+          col("em2_cnt"),
+          Rounding.r6(expr(
+            "CAST(em2_cnt AS DOUBLE) / CAST(tc2 AS DOUBLE)")).as("p2_new"),
+          col("v1"), col("v2"))
+        .orderBy(col("em2_cnt").desc, col("piece")).limit(20)
     }),
 
     // Coverage of a fixed top-1000 global vocabulary per language —
@@ -293,12 +444,13 @@ object TokQueries {
       |      ELSE -1000000000000000 END)),
       |  (m2, x2) -> greatest(m2, x2))""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-
-    "tok_unigram_em" ->
-      s"""WITH RECURSIVE tk0 AS (SELECT unnest($toksDuck) AS w FROM documents),
-         |wc AS (SELECT w, count(*)::BIGINT AS n FROM tk0
-         |  WHERE NOT contains(w, chr(1)) GROUP BY 1),
+  /** Round-1 CTE chain (word counts → candidate vocab → initial
+    * log-probs → Viterbi fold → recursive backtrack → EM counts),
+    * shared by the three unigram oracles. */
+  private val unigramR1D =
+    s"""tk0 AS (SELECT unnest($toksDuck) AS w FROM documents),
+       |wc AS (SELECT w, count(*)::BIGINT AS n FROM tk0
+       |  WHERE NOT contains(w, chr(1)) GROUP BY 1),
          |sub AS (SELECT piece, sum(n)::BIGINT AS f FROM (
          |    SELECT n, unnest(flatten(list_transform(
          |      generate_series(1, length(w)), i ->
@@ -348,7 +500,106 @@ object TokQueries {
          |    p.w[d.dpv[(p.L + 2 + p.pos)::INT]::INT + 1 : p.pos] AS piece
          |  FROM pth p JOIN dp d ON p.w = d.w WHERE p.pos > 0),
          |cnts AS (SELECT piece, sum(n)::BIGINT AS em_cnt
-         |  FROM pieces GROUP BY 1)
+         |  FROM pieces GROUP BY 1)""".stripMargin
+
+  /** Prune-step CTE chain appended to [[unigramR1D]]: per-(word, path
+    * piece) banned re-scoring as a RECURSIVE CTE (one position per
+    * step, the acc list carried along — NOT a second large fold: two
+    * big independent list_reduce folds in one DuckDB query misbind
+    * lambda captures, the documented r10 bug the round-1 backtrack
+    * already works around), then the exact loss table and the keep
+    * set at the 20-multi-piece target. */
+  private val unigramPruneD =
+    s"""cand AS (SELECT DISTINCT p.w, d.n,
+       |    d.dpv[(d.L + 1)::INT] AS s_full, p.piece AS bp
+       |  FROM pieces p JOIN dp d ON p.w = d.w WHERE length(p.piece) >= 2),
+       |ban AS (
+       |  SELECT w, n, s_full, bp, 0 AS e, [0::BIGINT] AS acc FROM cand
+       |  UNION ALL
+       |  SELECT b.w, b.n, b.s_full, b.bp, b.e + 1,
+       |    b.acc || [list_reduce(list_prepend(-1000000000000000::BIGINT,
+       |      list_transform(generate_series(greatest(0, b.e + 1 - 4), b.e),
+       |        j2 -> CASE WHEN len(map_extract(mp.lp,
+       |            b.w[j2 + 1 : (b.e + 1)::INT])) > 0
+       |          AND b.w[j2 + 1 : (b.e + 1)::INT] <> b.bp
+       |          AND b.acc[j2 + 1] > -100000000000000
+       |        THEN b.acc[j2 + 1]
+       |          + map_extract(mp.lp, b.w[j2 + 1 : (b.e + 1)::INT])[1]
+       |        ELSE -1000000000000000 END)),
+       |      (m2, x2) -> greatest(m2, x2))]
+       |  FROM ban b, mp WHERE b.e < length(b.w)),
+       |bansc AS (SELECT w, n, s_full, bp, acc[(length(w) + 1)::INT] AS s_ban
+       |  FROM ban WHERE e = length(w)),
+       |loss AS (SELECT bp AS piece, sum(n * (s_full - s_ban))::BIGINT
+       |    AS loss_rm FROM bansc GROUP BY 1),
+       |pruneall AS (SELECT vl.piece,
+       |    coalesce(c.em_cnt, 0)::BIGINT AS em1_cnt,
+       |    coalesce(l.loss_rm, 0)::BIGINT AS loss_rm
+       |  FROM vl LEFT JOIN cnts c ON vl.piece = c.piece
+       |    LEFT JOIN loss l ON vl.piece = l.piece
+       |  WHERE length(vl.piece) >= 2),
+       |kept AS (SELECT piece FROM pruneall
+       |  ORDER BY loss_rm DESC, piece LIMIT 20)""".stripMargin
+
+  /** Round-2 argmin-split expression for position `p.pos` of word row
+    * `s` (sc2) under the pruned-vocab map `mp2` — spliced into both the
+    * backtrack step and the piece emit, exactly like the Spark side
+    * recomputes its inner max. */
+  private val argmin2D =
+    """list_reduce(list_prepend(1000000000000000::BIGINT,
+      |      list_transform(generate_series(greatest(0, p.pos - 4),
+      |          p.pos - 1), j ->
+      |        CASE WHEN len(map_extract(mp2.lp, s.w[j + 1 : p.pos::INT])) > 0
+      |          AND s.acc[j + 1] > -100000000000000
+      |          AND s.acc[j + 1]
+      |            + map_extract(mp2.lp, s.w[j + 1 : p.pos::INT])[1]
+      |            = s.acc[(p.pos + 1)::INT]
+      |        THEN j::BIGINT ELSE 1000000000000000 END)),
+      |      (m3, x3) -> least(m3, x3))""".stripMargin
+
+  /** Round-2 CTE chain appended to [[unigramPruneD]]: pruned vocab →
+    * add-one-smoothed log-probs → scores-only Viterbi as a recursive
+    * CTE → recursive backtrack → round-2 EM counts. */
+  private val unigramEm2D =
+    s"""voc2 AS (SELECT piece FROM vl WHERE length(piece) = 1
+       |  UNION ALL SELECT piece FROM kept),
+       |c2b AS (SELECT v.piece, (coalesce(c.em_cnt, 0) + 1)::BIGINT AS c1
+       |  FROM voc2 v LEFT JOIN cnts c ON v.piece = c.piece),
+       |vl2 AS (SELECT piece, CAST(round(ln(c1::DOUBLE
+       |    / (SELECT sum(c1)::DOUBLE FROM c2b)) * 1000000.0) AS BIGINT)
+       |    AS lp FROM c2b),
+       |mp2 AS (SELECT map(list(piece ORDER BY piece),
+       |    list(lp ORDER BY piece)) AS lp FROM vl2),
+       |vit2 AS (
+       |  SELECT w, n, length(w) AS L, 0 AS e, [0::BIGINT] AS acc FROM wc
+       |  UNION ALL
+       |  SELECT v.w, v.n, v.L, v.e + 1,
+       |    v.acc || [list_reduce(list_prepend(-1000000000000000::BIGINT,
+       |      list_transform(generate_series(greatest(0, v.e + 1 - 4), v.e),
+       |        j2 -> CASE WHEN len(map_extract(mp2.lp,
+       |            v.w[j2 + 1 : (v.e + 1)::INT])) > 0
+       |          AND v.acc[j2 + 1] > -100000000000000
+       |        THEN v.acc[j2 + 1]
+       |          + map_extract(mp2.lp, v.w[j2 + 1 : (v.e + 1)::INT])[1]
+       |        ELSE -1000000000000000 END)),
+       |      (m2, x2) -> greatest(m2, x2))]
+       |  FROM vit2 v, mp2 WHERE v.e < v.L),
+       |sc2 AS (SELECT w, n, L, acc FROM vit2 WHERE e = L),
+       |pth2 AS (
+       |  SELECT w, L, L AS pos FROM sc2 WHERE L > 0
+       |  UNION ALL
+       |  SELECT p.w, p.L, ($argmin2D)::INT AS pos
+       |  FROM pth2 p, sc2 s, mp2 WHERE p.w = s.w AND p.pos > 0),
+       |pieces2 AS (SELECT p.w, s.n,
+       |    s.w[($argmin2D)::INT + 1 : p.pos] AS piece
+       |  FROM pth2 p, sc2 s, mp2 WHERE p.w = s.w AND p.pos > 0),
+       |cnts2 AS (SELECT piece, sum(n)::BIGINT AS em2_cnt
+       |  FROM pieces2 GROUP BY 1)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+
+    "tok_unigram_em" ->
+      s"""WITH RECURSIVE $unigramR1D
          |SELECT c.piece,
          |  (round((vl.lp::DOUBLE / 1000000.0) * 1000000.0) / 1000000.0
          |    + 0.0) AS lp_init,
@@ -358,6 +609,27 @@ object TokQueries {
          |    / 1000000.0 + 0.0) AS p_new
          |FROM cnts c JOIN vl ON c.piece = vl.piece
          |ORDER BY c.em_cnt DESC, c.piece LIMIT 20""".stripMargin,
+
+    "tok_unigram_prune" ->
+      s"""WITH RECURSIVE $unigramR1D,
+         |$unigramPruneD
+         |SELECT p.piece, p.em1_cnt, p.loss_rm,
+         |  (k.piece IS NOT NULL) AS kept
+         |FROM pruneall p LEFT JOIN kept k ON p.piece = k.piece""".stripMargin,
+
+    "tok_unigram_em2" ->
+      s"""WITH RECURSIVE $unigramR1D,
+         |$unigramPruneD,
+         |$unigramEm2D
+         |SELECT c2.piece, coalesce(c1.em_cnt, 0)::BIGINT AS em1_cnt,
+         |  c2.em2_cnt,
+         |  (round(c2.em2_cnt::DOUBLE
+         |    / (SELECT sum(em2_cnt)::DOUBLE FROM cnts2) * 1000000.0)
+         |    / 1000000.0 + 0.0) AS p2_new,
+         |  (SELECT count(*)::BIGINT FROM vl) AS v1,
+         |  (SELECT count(*)::BIGINT FROM vl2) AS v2
+         |FROM cnts2 c2 LEFT JOIN cnts c1 ON c2.piece = c1.piece
+         |ORDER BY c2.em2_cnt DESC, c2.piece LIMIT 20""".stripMargin,
 
     "tok_bpe_pairs" ->
       s"""WITH $tokStream,

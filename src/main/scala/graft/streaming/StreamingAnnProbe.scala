@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.queries.ExtQueries
+import graft.queries.ExtCommon
 
 /** Streaming embedding near-neighbor alerts against a STATIC trained
   * IVF index — the vector twin of [[StreamingLshDedup]]: vectors
@@ -36,7 +36,7 @@ object StreamingAnnProbe {
     * cell-keyed corpus table (cell, n_id, nv, nnrm). Training runs
     * ONCE here, batch-side — the stream never re-quantizes. */
   def buildIndex(corpus: DataFrame): (Array[Centroid], DataFrame) = {
-    val (cents, assigned) = ExtQueries.ivfKmeansIndex(corpus)
+    val (cents, assigned) = ExtCommon.ivfKmeansIndex(corpus)
     val c = cents.select(col("c_id"), col("cv"), col("cnrm")).collect()
       .map(r => Centroid(r.getLong(0),
         r.getSeq[Double](1).toArray, r.getDouble(2)))

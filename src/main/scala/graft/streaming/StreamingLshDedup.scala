@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.queries.ExtQueries
+import graft.queries.ExtCommon
 
 /** Streaming MinHash-LSH near-dup detection against a STATIC corpus
   * band index — the streaming twin of the batch `dedup_incremental`
@@ -31,13 +31,13 @@ object StreamingLshDedup {
     * is applied HERE, over the whole corpus — the one window in the
     * family runs at index-build time, not on the stream. */
   def buildIndex(corpus: DataFrame): (DataFrame, DataFrame) = {
-    val s = ExtQueries.lshDocSigs(
+    val s = ExtCommon.lshDocSigs(
       corpus.select(col("doc_id").cast("long").as("corpus_id"),
         col("text")))
       .localCheckpoint()
     val banded = s.select(col("corpus_id"), explode(col("bks")).as("bk"))
       .withColumn("_bn", expr("count(1) OVER (PARTITION BY bk)"))
-      .filter(col("_bn") <= ExtQueries.maxBandBucket)
+      .filter(col("_bn") <= ExtCommon.maxBandBucket)
       .drop("_bn")
       .localCheckpoint()
     (banded, s.select(col("corpus_id"), col("shd").as("shc")))
@@ -50,7 +50,7 @@ object StreamingLshDedup {
   def apply(stream: DataFrame, bandIndex: DataFrame, sigs: DataFrame,
       eventTimeCol: String = "ts", horizon: String = "10 minutes",
       tau: Double = 0.8): DataFrame =
-    ExtQueries.lshDocSigs(
+    ExtCommon.lshDocSigs(
         stream.select(col(eventTimeCol),
           col("doc_id").cast("long").as("doc_id"), col("text")))
       .select(col(eventTimeCol), col("doc_id"), col("shd").as("shq"),

@@ -372,7 +372,7 @@ object EngineProps extends Properties("engine") {
         java.util.Arrays.asList(rows: _*),
         StructType(Seq(StructField("doc_id", LongType),
           StructField("shd", ArrayType(LongType))))).repartition(3)
-      val got = graft.queries.ExtQueries.jaccardJoinExact(d, 4, 5)
+      val got = graft.queries.ExtCommon.jaccardJoinExact(d, 4, 5)
         .select(col("a"), col("b")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val byId = rows.map(r => r.getLong(0) ->
@@ -408,7 +408,7 @@ object EngineProps extends Properties("engine") {
       val cents = e.filter(col("vec_id") < 4)
         .select(col("vec_id").as("c_id"), col("v").as("cv"),
           col("nrm").as("cnrm"))
-      val got = graft.queries.ExtQueries.assignCells(e, cents)
+      val got = graft.queries.ExtCommon.assignCells(e, cents)
         .select("vec_id", "cell").collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       val want = e.crossJoin(org.apache.spark.sql.functions.broadcast(cents))

@@ -111,7 +111,7 @@ class IoFormatsSpec extends SparkSpec {
     val (banded, _) = graft.streaming.StreamingLshDedup.buildIndex(corpus)
     graft.io.BarsIO.writeBucketed(banded, "lsh_band_idx", "bk", 8)
     val idx = spark.table("lsh_band_idx")
-    val probe = graft.queries.ExtQueries.lshDocSigs(
+    val probe = graft.queries.ExtCommon.lshDocSigs(
         Seq((100L, "alpha3 beta3 gamma3 delta3 epsilon3 zeta3 eta3 theta3"))
           .toDF("doc_id", "text"))
       .select(col("doc_id"), explode(col("bks")).as("bk"))

@@ -293,7 +293,7 @@ object ScaleProbe {
           expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
         .localCheckpoint()
       val t0 = System.nanoTime()
-      val (_, trained) = graft.queries.ExtQueries.ivfKmeansIndex(ev)
+      val (_, trained) = graft.queries.ExtCommon.ivfKmeansIndex(ev)
       val tSizes = trained.groupBy("cell").agg(count(lit(1)).as("s"))
         .agg(sum(expr("s * (s - 1)")).as("m"), max(col("s")).as("mx"))
         .collect()(0)
@@ -301,8 +301,8 @@ object ScaleProbe {
       // assignment (ivfInitCents/assignCells) — the probe must measure
       // the quantizer the engine ships, not a drifting copy.
       val en = ev.withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
-      val iSizes = graft.queries.ExtQueries.assignCells(en,
-          graft.queries.ExtQueries.ivfInitCents(en))
+      val iSizes = graft.queries.ExtCommon.assignCells(en,
+          graft.queries.ExtCommon.ivfInitCents(en))
         .groupBy("cell").agg(count(lit(1)).as("s"))
         .agg(sum(expr("s * (s - 1)")).as("m"), max(col("s")).as("mx"))
         .collect()(0)
@@ -359,7 +359,7 @@ object ScaleProbe {
     {
       val tH = System.nanoTime()
       val (nDocs, qtRows, cutActual, cutAnalytic, noCut) =
-        graft.queries.ExtQueries.hybridLexCandidateMass(spark, "/tmp/scale_docs")
+        graft.queries.ExtCommon.hybridLexCandidateMass(spark, "/tmp/scale_docs")
       println(f"HYBRID_DOCS=$nDocs HYBRID_QTOKS=$qtRows " +
         f"CAND_CUT=$cutActual CAND_NOCUT=$noCut " +
         f"CUT_EXACT_OK=${cutActual == cutAnalytic} " +
@@ -393,6 +393,116 @@ object ScaleProbe {
       println(f"SCC_NODES=$nScc SCC_NONSELF=$nonSelf " +
         f"SCC_OK=${nonSelf == 75000L} " +
         f"SCC_SEC=${(System.nanoTime() - tScc) / 1e9}%.2f")
+    }
+    // Flagship multi-day shape (pipeline_range / runRange) at 1×/10×/
+    // 50× the day count, constant per-day rows — the 100 TB claim is
+    // that the whole range rides ONE exchange on hash(ticker, ds) with
+    // every window group bounded by a ticker-day, so wall time must
+    // stay ~linear in days. 500 tickers × ~377 surviving minutes ≈ the
+    // reference's real day (~505 × ≤420). Gaps are injected (~3.4% of
+    // slots) so sessionize/densify/interpolate all do real work.
+    {
+      import graft.etl.MarketCalendar
+      def rangeBars(nDays: Int, nTick: Int): org.apache.spark.sql.DataFrame = {
+        val d0 = java.time.LocalDate.of(2024, 1, 2)
+        val opens = (0 until nDays).map { i =>
+          val d = d0.plusDays(i.toLong)
+          org.apache.spark.sql.Row(d.toString,
+            java.lang.Long.valueOf(MarketCalendar.marketOpenCloseNanos(d)._1),
+            java.lang.Long.valueOf(i.toLong))
+        }
+        val dayDf = spark.createDataFrame(
+          java.util.Arrays.asList(opens: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("d",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("o",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("di",
+              org.apache.spark.sql.types.LongType))))
+        dayDf
+          .crossJoin(spark.range(nTick.toLong).select(col("id").as("tk")))
+          .crossJoin(spark.range(390L).select(col("id").as("slot")))
+          .filter(expr("(slot + tk * 7 + di * 3) % 29 <> 0"))
+          .selectExpr("concat('T', tk) AS ticker",
+            "CAST(100 + (slot + tk) % 50 AS DOUBLE) AS volume",
+            "CAST(50 + ((slot * 13 + tk * 7 + di) % 200) * 0.25 AS DOUBLE) AS open",
+            "CAST(50 + ((slot * 17 + tk * 11 + di) % 200) * 0.25 AS DOUBLE) AS close",
+            "CAST(51 + ((slot * 17 + tk * 11 + di) % 200) * 0.25 AS DOUBLE) AS high",
+            "CAST(49 + ((slot * 17 + tk * 11 + di) % 200) * 0.25 AS DOUBLE) AS low",
+            "CAST(50 + ((slot * 17 + tk * 11 + di) % 200) * 0.25 AS DOUBLE) AS adj_close",
+            "o + slot * 60000000000 AS window_start")
+      }
+      val d0 = java.time.LocalDate.of(2024, 1, 2)
+      for (nDays <- Seq(2, 20, 100)) {
+        rangeBars(nDays, 500).write.mode("overwrite")
+          .parquet("/tmp/scale_range")
+        val raw = spark.read.parquet("/tmp/scale_range")
+        val nIn = raw.count()
+        val dates = (0 until nDays).map(i => d0.plusDays(i.toLong))
+        val t0 = System.nanoTime()
+        val nOut = graft.ind.IndicatorPipeline.runRange(raw, dates)
+          .queryExecution.toRdd.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"PIPELINE_DAYS=$nDays PIPELINE_ROWS=$nIn " +
+          f"PIPELINE_OUT=$nOut PIPELINE_SEC=$sec%.2f " +
+          f"PIPELINE_ROWS_PER_SEC=${nIn / sec}%.0f")
+      }
+
+      // Hot-ticker skew: 1-second grid (gridStepSec=1, the finest shape
+      // a real feed ships), 20 days, 4 tickers, the hot one trading the
+      // FULL 25,200-second session (~30% of all rows) vs a balanced
+      // control with identical total rows. The (ticker, ds) keying
+      // bounds every window group at one ticker-day (≤ 25,200 rows)
+      // regardless of ticker share, so skew must not cliff: the probe
+      // prints the wall ratio. No salting needed BY CONSTRUCTION — ds
+      // splits the hot ticker into 20 independent groups.
+      def skewBars(hotSlots: Long, normSlots: Long): org.apache.spark.sql.DataFrame = {
+        val opens = (0 until 20).map { i =>
+          val d = d0.plusDays(i.toLong)
+          org.apache.spark.sql.Row(
+            java.lang.Long.valueOf(MarketCalendar.marketOpenCloseNanos(d)._1),
+            java.lang.Long.valueOf(i.toLong))
+        }
+        val dayDf = spark.createDataFrame(
+          java.util.Arrays.asList(opens: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("o",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("di",
+              org.apache.spark.sql.types.LongType))))
+        dayDf
+          .crossJoin(spark.range(4L).select(col("id").as("tk")))
+          .crossJoin(spark.range(hotSlots).select(col("id").as("slot")))
+          .filter(col("tk") === 0 || col("slot") < normSlots)
+          .selectExpr("concat('T', tk) AS ticker",
+            "CAST(100 AS DOUBLE) AS volume",
+            "CAST(50 + ((slot * 13 + tk * 7 + di) % 200) * 0.25 AS DOUBLE) AS open",
+            "CAST(50 + ((slot * 17 + tk * 11 + di) % 200) * 0.25 AS DOUBLE) AS close",
+            "CAST(51 + ((slot * 17 + tk * 11 + di) % 200) * 0.25 AS DOUBLE) AS high",
+            "CAST(49 + ((slot * 17 + tk * 11 + di) % 200) * 0.25 AS DOUBLE) AS low",
+            "CAST(50 + ((slot * 17 + tk * 11 + di) % 200) * 0.25 AS DOUBLE) AS adj_close",
+            "o + slot * 1000000000 AS window_start")
+      }
+      val cfg1s = graft.model.IndicatorConfig(
+        allowedGapsSec = Seq(1L, 2L, 3L), gridStepSec = 1L)
+      val dates20 = (0 until 20).map(i => d0.plusDays(i.toLong))
+      def timeRange(df: org.apache.spark.sql.DataFrame, tag: String): (Long, Double) = {
+        df.write.mode("overwrite").parquet(s"/tmp/scale_range_$tag")
+        val raw = spark.read.parquet(s"/tmp/scale_range_$tag")
+        val n = raw.count()
+        val t0 = System.nanoTime()
+        graft.ind.IndicatorPipeline.runRange(raw, dates20, cfg1s)
+          .queryExecution.toRdd.count()
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
+      // hot: T0 all 25200 s-slots, T1-3 at 19400 → hot ≈ 30.2% of rows;
+      // balanced: 4 × 20850 = identical total (83,400 rows/day)
+      val (nSkew, sSkew) = timeRange(skewBars(25200L, 19400L), "skew")
+      val (nBal, sBal) = timeRange(skewBars(20850L, 20850L), "bal")
+      println(f"PIPELINE_SKEW_ROWS=$nSkew PIPELINE_BAL_ROWS=$nBal " +
+        f"SKEW_SEC=$sSkew%.2f BAL_SEC=$sBal%.2f " +
+        f"SKEW_RATIO=${sSkew / sBal}%.2f")
     }
     spark.stop()
   }

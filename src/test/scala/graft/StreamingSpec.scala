@@ -417,7 +417,7 @@ class StreamingSpec extends SparkSpec {
       // frame of the same arrivals (re-arrival adds no new pair;
       // dropDuplicatesWithinWatermark itself needs a stream, so the
       // batch side dedups pairs with a plain distinct)
-      val batchRef = graft.queries.ExtQueries.lshDocSigs(
+      val batchRef = graft.queries.ExtCommon.lshDocSigs(
           (arriving ++ rearrival).toDF("ts", "doc_id", "text")
             .dropDuplicates("doc_id"))
         .select(col("doc_id"), col("shd").as("shq"),
