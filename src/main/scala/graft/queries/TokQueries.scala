@@ -469,8 +469,8 @@ object TokQueries {
          |    list_reduce(
          |      list_prepend(
          |        [0::BIGINT] || list_transform(generate_series(1, length(w)),
-         |          z -> -1000000000000000::BIGINT)
-         |        || list_transform(generate_series(0, length(w)),
+         |          z -> -1000000000000000::BIGINT) ||
+         |        list_transform(generate_series(0, length(w)),
          |          z -> 0::BIGINT),
          |        list_transform(generate_series(1, length(w)), i -> [i])),
          |      (acc, e) -> list_transform(

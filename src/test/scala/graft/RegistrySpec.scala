@@ -27,4 +27,21 @@ class RegistrySpec extends AnyFunSuite {
   test("every query has an oracle and vice versa") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
   }
+
+  test("no oracle SQL line starts with a single pipe (double-stripMargin)") {
+    // A pre-stripped fragment interpolated into a string that calls
+    // .stripMargin AGAIN loses one '|' from any line-leading '||' —
+    // turning SQL string-concat into bitwise OR. That exact bug shipped
+    // three broken tok_unigram oracles in r11 (DuckDB binder error
+    // "No function matches '|(BIGINT[], BIGINT[])'"). No final oracle
+    // should ever have a line starting with a lone pipe.
+    val lonePipe = "(?m)^\\s*\\|(?!\\|)".r
+    val bad = SparkEntry.oracleSql.collect {
+      case (name, sql) if lonePipe.findFirstIn(sql).isDefined =>
+        val line = sql.linesIterator
+          .find(l => lonePipe.findFirstIn(l).isDefined).getOrElse("")
+        s"$name: '$line'"
+    }
+    assert(bad.isEmpty, s"oracle SQL with line-leading single '|': $bad")
+  }
 }

@@ -394,13 +394,21 @@ object ScaleProbe {
         f"SCC_OK=${nonSelf == 75000L} " +
         f"SCC_SEC=${(System.nanoTime() - tScc) / 1e9}%.2f")
     }
-    // Flagship multi-day shape (pipeline_range / runRange) at 1×/10×/
-    // 50× the day count, constant per-day rows — the 100 TB claim is
-    // that the whole range rides ONE exchange on hash(ticker, ds) with
-    // every window group bounded by a ticker-day, so wall time must
-    // stay ~linear in days. 500 tickers × ~377 surviving minutes ≈ the
-    // reference's real day (~505 × ≤420). Gaps are injected (~3.4% of
-    // slots) so sessionize/densify/interpolate all do real work.
+    pipelineRangeProbe(spark)
+    spark.stop()
+  }
+
+  /** Flagship multi-day shape (pipeline_range / runRange) at 1×/10×/
+    * 50× the day count, constant per-day rows — the 100 TB claim is
+    * that the whole range rides ONE exchange on hash(ticker, ds) with
+    * every window group bounded by a ticker-day, so wall time must
+    * stay ~linear in days. 500 tickers × ~377 surviving minutes ≈ the
+    * reference's real day (~505 × ≤420). Gaps are injected (~3.4% of
+    * slots) so sessionize/densify/interpolate all do real work.
+    * Runnable standalone via [[PipelineRangeProbe]] (the full
+    * ScaleProbe sweep takes minutes this probe doesn't need).
+    */
+  def pipelineRangeProbe(spark: org.apache.spark.sql.SparkSession): Unit = {
     {
       import graft.etl.MarketCalendar
       def rangeBars(nDays: Int, nTick: Int): org.apache.spark.sql.DataFrame = {
@@ -504,6 +512,17 @@ object ScaleProbe {
         f"SKEW_SEC=$sSkew%.2f BAL_SEC=$sBal%.2f " +
         f"SKEW_RATIO=${sSkew / sBal}%.2f")
     }
+  }
+}
+
+/** Standalone driver for [[ScaleProbe.pipelineRangeProbe]] only. */
+object PipelineRangeProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    ScaleProbe.pipelineRangeProbe(spark)
     spark.stop()
   }
 }
