@@ -132,6 +132,55 @@ object ScaleQueries {
     (cents, codes)
   }
 
+  /** OPQ dimension allocation (the "eigenvalue allocation" step of
+    * parametric OPQ, Ge et al. CVPR'13 §4, as FAISS's OPQ pre-transform
+    * applies before PQ): rank dimensions by variance and deal them to
+    * the 8 PQ blocks in snake order, balancing per-block variance mass
+    * so no sub-quantizer's 4-bit budget is wasted on a flat subspace.
+    * The permutation IS an orthogonal transform — the rotation family
+    * restricted to axis swaps — which keeps every ADC distance exact
+    * under the transform and (unlike a dense learned rotation, whose
+    * 64×64 eigensolve has no DuckDB-expressible mirror) lets the
+    * oracle reproduce the training bit-for-bit. Training is ONE
+    * map-side-combinable aggregate: per-dim micro-quantized (sum,
+    * sum-of-squares, n) — d rows cross the exchange per task — and the
+    * d-length comparable `n·ss − s²` ranks in exact integers on the
+    * driver (the d-bounded, data-independent collect posture emb_pca1
+    * established). Returns perm with perm(block*8 + slot) = source dim
+    * (0-based). Sums widen to DECIMAL(38,0)/HUGEINT so the comparable
+    * stays exact at any corpus size (q² ≈ 1e14 per row overflows int64
+    * sums past ~90k rows).
+    */
+  /** The one training aggregate of [[opqPerm]], exposed so PlanSpec can
+    * pin its physical shape (single hash exchange on `dim`, partial
+    * aggregation before it — d rows per map task cross the wire). */
+  private[graft] def opqStats(e: DataFrame): DataFrame =
+    e.select(posexplode(expr(
+        "transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT))"))
+        .as(Seq("dim", "q")))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(q AS DECIMAL(38,0))")).as("s"),
+        sum(expr("CAST(q AS DECIMAL(38,0)) * q")).as("ss"))
+
+  private[graft] def opqPerm(e: DataFrame): Array[Int] = {
+    val stats = opqStats(e)
+      .collect()
+      .map(r => (r.getInt(0), BigInt(r.getLong(1)),
+        BigInt(r.getDecimal(2).toBigInteger),
+        BigInt(r.getDecimal(3).toBigInteger)))
+    val ranked = stats
+      .map { case (dim, n, s2, ss) => (dim, n * ss - s2 * s2) }
+      .sortBy { case (dim, c) => (-c, dim) }
+    val perm = new Array[Int](ranked.length)
+    ranked.zipWithIndex.foreach { case ((dim, _), r) =>
+      val slot = r / 8
+      val b = if ((r / 8) % 2 == 0) r % 8 else 7 - (r % 8)
+      perm(b * 8 + slot) = dim
+    }
+    perm
+  }
+
   /** (doc_id, seg_idx, seg text, seg hash) — one row per 8-token
     * segment. The segment hash is a base-131 fold of the word hashes,
     * so only 8-byte keys (plus the short segment text) ever shuffle. */
@@ -150,6 +199,53 @@ object ScaleQueries {
           .as(Seq("seg_idx", "sg")))
       .select(col("doc_id"), col("seg_idx").cast("long").as("seg_idx"),
         col("sg.seg").as("seg"), col("sg.h").as("h"))
+
+  /** The residual-encoded IVF-PQ ANN tail shared by sim_ivf_pq_residual
+    * (raw dimension order) and sim_ivf_opq (OPQ-permuted order): coarse
+    * assign → residual vs the broadcast cell centroid → PQ codes seeded
+    * from [nlist, nlist+16) → cell-probed ADC → top-3 per query. Input
+    * `e` carries (vec_id, v, nrm). */
+  private def ivfPqResidualAnn(e: DataFrame): DataFrame = {
+    val nlist = ExtCommon.ivfNlist(e)
+    val cents = e.filter(col("vec_id") < lit(nlist))
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    // (vec_id, v=residual, cell): the broadcast centroid join is the
+    // only addition over sim_ivf_pq — v never re-shuffles for it
+    val res = ExtCommon.assignCells(e, cents)
+      .join(broadcast(cents.select(col("c_id").as("cell"), col("cv"))),
+        Seq("cell"))
+      .select(col("vec_id"),
+        expr("zip_with(v, cv, (x, y) -> x - y)").as("v"), col("cell"))
+      .localCheckpoint()
+    val blocks = pqBlocks(res.select(col("vec_id"), col("v")))
+    val (pqCents, codesFull) = pqCodebook(blocks, seedLo = nlist)
+    val codes = codesFull.select(col("vec_id"), col("block"), col("code"))
+    // ADC on residuals: query residual sub-vectors vs candidates'
+    // residual-code centroids — q and its same-cell candidates share
+    // the centroid, so residual ADC tracks ‖q − x‖² exactly as the
+    // raw form does, minus the quantization distortion.
+    val qBlocks = blocks.filter(col("vec_id") % 25 === 0)
+      .join(res.select(col("vec_id"), col("cell")), "vec_id")
+      .select(col("vec_id").as("q_id"), col("cell"), col("block"),
+        col("sub").as("qsub"))
+    val cand = res.select(col("vec_id").as("n_id"), col("cell"))
+      .join(codes.withColumnRenamed("vec_id", "n_id"), "n_id")
+    qBlocks.join(cand, Seq("cell", "block"))
+      .filter(col("q_id") =!= col("n_id"))
+      .join(broadcast(pqCents.withColumnRenamed("c_id", "code")),
+        Seq("block", "code"))
+      .withColumn("bd", expr(
+        "aggregate(zip_with(qsub, csub, (x, y) -> (x - y) * (x - y)), 0D, (a, c) -> a + c)"))
+      .groupBy("q_id", "n_id")
+      .agg(expr(
+        "aggregate(transform(array_sort(collect_list(struct(block, bd))), p -> p.bd), 0D, (a, c) -> a + c)")
+        .as("adc"))
+      .withColumn("rank", expr(
+        "CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS BIGINT)"))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("n_id"), col("rank"),
+        Rounding.r6(col("adc")).as("adc"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -834,45 +930,53 @@ object ScaleQueries {
         .select(col("vec_id").cast("long").as("vec_id"),
           expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
         .withColumn("nrm", expr(s"sqrt(${"graft_dot(v, v)"})"))
-      val nlist = ExtCommon.ivfNlist(e)
-      val cents = e.filter(col("vec_id") < lit(nlist))
-        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-      // (vec_id, v=residual, cell): the broadcast centroid join is the
-      // only addition over sim_ivf_pq — v never re-shuffles for it
-      val res = ExtCommon.assignCells(e, cents)
-        .join(broadcast(cents.select(col("c_id").as("cell"), col("cv"))),
-          Seq("cell"))
-        .select(col("vec_id"),
-          expr("zip_with(v, cv, (x, y) -> x - y)").as("v"), col("cell"))
-        .localCheckpoint()
-      val blocks = pqBlocks(res.select(col("vec_id"), col("v")))
-      val (pqCents, codesFull) = pqCodebook(blocks, seedLo = nlist)
-      val codes = codesFull.select(col("vec_id"), col("block"), col("code"))
-      // ADC on residuals: query residual sub-vectors vs candidates'
-      // residual-code centroids — q and its same-cell candidates share
-      // the centroid, so residual ADC tracks ‖q − x‖² exactly as the
-      // raw form does, minus the quantization distortion.
-      val qBlocks = blocks.filter(col("vec_id") % 25 === 0)
-        .join(res.select(col("vec_id"), col("cell")), "vec_id")
-        .select(col("vec_id").as("q_id"), col("cell"), col("block"),
-          col("sub").as("qsub"))
-      val cand = res.select(col("vec_id").as("n_id"), col("cell"))
-        .join(codes.withColumnRenamed("vec_id", "n_id"), "n_id")
-      qBlocks.join(cand, Seq("cell", "block"))
-        .filter(col("q_id") =!= col("n_id"))
-        .join(broadcast(pqCents.withColumnRenamed("c_id", "code")),
-          Seq("block", "code"))
-        .withColumn("bd", expr(
-          "aggregate(zip_with(qsub, csub, (x, y) -> (x - y) * (x - y)), 0D, (a, c) -> a + c)"))
-        .groupBy("q_id", "n_id")
-        .agg(expr(
-          "aggregate(transform(array_sort(collect_list(struct(block, bd))), p -> p.bd), 0D, (a, c) -> a + c)")
-          .as("adc"))
-        .withColumn("rank", expr(
-          "CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS BIGINT)"))
-        .filter(col("rank") <= 3)
-        .select(col("q_id"), col("n_id"), col("rank"),
-          Rounding.r6(col("adc")).as("adc"))
+      ivfPqResidualAnn(e)
+    }),
+
+    // OPQ-transformed residual IVF-PQ: identical index and probe
+    // budget to sim_ivf_pq_residual, but vectors pass through the
+    // learned [[opqPerm]] allocation first, so each 8-dim PQ block
+    // carries a balanced share of the corpus variance instead of
+    // whatever 8 adjacent dims happen to hold. Cell geometry is
+    // unchanged (permutation preserves every distance); only the
+    // block split — and therefore the codebook's coverage of it —
+    // moves. Recall lift vs the unrotated residual form is measured
+    // by sim_ivf_opq_recall against the same exact ground truth.
+    "sim_ivf_opq" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e0 = t(s, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"),
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+      val perm = opqPerm(e0)
+      // literal gather projection — no shuffle, stays in codegen; the
+      // d-length permutation is data-independent metadata like mArr
+      // in emb_pca1
+      val pv =
+        if (perm.isEmpty) "CAST(array() AS ARRAY<DOUBLE>)"
+        else perm.map(d => s"v[$d]").mkString("array(", ", ", ")")
+      val e = e0.select(col("vec_id"), expr(pv).as("v"))
+        .withColumn("nrm", expr(s"sqrt(${"graft_dot(v, v)"})"))
+      ivfPqResidualAnn(e)
+    }),
+
+    // Recall@3 of the OPQ-allocated index vs the SAME exact cosine
+    // ground truth and query split as sim_ivf_pq_residual_recall —
+    // the pair of rows that turns "OPQ helps" into a measured number
+    // at every gate SF.
+    "sim_ivf_opq_recall" -> ((s, dir) => {
+      val exact = ExtQueries.queries("sim_topk")(s, dir)
+        .filter(col("rank") <= 3 && col("q_id") % 25 === 0)
+        .select(col("q_id"), col("n_id"))
+      val ann = queries("sim_ivf_opq")(s, dir)
+        .filter(col("q_id") % 10 === 0)
+        .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+      exact.join(ann, Seq("q_id", "n_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("q_id"), col("k"), col("n_hits"),
+          Rounding.r6(expr("CAST(n_hits AS DOUBLE) / CAST(k AS DOUBLE)"))
+            .as("recall"))
     }),
 
     // Recall@3 of the residual-encoded index against the same exact
@@ -999,9 +1103,8 @@ object ScaleQueries {
   /** Shared oracle prefix: embeddings → norms → coarse centroids →
     * argmax-cosine cell assignment, ending in
     * `assigned(vec_id, v, cell)`. Both IVF-PQ chains splice onto it. */
-  private val ivfAssignDuck: String =
-    s"""eb AS (SELECT vec_id::BIGINT AS vec_id,
-       |    embedding::DOUBLE[] AS v FROM embeddings),
+  private def ivfAssignFromDuck(ebBody: String): String =
+    s"""eb AS (SELECT $ebBody),
        |en AS (SELECT *, sqrt(${ivfDotD("v", "v")}) AS nrm FROM eb),
        |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM en
        |  WHERE vec_id < ${ExtCommon.ivfNlistD}),
@@ -1012,6 +1115,10 @@ object ScaleQueries {
        |    ORDER BY csim DESC, c_id) AS crank FROM asg0),
        |assigned AS (SELECT vec_id, v, c_id AS cell FROM asg1
        |  WHERE crank = 1)""".stripMargin
+
+  private val ivfAssignDuck: String = ivfAssignFromDuck(
+    """vec_id::BIGINT AS vec_id,
+      |    embedding::DOUBLE[] AS v FROM embeddings""".stripMargin)
 
   /** The PQ → ADC → rank suffix both chains share, parameterized on
     * the table carrying `(vec_id, v, cell)` rows to encode (`eb` +
@@ -1056,12 +1163,46 @@ object ScaleQueries {
     * v − centroid(cell), codebook seeded from [nlist, nlist+16) —
     * the sub-nlist vec_ids are the centroids themselves, with
     * all-zero residuals. */
+  private val ivfResDuck: String =
+    """res AS (SELECT a.vec_id,
+      |    list_transform(generate_series(1, len(a.v)),
+      |      i -> a.v[i] - c.cv[i]) AS v, a.cell
+      |  FROM assigned a JOIN cents c ON c.c_id = a.cell)""".stripMargin
+
   private val ivfPqResChainDuck: String =
     s"""$ivfAssignDuck,
-       |res AS (SELECT a.vec_id,
-       |    list_transform(generate_series(1, len(a.v)),
-       |      i -> a.v[i] - c.cv[i]) AS v, a.cell
-       |  FROM assigned a JOIN cents c ON c.c_id = a.cell),
+       |$ivfResDuck,
+       |${ivfPqSuffixDuck("res",
+          s"vec_id >= ${ExtCommon.ivfNlistD} AND vec_id < ${ExtCommon.ivfNlistD} + 16")}""".stripMargin
+
+  /** OPQ training mirror: per-dim micro-quantized (n, Σq, Σq²) in
+    * HUGEINT, variance comparable n·ss − s², snake allocation of the
+    * ranked dims over (block, slot), ending in `opm(pl)` — the ONE-row
+    * permutation list with pl[k] = 1-based source dim of permuted
+    * position k (exactly [[opqPerm]]'s integers). */
+  private val opqPermDuck: String =
+    s"""eb0 AS (SELECT vec_id::BIGINT AS vec_id,
+       |    embedding::DOUBLE[] AS v FROM embeddings),
+       |oq AS (SELECT generate_subscripts(v, 1) - 1 AS dim,
+       |    CAST(round(unnest(v) * 1000000.0) AS BIGINT) AS q FROM eb0),
+       |ost AS (SELECT dim, count(*)::HUGEINT AS n, sum(q)::HUGEINT AS s,
+       |    sum(q::HUGEINT * q) AS ss FROM oq GROUP BY 1),
+       |ork AS (SELECT dim, row_number() OVER
+       |    (ORDER BY (n * ss - s * s) DESC, dim) - 1 AS r FROM ost),
+       |ops AS (SELECT dim,
+       |    (CASE WHEN (r // 8) % 2 = 0 THEN r % 8 ELSE 7 - (r % 8) END) * 8
+       |      + (r // 8) + 1 AS p FROM ork),
+       |opm AS (SELECT list(dim + 1 ORDER BY p) AS pl FROM ops)""".stripMargin
+
+  /** OPQ-allocated residual IVF-PQ chain (sim_ivf_opq): the residual
+    * chain verbatim, over the permuted vectors. `eb0` stays available
+    * for the recall twin's RAW-order exact ground truth (the permuted
+    * dot's different summation order could flip an exact-top-3 tie). */
+  private val ivfOpqChainDuck: String =
+    s"""$opqPermDuck,
+       |${ivfAssignFromDuck(
+          "eb0.vec_id, list_transform(opm.pl, d -> eb0.v[d]) AS v FROM eb0, opm")},
+       |$ivfResDuck,
        |${ivfPqSuffixDuck("res",
           s"vec_id >= ${ExtCommon.ivfNlistD} AND vec_id < ${ExtCommon.ivfNlistD} + 16")}""".stripMargin
 
@@ -1504,6 +1645,36 @@ object ScaleQueries {
          |xsims AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
          |    ${ivfDotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
          |  FROM xq x JOIN en y ON x.vec_id <> y.vec_id),
+         |xrk AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, n_id) AS rank FROM xsims),
+         |ex AS (SELECT q_id, n_id FROM xrk WHERE rank <= 3)
+         |SELECT ex.q_id, count(*)::BIGINT AS k,
+         |  sum(CASE WHEN ivf.n_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_hits,
+         |  (round(sum(CASE WHEN ivf.n_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*)::DOUBLE, 6) + 0.0) AS recall
+         |FROM ex LEFT JOIN ivf ON ivf.q_id = ex.q_id AND ivf.n_id = ex.n_id
+         |GROUP BY ex.q_id""".stripMargin,
+
+    "sim_ivf_opq" ->
+      s"""WITH $ivfOpqChainDuck
+         |SELECT q_id, n_id, rank::BIGINT AS rank,
+         |  (round(adc, 6) + 0.0) AS adc
+         |FROM r WHERE rank <= 3""".stripMargin,
+
+    // Exact side deliberately on eb0 (raw dim order), NOT en: the
+    // Spark twin's ground truth is sim_topk over unpermuted vectors,
+    // and a permuted-order float dot could flip a top-3 tie by an ulp.
+    "sim_ivf_opq_recall" ->
+      s"""WITH $ivfOpqChainDuck,
+         |ivf AS (SELECT q_id, n_id FROM r
+         |  WHERE rank <= 3 AND q_id % 10 = 0),
+         |enr AS (SELECT vec_id, v, sqrt(${ivfDotD("v", "v")}) AS nrm
+         |  FROM eb0),
+         |xq AS (SELECT * FROM enr WHERE vec_id % 50 = 0),
+         |xsims AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
+         |    ${ivfDotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+         |  FROM xq x JOIN enr y ON x.vec_id <> y.vec_id),
          |xrk AS (SELECT *, row_number() OVER (PARTITION BY q_id
          |    ORDER BY sim DESC, n_id) AS rank FROM xsims),
          |ex AS (SELECT q_id, n_id FROM xrk WHERE rank <= 3)

@@ -752,72 +752,146 @@ object SimQueries {
     // long products per vector. At corpora where a cov cell exceeds
     // int64 (~1e18 micro²·rows), widen the cell sums to DECIMAL(38,0).
     "emb_pca1" -> ((s, dir) => {
-      val e = emb(s, dir).select(col("vec_id").cast("long").as("vec_id"),
-        expr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
-          "x -> CAST(round(x * 1000000.0) AS BIGINT))").as("xi"))
-      val meansRows = e.select(posexplode(col("xi")).as(Seq("dim", "x")))
-        .groupBy("dim")
-        .agg(expr("CAST(round(CAST(sum(x) AS DOUBLE) / CAST(count(1) AS DOUBLE))" +
-          " AS BIGINT)").as("m"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-      val mArr =
-        if (meansRows.isEmpty) "CAST(array() AS ARRAY<BIGINT>)"
-        else meansRows.map(_._2 + "L").mkString("array(", ",", ")")
-      val centered = e.withColumn("c",
-        expr(s"zip_with(xi, $mArr, (x, m) -> x - m)"))
-      // cov cells accumulate in a per-partition long array (exact) and
-      // shuffle d²·partitions rows — NOT the d²·vectors an inline pair
-      // explode would move; the merged sums are the same integers.
-      val covSchema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("i",
-          org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("j",
-          org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("p",
-          org.apache.spark.sql.types.LongType)))
-      val covRows = centered.select(col("c"))
-        .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
-          var acc: Array[Long] = null
-          var dd = 0
-          it.foreach { r =>
-            // one unbox per component — the d² inner loop then runs on
-            // a primitive array (boxed Seq indexing costs ~10× here)
-            val c: Array[Long] = r.getSeq[Long](0).toArray
-            if (acc == null) { dd = c.length; acc = new Array[Long](dd * dd) }
-            var i = 0
-            while (i < dd) {
-              val ci = c(i); var j = 0
-              while (j < dd) { acc(i * dd + j) += ci * c(j); j += 1 }
-              i += 1
-            }
-          }
-          if (acc == null) Iterator.empty
-          else (0 until dd * dd).iterator.map(k =>
-            org.apache.spark.sql.Row(k / dd, k % dd, acc(k)))
-        }(org.apache.spark.sql.Encoders.row(covSchema))
-        .groupBy("i", "j").agg(sum(col("p")).as("mij"))
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
-      val d = if (meansRows.isEmpty) 0 else meansRows.length
-      val M = Array.fill(d, d)(BigInt(0))
-      covRows.foreach { case (i, j, v) => M(i)(j) = BigInt(v) }
-      var v = Array.fill(d)(BigInt(1000000))
-      for (_ <- 1 to 12) {
-        val wv = Array.tabulate(d)(i =>
-          (0 until d).map(j => M(i)(j) * v(j)).foldLeft(BigInt(0))(_ + _))
-        val mx = if (d == 0) BigInt(0) else wv.map(_.abs).max
-        if (mx > 0)
-          v = wv.map(t =>
-            if (t >= 0) t * 1000000 / mx else -((-t) * 1000000 / mx))
-      }
-      if (v.exists(_ != 0) && v.find(_ != 0).get < 0) v = v.map(-_)
-      val vArr =
-        if (d == 0) "CAST(array() AS ARRAY<BIGINT>)"
-        else v.map(_.toString + "L").mkString("array(", ",", ")")
+      val (centered, m) = pcaCenteredCov(s, dir)
+      val v = pcaPowerIter(m)
       centered.select(col("vec_id"),
-        Rounding.r6(expr(s"CAST(aggregate(zip_with(c, $vArr, " +
+        Rounding.r6(expr(s"CAST(aggregate(zip_with(c, ${pcaVecLit(v)}, " +
           "(x, w) -> x * w), 0L, (a, b) -> a + b) AS DOUBLE)" +
           " / 1000000000000.0")).as("pc1"))
+    }),
+
+    // Top-4 principal components by DEFLATED power iteration — the
+    // same all-exact-integer contract as emb_pca1, one component at a
+    // time: after component k converges, the covariance is Hotelling-
+    // deflated M ← M − λ v̂v̂ᵀ/(v̂ᵀv̂) with λ = v̂ᵀMv̂/(v̂ᵀv̂) so the next
+    // iteration converges to the next eigenvector. Both divisions run
+    // truncate-toward-zero on sign-symmetrized non-negative numerators
+    // (BigInt here, HUGEINT `//` in the mirrored oracle), so the
+    // deflated matrices are the identical integers on both engines.
+    // The CORPUS cost does not grow with k: still ONE covariance pass
+    // (the d²-bounded mapPartitions accumulator) and one projection
+    // pass; the k×12 iteration rounds run on the driver's d×d matrix.
+    "emb_pca_topk" -> ((s, dir) => {
+      val (centered, m0) = pcaCenteredCov(s, dir)
+      val comps = pcaTopComponents(m0, 4)
+      centered.select(col("vec_id") +: comps.zipWithIndex.map {
+        case (v, k) =>
+          Rounding.r6(expr(s"CAST(aggregate(zip_with(c, ${pcaVecLit(v)}, " +
+            "(x, w) -> x * w), 0L, (a, b) -> a + b) AS DOUBLE)" +
+            " / 1000000000000.0")).as(s"pc${k + 1}")
+      }: _*)
     }))
+
+  /** Exact-integer PCA base shared by emb_pca1 / emb_pca_topk:
+    * micro-quantized centered frame (column `c`) and the d×d centered
+    * covariance as BigInt. Cov cells accumulate in a per-partition
+    * long array (exact) and shuffle d²·partitions rows — NOT the
+    * d²·vectors an inline pair explode would move; the merged sums are
+    * the same integers. The d² collect is fixed-size whatever the
+    * corpus (broadcast-build-side posture, not a data-sized collect).
+    */
+  private[graft] def pcaCenteredCov(s: SparkSession, dir: String)
+      : (DataFrame, Array[Array[BigInt]]) = {
+    val e = emb(s, dir).select(col("vec_id").cast("long").as("vec_id"),
+      expr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+        "x -> CAST(round(x * 1000000.0) AS BIGINT))").as("xi"))
+    val meansRows = e.select(posexplode(col("xi")).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(expr("CAST(round(CAST(sum(x) AS DOUBLE) / CAST(count(1) AS DOUBLE))" +
+        " AS BIGINT)").as("m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val mArr =
+      if (meansRows.isEmpty) "CAST(array() AS ARRAY<BIGINT>)"
+      else meansRows.map(_._2 + "L").mkString("array(", ",", ")")
+    val centered = e.withColumn("c",
+      expr(s"zip_with(xi, $mArr, (x, m) -> x - m)"))
+    val covSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("i",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("j",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("p",
+        org.apache.spark.sql.types.LongType)))
+    val covRows = centered.select(col("c"))
+      .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+        var acc: Array[Long] = null
+        var dd = 0
+        it.foreach { r =>
+          // one unbox per component — the d² inner loop then runs on
+          // a primitive array (boxed Seq indexing costs ~10× here)
+          val c: Array[Long] = r.getSeq[Long](0).toArray
+          if (acc == null) { dd = c.length; acc = new Array[Long](dd * dd) }
+          var i = 0
+          while (i < dd) {
+            val ci = c(i); var j = 0
+            while (j < dd) { acc(i * dd + j) += ci * c(j); j += 1 }
+            i += 1
+          }
+        }
+        if (acc == null) Iterator.empty
+        else (0 until dd * dd).iterator.map(k =>
+          org.apache.spark.sql.Row(k / dd, k % dd, acc(k)))
+      }(org.apache.spark.sql.Encoders.row(covSchema))
+      .groupBy("i", "j").agg(sum(col("p")).as("mij"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val d = if (meansRows.isEmpty) 0 else meansRows.length
+    val M = Array.fill(d, d)(BigInt(0))
+    covRows.foreach { case (i, j, v) => M(i)(j) = BigInt(v) }
+    (centered, M)
+  }
+
+  /** Top-k deflated components of the BigInt covariance (the driver
+    * loop of emb_pca_topk, exposed for OpsSpec's orthogonality pin):
+    * power-iterate, Hotelling-deflate with sign-symmetrized truncating
+    * divisions, repeat. */
+  private[graft] def pcaTopComponents(
+      m0: Array[Array[BigInt]], k: Int): Seq[Array[BigInt]] = {
+    val d = m0.length
+    var m = m0
+    (1 to k).map { _ =>
+      // 24 rounds (vs pca1's 12): deflation compounds convergence
+      // error — the residue of an unconverged component leaks into
+      // every later one, and the gate covariance's small eigengaps
+      // left v1·v2 at ~0.05 after 12 rounds (OpsSpec pins < 0.05)
+      val v = pcaPowerIter(m, rounds = 24)
+      val den = v.map(q => q * q).foldLeft(BigInt(0))(_ + _)
+      if (den > 0) {
+        val num = (0 until d).map(i => (0 until d)
+          .map(j => v(i) * m(i)(j) * v(j)).foldLeft(BigInt(0))(_ + _))
+          .foldLeft(BigInt(0))(_ + _)
+        val lam = if (num >= 0) num / den else -((-num) / den)
+        val prev = m
+        m = Array.tabulate(d, d) { (i, j) =>
+          val t = lam * v(i) * v(j)
+          prev(i)(j) - (if (t >= 0) t / den else -((-t) / den))
+        }
+      }
+      v
+    }
+  }
+
+  /** 12 exact-integer power-iteration rounds with per-round
+    * truncate-toward-zero max-norm requantize and first-nonzero-
+    * positive sign canon (emb_pca1's loop, verbatim). */
+  private def pcaPowerIter(
+      m: Array[Array[BigInt]], rounds: Int = 12): Array[BigInt] = {
+    val d = m.length
+    var v = Array.fill(d)(BigInt(1000000))
+    for (_ <- 1 to rounds) {
+      val wv = Array.tabulate(d)(i =>
+        (0 until d).map(j => m(i)(j) * v(j)).foldLeft(BigInt(0))(_ + _))
+      val mx = if (d == 0) BigInt(0) else wv.map(_.abs).max
+      if (mx > 0)
+        v = wv.map(t =>
+          if (t >= 0) t * 1000000 / mx else -((-t) * 1000000 / mx))
+    }
+    if (v.exists(_ != 0) && v.find(_ != 0).get < 0) v = v.map(-_)
+    v
+  }
+
+  private def pcaVecLit(v: Array[BigInt]): String =
+    if (v.isEmpty) "CAST(array() AS ARRAY<BIGINT>)"
+    else v.map(_.toString + "L").mkString("array(", ",", ")")
 
   val oracles: Map[String, String] = Map(
 
@@ -1337,5 +1411,90 @@ object SimQueries {
          |  (round((CAST(p AS DOUBLE) / 1000000000000.0)
          |   * 1000000.0) / 1000000.0 + 0.0) AS pc1
          |FROM proj""".stripMargin
+    },
+
+    "emb_pca_topk" -> {
+      // Four deflated components: each is emb_pca1's 12 unrolled
+      // HUGEINT power-iteration layers (bit-identical arithmetic to
+      // the Scala BigInt loop), followed by the Hotelling deflation
+      // mm{c} = mm{c-1} − λv̂v̂ᵀ/(v̂ᵀv̂) with both divisions trunc-
+      // toward-zero on sign-symmetrized non-negative numerators —
+      // the exact mirror of the driver-side deflation. MATERIALIZED
+      // throughout: vf{c} is referenced 5× and each plain-CTE
+      // reference would re-expand its whole 12-layer chain.
+      // 24 layers per component (vs pca1's 12) — mirrors the deeper
+      // driver loop; see pcaTopComponents
+      def layers(c: Int): String = (1 to 24).map { k =>
+        val (pv, w, x, nv) =
+          (s"v${c}_${k - 1}", s"w${c}_$k", s"x${c}_$k", s"v${c}_$k")
+        s"""$w AS MATERIALIZED (SELECT m.i, sum(m.mij * $pv.q) AS w
+           |  FROM mm${c - 1} m JOIN $pv ON m.j = $pv.i GROUP BY 1),
+           |$x AS MATERIALIZED (SELECT max(abs(w)) AS mx FROM $w),
+           |$nv AS MATERIALIZED (SELECT $w.i,
+           |    CASE WHEN $x.mx = 0 THEN $pv.q
+           |      WHEN $w.w >= 0 THEN ($w.w * 1000000) // $x.mx
+           |      ELSE -(((-$w.w) * 1000000) // $x.mx) END AS q
+           |  FROM $w JOIN $pv ON $w.i = $pv.i CROSS JOIN $x)""".stripMargin
+      }.mkString(",\n")
+      def comp(c: Int): String = {
+        val deflate =
+          if (c == 4) ""
+          else s""",
+            |dn$c AS MATERIALIZED (SELECT sum(q * q) AS den FROM vf$c),
+            |nm$c AS MATERIALIZED (SELECT sum(a.q * m.mij * b.q) AS num
+            |  FROM mm${c - 1} m JOIN vf$c a ON m.i = a.i
+            |  JOIN vf$c b ON m.j = b.i),
+            |lm$c AS MATERIALIZED (SELECT
+            |    CASE WHEN den IS NULL OR den = 0 THEN 0::HUGEINT
+            |      WHEN num >= 0 THEN num // den
+            |      ELSE -((-num) // den) END AS lam FROM nm$c, dn$c),
+            |mm$c AS MATERIALIZED (SELECT m.i, m.j,
+            |    m.mij - (CASE WHEN dn.den = 0 THEN 0::HUGEINT
+            |      WHEN lm.lam * a.q * b.q >= 0
+            |        THEN (lm.lam * a.q * b.q) // dn.den
+            |      ELSE -((-(lm.lam * a.q * b.q)) // dn.den) END) AS mij
+            |  FROM mm${c - 1} m JOIN vf$c a ON m.i = a.i
+            |  JOIN vf$c b ON m.j = b.i, lm$c lm, dn$c dn)""".stripMargin
+        s"""v${c}_0 AS MATERIALIZED (SELECT dim AS i, 1000000::HUGEINT AS q
+           |  FROM mn),
+           |${layers(c)},
+           |sg$c AS (SELECT coalesce((SELECT CASE WHEN q < 0 THEN -1 ELSE 1 END
+           |    FROM v${c}_24 WHERE q <> 0 ORDER BY i LIMIT 1), 1) AS s),
+           |vf$c AS MATERIALIZED (SELECT i, q * (SELECT s FROM sg$c) AS q
+           |  FROM v${c}_24),
+           |proj$c AS MATERIALIZED (SELECT cx.vec_id,
+           |    sum(cx.c::HUGEINT * vf$c.q) AS p
+           |  FROM cx JOIN vf$c ON cx.dim = vf$c.i GROUP BY 1)$deflate""".stripMargin
+      }
+      def pcCol(c: Int): String =
+        s"""(round((CAST(p$c.p AS DOUBLE) / 1000000000000.0)
+           |   * 1000000.0) / 1000000.0 + 0.0) AS pc$c""".stripMargin
+      s"""WITH e AS MATERIALIZED (SELECT vec_id::BIGINT AS vec_id,
+         |    list_transform(embedding::DOUBLE[],
+         |      x -> CAST(round(x * 1000000.0) AS BIGINT)) AS xi
+         |  FROM embeddings),
+         |px AS MATERIALIZED (SELECT vec_id, unnest(xi) AS x,
+         |    generate_subscripts(xi, 1) - 1 AS dim FROM e),
+         |mn AS MATERIALIZED (SELECT dim,
+         |    CAST(round(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+         |      AS BIGINT) AS m
+         |  FROM px GROUP BY 1),
+         |cx AS MATERIALIZED (SELECT vec_id, dim, x - m AS c
+         |  FROM px JOIN mn USING (dim)),
+         |mm0 AS MATERIALIZED (SELECT a.dim AS i, b.dim AS j,
+         |    sum(a.c::HUGEINT * b.c) AS mij
+         |  FROM cx a JOIN cx b USING (vec_id) GROUP BY 1, 2),
+         |${comp(1)},
+         |${comp(2)},
+         |${comp(3)},
+         |${comp(4)}
+         |SELECT p1.vec_id,
+         |  ${pcCol(1)},
+         |  ${pcCol(2)},
+         |  ${pcCol(3)},
+         |  ${pcCol(4)}
+         |FROM proj1 p1 JOIN proj2 p2 ON p1.vec_id = p2.vec_id
+         |JOIN proj3 p3 ON p1.vec_id = p3.vec_id
+         |JOIN proj4 p4 ON p1.vec_id = p4.vec_id""".stripMargin
     })
 }

@@ -307,4 +307,62 @@ class OpsSpec extends SparkSpec {
       .agg(sum("n_docs")).collect()(0).getLong(0)
     assert(grouped == total)
   }
+
+  test("OPQ allocation spreads signal dims and lifts anisotropic recall") {
+    // The gate embeddings are near-isotropic, where ANY allocation ties
+    // (measured: opq vs residual recall within ±0.03 at all 3 SFs) —
+    // so the mechanism is pinned on crafted ANISOTROPIC data instead:
+    // dims 0..7 carry 100× the variance of dims 8..63. Contiguous
+    // slicing buries all signal in PQ block 0 (16 codes for an 8-D
+    // signal ball); the snake allocation must deal the 8 signal dims
+    // one per block, and that must show up as strictly higher ADC
+    // recall end-to-end through the very queries the driver gates.
+    val dir = "/tmp/opq_aniso"
+    spark.range(400)
+      .selectExpr("CAST(id AS INT) AS vec_id",
+        "transform(sequence(0, 63), d -> CAST(CASE WHEN d < 8 " +
+          "THEN 10.0 * sin(CAST(id AS DOUBLE) * (d + 1) * 0.37) " +
+          "ELSE 0.1 * sin(CAST(id AS DOUBLE) * (d + 13) * 0.11) END" +
+          " AS FLOAT)) AS embedding")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"),
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+    val perm = graft.queries.ScaleQueries.opqPerm(e)
+    val signalBlocks = (0 until 8).map(d => perm.indexOf(d) / 8)
+    assert(signalBlocks.toSet.size == 8,
+      s"signal dims must land one per block, got $signalBlocks")
+    def meanRecall(q: String): Double = {
+      val r = graft.queries.ScaleQueries.queries(q)(spark, dir)
+        .agg(avg("recall")).collect()(0)
+      if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    }
+    val opq = meanRecall("sim_ivf_opq_recall")
+    val res = meanRecall("sim_ivf_pq_residual_recall")
+    assert(opq > res, s"anisotropic recall: opq=$opq residual=$res")
+  }
+
+  test("emb_pca_topk: components near-orthogonal, variance-ordered") {
+    val (_, m) = graft.queries.SimQueries.pcaCenteredCov(spark, sf)
+    val comps = graft.queries.SimQueries.pcaTopComponents(m, 4)
+      .map(_.map(_.toDouble))
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    for (a <- 0 until 4; b <- a + 1 until 4) {
+      val cos = dot(comps(a), comps(b)) /
+        math.sqrt(dot(comps(a), comps(a)) * dot(comps(b), comps(b)))
+      assert(math.abs(cos) < 0.05, s"components $a,$b cos=$cos")
+    }
+    // Rayleigh quotients on the ORIGINAL covariance must not increase
+    // (5% slack for the 12-round convergence of near eigenvalues)
+    val rq = comps.map { v =>
+      val mv = m.indices.map(i =>
+        m.indices.map(j => m(i)(j).toDouble * v(j)).sum).toArray
+      dot(v, mv) / dot(v, v)
+    }
+    rq.sliding(2).foreach { case Seq(hi, lo) =>
+      assert(lo <= hi * 1.05, s"Rayleigh order violated: $rq")
+    }
+  }
 }

@@ -52,6 +52,21 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(plan("dedup_simhash")) == 0)
   }
 
+  test("OPQ training aggregate: one exchange, map-side partials") {
+    // opqPerm's only corpus pass: per-dim (n, Σq, Σq²) must reduce as
+    // ONE hash exchange on dim with partial aggregation before it —
+    // the d²·vectors explode is absorbed by the combiner, so only
+    // d rows per map task cross the wire at any corpus size.
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"),
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+    val p = graft.queries.ScaleQueries.opqStats(e)
+      .queryExecution.executedPlan.toString
+    assert(shuffles(p) == 1)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "partial+final")
+  }
+
   test("pipeline_window runs end-to-end on ONE hash exchange") {
     assert(shuffles(plan("pipeline_window")) == 1)
   }

@@ -60,6 +60,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming flagship hash-matches pipeline_full at the driver-gate SF") {
+    // §7.5 held to the same evidence standard as every batch operator:
+    // the FULL sf0.01 corpus through StreamingPipeline must reproduce
+    // the oracle-gated pipeline_full output string-for-string. The
+    // sf0.01 synthetic minute grid is short enough per ticker to fit
+    // one 09:30-16:30 session, so slot k maps bijectively onto
+    // open + (k-1) minutes of one real trading day — the streaming
+    // market-hours filter then keeps exactly the rows pipeline_full
+    // sees, and islands/densify/interpolate line up 1:1. Output
+    // timestamps map back ns→slot→micros before comparing; the same
+    // r6 rounding pipeline_full applies is applied to the streamed rows.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val gridBase = graft.queries.EventBars.GridBaseMicros
+    val stepUs = graft.queries.EventBars.StepMicros
+    val mb = graft.queries.EventBars.minuteBars(spark, dir)
+      .withColumn("slot",
+        ((col("ws") - lit(gridBase)) / lit(stepUs)).cast("long"))
+    val maxSlot = mb.agg(max("slot")).head().getLong(0)
+    assert(maxSlot <= 420L,
+      s"sf0.01 grid must fit one market session, maxSlot=$maxSlot")
+    val evs = mb.select(col("ticker"), col("volume"), col("open"),
+        col("close"), col("high"), col("low"),
+        col("close").as("adj_close"),
+        (lit(openNs) + (col("slot") - 1L) * lit(minNs)).as("window_start"))
+      .as[RawBarEvent].collect()
+    val stream = MemoryStream[RawBarEvent]
+    val results = scala.collection.concurrent.TrieMap[String, Array[String]]()
+    val q = StreamingPipeline.run(stream.toDS()) { (ds, df) =>
+      val mid = graft.model.Schemas.indicatorColumns
+        .filter(c => c != "window_start" && c != "ticker")
+      val backMapped = df.select(
+        (lit(gridBase) + (((col("window_start") - lit(openNs)) / lit(minNs))
+          .cast("long") + 1L) * lit(stepUs)).as("window_start") +:
+          mid.map(c => graft.queries.Rounding.r6(col(c)).as(c)) :+
+          col("ticker"): _*)
+      results(ds) = backMapped.collect().map(_.toString)
+    }
+    try {
+      stream.addData(evs.toIndexedSeq)
+      q.processAllAvailable()
+      stream.addData(pusher(1))
+      q.processAllAvailable()
+      stream.addData(pusher(2))
+      q.processAllAvailable()
+      assert(results.contains("2024-03-05"))
+      val streamed = results("2024-03-05").sorted.toSeq
+      val batch = SparkEntry.queries("pipeline_full")(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+      assert(batch.nonEmpty)
+      assert(streamed.size == batch.size,
+        s"row counts differ: streamed=${streamed.size} batch=${batch.size}")
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("after-hours bar arriving past close+slack does not kill the query") {
     // Regression: setTimeoutTimestamp(close+slack) with close+slack <=
     // current watermark throws IllegalArgumentException. An after-hours
