@@ -396,6 +396,95 @@ object SimQueries {
         .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
     }),
 
+    // NN-descent kNN-graph refinement (Dong et al., WWW'11 — the
+    // construction pynndescent/UMAP and disk-ANN builds use at scale):
+    // start from the LSH same-bucket top-3 lists and run two
+    // neighbor-of-neighbor rounds — each round proposes the friends of
+    // friends over the UNDIRECTED current graph, scores them, and
+    // keeps top-3 per node. The convergence claim of the paper is that
+    // a few such rounds recover most of the true kNN graph that
+    // single-probe LSH misses (bucket boundaries cut true neighbors);
+    // sim_nndescent_recall publishes the measured uplift over the
+    // sim_recall LSH baseline. Scale shape: candidate generation is a
+    // self-join of a ≤6n-row id-pair list on 8-byte keys (≤ ~36+3
+    // candidates per node, k²-bounded — never a vector payload), then
+    // two id-keyed joins re-attach vectors for scoring and a per-node
+    // top-k window; rounds are a fixed constant, each localCheckpointed.
+    "sim_nndescent" -> ((s, dir) => {
+      val e0 = emb(s, dir)
+      val e = e0
+        .select(col("vec_id").cast("long").as("vec_id"),
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+        .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
+        .localCheckpoint() // feeds the init bucket join + 2 scoring rounds
+      val withSig = e.withColumn("sig", expr(sigS(annBits(e0))))
+      // Score candidate id-pairs by re-attaching vectors (two id-keyed
+      // joins — the pair list itself never carries a payload), then
+      // keep top-3 per node.
+      def top3(cand: DataFrame): DataFrame = cand
+        .join(e.select(col("vec_id").as("a"), col("v").as("va"),
+          col("nrm").as("na")), "a")
+        .join(e.select(col("vec_id").as("b"), col("v").as("vb"),
+          col("nrm").as("nb")), "b")
+        .select(col("a"), col("b"),
+          expr(s"try_divide(${dotS("va", "vb")}, na * nb)").as("sim"))
+        .withColumn("rank", expr(
+          "CAST(row_number() OVER (PARTITION BY a ORDER BY sim DESC, b) AS BIGINT)"))
+        .filter(col("rank") <= 3)
+        .select(col("a"), col("b"), col("rank"), col("sim"))
+      // Init = LSH bucket-mates ∪ 3 deterministic pseudo-random ring
+      // edges per node (the paper's RANDOM init, made oracle-
+      // mirrorable). The ring edges are what let descent ESCAPE the
+      // LSH partition: same-bucket friends-of-friends stay in the
+      // bucket (sig(c) = sig(m) = sig(a)), so an LSH-only init is
+      // already a fixed point of the refinement, measured as exactly
+      // zero uplift. Dense [0, n) ids assumed for the targets (the
+      // gate tables are dense); a missing target just drops its edge
+      // at the scoring join.
+      val n = math.max(1L, e.count())
+      val bucketPairs = withSig.as("x").join(withSig.as("y"),
+          col("x.sig") === col("y.sig") && col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      val ringPairs = e.select(col("vec_id").as("a"))
+        .select(col("a"), explode(expr(
+          s"transform(sequence(1, 3), " +
+            s"j -> ((a % $P) * (2*j + 1) + j * 7919 + 1) % $P % ${n}L)"))
+          .as("b"))
+        .filter(col("a") =!= col("b"))
+      var knn = top3(bucketPairs.union(ringPairs).distinct())
+        .localCheckpoint()
+      for (_ <- 1 to 2) {
+        val und = knn.select(col("a"), col("b"))
+          .union(knn.select(col("b").as("a"), col("a").as("b")))
+        val cand = und.as("p").join(und.as("q"), col("p.b") === col("q.a"))
+          .select(col("p.a").as("a"), col("q.b").as("b"))
+          .filter(col("a") =!= col("b"))
+          .union(knn.select(col("a"), col("b")))
+          .distinct()
+        knn = top3(cand).localCheckpoint()
+      }
+      knn.select(col("a").as("q_id"), col("b").as("n_id"), col("rank"),
+        Rounding.r6(col("sim")).as("sim"))
+    }),
+
+    // Recall@3 of the refined graph vs the exact ground truth on the
+    // q_id % 10 split — read next to sim_recall (the LSH init's own
+    // recall) for the measured NN-descent uplift.
+    "sim_nndescent_recall" -> ((s, dir) => {
+      val exact = ExtQueries.queries("sim_topk")(s, dir)
+        .filter(col("rank") <= 3).select(col("q_id"), col("n_id"))
+      val ann = queries("sim_nndescent")(s, dir)
+        .filter(col("q_id") % 10 === 0)
+        .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+      exact.join(ann, Seq("q_id", "n_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("q_id"), col("k"), col("n_hits"),
+          Rounding.r6(expr("CAST(n_hits AS DOUBLE) / CAST(k AS DOUBLE)"))
+            .as("recall"))
+    }),
+
     // Embedding near-dup at scale: same-bucket candidates only (the
     // brute-force emb_neardup is the correctness baseline; this is the
     // shape that survives 100 TB — an equi-join on the adaptive-width
@@ -893,7 +982,70 @@ object SimQueries {
     if (v.isEmpty) "CAST(array() AS ARRAY<BIGINT>)"
     else v.map(_.toString + "L").mkString("array(", ",", ")")
 
+  /** NN-descent oracle chain: LSH same-bucket top-3 init (k0), then two
+    * friend-of-friend rounds — undirected edge set, DISTINCT candidate
+    * union with the current lists (mirrors Spark's union+distinct),
+    * re-score, top-3 — ending in `k2(a, b, sim, rank)`. */
+  private val nndescentChainDuck: String = {
+    def round(r: Int): String =
+      s"""u${r - 1} AS (SELECT a, b FROM k${r - 1}
+         |  UNION SELECT b, a FROM k${r - 1}),
+         |c$r AS (SELECT DISTINCT p.a, q.b FROM u${r - 1} p
+         |    JOIN u${r - 1} q ON p.b = q.a WHERE p.a <> q.b
+         |  UNION SELECT a, b FROM k${r - 1}),
+         |s$r AS (SELECT c.a, c.b,
+         |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+         |  FROM c$r c JOIN en x ON x.vec_id = c.a
+         |  JOIN en y ON y.vec_id = c.b),
+         |k$r AS (SELECT * FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY a ORDER BY sim DESC, b)::BIGINT AS rank FROM s$r)
+         |  WHERE rank <= 3)""".stripMargin
+    s"""$embBase,
+       |es AS (SELECT *, ${sigD(annBitsD)} AS sig FROM en),
+       |bp AS (SELECT x.vec_id AS a, y.vec_id AS b
+       |  FROM es x JOIN es y ON x.sig = y.sig AND x.vec_id <> y.vec_id),
+       |rp AS (SELECT a, b FROM (
+       |    SELECT vec_id AS a, ((vec_id % $P) * (2*j + 1) + j * 7919 + 1)
+       |      % $P % greatest(1, (SELECT count(*) FROM embeddings)) AS b
+       |    FROM en, unnest(generate_series(1, 3)) AS u(j))
+       |  WHERE a <> b),
+       |c0 AS (SELECT a, b FROM bp UNION SELECT a, b FROM rp),
+       |s0 AS (SELECT c.a, c.b,
+       |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+       |  FROM c0 c JOIN en x ON x.vec_id = c.a
+       |  JOIN en y ON y.vec_id = c.b),
+       |k0 AS (SELECT * FROM (SELECT *, row_number() OVER (
+       |    PARTITION BY a ORDER BY sim DESC, b)::BIGINT AS rank FROM s0)
+       |  WHERE rank <= 3),
+       |${round(1)},
+       |${round(2)}""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+
+    "sim_nndescent" ->
+      s"""WITH $nndescentChainDuck
+         |SELECT a AS q_id, b AS n_id, rank,
+         |  (round(sim, 6) + 0.0) AS sim FROM k2""".stripMargin,
+
+    "sim_nndescent_recall" ->
+      s"""WITH $nndescentChainDuck,
+         |qs AS (SELECT * FROM en WHERE vec_id % 10 = 0),
+         |xsims AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
+         |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+         |  FROM qs x JOIN en y ON x.vec_id <> y.vec_id),
+         |xrk AS (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY sim DESC, n_id)::BIGINT AS rank
+         |  FROM xsims),
+         |ex AS (SELECT q_id, n_id FROM xrk WHERE rank <= 3),
+         |an AS (SELECT a AS q_id, b AS n_id FROM k2 WHERE a % 10 = 0)
+         |SELECT ex.q_id, count(*)::BIGINT AS k,
+         |  sum(CASE WHEN an.n_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_hits,
+         |  (round(sum(CASE WHEN an.n_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*)::DOUBLE, 6) + 0.0) AS recall
+         |FROM ex LEFT JOIN an ON an.q_id = ex.q_id AND an.n_id = ex.n_id
+         |GROUP BY ex.q_id""".stripMargin,
 
     "emb_neardup" ->
       s"""WITH $embBase
