@@ -395,7 +395,40 @@ object ScaleProbe {
         f"SCC_SEC=${(System.nanoTime() - tScc) / 1e9}%.2f")
     }
     pipelineRangeProbe(spark)
+    nndescentProbe(spark)
     spark.stop()
+  }
+
+  /** NN-descent at 1×/30× the sf0.1 vectors: the claim is near-linear
+    * wall in n — candidate generation is k²-bounded per node and the
+    * bucket init's adaptive plane count keeps bucket pairs ~64·n.
+    * Replicas perturb by a rep-dependent epsilon (distinct vectors,
+    * real top-3 work) and keep ids dense for the ring init. Runnable
+    * standalone via [[NnDescentProbe]]. */
+  def nndescentProbe(spark: org.apache.spark.sql.SparkSession): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    for (r <- Seq(1, 30)) {
+      val src =
+        if (r == 1) "/root/testdata/sf0.1"
+        else {
+          spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+            .crossJoin(spark.range(r.toLong).select(col("id").as("rep")))
+            .select(
+              (col("vec_id").cast("long") * r + col("rep")).as("vec_id"),
+              expr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+                "x -> CAST(x + rep * 0.0001 AS FLOAT))").as("embedding"))
+            .write.mode("overwrite")
+            .parquet("/tmp/scale_nnd/embeddings.parquet")
+          "/tmp/scale_nnd"
+        }
+      val nv = spark.read.parquet(s"$src/embeddings.parquet").count()
+      val t0 = System.nanoTime()
+      val edges = graft.SparkEntry.queries("sim_nndescent")(spark, src)
+        .queryExecution.toRdd.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"NND_VECTORS=$nv NND_EDGES=$edges NND_SEC=$sec%.2f " +
+        f"NND_ROWS_PER_SEC=${nv / sec}%.0f")
+    }
   }
 
   /** Flagship multi-day shape (pipeline_range / runRange) at 1×/10×/
@@ -512,6 +545,18 @@ object ScaleProbe {
         f"SKEW_SEC=$sSkew%.2f BAL_SEC=$sBal%.2f " +
         f"SKEW_RATIO=${sSkew / sBal}%.2f")
     }
+  }
+}
+
+/** Standalone driver for [[ScaleProbe.nndescentProbe]] only. */
+object NnDescentProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    ScaleProbe.nndescentProbe(spark)
+    spark.stop()
   }
 }
 
