@@ -56,18 +56,76 @@ object ClassifyQueries {
     * never the O(n²) pairwise kernel sum a naive two-sample test pays.
     * Linear moments ride the same exchange as pseudo-pairs (i, 0). */
   private def mmdOf(eg: DataFrame, splitName: String): DataFrame = {
-    val mom = eg.select(col("g"), explode(expr(
-      "concat(" +
-        "transform(sequence(1, 64), i -> " +
-        "  struct(i AS i, 0 AS j, element_at(v, i) AS p)), " +
-        "flatten(transform(sequence(1, 64), i -> " +
-        "  transform(sequence(i, 64), j -> " +
-        "    struct(i AS i, j AS j, element_at(v, i) * element_at(v, j)" +
-        "      AS p)))))")).as("e"))
-      .select(col("g"), col("e.i").as("i"), col("e.j").as("j"),
-        col("e.p").as("p"))
+    // Moments accumulate in two per-partition long arrays (d + d(d+1)/2
+    // cells each for the linear + upper-triangle products) — the PCA-
+    // covariance accumulator shape — so the exchange carries
+    // 2·2144·partitions rows instead of the 2144·n an inline struct
+    // explode shuffles through the partial aggregate (measured 3.9 s →
+    // the explode built ~86M short-lived structs per mmdOf at sf0.1).
+    // Quantization is per-product BEFORE summing, bit-identical to the
+    // old `CAST(round(p * 1e6) AS BIGINT)`: Spark's round at scale 0 is
+    // HALF_UP on the exact double ≡ away-from-zero nearest (Rounding's
+    // documented std::round equivalence), computed here branch-exactly
+    // (a − floor(a) is exact for a < 2⁵², so the .5 test never drifts).
+    val momSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("g",
+        org.apache.spark.sql.types.BooleanType),
+      org.apache.spark.sql.types.StructField("i",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("j",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("sp",
+        org.apache.spark.sql.types.LongType)))
+    val mom = eg.select(col("g"), col("v"))
+      .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+        def rnd(t: Double): Long = {
+          val a = math.abs(t)
+          val fl = math.floor(a)
+          val r = if (a - fl >= 0.5) fl + 1.0 else fl
+          (if (t < 0) -r else r).toLong
+        }
+        var accT: Array[Long] = null
+        var accF: Array[Long] = null
+        var d = 0
+        it.foreach { row =>
+          val g = row.getBoolean(0)
+          val v: Array[Double] = row.getSeq[Double](1).toArray
+          if (d == 0) d = v.length
+          val cells = d + d * (d + 1) / 2
+          val acc = {
+            if (g) { if (accT == null) accT = new Array[Long](cells); accT }
+            else { if (accF == null) accF = new Array[Long](cells); accF }
+          }
+          var i = 0
+          var tri = d
+          while (i < d) {
+            acc(i) += rnd(v(i) * 1000000.0)
+            val vi = v(i)
+            var j = i
+            while (j < d) {
+              acc(tri) += rnd(vi * v(j) * 1000000.0)
+              tri += 1
+              j += 1
+            }
+            i += 1
+          }
+        }
+        def emit(g: Boolean, acc: Array[Long]) =
+          if (acc == null) Iterator.empty
+          else {
+            val lin = (0 until d).iterator.map(i =>
+              org.apache.spark.sql.Row(g, i + 1, 0, acc(i)))
+            val tri = (0 until d).iterator.flatMap(i =>
+              (i until d).iterator.map { j =>
+                val idx = d + i * d - i * (i - 1) / 2 + (j - i)
+                org.apache.spark.sql.Row(g, i + 1, j + 1, acc(idx))
+              })
+            lin ++ tri
+          }
+        emit(true, accT) ++ emit(false, accF)
+      }(org.apache.spark.sql.Encoders.row(momSchema))
       .groupBy("g", "i", "j")
-      .agg(sum(expr("CAST(round(p * 1000000.0) AS BIGINT)")).as("sp"))
+      .agg(sum(col("sp")).as("sp"))
     val nrow = eg.agg(
       sum(when(col("g"), 1L).otherwise(0L)).as("na"),
       sum(when(!col("g"), 1L).otherwise(0L)).as("nb"))
