@@ -338,25 +338,68 @@ object BehaviorQueries {
     // (arm, replica) cells.
     "ab_bootstrap" -> ((s, dir) => {
       val B = 64
-      val rep = ev(s, dir)
+      // The 64 replica weights accumulate in per-partition long arrays
+      // over the 2·B (arm, b) cells instead of exploding B struct rows
+      // per event through the partial aggregate (~38M rows at sf0.1 —
+      // the emb_mmd_poly accumulator shape, same reason). Weight
+      // arithmetic is bit-identical: event_id reduced mod 1000003
+      // BEFORE the Knuth multiply so the product never leaves Long
+      // range (DuckDB BIGINT overflow throws where Spark would wrap),
+      // pmod, then the Poisson(1) inverse CDF at 1e-4 resolution:
+      // P(0)=.3679 P(1)=.3679 P(2)=.1839 P(3)=.0613 rest → 4.
+      // A NULL c contributes to sw but never to swc (sum semantics);
+      // an (arm, b) cell with no non-NULL c stays NULL-swc so the
+      // m-is-NULL filter below behaves exactly as before.
+      val base = ev(s, dir)
         .filter(col("user_id").isNotNull)
-        .withColumn("arm", (col("user_id") % 2).cast("bigint"))
-        .withColumn("c", expr("CAST(round(value * 100) AS BIGINT)"))
-        .select(col("arm"), col("c"), explode(expr(
-          // event_id reduced mod 1000003 BEFORE the Knuth multiply so
-          // the product never leaves Long range (DuckDB BIGINT
-          // overflow throws where Spark would silently wrap)
-          s"transform(sequence(1, $B), b -> struct(b AS b, " +
-            "pmod(((event_id % 1000003) * 2654435761L + b * 40503L), " +
-            "10000) AS h))")).as("r"))
-        .select(col("arm"), col("c"), col("r.b").as("b"),
-          // Poisson(1) inverse CDF at 1e-4 resolution:
-          // P(0)=.3679 P(1)=.3679 P(2)=.1839 P(3)=.0613 rest → 4
-          expr("CASE WHEN r.h < 3679 THEN 0L WHEN r.h < 7358 THEN 1L " +
-            "WHEN r.h < 9197 THEN 2L WHEN r.h < 9810 THEN 3L " +
-            "ELSE 4L END").as("w"))
-      val means = rep.groupBy("arm", "b")
-        .agg(sum(col("w") * col("c")).as("swc"), sum(col("w")).as("sw"))
+        .select((col("user_id") % 2).cast("bigint").as("arm"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"),
+          col("event_id").cast("long").as("event_id"))
+      val repSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("arm",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("swc",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sw",
+          org.apache.spark.sql.types.LongType)))
+      val partials = base.mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+        val swc = Array.fill(2 * B)(0L)
+        val sw = Array.fill(2 * B)(0L)
+        val sawC = Array.fill(2 * B)(false)
+        val armSeen = Array.fill(2)(false)
+        it.foreach { row =>
+          val arm = row.getLong(0).toInt
+          val cNull = row.isNullAt(1)
+          val c = if (cNull) 0L else row.getLong(1)
+          val eid = row.getLong(2) % 1000003L
+          armSeen(arm) = true
+          var b = 1
+          while (b <= B) {
+            val h = {
+              val m = (eid * 2654435761L + b * 40503L) % 10000L
+              if (m < 0) m + 10000L else m
+            }
+            val w =
+              if (h < 3679) 0L else if (h < 7358) 1L
+              else if (h < 9197) 2L else if (h < 9810) 3L else 4L
+            val cell = arm * B + (b - 1)
+            sw(cell) += w
+            if (!cNull) { swc(cell) += w * c; sawC(cell) = true }
+            b += 1
+          }
+        }
+        (0 until 2).iterator.filter(armSeen).flatMap(a =>
+          (1 to B).iterator.map { b =>
+            val cell = a * B + (b - 1)
+            org.apache.spark.sql.Row(a.toLong, b,
+              if (sawC(cell)) java.lang.Long.valueOf(swc(cell)) else null,
+              sw(cell))
+          })
+      }(org.apache.spark.sql.Encoders.row(repSchema))
+      val means = partials.groupBy("arm", "b")
+        .agg(sum(col("swc")).as("swc"), sum(col("sw")).as("sw"))
         .withColumn("m", expr("CAST(round(try_divide(" +
           "CAST(swc AS DOUBLE), CAST(sw AS DOUBLE)) * 10000.0)" +
           " AS BIGINT)"))
