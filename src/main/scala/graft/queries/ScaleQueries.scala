@@ -954,8 +954,12 @@ object ScaleQueries {
       val pv =
         if (perm.isEmpty) "CAST(array() AS ARRAY<DOUBLE>)"
         else perm.map(d => s"v[$d]").mkString("array(", ", ", ")")
+      // materialize the gathered arrays ONCE: downstream assignCells
+      // evaluates graft_dot(v, cv) n×nlist times, and an unmaterialized
+      // pv would re-run the 64-element CreateArray per evaluation
       val e = e0.select(col("vec_id"), expr(pv).as("v"))
         .withColumn("nrm", expr(s"sqrt(${"graft_dot(v, v)"})"))
+        .localCheckpoint()
       ivfPqResidualAnn(e)
     }),
 
