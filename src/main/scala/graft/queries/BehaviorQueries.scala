@@ -349,7 +349,12 @@ object BehaviorQueries {
       // P(0)=.3679 P(1)=.3679 P(2)=.1839 P(3)=.0613 rest → 4.
       // A NULL c contributes to sw but never to swc (sum semantics);
       // an (arm, b) cell with no non-NULL c stays NULL-swc so the
-      // m-is-NULL filter below behaves exactly as before.
+      // m-is-NULL filter below behaves exactly as before. Arm keeps
+      // Spark/DuckDB `%` semantics (a negative user_id yields arm =
+      // -1, its own group, exactly as the pre-accumulator groupBy
+      // produced) — the accumulator indexes arm + 1 over THREE arm
+      // slots so bad-sign data lands in the -1 group instead of
+      // crashing an executor on a negative array index.
       val base = ev(s, dir)
         .filter(col("user_id").isNotNull)
         .select((col("user_id") % 2).cast("bigint").as("arm"),
@@ -365,16 +370,16 @@ object BehaviorQueries {
         org.apache.spark.sql.types.StructField("sw",
           org.apache.spark.sql.types.LongType)))
       val partials = base.mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
-        val swc = Array.fill(2 * B)(0L)
-        val sw = Array.fill(2 * B)(0L)
-        val sawC = Array.fill(2 * B)(false)
-        val armSeen = Array.fill(2)(false)
+        val swc = Array.fill(3 * B)(0L)
+        val sw = Array.fill(3 * B)(0L)
+        val sawC = Array.fill(3 * B)(false)
+        val armSeen = Array.fill(3)(false)
         it.foreach { row =>
-          val arm = row.getLong(0).toInt
+          val armIdx = row.getLong(0).toInt + 1 // arm ∈ {-1, 0, 1}
           val cNull = row.isNullAt(1)
           val c = if (cNull) 0L else row.getLong(1)
           val eid = row.getLong(2) % 1000003L
-          armSeen(arm) = true
+          armSeen(armIdx) = true
           var b = 1
           while (b <= B) {
             val h = {
@@ -384,16 +389,16 @@ object BehaviorQueries {
             val w =
               if (h < 3679) 0L else if (h < 7358) 1L
               else if (h < 9197) 2L else if (h < 9810) 3L else 4L
-            val cell = arm * B + (b - 1)
+            val cell = armIdx * B + (b - 1)
             sw(cell) += w
             if (!cNull) { swc(cell) += w * c; sawC(cell) = true }
             b += 1
           }
         }
-        (0 until 2).iterator.filter(armSeen).flatMap(a =>
+        (0 until 3).iterator.filter(armSeen).flatMap(a =>
           (1 to B).iterator.map { b =>
             val cell = a * B + (b - 1)
-            org.apache.spark.sql.Row(a.toLong, b,
+            org.apache.spark.sql.Row((a - 1).toLong, b,
               if (sawC(cell)) java.lang.Long.valueOf(swc(cell)) else null,
               sw(cell))
           })

@@ -89,25 +89,34 @@ object ClassifyQueries {
         var d = 0
         it.foreach { row =>
           val g = row.getBoolean(0)
-          val v: Array[Double] = row.getSeq[Double](1).toArray
-          if (d == 0) d = v.length
-          val cells = d + d * (d + 1) / 2
-          val acc = {
-            if (g) { if (accT == null) accT = new Array[Long](cells); accT }
-            else { if (accF == null) accF = new Array[Long](cells); accF }
-          }
-          var i = 0
-          var tri = d
-          while (i < d) {
-            acc(i) += rnd(v(i) * 1000000.0)
-            val vi = v(i)
-            var j = i
-            while (j < d) {
-              acc(tri) += rnd(vi * v(j) * 1000000.0)
-              tri += 1
-              j += 1
+          // NULL embeddings contribute nothing — exactly what the old
+          // SQL's element_at-NULL products summed to under sum()'s
+          // NULL-skipping; a ragged row (length ≠ the partition's
+          // latched d) fails loudly instead of silently shrinking or
+          // overrunning the moment set.
+          if (!row.isNullAt(1)) {
+            val v: Array[Double] = row.getSeq[Double](1).toArray
+            if (d == 0) d = v.length
+            require(v.length == d,
+              s"mmdOf: ragged embedding length ${v.length} != $d")
+            val cells = d + d * (d + 1) / 2
+            val acc = {
+              if (g) { if (accT == null) accT = new Array[Long](cells); accT }
+              else { if (accF == null) accF = new Array[Long](cells); accF }
             }
-            i += 1
+            var i = 0
+            var tri = d
+            while (i < d) {
+              acc(i) += rnd(v(i) * 1000000.0)
+              val vi = v(i)
+              var j = i
+              while (j < d) {
+                acc(tri) += rnd(vi * v(j) * 1000000.0)
+                tri += 1
+                j += 1
+              }
+              i += 1
+            }
           }
         }
         def emit(g: Boolean, acc: Array[Long]) =

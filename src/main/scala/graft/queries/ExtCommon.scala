@@ -21,6 +21,20 @@ private[graft] object ExtCommon {
   private[graft] val NumHash = 12
   private[graft] val Bands = 4
 
+  /** Query-split moduli of the similarity family, hoisted so the Spark
+    * builders and the interpolated oracle SQL read the SAME constant
+    * and cannot silently desynchronize (r12 advice): [[TopkSplit]] is
+    * sim_topk's own query split (vec_id % 10 = 0 ⇒ 10% of the corpus
+    * queries); [[IvfQuerySplit]] is the IVF/PQ family's split
+    * (vec_id % 25 = 0); the recall twins intersect the two, so their
+    * effective split is lcm(10, 25) = 50 — which is exactly
+    * [[HybridSplit]], the hybrid-retrieval family's split. Changing
+    * any one constant here changes every dependent query AND its
+    * oracle together. */
+  private[graft] val TopkSplit = 10
+  private[graft] val IvfQuerySplit = 25
+  private[graft] val HybridSplit = 50
+
   private[graft] def docs(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     s.read.parquet(s"$dir/documents.parquet")
@@ -137,7 +151,7 @@ private[graft] object ExtCommon {
     val tf = dd.select(col("id"), explode(col("toks")).as("tok"))
       .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
     val dfT = tf.groupBy("tok").agg(count(lit(1)).as("dfc"))
-    val qt = dd.filter(col("id") % 50 === 0)
+    val qt = dd.filter(col("id") % HybridSplit === 0)
       .select(col("id").as("q_id"),
         explode(array_distinct(col("toks"))).as("tok"))
     val term = {
@@ -188,7 +202,7 @@ private[graft] object ExtCommon {
     val tf = dd.select(col("id"), explode(col("toks")).as("tok"))
       .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
     val dfT = tf.groupBy("tok").agg(count(lit(1)).as("dfc")).localCheckpoint()
-    val qt = dd.filter(col("id") % 50 === 0)
+    val qt = dd.filter(col("id") % HybridSplit === 0)
       .select(col("id").as("q_id"),
         explode(array_distinct(col("toks"))).as("tok"))
     val goodTok = dfT.filter(col("dfc") * 4 <= n)
@@ -595,7 +609,7 @@ private[graft] object ExtCommon {
        |  FROM (SELECT id, unnest(toks) AS tok FROM dd) GROUP BY 1, 2),
        |dft AS (SELECT tok, count(*)::BIGINT AS dfc FROM tf GROUP BY 1),
        |qt AS (SELECT id AS q_id, unnest(list_distinct(toks)) AS tok
-       |  FROM dd WHERE id % 50 = 0),
+       |  FROM dd WHERE id % $HybridSplit = 0),
        |po AS (SELECT q.q_id, t.id, t.tf, f.dfc, l.dl
        |  FROM qt q JOIN dft f ON f.tok = q.tok
        |  JOIN tf t ON t.tok = q.tok JOIN dl l ON l.id = t.id, nv
@@ -614,7 +628,7 @@ private[graft] object ExtCommon {
     * all-pairs shape); ends in `dtop(q_id, id, dr)`. Needs
     * [[embBase]]. */
   private[graft] val hybridDenseExactDuck: String =
-    s"""hqx AS (SELECT * FROM en WHERE vec_id % 50 = 0),
+    s"""hqx AS (SELECT * FROM en WHERE vec_id % $HybridSplit = 0),
        |hds AS (SELECT x.vec_id AS q_id, y.vec_id AS id,
        |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
        |  FROM hqx x JOIN en y ON x.vec_id <> y.vec_id),
@@ -635,7 +649,7 @@ private[graft] object ExtCommon {
        |aasg AS MATERIALIZED (SELECT vec_id, v, nrm, c_id AS cell
        |  FROM aagr WHERE crank = 1),
        |aqx AS (SELECT vec_id, v, nrm, c_id AS cell FROM aagr
-       |  WHERE crank <= 2 AND vec_id % 50 = 0),
+       |  WHERE crank <= 2 AND vec_id % $HybridSplit = 0),
        |ads AS (SELECT x.vec_id AS q_id, y.vec_id AS id,
        |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
        |  FROM aqx x JOIN aasg y ON x.cell = y.cell AND x.vec_id <> y.vec_id),

@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.ext.{PageRank, TextOps}
 import graft.functions.GraftFunctions
+import ExtCommon.{TopkSplit, IvfQuerySplit, HybridSplit}
 
 /** Round-4 scale-path operators: the remaining building blocks a
   * 100 TB training-data pipeline runs that the earlier rounds had not
@@ -224,7 +225,7 @@ object ScaleQueries {
     // residual-code centroids — q and its same-cell candidates share
     // the centroid, so residual ADC tracks ‖q − x‖² exactly as the
     // raw form does, minus the quantization distortion.
-    val qBlocks = blocks.filter(col("vec_id") % 25 === 0)
+    val qBlocks = blocks.filter(col("vec_id") % IvfQuerySplit === 0)
       .join(res.select(col("vec_id"), col("cell")), "vec_id")
       .select(col("vec_id").as("q_id"), col("cell"), col("block"),
         col("sub").as("qsub"))
@@ -866,7 +867,7 @@ object ScaleQueries {
       val (pqCents, codesFull) = pqCodebook(blocks)
       val codes = codesFull.select(col("vec_id"), col("block"), col("code"))
       // ADC: query sub-vectors vs candidates' code centroids
-      val qBlocks = blocks.filter(col("vec_id") % 25 === 0)
+      val qBlocks = blocks.filter(col("vec_id") % IvfQuerySplit === 0)
         .join(assigned.select(col("vec_id"), col("cell")), "vec_id")
         .select(col("vec_id").as("q_id"), col("cell"), col("block"),
           col("sub").as("qsub"))
@@ -898,10 +899,10 @@ object ScaleQueries {
     // hits resolve by an exchange-aligned left join, counts exact.
     "sim_ivf_pq_recall" -> ((s, dir) => {
       val exact = ExtQueries.queries("sim_topk")(s, dir)
-        .filter(col("rank") <= 3 && col("q_id") % 25 === 0)
+        .filter(col("rank") <= 3 && col("q_id") % IvfQuerySplit === 0)
         .select(col("q_id"), col("n_id"))
       val ann = queries("sim_ivf_pq")(s, dir)
-        .filter(col("q_id") % 10 === 0)
+        .filter(col("q_id") % TopkSplit === 0)
         .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
       exact.join(ann, Seq("q_id", "n_id"), "left")
         .groupBy("q_id")
@@ -969,10 +970,10 @@ object ScaleQueries {
     // at every gate SF.
     "sim_ivf_opq_recall" -> ((s, dir) => {
       val exact = ExtQueries.queries("sim_topk")(s, dir)
-        .filter(col("rank") <= 3 && col("q_id") % 25 === 0)
+        .filter(col("rank") <= 3 && col("q_id") % IvfQuerySplit === 0)
         .select(col("q_id"), col("n_id"))
       val ann = queries("sim_ivf_opq")(s, dir)
-        .filter(col("q_id") % 10 === 0)
+        .filter(col("q_id") % TopkSplit === 0)
         .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
       exact.join(ann, Seq("q_id", "n_id"), "left")
         .groupBy("q_id")
@@ -995,10 +996,10 @@ object ScaleQueries {
     // FAISS defaults to.
     "sim_ivf_pq_residual_recall" -> ((s, dir) => {
       val exact = ExtQueries.queries("sim_topk")(s, dir)
-        .filter(col("rank") <= 3 && col("q_id") % 25 === 0)
+        .filter(col("rank") <= 3 && col("q_id") % IvfQuerySplit === 0)
         .select(col("q_id"), col("n_id"))
       val ann = queries("sim_ivf_pq_residual")(s, dir)
-        .filter(col("q_id") % 10 === 0)
+        .filter(col("q_id") % TopkSplit === 0)
         .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
       exact.join(ann, Seq("q_id", "n_id"), "left")
         .groupBy("q_id")
@@ -1141,7 +1142,7 @@ object ScaleQueries {
        |codes AS (SELECT vec_id, block, c_id AS code FROM cr WHERE rn = 1),
        |qb AS (SELECT bl.vec_id AS q_id, a.cell, bl.block, bl.sub AS qsub
        |  FROM bl JOIN $vecs a ON a.vec_id = bl.vec_id
-       |  WHERE bl.vec_id % 25 = 0),
+       |  WHERE bl.vec_id % $IvfQuerySplit = 0),
        |cand AS (SELECT a.vec_id AS n_id, a.cell, c.block, c.code
        |  FROM $vecs a JOIN codes c ON c.vec_id = a.vec_id),
        |bd AS (SELECT qb.q_id, cand.n_id, qb.block,
@@ -1619,8 +1620,8 @@ object ScaleQueries {
     "sim_ivf_pq_recall" ->
       s"""WITH $ivfPqChainDuck,
          |ivf AS (SELECT q_id, n_id FROM r
-         |  WHERE rank <= 3 AND q_id % 10 = 0),
-         |xq AS (SELECT * FROM en WHERE vec_id % 50 = 0),
+         |  WHERE rank <= 3 AND q_id % $TopkSplit = 0),
+         |xq AS (SELECT * FROM en WHERE vec_id % $HybridSplit = 0),
          |xsims AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
          |    ${ivfDotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
          |  FROM xq x JOIN en y ON x.vec_id <> y.vec_id),
@@ -1644,8 +1645,8 @@ object ScaleQueries {
     "sim_ivf_pq_residual_recall" ->
       s"""WITH $ivfPqResChainDuck,
          |ivf AS (SELECT q_id, n_id FROM r
-         |  WHERE rank <= 3 AND q_id % 10 = 0),
-         |xq AS (SELECT * FROM en WHERE vec_id % 50 = 0),
+         |  WHERE rank <= 3 AND q_id % $TopkSplit = 0),
+         |xq AS (SELECT * FROM en WHERE vec_id % $HybridSplit = 0),
          |xsims AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
          |    ${ivfDotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
          |  FROM xq x JOIN en y ON x.vec_id <> y.vec_id),
@@ -1672,10 +1673,10 @@ object ScaleQueries {
     "sim_ivf_opq_recall" ->
       s"""WITH $ivfOpqChainDuck,
          |ivf AS (SELECT q_id, n_id FROM r
-         |  WHERE rank <= 3 AND q_id % 10 = 0),
+         |  WHERE rank <= 3 AND q_id % $TopkSplit = 0),
          |enr AS (SELECT vec_id, v, sqrt(${ivfDotD("v", "v")}) AS nrm
          |  FROM eb0),
-         |xq AS (SELECT * FROM enr WHERE vec_id % 50 = 0),
+         |xq AS (SELECT * FROM enr WHERE vec_id % $HybridSplit = 0),
          |xsims AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
          |    ${ivfDotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
          |  FROM xq x JOIN enr y ON x.vec_id <> y.vec_id),

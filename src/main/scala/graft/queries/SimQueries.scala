@@ -53,7 +53,7 @@ object SimQueries {
         .select(col("vec_id").cast("long").as("vec_id"),
           expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
         .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
-      val q = e.filter(col("vec_id") % 10 === 0)
+      val q = e.filter(col("vec_id") % TopkSplit === 0)
         .withColumn("bi", expr(s"CAST(vec_id % $PairBlocks AS INT)"))
         .withColumn("bj", explode(expr(s"sequence(0, ${PairBlocks - 1})")))
       val y = e.withColumn("bj", expr(s"CAST(vec_id % $PairBlocks AS INT)"))
@@ -84,7 +84,7 @@ object SimQueries {
           col("label").cast("long").as("label"),
           expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
         .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
-      val q = e.filter(col("vec_id") % 10 === 0)
+      val q = e.filter(col("vec_id") % TopkSplit === 0)
         .withColumn("bi", expr(s"CAST(vec_id % $PairBlocks AS INT)"))
         .withColumn("bj", explode(expr(s"sequence(0, ${PairBlocks - 1})")))
       val y = e.withColumn("bj", expr(s"CAST(vec_id % $PairBlocks AS INT)"))
@@ -122,7 +122,7 @@ object SimQueries {
         .select(col("vec_id").cast("long").as("id"),
           expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
         .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
-      val q = e.filter(col("id") % 50 === 0)
+      val q = e.filter(col("id") % HybridSplit === 0)
         .withColumn("bi", expr(s"CAST(id % $PairBlocks AS INT)"))
         .withColumn("bj", explode(expr(s"sequence(0, ${PairBlocks - 1})")))
       val y = e.withColumn("bj", expr(s"CAST(id % $PairBlocks AS INT)"))
@@ -154,7 +154,7 @@ object SimQueries {
       val (cents, assigned) = ivfKmeansIndex(emb(s, dir)
         .select(col("vec_id").cast("long").as("vec_id"),
           expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v")))
-      val qs = assigned.filter(col("vec_id") % 50 === 0)
+      val qs = assigned.filter(col("vec_id") % HybridSplit === 0)
         .select(col("vec_id"), col("v"), col("nrm"))
         .crossJoin(broadcast(cents))
         .withColumn("csim", expr(s"try_divide(${dotS("v", "cv")}, nrm * cnrm)"))
@@ -206,7 +206,7 @@ object SimQueries {
           col("label").cast("long").as("label"),
           expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
         .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
-      val q = e.filter(col("vec_id") % 10 === 0)
+      val q = e.filter(col("vec_id") % TopkSplit === 0)
         .withColumn("bi", expr(s"CAST(vec_id % $PairBlocks AS INT)"))
         .withColumn("bj", explode(expr(s"sequence(0, ${PairBlocks - 1})")))
       val y = e.filter(col("vec_id") % 10 =!= 0)
@@ -240,7 +240,7 @@ object SimQueries {
       val e = emb(s, dir)
         .select(col("vec_id").cast("long").as("vec_id"),
           expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
-      val q = e.filter(col("vec_id") % 10 === 0)
+      val q = e.filter(col("vec_id") % TopkSplit === 0)
         .withColumn("bi", expr(s"CAST(vec_id % $PairBlocks AS INT)"))
         .withColumn("bj", explode(expr(s"sequence(0, ${PairBlocks - 1})")))
       val y = e.withColumn("bj", expr(s"CAST(vec_id % $PairBlocks AS INT)"))
@@ -278,7 +278,7 @@ object SimQueries {
           s"concat(v, array(sqrt(greatest(0D, m2 - ${dotS("v", "v")}))))"))
         .select(col("vec_id"), col("v"),
           expr(s"graft_hplane_sig(va, $bits)").as("sig"))
-      val qs = data.filter(col("vec_id") % 10 === 0)
+      val qs = data.filter(col("vec_id") % TopkSplit === 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
           expr(s"graft_hplane_sig(concat(v, array(0D)), $bits)").as("sig"))
       qs.join(data, Seq("sig"))
@@ -474,7 +474,7 @@ object SimQueries {
       val exact = ExtQueries.queries("sim_topk")(s, dir)
         .filter(col("rank") <= 3).select(col("q_id"), col("n_id"))
       val ann = queries("sim_nndescent")(s, dir)
-        .filter(col("q_id") % 10 === 0)
+        .filter(col("q_id") % TopkSplit === 0)
         .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
       exact.join(ann, Seq("q_id", "n_id"), "left")
         .groupBy("q_id")
@@ -517,7 +517,7 @@ object SimQueries {
         .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
       val cents = ivfInitCents(e)
       val assigned = assignCells(e, cents)
-      val qs = assigned.filter(col("vec_id") % 25 === 0)
+      val qs = assigned.filter(col("vec_id") % IvfQuerySplit === 0)
       qs.as("x").join(assigned.as("y"),
           col("x.cell") === col("y.cell") && col("x.vec_id") =!= col("y.vec_id"))
         .withColumn("sim", expr(s"try_divide(${dotS("x.v", "y.v")}, x.nrm * y.nrm)"))
@@ -543,7 +543,7 @@ object SimQueries {
       // argmax), so the window survives here — but only over the
       // query split (4% of rows), filtered BEFORE the rank: the
       // full-corpus side uses the aggregate assignment above.
-      val qs = e.filter(col("vec_id") % 25 === 0)
+      val qs = e.filter(col("vec_id") % IvfQuerySplit === 0)
         .crossJoin(broadcast(cents))
         .withColumn("csim", expr(s"try_divide(${dotS("v", "cv")}, nrm * cnrm)"))
         .withColumn("crank", expr(
@@ -575,7 +575,7 @@ object SimQueries {
     // the training chain per side.
     "sim_ivf_kmeans" -> ((s, dir) => {
       val assigned = ivfKmeansAssigned(s, dir)
-      val qs = assigned.filter(col("vec_id") % 25 === 0)
+      val qs = assigned.filter(col("vec_id") % IvfQuerySplit === 0)
       qs.as("x").join(assigned.as("y"),
           col("x.cell") === col("y.cell") && col("x.vec_id") =!= col("y.vec_id"))
         .withColumn("sim", expr(s"try_divide(${dotS("x.v", "y.v")}, x.nrm * y.nrm)"))
@@ -680,7 +680,7 @@ object SimQueries {
       val exact = ExtQueries.queries("sim_topk")(s, dir)
         .filter(col("rank") <= 3).select(col("q_id"), col("n_id"))
       val ann = ExtQueries.queries("sim_ann_lsh")(s, dir)
-        .filter(col("q_id") % 10 === 0)
+        .filter(col("q_id") % TopkSplit === 0)
         .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
       exact.join(ann, Seq("q_id", "n_id"), "left")
         .groupBy("q_id")
@@ -716,7 +716,7 @@ object SimQueries {
       val anns = dims.map { k =>
         val t = e.select(col("vec_id"), expr(s"slice(v, 1, $k)").as("vk"))
           .withColumn("nrm", expr(s"sqrt(${dotS("vk", "vk")})"))
-        val qb = t.filter(col("vec_id") % 10 === 0)
+        val qb = t.filter(col("vec_id") % TopkSplit === 0)
           .withColumn("bi", expr(s"CAST(vec_id % $PairBlocks AS INT)"))
           .withColumn("bj", explode(expr(s"sequence(0, ${PairBlocks - 1})")))
         val yb = t.withColumn("bj", expr(s"CAST(vec_id % $PairBlocks AS INT)"))
@@ -753,12 +753,12 @@ object SimQueries {
     "sim_ivf_recall" -> ((s, dir) => {
       import s.implicits._
       val exact = ExtQueries.queries("sim_topk")(s, dir)
-        .filter(col("rank") <= 3 && col("q_id") % 25 === 0)
+        .filter(col("rank") <= 3 && col("q_id") % IvfQuerySplit === 0)
         .select(col("q_id"), col("n_id"))
         .crossJoin(Seq("probe1", "probe2").toDF("method"))
       def ann(name: String, q: String) =
         queries(q)(s, dir)
-          .filter(col("q_id") % 10 === 0)
+          .filter(col("q_id") % TopkSplit === 0)
           .select(lit(name).as("method"), col("q_id"), col("n_id"),
             lit(1L).as("hit"))
       val anns = ann("probe1", "sim_ivf").union(ann("probe2", "sim_ivf_probe2"))
@@ -810,12 +810,12 @@ object SimQueries {
     "sim_ivf_kmeans_recall" -> ((s, dir) => {
       import s.implicits._
       val exact = ExtQueries.queries("sim_topk")(s, dir)
-        .filter(col("rank") <= 3 && col("q_id") % 25 === 0)
+        .filter(col("rank") <= 3 && col("q_id") % IvfQuerySplit === 0)
         .select(col("q_id"), col("n_id"))
         .crossJoin(Seq("init", "trained").toDF("method"))
       def ann(name: String, q: String) =
         queries(q)(s, dir)
-          .filter(col("q_id") % 10 === 0)
+          .filter(col("q_id") % TopkSplit === 0)
           .select(lit(name).as("method"), col("q_id"), col("n_id"),
             lit(1L).as("hit"))
       val anns = ann("init", "sim_ivf").union(ann("trained", "sim_ivf_kmeans"))
@@ -1030,7 +1030,7 @@ object SimQueries {
 
     "sim_nndescent_recall" ->
       s"""WITH $nndescentChainDuck,
-         |qs AS (SELECT * FROM en WHERE vec_id % 10 = 0),
+         |qs AS (SELECT * FROM en WHERE vec_id % $TopkSplit = 0),
          |xsims AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
          |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
          |  FROM qs x JOIN en y ON x.vec_id <> y.vec_id),
@@ -1038,7 +1038,7 @@ object SimQueries {
          |    PARTITION BY q_id ORDER BY sim DESC, n_id)::BIGINT AS rank
          |  FROM xsims),
          |ex AS (SELECT q_id, n_id FROM xrk WHERE rank <= 3),
-         |an AS (SELECT a AS q_id, b AS n_id FROM k2 WHERE a % 10 = 0)
+         |an AS (SELECT a AS q_id, b AS n_id FROM k2 WHERE a % $TopkSplit = 0)
          |SELECT ex.q_id, count(*)::BIGINT AS k,
          |  sum(CASE WHEN an.n_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
          |    AS n_hits,
@@ -1056,7 +1056,7 @@ object SimQueries {
 
     "sim_topk" ->
       s"""WITH $embBase,
-         |qs AS (SELECT * FROM en WHERE vec_id % 10 = 0),
+         |qs AS (SELECT * FROM en WHERE vec_id % $TopkSplit = 0),
          |sims AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
          |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
          |  FROM qs x JOIN en y ON x.vec_id <> y.vec_id),
@@ -1067,7 +1067,7 @@ object SimQueries {
       s"""WITH el AS (SELECT vec_id::BIGINT AS vec_id, label::BIGINT AS label,
          |    embedding::DOUBLE[] AS v FROM embeddings),
          |eln AS (SELECT *, sqrt(${dotD("v", "v")}) AS nrm FROM el),
-         |qs AS (SELECT * FROM eln WHERE vec_id % 10 = 0),
+         |qs AS (SELECT * FROM eln WHERE vec_id % $TopkSplit = 0),
          |sims AS (SELECT x.vec_id AS q_id, x.label AS q_label,
          |    y.vec_id AS n_id, y.label AS n_label,
          |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
@@ -1115,7 +1115,7 @@ object SimQueries {
       s"""WITH el AS (SELECT vec_id::BIGINT AS vec_id, label::BIGINT AS label,
          |    embedding::DOUBLE[] AS v FROM embeddings),
          |eln AS (SELECT *, sqrt(${dotD("v", "v")}) AS nrm FROM el),
-         |qs AS (SELECT * FROM eln WHERE vec_id % 10 = 0),
+         |qs AS (SELECT * FROM eln WHERE vec_id % $TopkSplit = 0),
          |cs AS (SELECT * FROM eln WHERE vec_id % 10 <> 0),
          |sims AS (SELECT x.vec_id AS q_id, x.label AS label,
          |    y.vec_id AS n_id, y.label AS n_label,
@@ -1132,7 +1132,7 @@ object SimQueries {
 
     "sim_mips" ->
       s"""WITH $embBase,
-         |qs AS (SELECT * FROM eb WHERE vec_id % 10 = 0),
+         |qs AS (SELECT * FROM eb WHERE vec_id % $TopkSplit = 0),
          |sims AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
          |    ${dotD("x.v", "y.v")} AS ip
          |  FROM qs x JOIN eb y ON x.vec_id <> y.vec_id),
@@ -1147,7 +1147,7 @@ object SimQueries {
          |  FROM eb CROSS JOIN m2),
          |ds AS (SELECT vec_id, vq, ${sigD(annBitsD)} AS sig FROM da),
          |qa AS (SELECT vec_id, vq, list_append(vq, 0.0::DOUBLE) AS v
-         |  FROM da WHERE vec_id % 10 = 0),
+         |  FROM da WHERE vec_id % $TopkSplit = 0),
          |qsg AS (SELECT vec_id AS q_id, vq AS qv, ${sigD(annBitsD)} AS sig FROM qa),
          |sims AS (SELECT q.q_id, d.vec_id AS n_id, ${dotD("q.qv", "d.vq")} AS ip
          |  FROM qsg q JOIN ds d ON q.sig = d.sig AND q.q_id <> d.vec_id),
@@ -1156,7 +1156,7 @@ object SimQueries {
 
     "sim_mips_recall" ->
       s"""WITH $embBase,
-         |qs AS (SELECT * FROM eb WHERE vec_id % 10 = 0),
+         |qs AS (SELECT * FROM eb WHERE vec_id % $TopkSplit = 0),
          |xsims AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
          |    ${dotD("x.v", "y.v")} AS ip
          |  FROM qs x JOIN eb y ON x.vec_id <> y.vec_id),
@@ -1169,7 +1169,7 @@ object SimQueries {
          |  FROM eb CROSS JOIN m2),
          |ds AS (SELECT vec_id, vq, ${sigD(annBitsD)} AS sig FROM da),
          |qa AS (SELECT vec_id, vq, list_append(vq, 0.0::DOUBLE) AS v
-         |  FROM da WHERE vec_id % 10 = 0),
+         |  FROM da WHERE vec_id % $TopkSplit = 0),
          |qsg AS (SELECT vec_id AS q_id, vq AS qv, ${sigD(annBitsD)} AS sig FROM qa),
          |asims AS (SELECT q.q_id, d.vec_id AS n_id, ${dotD("q.qv", "d.vq")} AS ip
          |  FROM qsg q JOIN ds d ON q.sig = d.sig AND q.q_id <> d.vec_id),
@@ -1228,7 +1228,7 @@ object SimQueries {
 
     "sim_recall" ->
       s"""WITH $embBase,
-         |qs AS (SELECT * FROM en WHERE vec_id % 10 = 0),
+         |qs AS (SELECT * FROM en WHERE vec_id % $TopkSplit = 0),
          |sims AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
          |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
          |  FROM qs x JOIN en y ON x.vec_id <> y.vec_id),
@@ -1244,7 +1244,7 @@ object SimQueries {
          |    PARTITION BY q_id ORDER BY sim DESC, n_id)::BIGINT AS rank
          |  FROM sims2),
          |an AS (SELECT q_id, n_id FROM rk2
-         |  WHERE rank <= 3 AND q_id % 10 = 0),
+         |  WHERE rank <= 3 AND q_id % $TopkSplit = 0),
          |j AS (SELECT ex.q_id,
          |    CASE WHEN an.n_id IS NOT NULL THEN 1 ELSE 0 END AS hit
          |  FROM ex LEFT JOIN an
@@ -1270,7 +1270,7 @@ object SimQueries {
          |  FROM en e CROSS JOIN cents c),
          |asg1 AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS crank FROM asg0),
          |assigned AS (SELECT vec_id, v, nrm, c_id AS cell FROM asg1 WHERE crank = 1),
-         |qs AS (SELECT * FROM assigned WHERE vec_id % 25 = 0),
+         |qs AS (SELECT * FROM assigned WHERE vec_id % $IvfQuerySplit = 0),
          |sims AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
          |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
          |  FROM qs x JOIN assigned y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
@@ -1286,7 +1286,7 @@ object SimQueries {
          |asg1 AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS crank FROM asg0),
          |assigned AS (SELECT vec_id, v, nrm, c_id AS cell FROM asg1 WHERE crank = 1),
          |qs AS (SELECT vec_id, v, nrm, c_id AS cell FROM asg1
-         |  WHERE crank <= 2 AND vec_id % 25 = 0),
+         |  WHERE crank <= 2 AND vec_id % $IvfQuerySplit = 0),
          |sims AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
          |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
          |  FROM qs x JOIN assigned y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
@@ -1299,7 +1299,7 @@ object SimQueries {
          |    greatest(1, coalesce(max(len(v)), 0) // 2) AS k2 FROM eb),
          |t1 AS (SELECT vec_id, v[1:dk.k1] AS vk FROM eb CROSS JOIN dk),
          |n1 AS (SELECT *, sqrt(${dotD("vk", "vk")}) AS nrm FROM t1),
-         |q1 AS (SELECT * FROM n1 WHERE vec_id % 10 = 0),
+         |q1 AS (SELECT * FROM n1 WHERE vec_id % $TopkSplit = 0),
          |s1 AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
          |    ${dotD("x.vk", "y.vk")} / (x.nrm * y.nrm) AS sim
          |  FROM q1 x JOIN n1 y ON x.vec_id <> y.vec_id),
@@ -1308,14 +1308,14 @@ object SimQueries {
          |  WHERE rank <= 3),
          |t2 AS (SELECT vec_id, v[1:dk.k2] AS vk FROM eb CROSS JOIN dk),
          |n2 AS (SELECT *, sqrt(${dotD("vk", "vk")}) AS nrm FROM t2),
-         |q2 AS (SELECT * FROM n2 WHERE vec_id % 10 = 0),
+         |q2 AS (SELECT * FROM n2 WHERE vec_id % $TopkSplit = 0),
          |s2 AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
          |    ${dotD("x.vk", "y.vk")} / (x.nrm * y.nrm) AS sim
          |  FROM q2 x JOIN n2 y ON x.vec_id <> y.vec_id),
          |a2 AS (SELECT q_id, n_id FROM (SELECT *, row_number() OVER (
          |    PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM s2)
          |  WHERE rank <= 3),
-         |xq AS (SELECT * FROM en WHERE vec_id % 10 = 0),
+         |xq AS (SELECT * FROM en WHERE vec_id % $TopkSplit = 0),
          |xs AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
          |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
          |  FROM xq x JOIN en y ON x.vec_id <> y.vec_id),
@@ -1348,9 +1348,9 @@ object SimQueries {
          |  FROM en e CROSS JOIN cents c),
          |asg1 AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS crank FROM asg0),
          |assigned AS (SELECT vec_id, v, nrm, c_id AS cell FROM asg1 WHERE crank = 1),
-         |qs1 AS (SELECT * FROM assigned WHERE vec_id % 50 = 0),
+         |qs1 AS (SELECT * FROM assigned WHERE vec_id % $HybridSplit = 0),
          |qs2 AS (SELECT vec_id, v, nrm, c_id AS cell FROM asg1
-         |  WHERE crank <= 2 AND vec_id % 50 = 0),
+         |  WHERE crank <= 2 AND vec_id % $HybridSplit = 0),
          |sims1 AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
          |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
          |  FROM qs1 x JOIN assigned y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
@@ -1363,7 +1363,7 @@ object SimQueries {
          |ivf2 AS (SELECT q_id, n_id FROM (SELECT *, row_number() OVER (
          |    PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM sims2)
          |  WHERE rank <= 3),
-         |xq AS (SELECT * FROM en WHERE vec_id % 50 = 0),
+         |xq AS (SELECT * FROM en WHERE vec_id % $HybridSplit = 0),
          |xsims AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
          |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
          |  FROM xq x JOIN en y ON x.vec_id <> y.vec_id),
@@ -1392,7 +1392,7 @@ object SimQueries {
          |assigned AS MATERIALIZED (SELECT vec_id, v, nrm, c_id AS cell FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS crank FROM asg0)
          |  WHERE crank = 1),
-         |qs AS (SELECT * FROM assigned WHERE vec_id % 25 = 0),
+         |qs AS (SELECT * FROM assigned WHERE vec_id % $IvfQuerySplit = 0),
          |sims AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
          |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
          |  FROM qs x JOIN assigned y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
@@ -1437,8 +1437,8 @@ object SimQueries {
          |tassigned AS MATERIALIZED (SELECT vec_id, v, nrm, c_id AS cell FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS crank FROM tasg0)
          |  WHERE crank = 1),
-         |iqs AS (SELECT * FROM iassigned WHERE vec_id % 50 = 0),
-         |tqs AS (SELECT * FROM tassigned WHERE vec_id % 50 = 0),
+         |iqs AS (SELECT * FROM iassigned WHERE vec_id % $HybridSplit = 0),
+         |tqs AS (SELECT * FROM tassigned WHERE vec_id % $HybridSplit = 0),
          |isims AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
          |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
          |  FROM iqs x JOIN iassigned y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
@@ -1449,7 +1449,7 @@ object SimQueries {
          |    PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM isims) WHERE rank <= 3),
          |ttop AS (SELECT q_id, n_id FROM (SELECT *, row_number() OVER (
          |    PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM tsims) WHERE rank <= 3),
-         |xq AS (SELECT * FROM en WHERE vec_id % 50 = 0),
+         |xq AS (SELECT * FROM en WHERE vec_id % $HybridSplit = 0),
          |xsims AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
          |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
          |  FROM xq x JOIN en y ON x.vec_id <> y.vec_id),
