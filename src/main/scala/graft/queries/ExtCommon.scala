@@ -327,6 +327,15 @@ private[graft] object ExtCommon {
     */
   private[graft] val MaxBandBucket = 64
 
+  /** NN-descent init: a node pairs only with same-bucket mates within
+    * this many row_number positions (vec_id order), so a degenerate
+    * hot bucket of B near-identical vectors costs B·2·cap init pairs
+    * instead of B² (mirrored in the DuckDB oracle). 2× the ~64
+    * expected bucket the adaptive [[annBits]] target, and above every
+    * gate bucket (max 66 at sf0.1) so the gate pair sets match the
+    * uncapped join exactly. */
+  private[graft] val NndInitCap = 128
+
   /** Exact 3-gram-shingle jaccard over a candidate pair (raw — callers
     * round for output, filter on the raw value).
     */

@@ -417,7 +417,13 @@ object SimQueries {
           expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
         .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
         .localCheckpoint() // feeds the init bucket join + 2 scoring rounds
-      val withSig = e.withColumn("sig", expr(sigS(annBits(e0))))
+      // Pairing only needs (vec_id, sig) — the bucket join never
+      // shuffles a vector payload. rn ranks bucket-mates by vec_id so
+      // the hot-bucket cap below is deterministic on both engines;
+      // the rank window and the self-join share the sig exchange.
+      val withSig = e.select(col("vec_id"), expr(sigS(annBits(e0))).as("sig"))
+        .withColumn("rn", expr(
+          "CAST(row_number() OVER (PARTITION BY sig ORDER BY vec_id) AS BIGINT)"))
       // Score candidate id-pairs by re-attaching vectors (two id-keyed
       // joins — the pair list itself never carries a payload), then
       // keep top-3 per node.
@@ -441,9 +447,21 @@ object SimQueries {
       // zero uplift. Dense [0, n) ids assumed for the targets (the
       // gate tables are dense); a missing target just drops its edge
       // at the scoring join.
+      // Hot-bucket guard: a degenerate corpus (mass near-duplicate
+      // vectors hashing to ONE bucket — exactly what LLM dedup
+      // pipelines see) would make the same-sig self-join quadratic in
+      // the flood size. Each node therefore pairs only with bucket-
+      // mates within NndInitCap rank positions (|Δrn| ≤ cap over the
+      // vec_id order), bounding a B-node bucket at B·2·cap init pairs
+      // while the adaptive bits keep the EXPECTED bucket at ~64 ≪ cap
+      // — every gate bucket (max 66 at sf0.1) sits under the cap, so
+      // the gate pair sets are byte-identical to the uncapped join.
+      // Descent's friend-of-friend rounds re-link what the rank band
+      // cuts, the same way they recover LSH boundary losses.
       val n = math.max(1L, e.count())
       val bucketPairs = withSig.as("x").join(withSig.as("y"),
-          col("x.sig") === col("y.sig") && col("x.vec_id") =!= col("y.vec_id"))
+          col("x.sig") === col("y.sig") && col("x.vec_id") =!= col("y.vec_id") &&
+            abs(col("x.rn") - col("y.rn")) <= NndInitCap)
         .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
       val ringPairs = e.select(col("vec_id").as("a"))
         .select(col("a"), explode(expr(
@@ -1001,9 +1019,12 @@ object SimQueries {
          |    PARTITION BY a ORDER BY sim DESC, b)::BIGINT AS rank FROM s$r)
          |  WHERE rank <= 3)""".stripMargin
     s"""$embBase,
-       |es AS (SELECT *, ${sigD(annBitsD)} AS sig FROM en),
+       |es0 AS (SELECT *, ${sigD(annBitsD)} AS sig FROM en),
+       |es AS (SELECT *, row_number() OVER (
+       |    PARTITION BY sig ORDER BY vec_id)::BIGINT AS rn FROM es0),
        |bp AS (SELECT x.vec_id AS a, y.vec_id AS b
-       |  FROM es x JOIN es y ON x.sig = y.sig AND x.vec_id <> y.vec_id),
+       |  FROM es x JOIN es y ON x.sig = y.sig AND x.vec_id <> y.vec_id
+       |    AND abs(x.rn - y.rn) <= $NndInitCap),
        |rp AS (SELECT a, b FROM (
        |    SELECT vec_id AS a, ((vec_id % $P) * (2*j + 1) + j * 7919 + 1)
        |      % $P % greatest(1, (SELECT count(*) FROM embeddings)) AS b

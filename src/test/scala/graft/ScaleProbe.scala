@@ -429,6 +429,56 @@ object ScaleProbe {
       println(f"NND_VECTORS=$nv NND_EDGES=$edges NND_SEC=$sec%.2f " +
         f"NND_ROWS_PER_SEC=${nv / sec}%.0f")
     }
+    nndescentSkewProbe(spark)
+  }
+
+  /** NN-descent hot-bucket worst case: 30% of the corpus ε-identical
+    * (one LSH bucket — the mass-near-duplicate shape LLM dedup
+    * pipelines see) vs a balanced control of IDENTICAL total rows.
+    * Uncapped, the init self-join pairs the flood quadratically
+    * ((0.3n)² candidates to score); with the NndInitCap rank band the
+    * flood costs 0.3n·2·128 pairs — the claim is a bounded skew/
+    * balanced wall ratio. Both arms replicate sf0.1 10× (20k vectors,
+    * dense ids). */
+  def nndescentSkewProbe(spark: org.apache.spark.sql.SparkSession): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val rep = 10
+    def build(skew: Boolean, path: String): Long = {
+      val base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .crossJoin(spark.range(rep.toLong).select(col("id").as("rep")))
+        .select((col("vec_id").cast("long") * rep + col("rep")).as("vec_id"),
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v0"))
+      val hot = base.filter(col("vec_id") % 10 < 3)
+        .crossJoin(broadcast(
+          base.filter(col("vec_id") === 7L).select(col("v0").as("hv"))))
+        .select(col("vec_id"), expr(
+          "transform(hv, x -> CAST(x + vec_id * 1e-9 AS FLOAT))")
+          .as("embedding"))
+      val cold = base.filter(col("vec_id") % 10 >= 3)
+        .select(col("vec_id"), expr(
+          "transform(v0, x -> CAST(x + (vec_id % 10) * 0.0001 AS FLOAT))")
+          .as("embedding"))
+      val all =
+        if (skew) hot.union(cold)
+        else base.select(col("vec_id"), expr(
+          "transform(v0, x -> CAST(x + (vec_id % 10) * 0.0001 AS FLOAT))")
+          .as("embedding"))
+      all.write.mode("overwrite").parquet(s"$path/embeddings.parquet")
+      spark.read.parquet(s"$path/embeddings.parquet").count()
+    }
+    def run(path: String): Double = {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries("sim_nndescent")(spark, path)
+        .queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val nS = build(skew = true, "/tmp/scale_nnd_skew")
+    val nB = build(skew = false, "/tmp/scale_nnd_bal")
+    val sS = run("/tmp/scale_nnd_skew")
+    val sB = run("/tmp/scale_nnd_bal")
+    println(f"NND_SKEW_VECTORS=$nS NND_BAL_VECTORS=$nB " +
+      f"NND_SKEW_SEC=$sS%.2f NND_BAL_SEC=$sB%.2f " +
+      f"NND_SKEW_RATIO=${sS / sB}%.2f")
   }
 
   /** Flagship multi-day shape (pipeline_range / runRange) at 1×/10×/
@@ -556,6 +606,18 @@ object NnDescentProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     ScaleProbe.nndescentProbe(spark)
+    spark.stop()
+  }
+}
+
+/** Standalone driver for [[ScaleProbe.nndescentSkewProbe]] only. */
+object NnDescentSkewProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    ScaleProbe.nndescentSkewProbe(spark)
     spark.stop()
   }
 }
