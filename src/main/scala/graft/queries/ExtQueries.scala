@@ -19,10 +19,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object ExtQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    DedupQueries.queries ++ SimQueries.queries ++
+    DedupQueries.queries ++ SimQueries.queries ++ SimSearchQueries.queries ++
       MmQueries.queries ++ TextCurationQueries.queries
 
   val oracles: Map[String, String] =
-    DedupQueries.oracles ++ SimQueries.oracles ++
+    DedupQueries.oracles ++ SimQueries.oracles ++ SimSearchQueries.oracles ++
       MmQueries.oracles ++ TextCurationQueries.oracles
 }

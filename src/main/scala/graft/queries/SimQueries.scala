@@ -1004,7 +1004,7 @@ object SimQueries {
     * friend-of-friend rounds — undirected edge set, DISTINCT candidate
     * union with the current lists (mirrors Spark's union+distinct),
     * re-score, top-3 — ending in `k2(a, b, sim, rank)`. */
-  private val nndescentChainDuck: String = {
+  private[queries] val nndescentChainDuck: String = {
     def round(r: Int): String =
       s"""u${r - 1} AS (SELECT a, b FROM k${r - 1}
          |  UNION SELECT b, a FROM k${r - 1}),

@@ -199,6 +199,48 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sim_graph_search walk: bounded windows, arrays only on id-keyed exchanges") {
+    // The un-truncated walk plan (materialize=false skips the
+    // production localCheckpoints, so each hop's dual reference to the
+    // prior beam duplicates its subtree — 2^hops window copies; the
+    // nndescent chain below stays checkpointed and out of frame).
+    // Pins: (a) every Window node is PARTITIONED (by q_id, over
+    // beam·(deg+1)-bounded candidate sets) — no corpus-wide window
+    // ever ranks the walk; (b) the cell assignment stays the map-side
+    // partial_min aggregate; (c) an array-typed column (query/node
+    // vectors) may only ride a single-id-keyed exchange — the
+    // adjacency expansion, cell equi-join, and candidate dedup move
+    // bare id pairs.
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val df = graft.queries.SimSearchQueries
+      .graphSearch(spark, sf, materialize = false)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_min"), "cell assignment lost partials")
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case pl => pl
+    }
+    val wins = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty)
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"corpus-wide window in the walk: ${w.simpleStringWithNodeId()}"))
+    exec.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      if (e.output.exists(_.dataType.isInstanceOf[ArrayType])) {
+        val nKeys = e.outputPartitioning match {
+          case h: HashPartitioning => h.expressions.length
+          case _ => -1
+        }
+        assert(nKeys == 1,
+          s"array-typed column on a non-id exchange: ${e.simpleStringWithNodeId()}")
+      }
+    }
+  }
+
   test("layout_hilbert: the 8-level recurrence is one projection + one agg") {
     // The unrolled integer CASE/mask chain must stay a scan-side
     // projection: exactly ONE hash exchange (the bucket groupBy), no
