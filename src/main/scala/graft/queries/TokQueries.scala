@@ -357,6 +357,42 @@ object TokQueries {
         .orderBy(col("em2_cnt").desc, col("piece")).limit(20)
     }),
 
+    // Corpus-wide tokenizer ENCODE — the single biggest compute step
+    // of a real training-data pipeline: apply the trained round-2
+    // unigram-LM vocabulary (the tok_unigram_em2 artifact) to every
+    // document and publish per-doc token statistics plus the corpus
+    // total. The Viterbi segmentation runs ONCE PER DISTINCT WORD
+    // (dp2 already carries every word's round-2 path); the corpus
+    // then joins its (doc_id, word) occurrences against the encoded
+    // word table BY WORD — so 100 TB of text costs one word-keyed
+    // exchange and a doc_id aggregate, never a per-occurrence DP.
+    // Output: (doc_id, n_words, n_pieces, n_chars, chars_per_piece,
+    // corpus_pieces).
+    "tok_encode" -> ((s, dir) => {
+      val (_, _, _, _, dp2) = unigramEm2Parts(s, dir)
+      val wpc = dp2.select(col("w"),
+        expr("CAST(size(filter(slice(bt, 2, size(bt) - 1), " +
+          "p -> p <> '#')) AS BIGINT)").as("pcs"),
+        length(col("w")).cast("long").as("chars"))
+      val dw = docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          explode(expr(toksSpark)).as("w"))
+        .filter(!col("w").contains("\u0001"))
+      val perDoc = dw.join(wpc, "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum(col("pcs")).as("n_pieces"),
+          sum(col("chars")).as("n_chars"))
+        .localCheckpoint() // feeds both the rows and the total
+      perDoc
+        .crossJoin(broadcast(
+          perDoc.agg(sum(col("n_pieces")).as("corpus_pieces"))))
+        .select(col("doc_id"), col("n_words"), col("n_pieces"),
+          col("n_chars"),
+          Rounding.r6(expr("CAST(n_chars AS DOUBLE)" +
+            " / CAST(n_pieces AS DOUBLE)")).as("chars_per_piece"),
+          col("corpus_pieces"))
+    }),
+
     // Coverage of a fixed top-1000 global vocabulary per language —
     // the post-build sanity check: what fraction of each language's
     // token OCCURRENCES the vocabulary explains, and how many fall
@@ -630,6 +666,25 @@ object TokQueries {
          |  (SELECT count(*)::BIGINT FROM vl2) AS v2
          |FROM cnts2 c2 LEFT JOIN cnts c1 ON c2.piece = c1.piece
          |ORDER BY c2.em2_cnt DESC, c2.piece LIMIT 20""".stripMargin,
+
+    "tok_encode" ->
+      s"""WITH RECURSIVE $unigramR1D,
+         |$unigramPruneD,
+         |$unigramEm2D,
+         |wenc AS (SELECT w, count(*)::BIGINT AS pcs FROM pieces2
+         |  GROUP BY 1),
+         |dwq AS (SELECT doc_id::BIGINT AS doc_id, unnest($toksDuck) AS w
+         |  FROM documents),
+         |dwf AS (SELECT doc_id, w FROM dwq WHERE NOT contains(w, chr(1))),
+         |perdoc AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+         |    sum(e.pcs)::BIGINT AS n_pieces,
+         |    sum(length(d.w))::BIGINT AS n_chars
+         |  FROM dwf d JOIN wenc e ON d.w = e.w GROUP BY 1)
+         |SELECT doc_id, n_words, n_pieces, n_chars,
+         |  (round(n_chars::DOUBLE / n_pieces::DOUBLE, 6) + 0.0)
+         |    AS chars_per_piece,
+         |  (SELECT sum(n_pieces)::BIGINT FROM perdoc) AS corpus_pieces
+         |FROM perdoc""".stripMargin,
 
     "tok_bpe_pairs" ->
       s"""WITH $tokStream,
