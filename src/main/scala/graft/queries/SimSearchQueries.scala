@@ -45,6 +45,80 @@ object SimSearchQueries {
 
     "sim_graph_search" -> ((s, dir) => graphSearch(s, dir, materialize = true)),
 
+    // Incremental IVF maintenance (r12 verdict task 7): the
+    // daily-crawl append path — an 80% "base" corpus (vec_id % 5 ≠ 4)
+    // trains the one-Lloyd coarse quantizer; the 20% "delta" arrives
+    // later and is assigned to the FROZEN centroids (no retrain, no
+    // base re-scan — the Spark plan unions the stored base assignment
+    // with a delta-only broadcast pass); cells whose merged occupancy
+    // crosses 2× the mean are re-SPLIT by one deterministic hyperplane
+    // bit keyed on the cell id (the same mod-23 weight family as
+    // [[ExtCommon.annBits]]'s planes), so a hot cell's candidate list
+    // halves without touching any other cell. Queries (the
+    // % IvfQuerySplit split) probe their own post-split cell key.
+    // Output: the ANN result shape of sim_ivf_kmeans; the recall twin
+    // below is read against sim_ivf_kmeans_recall — "within noise of
+    // the full retrain" is the acceptance bar for a delta-merge path.
+    "sim_ivf_incremental" -> ((s, dir) => {
+      val e = emb(s, dir)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+      val base = e.filter(col("vec_id") % 5 =!= 4)
+      val delta = e.filter(col("vec_id") % 5 === 4)
+        .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
+      // Frozen quantizer + the at-rest base assignment (built once).
+      val (cents, baseAsg) = ivfKmeansIndex(base)
+      // Delta merge: ONLY the delta rides the broadcast assignment.
+      val merged = baseAsg.unionByName(assignCells(delta, cents))
+        .localCheckpoint()
+      // Cells crossing 2× the mean occupancy split on one
+      // cell-id-keyed hyperplane bit; everyone else keeps key cell·2.
+      val occ = merged.groupBy("cell").agg(count(lit(1)).as("cn"))
+      val tot = occ.agg(sum(col("cn")).as("nv"),
+        count(lit(1)).as("ncells"))
+      val big = occ.crossJoin(broadcast(tot))
+        .filter(col("cn") * col("ncells") > col("nv") * 2)
+        .select(col("cell"), lit(1L).as("split"))
+      val sbit = "IF(aggregate(transform(sequence(1, size(v)), d -> " +
+        "element_at(v, d) * CAST(((cell * 131 + (d - 1) * 31) % 23) " +
+        "- 11 AS DOUBLE)), 0D, (a, x) -> a + x) >= 0D, 1L, 0L)"
+      val keyed = merged.join(broadcast(big), Seq("cell"), "left")
+        .withColumn("ck", when(col("split").isNotNull,
+          col("cell") * 2 + expr(sbit)).otherwise(col("cell") * 2))
+        .select(col("vec_id"), col("v"), col("nrm"), col("ck"))
+        .localCheckpoint()
+      val qs = keyed.filter(col("vec_id") % IvfQuerySplit === 0)
+      qs.as("x").join(keyed.as("y"),
+          col("x.ck") === col("y.ck") && col("x.vec_id") =!= col("y.vec_id"))
+        .withColumn("sim",
+          expr(s"try_divide(${dotS("x.v", "y.v")}, x.nrm * y.nrm)"))
+        .withColumn("rank", expr(
+          "CAST(row_number() OVER (PARTITION BY x.vec_id ORDER BY sim DESC, y.vec_id) AS BIGINT)"))
+        .filter(col("rank") <= 3)
+        .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("n_id"),
+          col("rank"), Rounding.r6(col("sim")).as("sim"))
+    }),
+
+    // Recall@3 of the delta-merged index vs the SAME exact ground
+    // truth and query split as sim_ivf_kmeans_recall — the pair of
+    // rows that turns "append without retrain costs nothing" into a
+    // measured number at every gate SF.
+    "sim_ivf_incremental_recall" -> ((s, dir) => {
+      val exact = ExtQueries.queries("sim_topk")(s, dir)
+        .filter(col("rank") <= 3 && col("q_id") % IvfQuerySplit === 0)
+        .select(col("q_id"), col("n_id"))
+      val ann = queries("sim_ivf_incremental")(s, dir)
+        .filter(col("q_id") % TopkSplit === 0)
+        .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+      exact.join(ann, Seq("q_id", "n_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("q_id"), col("k"), col("n_hits"),
+          Rounding.r6(expr("CAST(n_hits AS DOUBLE) / CAST(k AS DOUBLE)"))
+            .as("recall"))
+    }),
+
     // Recall@3 of the graph walk vs the exact ground truth on the
     // shared q_id % 10 split — read next to sim_recall (LSH),
     // sim_ivf_recall (probe1/probe2), and sim_nndescent_recall (the
@@ -176,7 +250,101 @@ object SimSearchQueries {
        |  WHERE rank <= 3)""".stripMargin
   }
 
+  /** Oracle chain for the delta-merged IVF index: base-trained frozen
+    * centroids (the [[ExtCommon.ivfKmeansCentsDuck]] shape restricted
+    * to the vec_id % 5 ≠ 4 base, nlist from the BASE count), merged
+    * frozen-centroid assignment, 2×-mean occupancy split with the
+    * cell-id-keyed hyperplane bit, post-split cell keys — ending in
+    * `ikey(vec_id, v, nrm, ck)`. */
+  private val ivfIncrementalChainDuck: String = {
+    val sbitD = "CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, " +
+      "list_transform(generate_series(1, len(a.v)), d -> a.v[d] * " +
+      "(((a.cell * 131 + (d - 1) * 31) % 23) - 11)::DOUBLE)), " +
+      "(x, y) -> x + y) >= 0 THEN 1 ELSE 0 END"
+    s"""ib AS (SELECT * FROM en WHERE vec_id % 5 <> 4),
+       |inl AS (SELECT least(4096, greatest(16, CAST(power(2,
+       |    ceil(log2(greatest(1, floor(sqrt(count(*))))))) AS BIGINT)))
+       |    AS nl FROM ib),
+       |ic0 AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm
+       |  FROM ib, inl WHERE vec_id < nl),
+       |itr AS (SELECT * FROM ib WHERE vec_id % 4 = 0),
+       |it0 AS (SELECT t.vec_id, t.v, c.c_id,
+       |    ${dotD("t.v", "c.cv")} / (t.nrm * c.cnrm) AS csim
+       |  FROM itr t CROSS JOIN ic0 c),
+       |it1 AS (SELECT c_id AS cell, v FROM (SELECT *, row_number()
+       |    OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS crank
+       |  FROM it0) WHERE crank = 1),
+       |ip1 AS (SELECT cell, generate_subscripts(v, 1) - 1 AS dim,
+       |    unnest(v) AS x FROM it1),
+       |is1 AS (SELECT cell, dim,
+       |    sum(CAST(round(x * 1000000.0) AS BIGINT))::BIGINT AS sx,
+       |    count(*)::BIGINT AS n FROM ip1 GROUP BY 1, 2),
+       |ic1 AS (SELECT cell AS c_id,
+       |    list(CAST(CAST(round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+       |      AS BIGINT) AS DOUBLE) / 1000000.0 ORDER BY dim) AS cv
+       |  FROM is1 GROUP BY 1),
+       |icn AS (SELECT c_id, cv, sqrt(${dotD("cv", "cv")}) AS cnrm
+       |  FROM ic1),
+       |ia0 AS (SELECT e.vec_id, e.v, e.nrm, c.c_id,
+       |    ${dotD("e.v", "c.cv")} / (e.nrm * c.cnrm) AS csim
+       |  FROM en e CROSS JOIN icn c),
+       |iasg AS MATERIALIZED (SELECT vec_id, v, nrm, c_id AS cell
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY csim DESC, c_id) AS crank FROM ia0)
+       |  WHERE crank = 1),
+       |iocc AS (SELECT cell, count(*)::BIGINT AS cn FROM iasg GROUP BY 1),
+       |itot AS (SELECT sum(cn)::BIGINT AS nv, count(*)::BIGINT AS ncells
+       |  FROM iocc),
+       |ibig AS (SELECT cell FROM iocc, itot WHERE cn * ncells > nv * 2),
+       |ikey AS MATERIALIZED (SELECT a.vec_id, a.v, a.nrm,
+       |    CASE WHEN b.cell IS NOT NULL
+       |      THEN a.cell * 2 + ($sbitD)
+       |      ELSE a.cell * 2 END AS ck
+       |  FROM iasg a LEFT JOIN ibig b ON a.cell = b.cell)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+
+    "sim_ivf_incremental" ->
+      s"""WITH $embBase,
+         |$ivfIncrementalChainDuck,
+         |iqs AS (SELECT * FROM ikey WHERE vec_id % $IvfQuerySplit = 0),
+         |isim AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
+         |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+         |  FROM iqs x JOIN ikey y
+         |    ON x.ck = y.ck AND x.vec_id <> y.vec_id),
+         |irk AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, n_id)::BIGINT AS rank FROM isim)
+         |SELECT q_id, n_id, rank, (round(sim, 6) + 0.0) AS sim
+         |FROM irk WHERE rank <= 3""".stripMargin,
+
+    "sim_ivf_incremental_recall" ->
+      s"""WITH $embBase,
+         |$ivfIncrementalChainDuck,
+         |iqs AS (SELECT * FROM ikey WHERE vec_id % $IvfQuerySplit = 0),
+         |isim AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
+         |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+         |  FROM iqs x JOIN ikey y
+         |    ON x.ck = y.ck AND x.vec_id <> y.vec_id),
+         |irk AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, n_id)::BIGINT AS rank FROM isim),
+         |ian AS (SELECT q_id, n_id FROM irk
+         |  WHERE rank <= 3 AND q_id % $TopkSplit = 0),
+         |ixq AS (SELECT * FROM en WHERE vec_id % $HybridSplit = 0),
+         |ixs AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
+         |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+         |  FROM ixq x JOIN en y ON x.vec_id <> y.vec_id),
+         |ixr AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, n_id)::BIGINT AS rank FROM ixs),
+         |iex AS (SELECT q_id, n_id FROM ixr WHERE rank <= 3)
+         |SELECT iex.q_id, count(*)::BIGINT AS k,
+         |  sum(CASE WHEN ian.n_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_hits,
+         |  (round(sum(CASE WHEN ian.n_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*)::DOUBLE, 6) + 0.0) AS recall
+         |FROM iex LEFT JOIN ian
+         |  ON ian.q_id = iex.q_id AND ian.n_id = iex.n_id
+         |GROUP BY iex.q_id""".stripMargin,
 
     "sim_graph_search" ->
       s"""WITH $graphSearchChainDuck
