@@ -37,6 +37,11 @@ object ConnectedComponents {
     */
   val DriverSolveMaxEdges = 100000L
 
+  /** Rounds the last DISTRIBUTED fixpoint ran — probe instrumentation
+    * only (read by the GraphParityProbe receipt), never consulted by
+    * query logic. */
+  private[graft] val LastRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** @param nodes  one column `id` (LONG), one row per vertex
     * @param edges  columns `src`, `dst` (LONG); undirected — pass each
     *               edge once in either orientation, symmetrized here
@@ -102,6 +107,7 @@ object ConnectedComponents {
       labels = next
       iter += 1
     }
+    LastRounds.set(iter)
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"ConnectedComponents: maxIter=$maxIter exhausted before the " +

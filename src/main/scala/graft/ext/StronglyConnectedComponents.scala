@@ -37,6 +37,10 @@ import org.apache.spark.sql.functions._
   */
 object StronglyConnectedComponents {
 
+  /** Outer peel rounds the last DISTRIBUTED run took — probe
+    * instrumentation only (GraphParityProbe receipt). */
+  private[graft] val LastRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** @param nodes one column `id` (LONG)
     * @param edges columns `src`, `dst` (LONG), directed
     * @param maxInner INITIAL inner-fixpoint iteration cap — adaptive:
@@ -105,6 +109,7 @@ object StronglyConnectedComponents {
           outer += 1
       }
     }
+    LastRounds.set(outer)
     require(nRemaining == 0,
       s"StronglyConnectedComponents: maxOuter=$maxOuter exhausted with " +
         s"$nRemaining nodes unassigned (pathological SCC chain — raise maxOuter)")

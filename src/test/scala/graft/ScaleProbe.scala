@@ -596,6 +596,116 @@ object ScaleProbe {
         f"SKEW_RATIO=${sSkew / sBal}%.2f")
     }
   }
+
+  /** Distributed-vs-driver parity receipt for the graph family (r12
+    * verdict task 4): the gate SFs sit under the 100k-edge driver
+    * cutover, so CORRECTNESS never exercises the distributed loops.
+    * Build >100k-edge graphs, run BOTH paths on the same input, and
+    * assert label-for-label equality. CC/SCC labels are exact min-id
+    * longs (must match bit-for-bit); PageRank's driver solve sums
+    * contributions in a different order than the shuffle, so parity is
+    * asserted at the query layer's r6 rounding plus a reported raw
+    * max |Δ| — the same absorption the oracle compare relies on. */
+  def graphParityProbe(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import graft.ext.{ConnectedComponents => CC, PageRank => PR,
+      StronglyConnectedComponents => SCC}
+    val ForceDist = 0L
+    val ForceDriver = Long.MaxValue
+    val r6 = graft.queries.Rounding.r6 _
+    def timed[A](f: => A): (A, Double) = {
+      val t = System.nanoTime(); val a = f; (a, (System.nanoTime() - t) / 1e9)
+    }
+
+    // Undirected: 1M nodes, 25k 4-cliques (150k edges) + 1k 9-edge
+    // chains = 159k edges — above the 100k cutover, the CC-probe shape.
+    val nNodes = 1000000L
+    val nodes = spark.range(nNodes).select(col("id"))
+    val cliques = spark.range(25000L).select(col("id").as("g"))
+      .select(explode(expr(
+        "flatten(transform(sequence(0, 2), i -> transform(sequence(i + 1, 3), " +
+          "j -> struct(g*4 + i AS src, g*4 + j AS dst))))")).as("e"))
+      .select(col("e.src"), col("e.dst"))
+    val chains = spark.range(1000L).select((col("id") * 10L + 200000L).as("b"))
+      .select(explode(expr(
+        "transform(sequence(0, 8), i -> struct(b + i AS src, b + i + 1 AS dst))")).as("e"))
+      .select(col("e.src"), col("e.dst"))
+    val und = cliques.union(chains).localCheckpoint()
+    println("PARITY_UND_EDGES=" + und.count())
+
+    val (ccDist, sCcD) =
+      timed(CC(nodes, und, driverMaxEdges = ForceDist).localCheckpoint())
+    val ccRounds = CC.LastRounds.get
+    val (ccDrv, sCcV) =
+      timed(CC(nodes, und, driverMaxEdges = ForceDriver).localCheckpoint())
+    val ccMism = ccDist.as("a").join(ccDrv.as("b"), col("a.id") === col("b.id"))
+      .where(col("a.lbl") =!= col("b.lbl")).count()
+    println(f"CC_PARITY_MISMATCH=$ccMism ROUNDS=$ccRounds " +
+      f"DIST_SEC=$sCcD%.2f DRIVER_SEC=$sCcV%.2f")
+
+    val (prDist, sPrD) =
+      timed(PR(nodes, und, driverMaxEdges = ForceDist).localCheckpoint())
+    val (prDrv, sPrV) =
+      timed(PR(nodes, und, driverMaxEdges = ForceDriver).localCheckpoint())
+    val prStats = prDist.as("a").join(prDrv.as("b"), col("a.id") === col("b.id"))
+      .select(col("a.rank").as("ra"), col("b.rank").as("rb"))
+      .agg(max(abs(col("ra") - col("rb"))).as("maxd"),
+        sum(when(r6(col("ra")) =!= r6(col("rb")), 1L).otherwise(0L)).as("r6m"))
+      .head
+    println(f"PR_PARITY_MAXDELTA=${prStats.getDouble(0)}%.3e " +
+      f"R6_MISMATCH=${prStats.getLong(1)} ROUNDS=5 " +
+      f"DIST_SEC=$sPrD%.2f DRIVER_SEC=$sPrV%.2f")
+
+    val seeds = spark.range(0, 100000L, 1000L).select(col("id"))
+    val (pprDist, sPpD) = timed(
+      PR.personalized(nodes, und, seeds, driverMaxEdges = ForceDist)
+        .localCheckpoint())
+    val (pprDrv, sPpV) = timed(
+      PR.personalized(nodes, und, seeds, driverMaxEdges = ForceDriver)
+        .localCheckpoint())
+    val ppStats = pprDist.as("a").join(pprDrv.as("b"), col("a.id") === col("b.id"))
+      .select(col("a.rank").as("ra"), col("b.rank").as("rb"))
+      .agg(max(abs(col("ra") - col("rb"))).as("maxd"),
+        sum(when(r6(col("ra")) =!= r6(col("rb")), 1L).otherwise(0L)).as("r6m"))
+      .head
+    println(f"PPR_PARITY_MAXDELTA=${ppStats.getDouble(0)}%.3e " +
+      f"R6_MISMATCH=${ppStats.getLong(1)} ROUNDS=5 " +
+      f"DIST_SEC=$sPpD%.2f DRIVER_SEC=$sPpV%.2f")
+
+    // Directed: 25k 4-cycles (100k edges, true SCCs) + 10k 2-edge DAG
+    // paths (20k edges) = 120k edges > cutover.
+    val cyc = spark.range(25000L).select(col("id").as("g"))
+      .select(explode(expr(
+        "transform(sequence(0, 3), i -> " +
+          "struct(g*4 + i AS src, g*4 + (i + 1) % 4 AS dst))")).as("e"))
+      .select(col("e.src"), col("e.dst"))
+    val dag = spark.range(10000L).select((col("id") * 3L + 300000L).as("b"))
+      .select(explode(expr(
+        "transform(sequence(0, 1), i -> struct(b + i AS src, b + i + 1 AS dst))")).as("e"))
+      .select(col("e.src"), col("e.dst"))
+    val dir = cyc.union(dag).localCheckpoint()
+    println("PARITY_DIR_EDGES=" + dir.count())
+    val (sccDist, sSccD) =
+      timed(SCC(nodes, dir, driverMaxEdges = ForceDist).localCheckpoint())
+    val sccRounds = SCC.LastRounds.get
+    val (sccDrv, sSccV) =
+      timed(SCC(nodes, dir, driverMaxEdges = ForceDriver).localCheckpoint())
+    val sccMism = sccDist.as("a").join(sccDrv.as("b"), col("a.id") === col("b.id"))
+      .where(col("a.scc_id") =!= col("b.scc_id")).count()
+    println(f"SCC_PARITY_MISMATCH=$sccMism ROUNDS=$sccRounds " +
+      f"DIST_SEC=$sSccD%.2f DRIVER_SEC=$sSccV%.2f")
+  }
+}
+
+/** Standalone driver for [[ScaleProbe.graphParityProbe]] only. */
+object GraphParityProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    ScaleProbe.graphParityProbe(spark)
+    spark.stop()
+  }
 }
 
 /** Standalone driver for [[ScaleProbe.nndescentProbe]] only. */
