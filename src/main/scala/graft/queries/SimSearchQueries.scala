@@ -41,9 +41,59 @@ object SimSearchQueries {
   private[queries] val GraphBeam = 8
   private[queries] val GraphHops = 2
 
+  /** HNSW-style layer parameters (`sim_hnsw`), shared by the Spark
+    * builder and the interpolated oracle SQL: 1-in-[[HnswLevelMod]] of
+    * the corpus (vec_id ≡ 1) forms the sparse upper layer; its
+    * navigable kNN graph (seed-bucket mates ∪ ring escapes, one
+    * friend-of-friend round) keeps [[HnswM]] out-edges per node; the
+    * upper-layer walk carries [[HnswL1Beam]] candidates for
+    * [[HnswL1Hops]] rounds before dropping to [[HnswL0Hops]]
+    * base-layer rounds at width [[GraphBeam]]. [[HnswSeedShift]]
+    * coarsens the adaptive hyperplane signature for SEEDING only
+    * (entry buckets 2^shift× larger than the ANN-join buckets), so
+    * the query's entry bucket holds ~2^shift·64/LevelMod upper-layer
+    * mates — non-empty at the gate SFs (which sit at the annBits
+    * floor) and CONSTANT-sized at 100 TB by the same adaptive formula
+    * that bounds the ANN buckets. */
+  private[queries] val HnswLevelMod = 8
+  private[queries] val HnswM = 3
+  private[queries] val HnswL1Beam = 8
+  private[queries] val HnswL1Hops = 2
+  private[queries] val HnswL0Hops = 4
+  private[queries] val HnswSeedShift = 5
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "sim_graph_search" -> ((s, dir) => graphSearch(s, dir, materialize = true)),
+
+    // HNSW-style hierarchical search (Malkov & Yashunin, TPAMI'18
+    // posture, two layers): entry by coarse-LSH bucket into a sparse
+    // upper layer, greedy beam refinement over the upper layer's kNN
+    // graph, then the standard base-layer beam walk over the
+    // NN-descent graph. The structural difference from
+    // `sim_graph_search`: NO coarse quantizer at query time — where
+    // the IVF-seeded walk pays a ~n/nlist ≈ √n cell scan per query,
+    // this pays |seed bucket| + hops·beam·deg, ALL constant-bounded by
+    // the adaptive signature formula — the per-query cost profile
+    // hierarchical graph retrieval exists to deliver at 100 TB.
+    "sim_hnsw" -> ((s, dir) => hnswSearch(s, dir, materialize = true)),
+
+    // Recall@3 vs the exact ground truth on the shared q_id % 10
+    // split — read next to sim_graph_search_recall: the price of
+    // dropping the IVF coarse stage, measured.
+    "sim_hnsw_recall" -> ((s, dir) => {
+      val exact = ExtQueries.queries("sim_topk")(s, dir)
+        .filter(col("rank") <= 3).select(col("q_id"), col("n_id"))
+      val ann = queries("sim_hnsw")(s, dir)
+        .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+      exact.join(ann, Seq("q_id", "n_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("q_id"), col("k"), col("n_hits"),
+          Rounding.r6(expr("CAST(n_hits AS DOUBLE) / CAST(k AS DOUBLE)"))
+            .as("recall"))
+    }),
 
     // Incremental IVF maintenance (r12 verdict task 7): the
     // daily-crawl append path — an 80% "base" corpus (vec_id % 5 ≠ 4)
@@ -202,6 +252,127 @@ object SimSearchQueries {
         Rounding.r6(col("sim")).as("sim"))
   }
 
+  /** The two-layer HNSW-style walk. Same materialize contract as
+    * [[graphSearch]]. Layer 1 = the vec_id ≡ 1 (mod [[HnswLevelMod]])
+    * subsample with a within-seed-bucket top-[[HnswM]] kNN graph;
+    * layer 0 = the NN-descent graph. Entry = the query's seed-bucket
+    * mates on layer 1 (a query whose seed bucket holds no layer-1 node
+    * emits nothing — mirrored exactly by the oracle, and scored as
+    * zero recall by the twin). Every round re-scores exactly and trims
+    * deterministically (sim DESC, node), so the final top-3 is the
+    * top-3 of everything the walk scored. */
+  private[graft] def hnswSearch(s: SparkSession, dir: String,
+      materialize: Boolean): DataFrame = {
+    def cp(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint() else df
+    val e0 = emb(s, dir)
+    val seedBits = math.max(1, annBits(e0) - HnswSeedShift)
+    val e = cp(e0
+      .select(col("vec_id").cast("long").as("vec_id"),
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+      .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
+      .withColumn("sig", expr(sigS(seedBits))))
+    // Upper layer + a NAVIGABLE kNN graph over it. Within-bucket
+    // edges alone would trap the layer-1 walk inside the entry bucket
+    // (neighbors of a bucket member are bucket members — the same
+    // fixed-point the NN-descent init documents), so the init is
+    // bucket mates (rank-band-capped, the NndInitCap hot-bucket
+    // guard) ∪ 3 deterministic ring escapes per node drawn in layer-1
+    // INDEX space (dense-corpus-id assumption, as in sim_nndescent:
+    // layer-1 ids are exactly {LevelMod·k + 1}), then ONE
+    // friend-of-friend refinement round — small-world edges the
+    // cross-bucket walk can actually traverse.
+    val P = graft.ext.TextOps.P
+    val n = math.max(1L, e.count())
+    val mL1 = if (n < 2) 0L else (n - 2) / HnswLevelMod + 1
+    val l1 = cp(e.filter(col("vec_id") % HnswLevelMod === 1)
+      .withColumn("rn", expr(
+        "CAST(row_number() OVER (PARTITION BY sig ORDER BY vec_id) AS BIGINT)")))
+    val l1bp = l1.as("x").join(l1.as("y"),
+        col("x.sig") === col("y.sig") && col("x.vec_id") =!= col("y.vec_id") &&
+          abs(col("x.rn") - col("y.rn")) <= NndInitCap)
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+    val l1ring = l1.select(col("vec_id").as("a"))
+      .select(col("a"), explode(expr(
+        s"transform(sequence(1, 3), j -> $HnswLevelMod * " +
+          s"((((a DIV $HnswLevelMod) % $P) * (2*j + 1) + j * 7919 + 1) " +
+          s"% $P % ${math.max(1L, mL1)}L) + 1)")).as("b"))
+      .filter(col("a") =!= col("b"))
+    def topM(cand: DataFrame): DataFrame = cand
+      .join(e.select(col("vec_id").as("a"), col("v").as("va"),
+        col("nrm").as("na")), "a")
+      .join(e.select(col("vec_id").as("b"), col("v").as("vb"),
+        col("nrm").as("nb")), "b")
+      .select(col("a"), col("b"),
+        expr(s"try_divide(${dotS("va", "vb")}, na * nb)").as("sim"))
+      .withColumn("r", expr(
+        "row_number() OVER (PARTITION BY a ORDER BY sim DESC, b)"))
+      .filter(col("r") <= HnswM)
+      .select(col("a"), col("b"))
+    val l1init = cp(topM(l1bp.union(l1ring).distinct()))
+    val l1u0 = l1init
+      .union(l1init.select(col("b").as("a"), col("a").as("b")))
+    val l1fof = l1u0.as("p").join(l1u0.as("q"), col("p.b") === col("q.a"))
+      .select(col("p.a").as("a"), col("q.b").as("b"))
+      .filter(col("a") =!= col("b"))
+      .union(l1init)
+      .distinct()
+    val l1g = cp(topM(l1fof))
+    val l1und = cp(l1g
+      .union(l1g.select(col("b").as("a"), col("a").as("b")))
+      .distinct())
+    val qs = cp(e.filter(col("vec_id") % TopkSplit === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("sig").as("qsig")))
+    def score(cand: DataFrame): DataFrame = cand
+      .join(e.select(col("vec_id").as("node"), col("v").as("nv"),
+        col("nrm").as("nn")), "node")
+      .join(qs.select(col("q_id"), col("qv"), col("qn")), "q_id")
+      .select(col("q_id"), col("node"),
+        expr(s"try_divide(${dotS("qv", "nv")}, qn * nn)").as("sim"))
+    def trim(scored: DataFrame, width: Int): DataFrame = scored
+      .withColumn("brank", expr(
+        "row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, node)"))
+      .filter(col("brank") <= width)
+      .select(col("q_id"), col("node"), col("sim"))
+    // Entry: the query's seed-bucket mates on the upper layer.
+    val entries = qs.select(col("q_id"), col("qsig"))
+      .join(l1.select(col("vec_id").as("node"), col("sig").as("qsig")),
+        "qsig")
+      .select(col("q_id"), col("node"))
+    var b1 = cp(trim(score(entries), HnswL1Beam))
+    for (_ <- 1 to HnswL1Hops) {
+      val cand = b1.select(col("q_id"), col("node"))
+        .join(l1und, col("node") === col("a"))
+        .select(col("q_id"), col("b").as("node"))
+        .union(b1.select(col("q_id"), col("node")))
+        .distinct()
+      b1 = cp(trim(score(cand), HnswL1Beam))
+    }
+    // Drop to the base layer: the NN-descent undirected graph, walked
+    // exactly like sim_graph_search but seeded by the layer-1 beam.
+    val knn = SimQueries.queries("sim_nndescent")(s, dir)
+      .select(col("q_id").as("a"), col("n_id").as("b"))
+    val und = cp(knn
+      .union(knn.select(col("b").as("a"), col("a").as("b")))
+      .distinct())
+    var beam = b1
+    for (_ <- 1 to HnswL0Hops) {
+      val cand = beam.select(col("q_id"), col("node"))
+        .join(und, col("node") === col("a"))
+        .select(col("q_id"), col("b").as("node"))
+        .union(beam.select(col("q_id"), col("node")))
+        .distinct()
+      beam = cp(trim(score(cand), GraphBeam))
+    }
+    beam.filter(col("node") =!= col("q_id"))
+      .withColumn("rank", expr(
+        "CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, node) AS BIGINT)"))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("node").as("n_id"), col("rank"),
+        Rounding.r6(col("sim")).as("sim"))
+  }
+
   /** Oracle chain: the NN-descent graph ([[SimQueries.nndescentChainDuck]]
     * ending in k2), the probe-1 cell entry set, then the beam walk
     * unrolled hop by hop — each hop a {expand, score, rank, trim} CTE
@@ -247,6 +418,100 @@ object SimSearchQueries {
        |    SELECT *, row_number() OVER (PARTITION BY q_id
        |      ORDER BY sim DESC, node)::BIGINT AS rank
        |    FROM b$GraphHops WHERE node <> q_id)
+       |  WHERE rank <= 3)""".stripMargin
+  }
+
+  /** Oracle chain for `sim_hnsw`: the NN-descent graph (k2) for the
+    * base layer, the coarse-seed-signature upper layer and its
+    * within-bucket top-[[HnswM]] kNN graph, the seed-bucket entry set,
+    * then the two walks unrolled round by round — [[HnswL1Hops]]
+    * upper-layer rounds at width [[HnswL1Beam]], [[GraphHops]]
+    * base-layer rounds at width [[GraphBeam]] — each a {expand, score,
+    * rank, trim} CTE block mirroring Spark move for move, ending in
+    * `hfin(q_id, n_id, rank, sim)`. */
+  private val hnswChainDuck: String = {
+    val seedBitsD = s"greatest(1, ($annBitsD) - $HnswSeedShift)"
+    def l1hop(r: Int): String =
+      s"""hc$r AS (SELECT p.q_id, u.b AS node FROM hb${r - 1} p
+         |    JOIN hlu u ON u.a = p.node
+         |  UNION SELECT q_id, node FROM hb${r - 1}),
+         |hx$r AS (SELECT c.q_id, c.node,
+         |    ${dotD("q.qv", "e.v")} / (q.qn * e.nrm) AS sim
+         |  FROM hc$r c JOIN hme e ON e.vec_id = c.node
+         |  JOIN hq q ON q.q_id = c.q_id),
+         |hb$r AS (SELECT q_id, node, sim FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY sim DESC, node) AS brank FROM hx$r)
+         |  WHERE brank <= $HnswL1Beam)""".stripMargin
+    def l0hop(r: Int): String = {
+      val prev = if (r == 1) s"hb$HnswL1Hops" else s"hg${r - 1}"
+      s"""hgc$r AS (SELECT p.q_id, u.b AS node FROM $prev p
+         |    JOIN hund u ON u.a = p.node
+         |  UNION SELECT q_id, node FROM $prev),
+         |hgx$r AS (SELECT c.q_id, c.node,
+         |    ${dotD("q.qv", "e.v")} / (q.qn * e.nrm) AS sim
+         |  FROM hgc$r c JOIN hme e ON e.vec_id = c.node
+         |  JOIN hq q ON q.q_id = c.q_id),
+         |hg$r AS (SELECT q_id, node, sim FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY sim DESC, node) AS brank FROM hgx$r)
+         |  WHERE brank <= $GraphBeam)""".stripMargin
+    }
+    s"""${SimQueries.nndescentChainDuck},
+       |hund AS MATERIALIZED (SELECT a, b FROM k2
+       |  UNION SELECT b AS a, a AS b FROM k2),
+       |hme AS MATERIALIZED (SELECT vec_id, v, nrm FROM en),
+       |hes AS MATERIALIZED (SELECT *, ${sigD(seedBitsD)} AS sig FROM hme),
+       |hl1 AS MATERIALIZED (SELECT *, row_number() OVER (
+       |    PARTITION BY sig ORDER BY vec_id)::BIGINT AS rn
+       |  FROM hes WHERE vec_id % $HnswLevelMod = 1),
+       |hm AS (SELECT greatest(1, CASE WHEN count(*) < 2 THEN 0
+       |    ELSE (count(*) - 2) // $HnswLevelMod + 1 END) AS m
+       |  FROM embeddings),
+       |hbp AS (SELECT x.vec_id AS a, y.vec_id AS b
+       |  FROM hl1 x JOIN hl1 y ON x.sig = y.sig AND x.vec_id <> y.vec_id
+       |    AND abs(x.rn - y.rn) <= $NndInitCap),
+       |hrp AS (SELECT a, b FROM (
+       |    SELECT vec_id AS a, $HnswLevelMod * ((((vec_id // $HnswLevelMod)
+       |        % ${graft.ext.TextOps.P}) * (2*j + 1) + j * 7919 + 1)
+       |      % ${graft.ext.TextOps.P} % (SELECT m FROM hm)) + 1 AS b
+       |    FROM hl1, unnest(generate_series(1, 3)) AS u(j))
+       |  WHERE a <> b),
+       |hc0g AS (SELECT a, b FROM hbp UNION SELECT a, b FROM hrp),
+       |hs0g AS (SELECT c.a, c.b,
+       |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+       |  FROM hc0g c JOIN hme x ON x.vec_id = c.a
+       |  JOIN hme y ON y.vec_id = c.b),
+       |hk0g AS (SELECT a, b FROM (SELECT *, row_number() OVER (
+       |    PARTITION BY a ORDER BY sim DESC, b) AS r FROM hs0g)
+       |  WHERE r <= $HnswM),
+       |hu0g AS (SELECT a, b FROM hk0g UNION SELECT b AS a, a AS b FROM hk0g),
+       |hcfg AS (SELECT DISTINCT p.a, q.b FROM hu0g p
+       |    JOIN hu0g q ON p.b = q.a WHERE p.a <> q.b
+       |  UNION SELECT a, b FROM hk0g),
+       |hsfg AS (SELECT c.a, c.b,
+       |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+       |  FROM hcfg c JOIN hme x ON x.vec_id = c.a
+       |  JOIN hme y ON y.vec_id = c.b),
+       |hkg AS (SELECT a, b FROM (SELECT *, row_number() OVER (
+       |    PARTITION BY a ORDER BY sim DESC, b) AS r FROM hsfg)
+       |  WHERE r <= $HnswM),
+       |hlu AS (SELECT a, b FROM hkg UNION SELECT b AS a, a AS b FROM hkg),
+       |hq AS MATERIALIZED (SELECT vec_id AS q_id, v AS qv, nrm AS qn, sig
+       |  FROM hes WHERE vec_id % $TopkSplit = 0),
+       |hen AS (SELECT q.q_id, y.vec_id AS node FROM hq q
+       |  JOIN hl1 y ON q.sig = y.sig),
+       |hx0 AS (SELECT c.q_id, c.node,
+       |    ${dotD("q.qv", "e.v")} / (q.qn * e.nrm) AS sim
+       |  FROM hen c JOIN hme e ON e.vec_id = c.node
+       |  JOIN hq q ON q.q_id = c.q_id),
+       |hb0 AS (SELECT q_id, node, sim FROM (SELECT *, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY sim DESC, node) AS brank FROM hx0)
+       |  WHERE brank <= $HnswL1Beam),
+       |${(1 to HnswL1Hops).map(l1hop).mkString(",\n")},
+       |${(1 to HnswL0Hops).map(l0hop).mkString(",\n")},
+       |hfin AS (SELECT q_id, node AS n_id, rank, sim FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, node)::BIGINT AS rank
+       |    FROM hg$HnswL0Hops WHERE node <> q_id)
        |  WHERE rank <= 3)""".stripMargin
   }
 
@@ -350,6 +615,29 @@ object SimSearchQueries {
       s"""WITH $graphSearchChainDuck
          |SELECT q_id, n_id, rank, (round(sim, 6) + 0.0) AS sim
          |FROM gfin""".stripMargin,
+
+    "sim_hnsw" ->
+      s"""WITH $hnswChainDuck
+         |SELECT q_id, n_id, rank, (round(sim, 6) + 0.0) AS sim
+         |FROM hfin""".stripMargin,
+
+    "sim_hnsw_recall" ->
+      s"""WITH $hnswChainDuck,
+         |hxs AS (SELECT x.q_id, y.vec_id AS n_id,
+         |    ${dotD("x.qv", "y.v")} / (x.qn * y.nrm) AS sim
+         |  FROM hq x JOIN en y ON x.q_id <> y.vec_id),
+         |hxr AS (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY sim DESC, n_id)::BIGINT AS rank
+         |  FROM hxs),
+         |hex AS (SELECT q_id, n_id FROM hxr WHERE rank <= 3)
+         |SELECT hex.q_id, count(*)::BIGINT AS k,
+         |  sum(CASE WHEN hfin.n_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_hits,
+         |  (round(sum(CASE WHEN hfin.n_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*)::DOUBLE, 6) + 0.0) AS recall
+         |FROM hex LEFT JOIN hfin
+         |  ON hfin.q_id = hex.q_id AND hfin.n_id = hex.n_id
+         |GROUP BY hex.q_id""".stripMargin,
 
     "sim_graph_search_recall" ->
       s"""WITH $graphSearchChainDuck,

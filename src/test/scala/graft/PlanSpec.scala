@@ -241,6 +241,43 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sim_hnsw walk: bounded windows, arrays only on id-keyed exchanges") {
+    // Same pins as the sim_graph_search audit, over the two-layer
+    // walk (materialize=false — the nndescent adjacency inside stays
+    // checkpointed; the L1 build + 6 hop rounds unroll into one
+    // physical plan): (a) every Window node is PARTITIONED — the L1
+    // kNN ranks partition by node, the hop trims by q_id; no
+    // corpus-wide window anywhere in the walk; (b) an array-typed
+    // column (vector payload) may only ride a single-id-keyed
+    // exchange — candidate expansion and dedup move bare id pairs.
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val df = graft.queries.SimSearchQueries
+      .hnswSearch(spark, sf, materialize = false)
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case pl => pl
+    }
+    val wins = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty)
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"corpus-wide window in the walk: ${w.simpleStringWithNodeId()}"))
+    exec.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      if (e.output.exists(_.dataType.isInstanceOf[ArrayType])) {
+        val nKeys = e.outputPartitioning match {
+          case h: HashPartitioning => h.expressions.length
+          case _ => -1
+        }
+        assert(nKeys == 1,
+          s"array-typed column on a non-id exchange: ${e.simpleStringWithNodeId()}")
+      }
+    }
+  }
+
   test("layout_hilbert: the 8-level recurrence is one projection + one agg") {
     // The unrolled integer CASE/mask chain must stay a scan-side
     // projection: exactly ONE hash exchange (the bucket groupBy), no
