@@ -597,6 +597,40 @@ object ScaleProbe {
     }
   }
 
+  /** sim_hnsw scale receipt: total wall at 1× vs 30× the sf0.1
+    * vectors, with the per-query rate. The claim under test is the
+    * operator's 100 TB posture — per-query cost CONSTANT (seed bucket
+    * + hops·beam·deg, no √n cell scan), so total wall (build + n/10
+    * queries' walks) grows ~linearly while the per-query wall holds
+    * or falls. Same 30× replication recipe as [[nndescentProbe]]
+    * (dense ids, ε-perturbed copies). */
+  def hnswProbe(spark: org.apache.spark.sql.SparkSession): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    for (r <- Seq(1, 30)) {
+      val src =
+        if (r == 1) "/root/testdata/sf0.1"
+        else {
+          spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+            .crossJoin(spark.range(r.toLong).select(col("id").as("rep")))
+            .select(
+              (col("vec_id").cast("long") * r + col("rep")).as("vec_id"),
+              expr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+                "x -> CAST(x + rep * 0.0001 AS FLOAT))").as("embedding"))
+            .write.mode("overwrite")
+            .parquet("/tmp/scale_hnsw/embeddings.parquet")
+          "/tmp/scale_hnsw"
+        }
+      val nv = spark.read.parquet(s"$src/embeddings.parquet").count()
+      val nq = nv / 10 // the vec_id % 10 query split
+      val t0 = System.nanoTime()
+      val rows = graft.SparkEntry.queries("sim_hnsw")(spark, src)
+        .queryExecution.toRdd.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"HNSW_VECTORS=$nv HNSW_QUERIES=$nq HNSW_ROWS=$rows " +
+        f"HNSW_SEC=$sec%.2f HNSW_MS_PER_QUERY=${sec * 1000.0 / nq}%.2f")
+    }
+  }
+
   /** Distributed-vs-driver parity receipt for the graph family (r12
     * verdict task 4): the gate SFs sit under the 100k-edge driver
     * cutover, so CORRECTNESS never exercises the distributed loops.
@@ -693,6 +727,18 @@ object ScaleProbe {
       .where(col("a.scc_id") =!= col("b.scc_id")).count()
     println(f"SCC_PARITY_MISMATCH=$sccMism ROUNDS=$sccRounds " +
       f"DIST_SEC=$sSccD%.2f DRIVER_SEC=$sSccV%.2f")
+  }
+}
+
+/** Standalone driver for [[ScaleProbe.hnswProbe]] only. */
+object HnswProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    ScaleProbe.hnswProbe(spark)
+    spark.stop()
   }
 }
 
