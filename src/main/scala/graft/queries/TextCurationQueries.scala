@@ -523,6 +523,59 @@ object TextCurationQueries {
           Rounding.r6(col("w") / col("p")).as("epochs"))
     }),
 
+    // DoReMi-style domain reweighting (Xie et al., NeurIPS'23
+    // posture, reduced to its measurable core): each source's EXCESS
+    // loss -- the cross-entropy of its tokens under the corpus-wide
+    // unigram LM minus under the source's own LM (the divergence
+    // domain-aware training could reclaim) -- becomes the mixture
+    // weight, normalized across sources. Both LMs are add-one-smoothed
+    // over the GLOBAL vocabulary so every token has mass in both.
+    // Every ln quantizes to integer micro-nats BEFORE the weighted
+    // sums, and the count x log products widen to DECIMAL(38,0) (the
+    // sums stay exact at 100 TB token frequencies where BIGINT
+    // products would wrap); each per-source division happens once at
+    // the end. Scale shape: the corpus collapses to (source, token)
+    // counts in one map-side-combinable pass (vocab x sources
+    // bounded); the corpus LM joins by token hash (vocab-sized, never
+    // the corpus); the final frame is |sources| rows.
+    "corpus_doremi" -> ((s, dir) => {
+      val st = docs(s, dir)
+        .select(col("source"), explode(expr(toksSpark)).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c_st"))
+        .localCheckpoint() // feeds the corpus LM, the source LM, and the join
+      val g = st.groupBy("tok").agg(sum(col("c_st")).as("c_t"))
+      val tot = g.agg(sum(col("c_t")).as("ct"), count(lit(1)).as("v"))
+      val glm = g.crossJoin(broadcast(tot))
+        .select(col("tok"), expr("CAST(round(ln(CAST(c_t + 1 AS DOUBLE)" +
+          " / CAST(ct + v AS DOUBLE)) * 1000000.0) AS BIGINT)").as("lnp_q"))
+      val cs = st.groupBy("source").agg(sum(col("c_st")).as("c_s"))
+      val ex = st.join(glm, "tok")
+        .join(broadcast(cs), "source")
+        .crossJoin(broadcast(tot))
+        .withColumn("lnq_q", expr("CAST(round(ln(CAST(c_st + 1 AS DOUBLE)" +
+          " / CAST(c_s + v AS DOUBLE)) * 1000000.0) AS BIGINT)"))
+        .groupBy("source")
+        .agg(max(col("c_s")).as("n_tokens"),
+          sum(expr("CAST(c_st AS DECIMAL(38,0)) * lnp_q")).as("s1"),
+          sum(expr("CAST(c_st AS DECIMAL(38,0)) * lnq_q")).as("s2"))
+        .withColumn("kl_micro", expr("CAST(round(CAST(s2 - s1 AS DOUBLE)" +
+          " / CAST(n_tokens AS DOUBLE)) AS BIGINT)"))
+        .localCheckpoint()
+      ex.crossJoin(broadcast(ex.agg(sum(col("kl_micro")).as("tkl"))))
+        .select(col("source"), col("n_tokens"),
+          Rounding.r6(expr("-CAST(s1 AS DOUBLE)" +
+            " / CAST(n_tokens AS DOUBLE) / 1000000.0")).as("ce_corpus"),
+          Rounding.r6(expr("-CAST(s2 AS DOUBLE)" +
+            " / CAST(n_tokens AS DOUBLE) / 1000000.0")).as("ce_domain"),
+          col("kl_micro"),
+          // a one-source (or distribution-identical) corpus has zero
+          // total excess: weight is undefined, NULL on both engines
+          when(col("tkl") === 0, lit(null).cast("double"))
+            .otherwise(Rounding.r6(expr(
+              "CAST(kl_micro AS DOUBLE) / CAST(tkl AS DOUBLE)")))
+            .as("weight"))
+    }),
+
     // Deterministic train/valid/test split: the doc id's multiplicative
     // hash picks a bucket in [0,100) → 98/1/1. The assignment is a
     // per-row projection (reproducible on any engine, no RNG state);
@@ -981,6 +1034,40 @@ object TextCurationQueries {
          |  (round(p, 6) + 0.0) AS p, (round(w, 6) + 0.0) AS w,
          |  (round(w / p, 6) + 0.0) AS epochs
          |FROM ww""".stripMargin,
+
+    "corpus_doremi" ->
+      s"""WITH tks AS (SELECT source, unnest($toksDuck) AS tok
+         |  FROM documents),
+         |st AS (SELECT source, tok, count(*)::BIGINT AS c_st FROM tks
+         |  GROUP BY 1, 2),
+         |g AS (SELECT tok, sum(c_st)::BIGINT AS c_t FROM st GROUP BY 1),
+         |tot AS (SELECT sum(c_t)::BIGINT AS ct, count(*)::BIGINT AS v
+         |  FROM g),
+         |glm AS (SELECT tok, round(ln((c_t + 1)::DOUBLE
+         |    / (ct + v)::DOUBLE) * 1000000.0)::BIGINT AS lnp_q
+         |  FROM g CROSS JOIN tot),
+         |cs AS (SELECT source, sum(c_st)::BIGINT AS c_s FROM st
+         |  GROUP BY 1),
+         |ex AS (SELECT st.source, max(cs.c_s)::BIGINT AS n_tokens,
+         |    sum(st.c_st::HUGEINT * glm.lnp_q) AS s1,
+         |    sum(st.c_st::HUGEINT * round(ln((st.c_st + 1)::DOUBLE
+         |      / (cs.c_s + tot.v)::DOUBLE) * 1000000.0)::BIGINT) AS s2
+         |  FROM st JOIN glm USING (tok) JOIN cs USING (source)
+         |  CROSS JOIN tot GROUP BY 1),
+         |ex2 AS (SELECT source, n_tokens, s1, s2,
+         |    round((s2 - s1)::DOUBLE / n_tokens::DOUBLE)::BIGINT
+         |      AS kl_micro FROM ex)
+         |SELECT source, n_tokens,
+         |  (round(-(s1::DOUBLE) / n_tokens::DOUBLE / 1000000.0, 6) + 0.0)
+         |    AS ce_corpus,
+         |  (round(-(s2::DOUBLE) / n_tokens::DOUBLE / 1000000.0, 6) + 0.0)
+         |    AS ce_domain,
+         |  kl_micro,
+         |  CASE WHEN (SELECT sum(kl_micro) FROM ex2) = 0 THEN NULL
+         |    ELSE (round(kl_micro::DOUBLE
+         |      / (SELECT sum(kl_micro)::DOUBLE FROM ex2), 6) + 0.0)
+         |  END AS weight
+         |FROM ex2""".stripMargin,
 
     "corpus_split" ->
       s"""WITH d AS (SELECT source, doc_id::BIGINT AS doc_id,

@@ -208,6 +208,67 @@ object TokQueries {
     (vocLp1, counts1, pruneTab, vocLp2, dp2)
   }
 
+  /** The BPE merge loop (3 rounds) shared by tok_bpe_train and
+    * tok_bpe_encode: train on the word-frequency table (the classic
+    * reduction -- distinct words with counts, never the token stream),
+    * start from character symbols, and each round (a) counts adjacent
+    * symbol pairs weighted by word count, (b) picks the argmax pair
+    * deterministically (count desc, pair asc), (c) applies the merge
+    * greedily left-to-right inside every word via an ordered fold.
+    * Returns (the per-round merge rows, the final per-distinct-word
+    * symbol table with `w` preserved as the encode join key).
+    *
+    * Scale shape: each round is ONE map-side-combinable pair count
+    * over the (distinct-word, count) table (bounded by vocabulary,
+    * not corpus size), one tiny TakeOrdered for the argmax, and one
+    * per-row fold projection to apply the merge -- the corpus itself
+    * is touched once, by the initial word count. The chosen pair
+    * rides a broadcast; rounds chain through localCheckpoints so
+    * round k never re-runs rounds 1..k-1. */
+  private def bpeMergeLoop(s: SparkSession, dir: String)
+      : (Seq[DataFrame], DataFrame) = {
+    val mergeExpr =
+      "aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, x) -> " +
+        "IF(size(acc) > 0 AND element_at(acc, -1) = ba AND x = bb, " +
+        "concat(slice(acc, 1, size(acc) - 1), array(concat(ba, bb))), " +
+        "concat(acc, array(x))))"
+    var cur = docs(s, dir)
+      .select(explode(expr(toksSpark)).as("w"))
+      // The oracle's fold encodes symbol lists as chr(1)-joined
+      // strings; a token CONTAINING chr(1) would corrupt that
+      // encoding, so both engines exclude such tokens up front
+      // (none exist in the gate corpora -- the restriction is a
+      // parity guard, not a semantic choice).
+      .filter(!col("w").contains("\u0001"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(col("w"), col("wc"), expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("syms"))
+      .localCheckpoint()
+    val steps = (1 to 3).map { step =>
+      val best = cur
+        // Spark sequence(1, 0) DESCENDS rather than emptying --
+        // 1-symbol words must not reach the pair explode.
+        .filter(size(col("syms")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> " +
+            "struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("ba"), col("p.b").as("bb"))
+        .agg(sum(col("wc")).as("bcnt"))
+        .orderBy(col("bcnt").desc, col("ba"), col("bb"))
+        .limit(1)
+        .localCheckpoint()
+      cur = cur.crossJoin(broadcast(best))
+        .select(col("w"), col("wc"), expr(mergeExpr).as("syms"))
+        .localCheckpoint()
+      best.select(lit(step.toLong).as("step"), col("ba").as("a"),
+        col("bb").as("b"), concat(col("ba"), col("bb")).as("merged"),
+        col("bcnt").as("cnt"))
+    }
+    (steps, cur)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // The first step of a BPE tokenizer build: adjacent character-pair
@@ -224,64 +285,49 @@ object TokQueries {
         .orderBy(col("cnt").desc, col("pair"))
         .limit(20)),
 
-    // The BPE merge LOOP itself (3 rounds): train on the word-
-    // frequency table (the classic reduction — distinct words with
-    // counts, never the token stream), start from character symbols,
-    // and each round (a) counts adjacent symbol pairs weighted by
-    // word count, (b) picks the argmax pair deterministically
-    // (count desc, pair asc), (c) applies the merge greedily
-    // left-to-right inside every word via an ordered fold. Emits the
-    // learned merge table (step, a, b, merged, cnt) — the artifact a
-    // tokenizer build persists.
-    //
-    // Scale shape: each round is ONE map-side-combinable pair count
-    // over the (distinct-word, count) table (bounded by vocabulary,
-    // not corpus size), one tiny TakeOrdered for the argmax, and one
-    // per-row fold projection to apply the merge — the corpus itself
-    // is touched once, by the initial word count. The chosen pair
-    // rides a broadcast; rounds chain through localCheckpoints so
-    // round k never re-runs rounds 1..k-1.
+    // The BPE merge LOOP itself (3 rounds; see [[bpeMergeLoop]] for
+    // the algorithm and its scale shape). Emits the learned merge
+    // table (step, a, b, merged, cnt) — the artifact a tokenizer
+    // build persists.
     "tok_bpe_train" -> ((s, dir) => {
-      val mergeExpr =
-        "aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, x) -> " +
-          "IF(size(acc) > 0 AND element_at(acc, -1) = ba AND x = bb, " +
-          "concat(slice(acc, 1, size(acc) - 1), array(concat(ba, bb))), " +
-          "concat(acc, array(x))))"
-      var cur = docs(s, dir)
-        .select(explode(expr(toksSpark)).as("w"))
-        // The oracle's fold encodes symbol lists as chr(1)-joined
-        // strings; a token CONTAINING chr(1) would corrupt that
-        // encoding, so both engines exclude such tokens up front
-        // (none exist in the gate corpora — the restriction is a
-        // parity guard, not a semantic choice).
-        .filter(!col("w").contains("\u0001"))
-        .groupBy("w").agg(count(lit(1)).as("wc"))
-        .select(col("wc"), expr(
-          "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-          .as("syms"))
-        .localCheckpoint()
-      val steps = (1 to 3).map { step =>
-        val best = cur
-          // Spark sequence(1, 0) DESCENDS rather than emptying —
-          // 1-symbol words must not reach the pair explode.
-          .filter(size(col("syms")) >= 2)
-          .select(col("wc"), explode(expr(
-            "transform(sequence(1, size(syms) - 1), i -> " +
-              "struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"))
-            .as("p"))
-          .groupBy(col("p.a").as("ba"), col("p.b").as("bb"))
-          .agg(sum(col("wc")).as("bcnt"))
-          .orderBy(col("bcnt").desc, col("ba"), col("bb"))
-          .limit(1)
-          .localCheckpoint()
-        cur = cur.crossJoin(broadcast(best))
-          .select(col("wc"), expr(mergeExpr).as("syms"))
-          .localCheckpoint()
-        best.select(lit(step.toLong).as("step"), col("ba").as("a"),
-          col("bb").as("b"), concat(col("ba"), col("bb")).as("merged"),
-          col("bcnt").as("cnt"))
-      }
+      val (steps, _) = bpeMergeLoop(s, dir)
       steps.reduce(_.unionAll(_))
+    }),
+
+    // Corpus-wide BPE ENCODE -- the other half of the tok_encode story
+    // (which applies the UNIGRAM vocabulary): apply the learned
+    // tok_bpe_train merge table to every document and publish per-doc
+    // token statistics plus the corpus total. The merge fold ran ONCE
+    // PER DISTINCT WORD inside the trainer (the same word-frequency
+    // reduction -- its final symbol table already carries every word's
+    // post-merge segmentation); the corpus then joins its
+    // (doc_id, word) occurrences against that table BY WORD, so 100 TB
+    // of text costs one word-keyed exchange and a doc_id aggregate,
+    // never a per-occurrence merge scan. Output shape matches
+    // tok_encode row for row, so the two tokenizers' compression is
+    // directly comparable (chars_per_token vs chars_per_piece).
+    "tok_bpe_encode" -> ((s, dir) => {
+      val (_, fin) = bpeMergeLoop(s, dir)
+      val wenc = fin.select(col("w"),
+        expr("CAST(size(syms) AS BIGINT)").as("pcs"),
+        length(col("w")).cast("long").as("chars"))
+      val dw = docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          explode(expr(toksSpark)).as("w"))
+        .filter(!col("w").contains("\u0001"))
+      val perDoc = dw.join(wenc, "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum(col("pcs")).as("n_tokens"),
+          sum(col("chars")).as("n_chars"))
+        .localCheckpoint() // feeds both the rows and the total
+      perDoc
+        .crossJoin(broadcast(
+          perDoc.agg(sum(col("n_tokens")).as("corpus_tokens"))))
+        .select(col("doc_id"), col("n_words"), col("n_tokens"),
+          col("n_chars"),
+          Rounding.r6(expr("CAST(n_chars AS DOUBLE)" +
+            " / CAST(n_tokens AS DOUBLE)")).as("chars_per_token"),
+          col("corpus_tokens"))
     }),
 
     // Unigram-LM (SentencePiece-style) tokenizer training, one hard-EM
@@ -632,6 +678,40 @@ object TokQueries {
        |cnts2 AS (SELECT piece, sum(n)::BIGINT AS em2_cnt
        |  FROM pieces2 GROUP BY 1)""".stripMargin
 
+  /** The unrolled 3-round BPE merge chain, shared by the
+    * tok_bpe_train and tok_bpe_encode oracles. One layer = pair-count
+    * the previous symbol table, argmax deterministically, apply the
+    * merge as a greedy left fold. The fold state is the merged symbol
+    * list encoded as a chr(1)-joined string (list_reduce's accumulator
+    * must share the element type); substr arithmetic strips the
+    * trailing symbol to splice the merge in place. Every s_k carries
+    * the source word `w` so the encode oracle can join documents back
+    * against the final segmentation. */
+  private val bpeChainDuck: String = {
+    def layer(k: Int): String = {
+      val (prev, p, b, next) = (s"s${k - 1}", s"p$k", s"b$k", s"s$k")
+      s"""$p AS (SELECT p.a AS a, p.b AS b, sum(wc)::BIGINT AS cnt FROM (
+         |    SELECT wc, unnest(list_transform(generate_series(1, len(syms) - 1),
+         |      i -> struct_pack(a := syms[i], b := syms[i + 1]))) AS p FROM $prev)
+         |  GROUP BY 1, 2),
+         |$b AS MATERIALIZED (SELECT a, b, cnt FROM $p ORDER BY cnt DESC, a, b LIMIT 1),
+         |$next AS MATERIALIZED (SELECT w, wc, string_split(list_reduce(syms, (acc, x) ->
+         |    CASE WHEN string_split(acc, chr(1))[-1] = $b.a AND x = $b.b
+         |      THEN substr(acc, 1, length(acc) - length($b.a)) || $b.a || $b.b
+         |      ELSE acc || chr(1) || x END), chr(1)) AS syms
+         |  FROM $prev CROSS JOIN $b)""".stripMargin
+    }
+    s"""tk2 AS (SELECT unnest($toksDuck) AS w FROM documents),
+       |wf AS (SELECT w, count(*)::BIGINT AS wc FROM tk2
+       |  WHERE strpos(w, chr(1)) = 0 GROUP BY 1),
+       |s0 AS MATERIALIZED (SELECT w, wc,
+       |    list_transform(generate_series(1, length(w)), i -> w[i]) AS syms
+       |  FROM wf),
+       |${layer(1)},
+       |${layer(2)},
+       |${layer(3)}""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
 
     "tok_unigram_em" ->
@@ -692,39 +772,28 @@ object TokQueries {
          |SELECT pair, count(*)::BIGINT AS cnt FROM pr GROUP BY 1
          |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
 
-    "tok_bpe_train" -> {
-      // One layer of the unrolled merge loop: pair-count the previous
-      // symbol table, argmax deterministically, apply the merge as a
-      // greedy left fold. The fold state is the merged symbol list
-      // encoded as a chr(1)-joined string (list_reduce's accumulator
-      // must share the element type); substr arithmetic strips the
-      // trailing symbol to splice the merge in place.
-      def layer(k: Int): String = {
-        val (prev, p, b, next) = (s"s${k - 1}", s"p$k", s"b$k", s"s$k")
-        s"""$p AS (SELECT p.a AS a, p.b AS b, sum(wc)::BIGINT AS cnt FROM (
-           |    SELECT wc, unnest(list_transform(generate_series(1, len(syms) - 1),
-           |      i -> struct_pack(a := syms[i], b := syms[i + 1]))) AS p FROM $prev)
-           |  GROUP BY 1, 2),
-           |$b AS MATERIALIZED (SELECT a, b, cnt FROM $p ORDER BY cnt DESC, a, b LIMIT 1),
-           |$next AS MATERIALIZED (SELECT wc, string_split(list_reduce(syms, (acc, x) ->
-           |    CASE WHEN string_split(acc, chr(1))[-1] = $b.a AND x = $b.b
-           |      THEN substr(acc, 1, length(acc) - length($b.a)) || $b.a || $b.b
-           |      ELSE acc || chr(1) || x END), chr(1)) AS syms
-           |  FROM $prev CROSS JOIN $b)""".stripMargin
-      }
-      s"""WITH tk2 AS (SELECT unnest($toksDuck) AS w FROM documents),
-         |wf AS (SELECT w, count(*)::BIGINT AS wc FROM tk2
-         |  WHERE strpos(w, chr(1)) = 0 GROUP BY 1),
-         |s0 AS MATERIALIZED (SELECT wc,
-         |    list_transform(generate_series(1, length(w)), i -> w[i]) AS syms
-         |  FROM wf),
-         |${layer(1)},
-         |${layer(2)},
-         |${layer(3)}
+    "tok_bpe_train" ->
+      s"""WITH $bpeChainDuck
          |SELECT 1::BIGINT AS step, a, b, a || b AS merged, cnt FROM b1
          |UNION ALL SELECT 2::BIGINT, a, b, a || b, cnt FROM b2
-         |UNION ALL SELECT 3::BIGINT, a, b, a || b, cnt FROM b3""".stripMargin
-    },
+         |UNION ALL SELECT 3::BIGINT, a, b, a || b, cnt FROM b3""".stripMargin,
+
+    "tok_bpe_encode" ->
+      s"""WITH $bpeChainDuck,
+         |wenc3 AS (SELECT w, len(syms)::BIGINT AS pcs,
+         |    length(w)::BIGINT AS chars FROM s3),
+         |dwq3 AS (SELECT doc_id::BIGINT AS doc_id, unnest($toksDuck) AS w
+         |  FROM documents),
+         |dwf3 AS (SELECT doc_id, w FROM dwq3 WHERE NOT contains(w, chr(1))),
+         |perdoc3 AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+         |    sum(e.pcs)::BIGINT AS n_tokens,
+         |    sum(e.chars)::BIGINT AS n_chars
+         |  FROM dwf3 d JOIN wenc3 e ON d.w = e.w GROUP BY 1)
+         |SELECT doc_id, n_words, n_tokens, n_chars,
+         |  (round(n_chars::DOUBLE / n_tokens::DOUBLE, 6) + 0.0)
+         |    AS chars_per_token,
+         |  (SELECT sum(n_tokens)::BIGINT FROM perdoc3) AS corpus_tokens
+         |FROM perdoc3""".stripMargin,
 
     "tok_vocab_coverage" ->
       s"""WITH $tokStream,

@@ -983,6 +983,70 @@ class StreamingSpec extends SparkSpec {
         "exactly the injected spikes must flag")
     } finally q.stop()
   }
+
+  test("streaming SpaceSaving top-k: guarantees hold, fold is deterministic") {
+    // SpaceSaving is order-dependent (unlike CMS/HLL), so the contract
+    // is: (a) the per-batch-sorted fold replays EXACTLY against a
+    // driver-side reference over the same batch split; (b) the ICDT'05
+    // guarantees hold vs exact counts -- n_est >= exact >= n_est - err
+    // for every tracked key, and every key with exact > n/m is in the
+    // emitted table.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val (m, k) = (8, 5)
+    val rng = new java.util.Random(19)
+    // skewed: two clear heavies + a long noise tail over 64 keys
+    val noise = Seq.fill(300)(math.abs(rng.nextLong()) % 64L)
+    val data = scala.util.Random.javaRandomToRandom(new java.util.Random(5))
+      .shuffle(noise ++ Seq.fill(120)(7L) ++ Seq.fill(80)(41L))
+      .zipWithIndex.map { case (h, i) => ("A", i.toLong, h) }
+    val exact = data.groupBy(_._3).map { case (h, rs) => h -> rs.size.toLong }
+    def run(name: String, splits: Seq[Seq[(String, Long, Long)]])
+        : Seq[(Long, Long, Long, Long)] = {
+      val stream = MemoryStream[(String, Long, Long)]
+      val out = graft.streaming.StreamingTopK(
+        stream.toDS().toDF("g", "seq", "h"), m, k)
+      val q = out.writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName(name).start()
+      try {
+        var last = Seq.empty[(Long, Long, Long, Long)]
+        var prev = 0
+        splits.foreach { b =>
+          stream.addData(b)
+          q.processAllAvailable()
+          val rows = spark.table(name).collect().drop(prev)
+          prev += rows.length
+          last = rows.map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4))).toSeq.sortBy(_._4)
+        }
+        last
+      } finally q.stop()
+    }
+    val splits = Seq(data.take(100), data.slice(100, 350), data.drop(350))
+    val got = run("stopk1", splits)
+    // (a) reference fold: same batch split, same within-batch sort
+    var ref = Map.empty[Long, (Long, Long)]
+    splits.foreach(_.sortBy(r => (r._2, r._3))
+      .foreach(r => ref = graft.streaming.StreamingTopK.step(ref, r._3, m)))
+    val want = ref.toSeq.map { case (h, (c, e)) => (h, c, e) }
+      .sortBy { case (h, c, _) => (-c, h) }.take(k).zipWithIndex
+      .map { case ((h, c, e), i) => (h, c, e, i + 1L) }
+    assert(got == want, s"fold diverged from reference: $got vs $want")
+    assert(run("stopk2", splits) == got, "same split must replay identically")
+    // (b) the SpaceSaving guarantees vs exact counts
+    got.foreach { case (h, est, err, _) =>
+      val ex = exact.getOrElse(h, 0L)
+      assert(est >= ex, s"key $h undercounted: $est < $ex")
+      assert(est - err <= ex, s"key $h: est-err ${est - err} > exact $ex")
+    }
+    val thresh = data.size.toLong / m
+    val trackedAll = ref.keySet
+    exact.filter(_._2 > thresh).keys.foreach { h =>
+      assert(trackedAll.contains(h), s"frequent key $h missing from table")
+    }
+    // the two true heavies must headline the emitted top-k
+    assert(got.take(2).map(_._1).toSet == Set(7L, 41L))
+  }
 }
 
 object StreamingSpec {
