@@ -887,6 +887,33 @@ object SimQueries {
             "(x, w) -> x * w), 0L, (a, b) -> a + b) AS DOUBLE)" +
             " / 1000000000000.0")).as(s"pc${k + 1}")
       }: _*)
+    }),
+
+    // PCA WHITENING — the embedding pre-processing step that makes
+    // downstream cosine/quantization isotropic: each vector's top-4
+    // principal coordinates rescaled to unit variance, w_k =
+    // (cᵀv̂_k) · √n / √(v̂ᵀ_k M v̂_k) (the Rayleigh numerator IS the
+    // component's variance numerator, so no extra corpus pass is
+    // spent estimating it). Same all-exact-integer contract as
+    // emb_pca_topk: the only doubles are the final √ and divide,
+    // applied to integers both engines derived identically — the
+    // numerators ride into the SQL as DECIMAL(38,0) literals
+    // (they exceed int64 at d=64·micro² scale). Corpus cost: the ONE
+    // covariance pass + one projection pass, same as emb_pca_topk;
+    // the whitening scales are driver literals.
+    "emb_whiten" -> ((s, dir) => {
+      val (centered, m0) = pcaCenteredCov(s, dir)
+      val comps = pcaTopComponentsVar(m0, 4)
+      val n = centered.count()
+      centered.select(col("vec_id") +: comps.zipWithIndex.map {
+        case ((v, num, _), k) =>
+          val dot = s"CAST(aggregate(zip_with(c, ${pcaVecLit(v)}, " +
+            "(x, w) -> x * w), 0L, (a, b) -> a + b) AS DOUBLE)"
+          (if (num <= 0) lit(null).cast("double")
+          else Rounding.r6(expr(s"$dot * sqrt(CAST(${n}L AS DOUBLE)) " +
+            s"/ sqrt(CAST(CAST('$num' AS DECIMAL(38,0)) AS DOUBLE))")))
+            .as(s"w${k + 1}")
+      }: _*)
     }))
 
   /** Exact-integer PCA base shared by emb_pca1 / emb_pca_topk:
@@ -952,7 +979,16 @@ object SimQueries {
     * power-iterate, Hotelling-deflate with sign-symmetrized truncating
     * divisions, repeat. */
   private[graft] def pcaTopComponents(
-      m0: Array[Array[BigInt]], k: Int): Seq[Array[BigInt]] = {
+      m0: Array[Array[BigInt]], k: Int): Seq[Array[BigInt]] =
+    pcaTopComponentsVar(m0, k).map(_._1)
+
+  /** [[pcaTopComponents]] plus each component's Rayleigh numerator
+    * `num = v̂ᵀMv̂` and denominator `den = v̂ᵀv̂` against the matrix it
+    * converged on — `num/(den·n)` is the component's variance in
+    * micro² units, the whitening scale of emb_whiten. */
+  private[graft] def pcaTopComponentsVar(
+      m0: Array[Array[BigInt]], k: Int)
+      : Seq[(Array[BigInt], BigInt, BigInt)] = {
     val d = m0.length
     var m = m0
     (1 to k).map { _ =>
@@ -962,8 +998,9 @@ object SimQueries {
       // left v1·v2 at ~0.05 after 12 rounds (OpsSpec pins < 0.05)
       val v = pcaPowerIter(m, rounds = 24)
       val den = v.map(q => q * q).foldLeft(BigInt(0))(_ + _)
+      var num = BigInt(0)
       if (den > 0) {
-        val num = (0 until d).map(i => (0 until d)
+        num = (0 until d).map(i => (0 until d)
           .map(j => v(i) * m(i)(j) * v(j)).foldLeft(BigInt(0))(_ + _))
           .foldLeft(BigInt(0))(_ + _)
         val lam = if (num >= 0) num / den else -((-num) / den)
@@ -973,7 +1010,7 @@ object SimQueries {
           prev(i)(j) - (if (t >= 0) t / den else -((-t) / den))
         }
       }
-      v
+      (v, num, den)
     }
   }
 
@@ -1041,6 +1078,86 @@ object SimQueries {
        |${round(1)},
        |${round(2)}""".stripMargin
   }
+
+  /** The shared emb_pca_topk / emb_whiten DuckDB chain: four deflated
+    * components, each emb_pca1's power iteration unrolled as 24
+    * HUGEINT layers (bit-identical arithmetic to the Scala BigInt
+    * loop), followed by the Hotelling deflation mm{c} = mm{c-1} -
+    * lambda*vv^T/(v^Tv) with both divisions trunc-toward-zero on
+    * sign-symmetrized non-negative numerators -- the exact mirror of
+    * the driver-side pcaTopComponentsVar. MATERIALIZED throughout:
+    * vf{c} is referenced 5x and each plain-CTE reference would
+    * re-expand its whole 24-layer chain. dn{c}/nm{c} (the Rayleigh
+    * denominator/numerator) emit for EVERY component -- emb_whiten
+    * reads all four; emb_pca_topk leaves nm4/dn4 unreferenced and the
+    * optimizer prunes them. */
+  private def pcaTopChainDuck: String = {
+    def layers(c: Int): String = (1 to 24).map { k =>
+      val (pv, w, x, nv) =
+        (s"v${c}_${k - 1}", s"w${c}_$k", s"x${c}_$k", s"v${c}_$k")
+      s"""$w AS MATERIALIZED (SELECT m.i, sum(m.mij * $pv.q) AS w
+         |  FROM mm${c - 1} m JOIN $pv ON m.j = $pv.i GROUP BY 1),
+         |$x AS MATERIALIZED (SELECT max(abs(w)) AS mx FROM $w),
+         |$nv AS MATERIALIZED (SELECT $w.i,
+         |    CASE WHEN $x.mx = 0 THEN $pv.q
+         |      WHEN $w.w >= 0 THEN ($w.w * 1000000) // $x.mx
+         |      ELSE -(((-$w.w) * 1000000) // $x.mx) END AS q
+         |  FROM $w JOIN $pv ON $w.i = $pv.i CROSS JOIN $x)""".stripMargin
+    }.mkString(",\n")
+    def comp(c: Int): String = {
+      val deflate =
+        if (c == 4) ""
+        else s""",
+          |lm$c AS MATERIALIZED (SELECT
+          |    CASE WHEN den IS NULL OR den = 0 THEN 0::HUGEINT
+          |      WHEN num >= 0 THEN num // den
+          |      ELSE -((-num) // den) END AS lam FROM nm$c, dn$c),
+          |mm$c AS MATERIALIZED (SELECT m.i, m.j,
+          |    m.mij - (CASE WHEN dn.den = 0 THEN 0::HUGEINT
+          |      WHEN lm.lam * a.q * b.q >= 0
+          |        THEN (lm.lam * a.q * b.q) // dn.den
+          |      ELSE -((-(lm.lam * a.q * b.q)) // dn.den) END) AS mij
+          |  FROM mm${c - 1} m JOIN vf$c a ON m.i = a.i
+          |  JOIN vf$c b ON m.j = b.i, lm$c lm, dn$c dn)""".stripMargin
+      s"""v${c}_0 AS MATERIALIZED (SELECT dim AS i, 1000000::HUGEINT AS q
+         |  FROM mn),
+         |${layers(c)},
+         |sg$c AS (SELECT coalesce((SELECT CASE WHEN q < 0 THEN -1 ELSE 1 END
+         |    FROM v${c}_24 WHERE q <> 0 ORDER BY i LIMIT 1), 1) AS s),
+         |vf$c AS MATERIALIZED (SELECT i, q * (SELECT s FROM sg$c) AS q
+         |  FROM v${c}_24),
+         |proj$c AS MATERIALIZED (SELECT cx.vec_id,
+         |    sum(cx.c::HUGEINT * vf$c.q) AS p
+         |  FROM cx JOIN vf$c ON cx.dim = vf$c.i GROUP BY 1),
+         |dn$c AS MATERIALIZED (SELECT sum(q * q) AS den FROM vf$c),
+         |nm$c AS MATERIALIZED (SELECT sum(a.q * m.mij * b.q) AS num
+         |  FROM mm${c - 1} m JOIN vf$c a ON m.i = a.i
+         |  JOIN vf$c b ON m.j = b.i)$deflate""".stripMargin
+    }
+    s"""e AS MATERIALIZED (SELECT vec_id::BIGINT AS vec_id,
+       |    list_transform(embedding::DOUBLE[],
+       |      x -> CAST(round(x * 1000000.0) AS BIGINT)) AS xi
+       |  FROM embeddings),
+       |px AS MATERIALIZED (SELECT vec_id, unnest(xi) AS x,
+       |    generate_subscripts(xi, 1) - 1 AS dim FROM e),
+       |mn AS MATERIALIZED (SELECT dim,
+       |    CAST(round(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+       |      AS BIGINT) AS m
+       |  FROM px GROUP BY 1),
+       |cx AS MATERIALIZED (SELECT vec_id, dim, x - m AS c
+       |  FROM px JOIN mn USING (dim)),
+       |mm0 AS MATERIALIZED (SELECT a.dim AS i, b.dim AS j,
+       |    sum(a.c::HUGEINT * b.c) AS mij
+       |  FROM cx a JOIN cx b USING (vec_id) GROUP BY 1, 2),
+       |${comp(1)},
+       |${comp(2)},
+       |${comp(3)},
+       |${comp(4)}""".stripMargin
+  }
+
+  private def pcaPcColDuck(c: Int): String =
+    s"""(round((CAST(p$c.p AS DOUBLE) / 1000000000000.0)
+       |   * 1000000.0) / 1000000.0 + 0.0) AS pc$c""".stripMargin
 
   val oracles: Map[String, String] = Map(
 
@@ -1586,88 +1703,34 @@ object SimQueries {
          |FROM proj""".stripMargin
     },
 
-    "emb_pca_topk" -> {
-      // Four deflated components: each is emb_pca1's 12 unrolled
-      // HUGEINT power-iteration layers (bit-identical arithmetic to
-      // the Scala BigInt loop), followed by the Hotelling deflation
-      // mm{c} = mm{c-1} − λv̂v̂ᵀ/(v̂ᵀv̂) with both divisions trunc-
-      // toward-zero on sign-symmetrized non-negative numerators —
-      // the exact mirror of the driver-side deflation. MATERIALIZED
-      // throughout: vf{c} is referenced 5× and each plain-CTE
-      // reference would re-expand its whole 12-layer chain.
-      // 24 layers per component (vs pca1's 12) — mirrors the deeper
-      // driver loop; see pcaTopComponents
-      def layers(c: Int): String = (1 to 24).map { k =>
-        val (pv, w, x, nv) =
-          (s"v${c}_${k - 1}", s"w${c}_$k", s"x${c}_$k", s"v${c}_$k")
-        s"""$w AS MATERIALIZED (SELECT m.i, sum(m.mij * $pv.q) AS w
-           |  FROM mm${c - 1} m JOIN $pv ON m.j = $pv.i GROUP BY 1),
-           |$x AS MATERIALIZED (SELECT max(abs(w)) AS mx FROM $w),
-           |$nv AS MATERIALIZED (SELECT $w.i,
-           |    CASE WHEN $x.mx = 0 THEN $pv.q
-           |      WHEN $w.w >= 0 THEN ($w.w * 1000000) // $x.mx
-           |      ELSE -(((-$w.w) * 1000000) // $x.mx) END AS q
-           |  FROM $w JOIN $pv ON $w.i = $pv.i CROSS JOIN $x)""".stripMargin
-      }.mkString(",\n")
-      def comp(c: Int): String = {
-        val deflate =
-          if (c == 4) ""
-          else s""",
-            |dn$c AS MATERIALIZED (SELECT sum(q * q) AS den FROM vf$c),
-            |nm$c AS MATERIALIZED (SELECT sum(a.q * m.mij * b.q) AS num
-            |  FROM mm${c - 1} m JOIN vf$c a ON m.i = a.i
-            |  JOIN vf$c b ON m.j = b.i),
-            |lm$c AS MATERIALIZED (SELECT
-            |    CASE WHEN den IS NULL OR den = 0 THEN 0::HUGEINT
-            |      WHEN num >= 0 THEN num // den
-            |      ELSE -((-num) // den) END AS lam FROM nm$c, dn$c),
-            |mm$c AS MATERIALIZED (SELECT m.i, m.j,
-            |    m.mij - (CASE WHEN dn.den = 0 THEN 0::HUGEINT
-            |      WHEN lm.lam * a.q * b.q >= 0
-            |        THEN (lm.lam * a.q * b.q) // dn.den
-            |      ELSE -((-(lm.lam * a.q * b.q)) // dn.den) END) AS mij
-            |  FROM mm${c - 1} m JOIN vf$c a ON m.i = a.i
-            |  JOIN vf$c b ON m.j = b.i, lm$c lm, dn$c dn)""".stripMargin
-        s"""v${c}_0 AS MATERIALIZED (SELECT dim AS i, 1000000::HUGEINT AS q
-           |  FROM mn),
-           |${layers(c)},
-           |sg$c AS (SELECT coalesce((SELECT CASE WHEN q < 0 THEN -1 ELSE 1 END
-           |    FROM v${c}_24 WHERE q <> 0 ORDER BY i LIMIT 1), 1) AS s),
-           |vf$c AS MATERIALIZED (SELECT i, q * (SELECT s FROM sg$c) AS q
-           |  FROM v${c}_24),
-           |proj$c AS MATERIALIZED (SELECT cx.vec_id,
-           |    sum(cx.c::HUGEINT * vf$c.q) AS p
-           |  FROM cx JOIN vf$c ON cx.dim = vf$c.i GROUP BY 1)$deflate""".stripMargin
-      }
-      def pcCol(c: Int): String =
-        s"""(round((CAST(p$c.p AS DOUBLE) / 1000000000000.0)
-           |   * 1000000.0) / 1000000.0 + 0.0) AS pc$c""".stripMargin
-      s"""WITH e AS MATERIALIZED (SELECT vec_id::BIGINT AS vec_id,
-         |    list_transform(embedding::DOUBLE[],
-         |      x -> CAST(round(x * 1000000.0) AS BIGINT)) AS xi
-         |  FROM embeddings),
-         |px AS MATERIALIZED (SELECT vec_id, unnest(xi) AS x,
-         |    generate_subscripts(xi, 1) - 1 AS dim FROM e),
-         |mn AS MATERIALIZED (SELECT dim,
-         |    CAST(round(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE))
-         |      AS BIGINT) AS m
-         |  FROM px GROUP BY 1),
-         |cx AS MATERIALIZED (SELECT vec_id, dim, x - m AS c
-         |  FROM px JOIN mn USING (dim)),
-         |mm0 AS MATERIALIZED (SELECT a.dim AS i, b.dim AS j,
-         |    sum(a.c::HUGEINT * b.c) AS mij
-         |  FROM cx a JOIN cx b USING (vec_id) GROUP BY 1, 2),
-         |${comp(1)},
-         |${comp(2)},
-         |${comp(3)},
-         |${comp(4)}
+    "emb_pca_topk" ->
+      s"""WITH $pcaTopChainDuck
          |SELECT p1.vec_id,
-         |  ${pcCol(1)},
-         |  ${pcCol(2)},
-         |  ${pcCol(3)},
-         |  ${pcCol(4)}
+         |  ${pcaPcColDuck(1)},
+         |  ${pcaPcColDuck(2)},
+         |  ${pcaPcColDuck(3)},
+         |  ${pcaPcColDuck(4)}
          |FROM proj1 p1 JOIN proj2 p2 ON p1.vec_id = p2.vec_id
          |JOIN proj3 p3 ON p1.vec_id = p3.vec_id
-         |JOIN proj4 p4 ON p1.vec_id = p4.vec_id""".stripMargin
+         |JOIN proj4 p4 ON p1.vec_id = p4.vec_id""".stripMargin,
+
+    "emb_whiten" -> {
+      def wCol(c: Int): String =
+        s"""CASE WHEN nm$c.num IS NULL OR nm$c.num <= 0 THEN NULL
+           |    ELSE (round((CAST(p$c.p AS DOUBLE) * sqrt(nn.n::DOUBLE)
+           |      / sqrt(CAST(nm$c.num AS DOUBLE))) * 1000000.0)
+           |      / 1000000.0 + 0.0) END AS w$c""".stripMargin
+      s"""WITH $pcaTopChainDuck,
+         |nn AS (SELECT count(*)::BIGINT AS n FROM e)
+         |SELECT p1.vec_id,
+         |  ${wCol(1)},
+         |  ${wCol(2)},
+         |  ${wCol(3)},
+         |  ${wCol(4)}
+         |FROM proj1 p1 JOIN proj2 p2 ON p1.vec_id = p2.vec_id
+         |JOIN proj3 p3 ON p1.vec_id = p3.vec_id
+         |JOIN proj4 p4 ON p1.vec_id = p4.vec_id
+         |CROSS JOIN nn CROSS JOIN nm1 CROSS JOIN nm2
+         |CROSS JOIN nm3 CROSS JOIN nm4""".stripMargin
     })
 }

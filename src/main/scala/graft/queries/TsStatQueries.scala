@@ -652,6 +652,47 @@ object TsStatQueries {
         .filter(col("nz") > 0) // empty-in → empty-out
         .select(lit(na).as("n_a"), lit(nb).as("n_b"),
           col("ks_d"), col("at_value"))
+    }),
+
+    // Exact 1-D Wasserstein-1 (earth-mover) distance between the
+    // click/view value distributions -- the drift number KS's sup-gap
+    // understates when distributions differ in the tails: W1 =
+    // integral |F_a - F_b| dx over the value domain. Values quantize
+    // to integer micros up front, the domain collapses to DISTINCT
+    // quantized values, [[DistRank]] supplies the exact distributed
+    // running sums (range-bucketed -- no single-partition window), and
+    // each inter-value segment contributes |F_a - F_b| x gap in EXACT
+    // integer units (ECDF gaps as cross-multiplied counts, widened to
+    // DECIMAL(38,0)/HUGEINT where 100 TB products would wrap BIGINT);
+    // the single double division happens once at the end. The
+    // next-value lookup is an equi-join on adjacent global ranks over
+    // the distinct-value table, never a global window over the events.
+    "drift_wasserstein" -> ((s, dir) => {
+      val g = EventBars.events(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .withColumn("vq",
+          expr("CAST(round(CAST(value AS DOUBLE) * 1000000.0) AS BIGINT)"))
+        .groupBy("vq")
+        .agg(count(when(col("event_type") === "click", lit(1))).as("ca"),
+          count(when(col("event_type") === "view", lit(1))).as("cb"))
+        .localCheckpoint()
+      val r = DistRank.rowNumber(g, "_rk", col("vq"), Seq(col("vq")),
+        runSumCols = Seq("ca", "cb"))
+      val na = r.sums("ca")
+      val nb = r.sums("cb")
+      val seg = r.df.select(col("_rk"), col("vq"),
+        col("run_ca"), col("run_cb"))
+      val nxt = seg.select((col("_rk") - 1).as("_rk"), col("vq").as("vq_next"))
+      seg.join(nxt, "_rk") // the max value has no next: zero-width tail
+        .withColumn("segq", expr(
+          s"abs(CAST(run_ca AS DECIMAL(38,0)) * ${nb}L" +
+            s" - CAST(run_cb AS DECIMAL(38,0)) * ${na}L)" +
+            " * CAST(vq_next - vq AS DECIMAL(38,0))"))
+        .agg(count(lit(1)).as("n_seg"), sum(col("segq")).as("wq"))
+        .filter(col("n_seg") > 0) // empty/degenerate-in -> empty-out
+        .select(lit(na).as("n_a"), lit(nb).as("n_b"), col("n_seg"),
+          r6(expr("CAST(wq AS DOUBLE) / (CAST(" + na + "L AS DOUBLE)" +
+            " * CAST(" + nb + "L AS DOUBLE) * 1000000.0)")).as("w1"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1187,5 +1228,27 @@ object TsStatQueries {
           |    (round((max(d)) * 1000000.0) / 1000000.0 + 0.0) AS ks_d,
           |    (min(struct_pack(nd := -d, value := value))).value AS at_value
           |  FROM d)
-          |SELECT * FROM agg WHERE n_a IS NOT NULL""".stripMargin)
+          |SELECT * FROM agg WHERE n_a IS NOT NULL""".stripMargin,
+
+      "drift_wasserstein" ->
+        """WITH g AS (SELECT round(value * 1000000.0)::BIGINT AS vq,
+          |    count(*) FILTER (WHERE event_type = 'click')::BIGINT AS ca,
+          |    count(*) FILTER (WHERE event_type = 'view')::BIGINT AS cb
+          |  FROM events WHERE event_type IN ('click', 'view')
+          |  GROUP BY 1),
+          |t AS (SELECT *, sum(ca) OVER () AS na, sum(cb) OVER () AS nb,
+          |    sum(ca) OVER (ORDER BY vq) AS cuma,
+          |    sum(cb) OVER (ORDER BY vq) AS cumb,
+          |    lead(vq) OVER (ORDER BY vq) AS vq_next
+          |  FROM g),
+          |seg AS (SELECT na, nb,
+          |    abs(cuma::HUGEINT * nb - cumb::HUGEINT * na)
+          |      * (vq_next - vq)::HUGEINT AS segq
+          |  FROM t WHERE vq_next IS NOT NULL),
+          |agg AS (SELECT first(na)::BIGINT AS n_a, first(nb)::BIGINT AS n_b,
+          |    count(*)::BIGINT AS n_seg, sum(segq) AS wq FROM seg)
+          |SELECT n_a, n_b, n_seg,
+          |  (round(wq::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE * 1000000.0),
+          |    6) + 0.0) AS w1
+          |FROM agg WHERE n_seg > 0""".stripMargin)
 }

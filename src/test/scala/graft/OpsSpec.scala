@@ -365,4 +365,30 @@ class OpsSpec extends SparkSpec {
       assert(lo <= hi * 1.05, s"Rayleigh order violated: $rq")
     }
   }
+
+  test("emb_whiten: whitened coordinates have ~unit variance, ~zero cross-corr") {
+    // The property whitening exists for: each output coordinate's
+    // corpus variance is ~1 (10% slack for micro-quantization and the
+    // 24-round eigen convergence) and the coordinates decorrelate.
+    // Cross-correlation bound is 0.1, looser than the 0.05 component
+    // orthogonality pin: at sf0.001's 500 near-isotropic vectors the
+    // eigengaps are small, so a 0.05-cos component tilt amplifies
+    // into ~0.075 coordinate correlation after the per-axis rescale.
+    val w = graft.queries.ExtQueries.queries("emb_whiten")(spark, sf)
+      .selectExpr("w1", "w2", "w3", "w4").collect()
+      .map(r => Array(r.getDouble(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    val n = w.length.toDouble
+    assert(n > 0)
+    val mean = (0 until 4).map(k => w.map(_(k)).sum / n)
+    def cov(a: Int, b: Int): Double =
+      w.map(r => (r(a) - mean(a)) * (r(b) - mean(b))).sum / n
+    for (k <- 0 until 4)
+      assert(math.abs(cov(k, k) - 1.0) < 0.1,
+        s"coordinate $k variance ${cov(k, k)} not ~1")
+    for (a <- 0 until 4; b <- a + 1 until 4) {
+      val rho = cov(a, b) / math.sqrt(cov(a, a) * cov(b, b))
+      assert(math.abs(rho) < 0.1, s"coords $a,$b corr=$rho")
+    }
+  }
 }
