@@ -1092,4 +1092,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"))
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("drift_wasserstein: adjacent-rank equi-join, no cartesian") {
+    // The W1 integral's next-value lookup must be an equi-join on
+    // adjacent global ranks over the DISTINCT-value table — never a
+    // global window over events (the suite sweep pins that) and never
+    // a non-equi pass. The only nested loops allowed are the
+    // sanctioned one-row scalar mirrors.
+    val p = plan("drift_wasserstein")
+    val mirrors =
+      "BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(p).length
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == mirrors, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("corpus_doremi: token-keyed equi-joins, source totals broadcast") {
+    // The corpus collapses to (source, token) counts once; the corpus
+    // LM attaches by a token equi-join and the per-source totals ride
+    // broadcasts — a cartesian or non-mirror nested loop means a
+    // data-sized relation crept into a non-equi position.
+    val p = plan("corpus_doremi")
+    val mirrors =
+      "BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(p).length
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == mirrors, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("tok_bpe_encode: documents attach to the merge table by word key") {
+    // The corpus side must join the per-distinct-word symbol table on
+    // the word equi-key (the word-frequency reduction is the whole
+    // point — a per-occurrence merge scan would re-fold 100 TB); merge
+    // picks ride one-row broadcast mirrors only.
+    val p = plan("tok_bpe_encode")
+    val mirrors =
+      "BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(p).length
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == mirrors, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
