@@ -464,6 +464,67 @@ object BehaviorQueries {
             .as("df"))
     }),
 
+    // Always-valid sequential A/B monitoring (mixture SPRT, the
+    // Robbins/Johari-et-al. posture): the peeking-proof face of
+    // ab_ttest. Events roll up per (event_type, day); cumulative
+    // exact-integer sums ride a day-ordered window PARTITIONED by
+    // event_type (bounded rows per partition -- never the
+    // unpartitioned global window the suite bans); each day's
+    // mixture-likelihood p-value p_t = min(1, sqrt((se2+tau2)/se2) *
+    // exp(-diff^2*tau2 / (2*se2*(se2+tau2)))) with tau2 = 1.0 value^2
+    // (the mixture prior scale), and the always-valid decision value
+    // is the running min of p_t -- monotone, so "significant once,
+    // significant forever", the property sequential testing exists
+    // for. Every input to the double math is an exact integer cumsum,
+    // so both engines evaluate identical IEEE expressions.
+    "ab_sequential" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wC = Window.partitionBy("event_type").orderBy("day")
+      def v(n: String, sN: String, ssN: String) =
+        s"(CAST($ssN AS DOUBLE)/10000.0 - (CAST($sN AS DOUBLE)/100.0)" +
+          s"*(CAST($sN AS DOUBLE)/100.0)/CAST($n AS DOUBLE))" +
+          s"/(CAST($n AS DOUBLE) - 1.0)"
+      val daily = ev(s, dir)
+        .withColumn("arm", (col("user_id") % 2).cast("int"))
+        .withColumn("c", expr("CAST(round(value * 100) AS BIGINT)"))
+        .withColumn("day", expr("t DIV 86400000000"))
+        .groupBy("event_type", "day")
+        .agg(
+          sum(when(col("arm") === 0, lit(1L)).otherwise(lit(0L))).as("d_na"),
+          sum(when(col("arm") === 0, col("c")).otherwise(lit(0L))).as("d_sa"),
+          sum(when(col("arm") === 0, col("c") * col("c"))
+            .otherwise(lit(0L))).as("d_ssa"),
+          sum(when(col("arm") === 1, lit(1L)).otherwise(lit(0L))).as("d_nb"),
+          sum(when(col("arm") === 1, col("c")).otherwise(lit(0L))).as("d_sb"),
+          sum(when(col("arm") === 1, col("c") * col("c"))
+            .otherwise(lit(0L))).as("d_ssb"))
+      val cum = daily.select(col("event_type"), col("day"),
+        sum(col("d_na")).over(wC).as("n_a"),
+        sum(col("d_sa")).over(wC).as("sa"),
+        sum(col("d_ssa")).over(wC).as("ssa"),
+        sum(col("d_nb")).over(wC).as("n_b"),
+        sum(col("d_sb")).over(wC).as("sb"),
+        sum(col("d_ssb")).over(wC).as("ssb"))
+      val pp = cum
+        .filter(col("n_a") > 1 && col("n_b") > 1)
+        .withColumn("va", expr(v("n_a", "sa", "ssa")))
+        .withColumn("vb", expr(v("n_b", "sb", "ssb")))
+        .withColumn("se2",
+          expr("va/CAST(n_a AS DOUBLE) + vb/CAST(n_b AS DOUBLE)"))
+        .withColumn("diff",
+          expr("(CAST(sa AS DOUBLE)/100.0)/CAST(n_a AS DOUBLE)" +
+            " - (CAST(sb AS DOUBLE)/100.0)/CAST(n_b AS DOUBLE)"))
+        .withColumn("p", expr("CASE WHEN se2 <= 0 THEN NULL ELSE " +
+          "least(CAST(1.0 AS DOUBLE), sqrt((se2 + 1.0)/se2) " +
+          "* exp(-(diff*diff)/(2.0*se2*(se2 + 1.0)))) END"))
+      pp.withColumn("p_min", min(col("p")).over(wC))
+        .select(col("event_type"), col("day"), col("n_a"), col("n_b"),
+          r6(col("diff")).as("diff"),
+          r6(col("p")).as("p_seq"),
+          r6(col("p_min")).as("p_min"),
+          (col("p_min") < lit(0.05)).as("signif"))
+    }),
+
     // Edit-distance verification of the LSH candidates — the exact
     // confirmation pass symmetric jaccard only approximates. Texts
     // shuffle only for candidate ids (two hash joins on doc_id).
@@ -1080,6 +1141,54 @@ object BehaviorQueries {
          |       /(CAST(n_b AS DOUBLE) - 1.0)) END)
          |   * 1000000.0) / 1000000.0 + 0.0) AS df
          |FROM s2""".stripMargin,
+
+    "ab_sequential" ->
+      s"""WITH $evDuck,
+         |c AS (SELECT event_type, t // 86400000000 AS day,
+         |    user_id % 2 AS arm,
+         |    CAST(round(value * 100) AS BIGINT) AS c FROM ev),
+         |d AS (SELECT event_type, day,
+         |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS d_na,
+         |    sum(CASE WHEN arm = 0 THEN c ELSE 0 END)::BIGINT AS d_sa,
+         |    sum(CASE WHEN arm = 0 THEN c*c ELSE 0 END)::BIGINT AS d_ssa,
+         |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS d_nb,
+         |    sum(CASE WHEN arm = 1 THEN c ELSE 0 END)::BIGINT AS d_sb,
+         |    sum(CASE WHEN arm = 1 THEN c*c ELSE 0 END)::BIGINT AS d_ssb
+         |  FROM c GROUP BY 1, 2),
+         |cu AS (SELECT event_type, day,
+         |    (sum(d_na) OVER w)::BIGINT AS n_a,
+         |    (sum(d_sa) OVER w)::BIGINT AS sa,
+         |    (sum(d_ssa) OVER w)::BIGINT AS ssa,
+         |    (sum(d_nb) OVER w)::BIGINT AS n_b,
+         |    (sum(d_sb) OVER w)::BIGINT AS sb,
+         |    (sum(d_ssb) OVER w)::BIGINT AS ssb
+         |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         |f AS (SELECT * FROM cu WHERE n_a > 1 AND n_b > 1),
+         |v AS (SELECT *,
+         |    (CAST(ssa AS DOUBLE)/10000.0 - (CAST(sa AS DOUBLE)/100.0)
+         |      *(CAST(sa AS DOUBLE)/100.0)/CAST(n_a AS DOUBLE))
+         |      /(CAST(n_a AS DOUBLE) - 1.0) AS va,
+         |    (CAST(ssb AS DOUBLE)/10000.0 - (CAST(sb AS DOUBLE)/100.0)
+         |      *(CAST(sb AS DOUBLE)/100.0)/CAST(n_b AS DOUBLE))
+         |      /(CAST(n_b AS DOUBLE) - 1.0) AS vb
+         |  FROM f),
+         |s2 AS (SELECT *,
+         |    va/CAST(n_a AS DOUBLE) + vb/CAST(n_b AS DOUBLE) AS se2,
+         |    (CAST(sa AS DOUBLE)/100.0)/CAST(n_a AS DOUBLE)
+         |      - (CAST(sb AS DOUBLE)/100.0)/CAST(n_b AS DOUBLE) AS diff
+         |  FROM v),
+         |pp AS (SELECT *, CASE WHEN se2 <= 0 THEN NULL ELSE
+         |    least(CAST(1.0 AS DOUBLE), sqrt((se2 + 1.0)/se2)
+         |      * exp(-(diff*diff)/(2.0*se2*(se2 + 1.0)))) END AS p
+         |  FROM s2),
+         |pm AS (SELECT *, min(p) OVER (PARTITION BY event_type
+         |    ORDER BY day) AS p_min FROM pp)
+         |SELECT event_type, day, n_a, n_b,
+         |  (round(diff * 1000000.0) / 1000000.0 + 0.0) AS diff,
+         |  (round(p * 1000000.0) / 1000000.0 + 0.0) AS p_seq,
+         |  (round(p_min * 1000000.0) / 1000000.0 + 0.0) AS p_min,
+         |  p_min < CAST(0.05 AS DOUBLE) AS signif
+         |FROM pm""".stripMargin,
 
     "dedup_editdist" ->
       s"""WITH ${ExtCommon.candPairsDuck},
