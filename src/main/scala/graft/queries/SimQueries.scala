@@ -70,6 +70,72 @@ object SimQueries {
           col("rank"), Rounding.r6(col("sim")).as("sim"))
     }),
 
+    // MMR re-ranking (Carbonell & Goldstein '98) -- the retrieval
+    // diversification step after top-k: from each query's exact top-5
+    // pool pick 3 by maximal marginal relevance, score = 0.7*sim(q,c)
+    // - 0.3*max_{s in S} sim(c,s), unrolled as three deterministic
+    // argmax rounds (score desc, n_id). All sims are the r6-rounded
+    // values both engines already agree on, so the selection compares
+    // identical doubles. Scale shape: the pool is 5 rows/query and the
+    // pairwise table 20 rows/query -- every join is q_id/vec_id-keyed,
+    // the per-round windows are per-query (bounded), and the corpus
+    // cost is sim_topk's (the candidate generator), not the reranker's.
+    "sim_rerank_mmr" -> ((s, dir) => {
+      val lam = "CAST(0.7 AS DOUBLE)"
+      val mu = "CAST(0.3 AS DOUBLE)"
+      val e = emb(s, dir)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+        .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
+      val mc = queries("sim_topk")(s, dir)
+        .select(col("q_id"), col("n_id"), col("sim"))
+        .localCheckpoint() // feeds the pool, the pair table, and 3 rounds
+      val mp = mc.as("a").join(mc.as("b"),
+          col("a.q_id") === col("b.q_id") && col("a.n_id") =!= col("b.n_id"))
+        .join(e.select(col("vec_id").as("ai_v"), col("v").as("av"),
+          col("nrm").as("an")), col("a.n_id") === col("ai_v"))
+        .join(e.select(col("vec_id").as("bi_v"), col("v").as("bv"),
+          col("nrm").as("bn")), col("b.n_id") === col("bi_v"))
+        .select(col("a.q_id").as("q_id"), col("a.n_id").as("ai"),
+          col("b.n_id").as("bi"),
+          Rounding.r6(expr(s"try_divide(${dotS("av", "bv")}, an * bn)"))
+            .as("ps"))
+        .localCheckpoint()
+      val s1 = mc.withColumn("r", expr(
+          "row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)"))
+        .filter(col("r") === 1).select(col("q_id"),
+          col("n_id").as("s1_id"), col("sim").as("s1_sim"))
+      val c2 = mc.join(s1, "q_id")
+        .filter(col("n_id") =!= col("s1_id"))
+        .join(mp, mc("q_id") === mp("q_id") && col("n_id") === col("ai") &&
+          col("s1_id") === col("bi"))
+        .select(mc("q_id"), col("n_id"), col("sim"),
+          expr(s"$lam * sim - $mu * ps").as("score"))
+      val s2 = c2.withColumn("r", expr(
+          "row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id)"))
+        .filter(col("r") === 1).select(col("q_id"),
+          col("n_id").as("s2_id"), col("score").as("s2_score"))
+      val c3 = mc.join(s1, "q_id").join(s2, "q_id")
+        .filter(col("n_id") =!= col("s1_id") && col("n_id") =!= col("s2_id"))
+        .join(mp.as("p1"), mc("q_id") === col("p1.q_id") &&
+          col("n_id") === col("p1.ai") && col("s1_id") === col("p1.bi"))
+        .join(mp.as("p2"), mc("q_id") === col("p2.q_id") &&
+          col("n_id") === col("p2.ai") && col("s2_id") === col("p2.bi"))
+        .select(mc("q_id"), col("n_id"), col("sim"),
+          expr(s"$lam * sim - $mu * greatest(p1.ps, p2.ps)").as("score"))
+      val s3 = c3.withColumn("r", expr(
+          "row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id)"))
+        .filter(col("r") === 1)
+        .select(col("q_id"), col("n_id"), col("score"))
+      s1.select(col("q_id"), col("s1_id").as("n_id"),
+          lit(1L).as("mmr_rank"),
+          Rounding.r6(expr(s"$lam * s1_sim")).as("mmr_score"))
+        .unionByName(s2.select(col("q_id"), col("s2_id").as("n_id"),
+          lit(2L).as("mmr_rank"), Rounding.r6(col("s2_score")).as("mmr_score")))
+        .unionByName(s3.select(col("q_id"), col("n_id"),
+          lit(3L).as("mmr_rank"), Rounding.r6(col("score")).as("mmr_score")))
+    }),
+
     // Hard-negative mining for contrastive training: for each anchor
     // (the sim_topk query split) the top-3 most-similar vectors with a
     // DIFFERENT label — the negatives that actually move an embedding
@@ -1200,6 +1266,54 @@ object SimQueries {
          |  FROM qs x JOIN en y ON x.vec_id <> y.vec_id),
          |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)::BIGINT AS rank FROM sims)
          |SELECT q_id, n_id, rank, (round(sim, 6) + 0.0) AS sim FROM rk WHERE rank <= 5""".stripMargin,
+
+    "sim_rerank_mmr" ->
+      s"""WITH $embBase,
+         |mqs AS (SELECT * FROM en WHERE vec_id % $TopkSplit = 0),
+         |msims AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
+         |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+         |  FROM mqs x JOIN en y ON x.vec_id <> y.vec_id),
+         |mc AS (SELECT q_id, n_id, (round(sim, 6) + 0.0) AS sim
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, n_id) AS rank FROM msims)
+         |  WHERE rank <= 5),
+         |mp AS (SELECT a.q_id, a.n_id AS ai, b.n_id AS bi,
+         |    (round(${dotD("x.v", "y.v")} / (x.nrm * y.nrm), 6) + 0.0)
+         |      AS ps
+         |  FROM mc a JOIN mc b ON a.q_id = b.q_id AND a.n_id <> b.n_id
+         |  JOIN en x ON x.vec_id = a.n_id
+         |  JOIN en y ON y.vec_id = b.n_id),
+         |ms1 AS (SELECT q_id, n_id, sim FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY sim DESC, n_id) AS r FROM mc) WHERE r = 1),
+         |mc2 AS (SELECT c.q_id, c.n_id, c.sim,
+         |    CAST(0.7 AS DOUBLE) * c.sim - CAST(0.3 AS DOUBLE) * p.ps
+         |      AS score
+         |  FROM mc c JOIN ms1 ON c.q_id = ms1.q_id AND c.n_id <> ms1.n_id
+         |  JOIN mp p ON p.q_id = c.q_id AND p.ai = c.n_id
+         |    AND p.bi = ms1.n_id),
+         |ms2 AS (SELECT q_id, n_id, score FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY score DESC, n_id) AS r FROM mc2) WHERE r = 1),
+         |mc3 AS (SELECT c.q_id, c.n_id, c.sim,
+         |    CAST(0.7 AS DOUBLE) * c.sim
+         |      - CAST(0.3 AS DOUBLE) * greatest(p1.ps, p2.ps) AS score
+         |  FROM mc c JOIN ms1 ON c.q_id = ms1.q_id AND c.n_id <> ms1.n_id
+         |  JOIN ms2 ON c.q_id = ms2.q_id AND c.n_id <> ms2.n_id
+         |  JOIN mp p1 ON p1.q_id = c.q_id AND p1.ai = c.n_id
+         |    AND p1.bi = ms1.n_id
+         |  JOIN mp p2 ON p2.q_id = c.q_id AND p2.ai = c.n_id
+         |    AND p2.bi = ms2.n_id),
+         |ms3 AS (SELECT q_id, n_id, score FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY score DESC, n_id) AS r FROM mc3) WHERE r = 1)
+         |SELECT q_id, n_id, 1::BIGINT AS mmr_rank,
+         |  (round(CAST(0.7 AS DOUBLE) * sim, 6) + 0.0) AS mmr_score
+         |FROM ms1
+         |UNION ALL SELECT q_id, n_id, 2::BIGINT,
+         |  (round(score, 6) + 0.0) FROM ms2
+         |UNION ALL SELECT q_id, n_id, 3::BIGINT,
+         |  (round(score, 6) + 0.0) FROM ms3""".stripMargin,
 
     "sample_hard_negatives" ->
       s"""WITH el AS (SELECT vec_id::BIGINT AS vec_id, label::BIGINT AS label,
