@@ -631,6 +631,43 @@ object ScaleProbe {
     }
   }
 
+  /** Tokenizer/mixing scale receipt (r13): corpus_doremi,
+    * tok_bpe_encode and tok_encode all claim the word-frequency /
+    * (source, token) collapse — corpus grows, the trained state does
+    * not, so wall should grow far slower than rows. Replicas keep the
+    * SAME text plus one per-replica salt token: 30× the token stream
+    * over a near-constant vocabulary, exactly the regime the collapse
+    * is designed for (a real crawl's vocab grows sublinearly; constant
+    * is the cleanest probe of the same claim). */
+  def tokMixProbe(spark: org.apache.spark.sql.SparkSession): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    for (r <- Seq(1, 30)) {
+      val src =
+        if (r == 1) "/root/testdata/sf0.1"
+        else {
+          spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+            .crossJoin(spark.range(r.toLong).select(col("id").as("rep")))
+            .withColumn("doc_id", col("doc_id") * r + col("rep"))
+            .withColumn("text", concat(col("text"), lit(" salt"), col("rep")))
+            .drop("rep")
+            .write.mode("overwrite")
+            .parquet("/tmp/scale_tokmix/documents.parquet")
+          "/tmp/scale_tokmix"
+        }
+      val nd = spark.read.parquet(s"$src/documents.parquet").count()
+      def timeQ(name: String): Double = {
+        val t = System.nanoTime()
+        graft.SparkEntry.queries(name)(spark, src)
+          .queryExecution.toRdd.count()
+        (System.nanoTime() - t) / 1e9
+      }
+      timeQ("corpus_mix") // warm
+      println(f"TOKMIX_DOCS=$nd DOREMI_SEC=${timeQ("corpus_doremi")}%.2f " +
+        f"BPE_ENCODE_SEC=${timeQ("tok_bpe_encode")}%.2f " +
+        f"UNI_ENCODE_SEC=${timeQ("tok_encode")}%.2f")
+    }
+  }
+
   /** Distributed-vs-driver parity receipt for the graph family (r12
     * verdict task 4): the gate SFs sit under the 100k-edge driver
     * cutover, so CORRECTNESS never exercises the distributed loops.
@@ -774,6 +811,18 @@ object NnDescentSkewProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     ScaleProbe.nndescentSkewProbe(spark)
+    spark.stop()
+  }
+}
+
+/** Standalone driver for [[ScaleProbe.tokMixProbe]] only. */
+object TokMixProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    ScaleProbe.tokMixProbe(spark)
     spark.stop()
   }
 }
