@@ -42,6 +42,36 @@ object MmQueries {
         .withColumn("rms", Rounding.r6(expr(
           "sqrt(CAST(energy AS DOUBLE) / CAST(n_samples AS DOUBLE))")))),
 
+    // Audio SILENCE segmentation: the multimodal face of the F1
+    // gaps-and-islands pattern (etl/Sessionize) -- a 64-sample frame
+    // is "quiet" when its mean square energy falls strictly below the
+    // doc's own (exact integer cross-multiply: energy*tot_n <
+    // tot_e*n -- no double threshold crosses an engine); consecutive
+    // quiet frames (run length >= 2) collapse to segments via the
+    // frame_idx - row_number island key, renumbered per doc. Frames
+    // never leave their doc partition; the per-doc totals join is
+    // doc_id-keyed.
+    "mm_silence" -> ((s, dir) => {
+      val fr = Multimodal.audioRms(Multimodal.mediaTable(docs(s, dir)), 64)
+        .localCheckpoint() // feeds totals and the quiet filter
+      val tot = fr.groupBy("doc_id")
+        .agg(sum(col("energy")).as("te"), sum(col("n_samples")).as("tn"))
+      val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+      val wd = Window.partitionBy("doc_id").orderBy("start_frame")
+      fr.join(tot, "doc_id")
+        .filter(expr("energy * tn < te * n_samples"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("isl", col("frame_idx") - col("rn"))
+        .groupBy("doc_id", "isl")
+        .agg(min(col("frame_idx")).as("start_frame"),
+          max(col("frame_idx")).as("end_frame"),
+          count(lit(1)).as("n_frames"))
+        .filter(col("n_frames") >= 2)
+        .withColumn("seg_id", row_number().over(wd).cast("long"))
+        .select(col("doc_id"), col("seg_id"), col("start_frame"),
+          col("end_frame"), col("n_frames"))
+    }),
+
     // Media near-dup via average-hash: per-payload 32-pixel fingerprint
     // (mapPartitions, bytes never leave the scan task), then duplicate
     // groups = one count window over the 8-byte hash — the only
@@ -387,6 +417,32 @@ object MmQueries {
         |  (round(sqrt(CAST(energy AS DOUBLE) / CAST(n_samples AS DOUBLE))
         |   * 1000000.0) / 1000000.0 + 0.0) AS rms
         |FROM g""".stripMargin,
+
+    "mm_silence" ->
+      """WITH d AS (SELECT doc_id::BIGINT AS doc_id, text,
+        |    octet_length(coalesce(text, '')::BLOB) AS n FROM documents),
+        |p AS (SELECT doc_id, text, n,
+        |    unnest(generate_series(1, n)) AS pos FROM d),
+        |b AS (SELECT doc_id, (pos - 1) // 64 AS frame_idx,
+        |    unicode(substr(text, pos::INT, 1))::BIGINT AS v FROM p),
+        |g AS (SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+        |    count(*)::BIGINT AS n_samples, sum(v * v)::BIGINT AS energy
+        |  FROM b GROUP BY 1, 2),
+        |t AS (SELECT doc_id, sum(energy)::BIGINT AS te,
+        |    sum(n_samples)::BIGINT AS tn FROM g GROUP BY 1),
+        |q AS (SELECT g.doc_id, g.frame_idx FROM g JOIN t USING (doc_id)
+        |  WHERE g.energy * t.tn < t.te * g.n_samples),
+        |i AS (SELECT doc_id, frame_idx,
+        |    frame_idx - row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY frame_idx) AS isl FROM q),
+        |seg AS (SELECT doc_id, isl, min(frame_idx)::BIGINT AS start_frame,
+        |    max(frame_idx)::BIGINT AS end_frame,
+        |    count(*)::BIGINT AS n_frames
+        |  FROM i GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT doc_id, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY start_frame)::BIGINT AS seg_id,
+        |  start_frame, end_frame, n_frames
+        |FROM seg""".stripMargin,
 
     "mm_scene_cuts" ->
       """WITH d AS (SELECT doc_id::BIGINT AS doc_id, text,
