@@ -1119,6 +1119,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("sim_rerank_mmr: id-keyed equi-joins only, no cartesian") {
+    // Pool and pairwise tables are constant rows per query; every join
+    // must stay q_id/vec_id-keyed — a cartesian or non-mirror nested
+    // loop would mean the reranker touched a data-sized relation.
+    val p = plan("sim_rerank_mmr")
+    val mirrors =
+      "BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(p).length
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == mirrors, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("mm_silence: frames stay doc-partitioned, totals join by doc_id") {
+    // The island window and the quiet filter both key on doc_id; no
+    // global window (the suite sweep pins that) and no non-equi join.
+    val p = plan("mm_silence")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("tok_bpe_encode: documents attach to the merge table by word key") {
     // The corpus side must join the per-distinct-word symbol table on
     // the word equi-key (the word-frequency reduction is the whole
