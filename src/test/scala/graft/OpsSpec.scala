@@ -366,6 +366,58 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("sim_rerank_mmr: selection diversifies — intra-list sim not above top-3's") {
+    // The property MMR exists for, stated at the level the greedy
+    // max-objective actually guarantees: ACROSS queries, the mean
+    // intra-list similarity of the 3 selected results is below the
+    // plain top-3's (individual queries can trade a redundant pair
+    // for a closer single neighbor), it strictly drops for some
+    // queries, and every selected id comes from the query's top-5
+    // pool.
+    val mmr = graft.queries.ExtQueries.queries("sim_rerank_mmr")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val top = graft.queries.ExtQueries.queries("sim_topk")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"),
+        r.getAs[Long]("rank")))
+    val pool = top.groupBy(_._1).map { case (q, rs) =>
+      q -> rs.map(_._2).toSet }
+    val top3 = top.filter(_._3 <= 3).groupBy(_._1).map { case (q, rs) =>
+      q -> rs.map(_._2).toSet }
+    // vectors for pairwise cosine
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id",
+        "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Double]]("v").toArray).toMap
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (vecs(a), vecs(b))
+      val d = x.zip(y).map { case (p, q) => p * q }.sum
+      d / math.sqrt(x.map(p => p * p).sum * y.map(p => p * p).sum)
+    }
+    def meanPair(ids: Set[Long]): Double = {
+      val l = ids.toSeq.sorted
+      val ps = for (i <- l.indices; j <- i + 1 until l.length)
+        yield cos(l(i), l(j))
+      ps.sum / ps.length
+    }
+    assert(mmr.nonEmpty)
+    var strict = 0
+    var (mmrSum, topSum, nq) = (0.0, 0.0, 0)
+    mmr.foreach { case (q, sel) =>
+      assert(sel.subsetOf(pool(q)), s"query $q selected outside its pool")
+      if (sel.size == 3 && top3(q).size == 3) {
+        val (ms, ts) = (meanPair(sel), meanPair(top3(q)))
+        mmrSum += ms; topSum += ts; nq += 1
+        if (ms < ts - 1e-9) strict += 1
+      }
+    }
+    assert(nq > 0)
+    assert(mmrSum / nq < topSum / nq,
+      s"mean intra-sim: mmr ${mmrSum / nq} >= top3 ${topSum / nq}")
+    assert(strict > 0, "diversity term never changed a selection")
+  }
+
   test("emb_whiten: whitened coordinates have ~unit variance, ~zero cross-corr") {
     // The property whitening exists for: each output coordinate's
     // corpus variance is ~1 (10% slack for micro-quantization and the
