@@ -685,6 +685,33 @@ object SimQueries {
         .select(col("label"), col("dim").cast("long").as("dim"), col("n"),
           col("centroid"))),
 
+    // kNN-distance OOD score -- the LOCAL-density outlier face next
+    // to emb_outliers' global-centroid one (junk inside a dense
+    // corpus is far from its neighbors long before it is far from the
+    // centroid): for each query-split vector, ood = 1 - sim to its
+    // 5th nearest neighbor; flagged when its micro-quantized score
+    // exceeds 2x the split's mean (exact integer cross-multiply --
+    // the mean never crosses an engine as a float). Rides sim_topk's
+    // block-partitioned all-pairs verbatim; the threshold is one
+    // |split|-row aggregate broadcast back.
+    "emb_ood_knn" -> ((s, dir) => {
+      val k5 = queries("sim_topk")(s, dir)
+        .filter(col("rank") === 5)
+        .select(col("q_id"),
+          expr("CAST(round(sim * 1000000.0) AS BIGINT)").as("kth_micro"))
+        .withColumn("ood_micro", lit(1000000L) - col("kth_micro"))
+        .localCheckpoint() // feeds the threshold aggregate and the rows
+      val tot = k5.agg(count(lit(1)).as("nq"),
+        sum(col("ood_micro")).as("so"))
+      k5.crossJoin(broadcast(tot))
+        .select(col("q_id"),
+          Rounding.r6(expr("CAST(kth_micro AS DOUBLE) / 1000000.0"))
+            .as("kth_sim"),
+          Rounding.r6(expr("CAST(ood_micro AS DOUBLE) / 1000000.0"))
+            .as("ood"),
+          (col("ood_micro") * col("nq") > col("so") * 2).as("is_ood"))
+    }),
+
     // Per-label embedding outliers: squared distance to the label
     // centroid, flagged against 2× the label's mean squared distance.
     // Centroids and the per-label mean dist² are plain groupBy
@@ -1266,6 +1293,27 @@ object SimQueries {
          |  FROM qs x JOIN en y ON x.vec_id <> y.vec_id),
          |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)::BIGINT AS rank FROM sims)
          |SELECT q_id, n_id, rank, (round(sim, 6) + 0.0) AS sim FROM rk WHERE rank <= 5""".stripMargin,
+
+    "emb_ood_knn" ->
+      s"""WITH $embBase,
+         |oqs AS (SELECT * FROM en WHERE vec_id % $TopkSplit = 0),
+         |osims AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
+         |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+         |  FROM oqs x JOIN en y ON x.vec_id <> y.vec_id),
+         |ork AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, n_id) AS rank FROM osims),
+         |ok5 AS (SELECT q_id,
+         |    round((round(sim, 6) + 0.0) * 1000000.0)::BIGINT AS kth_micro
+         |  FROM ork WHERE rank = 5),
+         |ok6 AS (SELECT q_id, kth_micro,
+         |    1000000 - kth_micro AS ood_micro FROM ok5),
+         |ot AS (SELECT count(*)::BIGINT AS nq,
+         |    sum(ood_micro)::BIGINT AS so FROM ok6)
+         |SELECT q_id,
+         |  (round(kth_micro::DOUBLE / 1000000.0, 6) + 0.0) AS kth_sim,
+         |  (round(ood_micro::DOUBLE / 1000000.0, 6) + 0.0) AS ood,
+         |  (ood_micro * ot.nq > ot.so * 2) AS is_ood
+         |FROM ok6 CROSS JOIN ot""".stripMargin,
 
     "sim_rerank_mmr" ->
       s"""WITH $embBase,
