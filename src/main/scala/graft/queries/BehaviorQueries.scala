@@ -556,6 +556,41 @@ object BehaviorQueries {
         .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
     }),
 
+    // Degree assortativity of the near-dup graph (Newman 2002): the
+    // Pearson correlation of endpoint degrees over both edge
+    // orientations -- positive in template/boilerplate cliques (hubs
+    // link hubs), negative in star-shaped spam bursts. Exact integer
+    // moments (degrees are counts; the cross-products widen to
+    // DECIMAL(38,0)/HUGEINT where 100 TB degree sums would wrap);
+    // both-orientation symmetry makes S_y = S_x and S_yy = S_xx
+    // EXACTLY, so the closed form divides once at the end. Edge list
+    // materializes once; degree partials collapse map-side; the two
+    // degree attachments are id-keyed joins.
+    "graph_assortativity" -> ((s, dir) => {
+      val ed = edges(s, dir).localCheckpoint()
+      val deg = ed.select(explode(array(col("a"), col("b"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val both = ed.select(col("a"), col("b"))
+        .unionAll(ed.select(col("b").as("a"), col("a").as("b")))
+      both
+        .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
+        .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("da")).as("sx"),
+          sum(expr("CAST(da AS DECIMAL(38,0)) * db")).as("sxy"),
+          sum(expr("CAST(da AS DECIMAL(38,0)) * da")).as("sxx"))
+        .filter(col("n") > 0) // empty edge list -> empty output
+        .select(col("n").as("n_samples"),
+          r6(expr("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)")).as("mean_deg"),
+          r6(expr("CASE WHEN CAST(n AS DECIMAL(38,0)) * sxx" +
+            " - CAST(sx AS DECIMAL(38,0)) * sx = 0 THEN NULL ELSE" +
+            " CAST(CAST(n AS DECIMAL(38,0)) * sxy" +
+            " - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)" +
+            " / CAST(CAST(n AS DECIMAL(38,0)) * sxx" +
+            " - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE) END"))
+            .as("assortativity"))
+    }),
+
     // Triangle census of the near-dup graph: the a<b edge orientation
     // makes each triangle a single (a<b<c) wedge-close join — edges
     // shuffle on their join keys, never the docs. The edge list is
@@ -1211,6 +1246,26 @@ object BehaviorQueries {
          |  count(*)::BIGINT AS n_nodes
          |FROM al LEFT JOIN dg ON al.id = dg.id
          |GROUP BY degree""".stripMargin,
+
+    "graph_assortativity" ->
+      s"""WITH ${ExtCommon.lshPairsDuck},
+         |adg AS (SELECT id, count(*)::BIGINT AS deg FROM (
+         |    SELECT a AS id FROM pr UNION ALL SELECT b FROM pr)
+         |  GROUP BY id),
+         |abo AS (SELECT a, b FROM pr UNION ALL SELECT b AS a, a AS b FROM pr),
+         |aj AS (SELECT da.deg AS da, db.deg AS db FROM abo
+         |  JOIN adg da ON da.id = abo.a JOIN adg db ON db.id = abo.b),
+         |am AS (SELECT count(*)::BIGINT AS n, sum(da)::BIGINT AS sx,
+         |    sum(da::HUGEINT * db) AS sxy, sum(da::HUGEINT * da) AS sxx
+         |  FROM aj)
+         |SELECT n AS n_samples,
+         |  (round(sx::DOUBLE / n::DOUBLE, 6) + 0.0) AS mean_deg,
+         |  (round(CASE WHEN n::HUGEINT * sxx - sx::HUGEINT * sx = 0
+         |     THEN NULL ELSE
+         |     (n::HUGEINT * sxy - sx::HUGEINT * sx)::DOUBLE
+         |       / (n::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE END
+         |   * 1000000.0) / 1000000.0 + 0.0) AS assortativity
+         |FROM am WHERE n > 0""".stripMargin,
 
     "graph_triangles" ->
       s"""WITH ${ExtCommon.lshPairsDuck},

@@ -523,6 +523,35 @@ object TextCurationQueries {
           Rounding.r6(col("w") / col("p")).as("epochs"))
     }),
 
+    // Token BURSTINESS (variance-to-mean ratio of per-doc counts,
+    // zeros included): the template/boilerplate detector -- a Poisson
+    // token has VMR ~ 1, a token that appears 40x in a handful of
+    // templated docs has VMR >> 1. Top-200 tokens by corpus count
+    // (deterministic cut), VMR = (N*Sum(c^2) - C^2) / (N*C) computed
+    // entirely in exact integers (widened to DECIMAL(38,0)/HUGEINT --
+    // doc-count x count-square products wrap BIGINT at 100 TB) with
+    // ONE double division at the end. Scale shape: one (doc, token)
+    // count pass that collapses map-side, a vocab-sized moment
+    // aggregate, a 200-row TakeOrdered; N rides a one-row broadcast.
+    "corpus_burstiness" -> ((s, dir) => {
+      val dt = docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          explode(expr(toksSpark)).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val nd = docs(s, dir).agg(count(lit(1)).as("nd"))
+      dt.groupBy("tok")
+        .agg(sum(col("c")).as("ct"),
+          sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("c2"),
+          count(lit(1)).as("df"))
+        .crossJoin(broadcast(nd))
+        .select(col("tok"), col("ct"), col("df"),
+          Rounding.r6(expr("CAST(CAST(nd AS DECIMAL(38,0)) * c2" +
+            " - CAST(ct AS DECIMAL(38,0)) * ct AS DOUBLE)" +
+            " / (CAST(nd AS DOUBLE) * CAST(ct AS DOUBLE))")).as("vmr"))
+        .orderBy(col("ct").desc, col("tok"))
+        .limit(200)
+    }),
+
     // DoReMi-style domain reweighting (Xie et al., NeurIPS'23
     // posture, reduced to its measurable core): each source's EXCESS
     // loss -- the cross-entropy of its tokens under the corpus-wide
@@ -1034,6 +1063,22 @@ object TextCurationQueries {
          |  (round(p, 6) + 0.0) AS p, (round(w, 6) + 0.0) AS w,
          |  (round(w / p, 6) + 0.0) AS epochs
          |FROM ww""".stripMargin,
+
+    "corpus_burstiness" ->
+      s"""WITH btk AS (SELECT doc_id::BIGINT AS doc_id,
+         |    unnest($toksDuck) AS tok FROM documents),
+         |bdt AS (SELECT doc_id, tok, count(*)::BIGINT AS c FROM btk
+         |  GROUP BY 1, 2),
+         |bnd AS (SELECT count(*)::BIGINT AS nd FROM documents),
+         |bm AS (SELECT tok, sum(c)::BIGINT AS ct,
+         |    sum(c::HUGEINT * c) AS c2, count(*)::BIGINT AS df
+         |  FROM bdt GROUP BY 1)
+         |SELECT tok, ct, df,
+         |  (round((bnd.nd::HUGEINT * c2 - ct::HUGEINT * ct)::DOUBLE
+         |    / (bnd.nd::DOUBLE * ct::DOUBLE) * 1000000.0)
+         |   / 1000000.0 + 0.0) AS vmr
+         |FROM bm CROSS JOIN bnd
+         |ORDER BY ct DESC, tok LIMIT 200""".stripMargin,
 
     "corpus_doremi" ->
       s"""WITH tks AS (SELECT source, unnest($toksDuck) AS tok
