@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -179,6 +179,93 @@ object Behavior2Queries {
           r6(col("q90") / lit(1e6)).as("p90_s"))
     }),
 
+    // Sample-ratio-mismatch guard (the first gate every experimentation
+    // platform runs before reading any metric): per event_type — plus
+    // an 'ALL' row over the whole exposure log — the distinct-user
+    // count per arm and the 1-df chi-square against the designed 50/50
+    // split. With e = (n_a+n_b)/2, the two-cell statistic collapses to
+    // (n_a-n_b)^2/(n_a+n_b): exact integers end-to-end, ONE double
+    // division at the end, flagged at the 0.05 critical value. Scale
+    // shape: distinct (event_type, user, arm) collapses map-side, the
+    // per-type aggregate is alphabet-sized, and the ALL row rides the
+    // same distinct pass re-collapsed — no window, no join.
+    "ab_srm" -> ((s, dir) => {
+      val ua = ev(s, dir)
+        .select(col("event_type"), col("user_id"),
+          (col("user_id") % 2).cast("int").as("arm"))
+        .distinct()
+        .localCheckpoint()
+      // empty-in → empty-out: the ungrouped ALL aggregate always emits
+      // one row; a (0, 0) row is both meaningless and a 0/0 — drop it.
+      // Never filters real data (every group has ≥ 1 user).
+      def counts(g: DataFrame, tag: Column) = g
+        .filter(col("n_a") + col("n_b") > 0)
+        .select(tag.as("event_type"), col("n_a"), col("n_b"),
+          r6(expr("CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)" +
+            " / CAST(n_a + n_b AS DOUBLE)")).as("chi2"),
+          (expr("CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)" +
+            " / CAST(n_a + n_b AS DOUBLE)") > lit(3.841459).cast("double"))
+            .as("srm"))
+      val per = ua.groupBy("event_type").agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+      val all = ua.select(col("user_id"), col("arm")).distinct()
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+      counts(per, col("event_type"))
+        .unionByName(counts(all, lit("ALL")))
+    }),
+
+    // Power analysis / minimum-detectable-effect readout from the same
+    // exact integer moments as ab_ttest: per event_type, the standard
+    // error of the arm difference, the MDE at alpha=.05 / power=.8
+    // (z_{.975}+z_{.8} = 2.801585), its relative form against the
+    // control mean, and the per-arm n needed to detect a 5% relative
+    // lift. Every double derives from exact BIGINT sums in textually
+    // mirrored expressions; n_needed stays DOUBLE (a tiny control mean
+    // sends it astronomically large — a BIGINT cast would overflow).
+    "ab_power" -> ((s, dir) => {
+      def v(n: String, sN: String, ssN: String) =
+        s"(CAST($ssN AS DOUBLE)/10000.0 - (CAST($sN AS DOUBLE)/100.0)" +
+          s"*(CAST($sN AS DOUBLE)/100.0)/CAST($n AS DOUBLE))" +
+          s"/(CAST($n AS DOUBLE) - 1.0)"
+      EventBars.events(s, dir)
+        .select(col("user_id").cast("long").as("user_id"),
+          col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+        .withColumn("arm", (col("user_id") % 2).cast("int"))
+        .groupBy("event_type")
+        .agg(
+          sum(when(col("arm") === 0, lit(1L)).otherwise(lit(0L))).as("n_a"),
+          sum(when(col("arm") === 0, col("c")).otherwise(lit(0L))).as("sa"),
+          sum(when(col("arm") === 0, col("c") * col("c"))
+            .otherwise(lit(0L))).as("ssa"),
+          sum(when(col("arm") === 1, lit(1L)).otherwise(lit(0L))).as("n_b"),
+          sum(when(col("arm") === 1, col("c")).otherwise(lit(0L))).as("sb"),
+          sum(when(col("arm") === 1, col("c") * col("c"))
+            .otherwise(lit(0L))).as("ssb"))
+        .filter(col("n_a") > 1 && col("n_b") > 1)
+        .withColumn("va", expr(v("n_a", "sa", "ssa")))
+        .withColumn("vb", expr(v("n_b", "sb", "ssb")))
+        .withColumn("se2",
+          expr("va/CAST(n_a AS DOUBLE) + vb/CAST(n_b AS DOUBLE)"))
+        .withColumn("ma",
+          expr("(CAST(sa AS DOUBLE)/100.0)/CAST(n_a AS DOUBLE)"))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          r6(col("ma")).as("mean_a"),
+          r6(expr("sqrt(se2)")).as("se_diff"),
+          r6(expr("CAST(2.801585 AS DOUBLE) * sqrt(se2)")).as("mde_abs"),
+          r6(expr("CASE WHEN ma = 0 THEN NULL ELSE " +
+            "CAST(2.801585 AS DOUBLE) * sqrt(se2) / ma END")).as("mde_rel"),
+          // un-ceiled on purpose: Spark's ceil(DOUBLE) returns LONG
+          // (ANSI overflow on a tiny control mean), DuckDB's returns
+          // DOUBLE — the raw requirement is the portable number.
+          r6(expr("CASE WHEN ma = 0 THEN NULL ELSE " +
+            "CAST(2.801585 AS DOUBLE) * CAST(2.801585 AS DOUBLE)" +
+            " * (va + vb) / ((CAST(0.05 AS DOUBLE) * ma)" +
+            " * (CAST(0.05 AS DOUBLE) * ma)) END")).as("n_needed_5pct"))
+    }),
+
     "behav_interevent" -> ((s, dir) => {
       val g = ev(s, dir)
         .withColumn("gap",
@@ -280,6 +367,69 @@ object Behavior2Queries {
          |  (round(quantile_cont(latd, 0.5) / 1e6, 6) + 0.0) AS p50_s,
          |  (round(quantile_cont(latd, 0.9) / 1e6, 6) + 0.0) AS p90_s
          |FROM lat GROUP BY 1""".stripMargin,
+
+    "ab_srm" ->
+      s"""WITH $evDuck,
+         |ua AS (SELECT DISTINCT event_type, user_id,
+         |    (user_id % 2)::INT AS arm FROM ev),
+         |per AS (SELECT event_type,
+         |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b
+         |  FROM ua GROUP BY 1),
+         |alls AS (SELECT 'ALL' AS event_type,
+         |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b
+         |  FROM (SELECT DISTINCT user_id, arm FROM ua)),
+         |u AS (SELECT * FROM (SELECT * FROM per
+         |    UNION ALL SELECT * FROM alls)
+         |  WHERE n_a + n_b > 0)
+         |SELECT event_type, n_a, n_b,
+         |  (round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+         |    / CAST(n_a + n_b AS DOUBLE) * 1000000.0) / 1000000.0 + 0.0)
+         |    AS chi2,
+         |  CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+         |    / CAST(n_a + n_b AS DOUBLE) > CAST(3.841459 AS DOUBLE) AS srm
+         |FROM u""".stripMargin,
+
+    "ab_power" ->
+      s"""WITH eva AS (SELECT user_id::BIGINT AS user_id, event_type,
+         |    CAST(round(value * 100) AS BIGINT) AS c,
+         |    (user_id::BIGINT % 2)::INT AS arm FROM events),
+         |g AS (SELECT event_type,
+         |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         |    sum(CASE WHEN arm = 0 THEN c ELSE 0 END)::BIGINT AS sa,
+         |    sum(CASE WHEN arm = 0 THEN c*c ELSE 0 END)::BIGINT AS ssa,
+         |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+         |    sum(CASE WHEN arm = 1 THEN c ELSE 0 END)::BIGINT AS sb,
+         |    sum(CASE WHEN arm = 1 THEN c*c ELSE 0 END)::BIGINT AS ssb
+         |  FROM eva GROUP BY 1
+         |  HAVING n_a > 1 AND n_b > 1),
+         |v AS (SELECT *,
+         |    (CAST(ssa AS DOUBLE)/10000.0 - (CAST(sa AS DOUBLE)/100.0)
+         |      *(CAST(sa AS DOUBLE)/100.0)/CAST(n_a AS DOUBLE))
+         |      /(CAST(n_a AS DOUBLE) - 1.0) AS va,
+         |    (CAST(ssb AS DOUBLE)/10000.0 - (CAST(sb AS DOUBLE)/100.0)
+         |      *(CAST(sb AS DOUBLE)/100.0)/CAST(n_b AS DOUBLE))
+         |      /(CAST(n_b AS DOUBLE) - 1.0) AS vb
+         |  FROM g),
+         |s2 AS (SELECT *,
+         |    va/CAST(n_a AS DOUBLE) + vb/CAST(n_b AS DOUBLE) AS se2,
+         |    (CAST(sa AS DOUBLE)/100.0)/CAST(n_a AS DOUBLE) AS ma
+         |  FROM v)
+         |SELECT event_type, n_a, n_b,
+         |  (round(ma * 1000000.0) / 1000000.0 + 0.0) AS mean_a,
+         |  (round(sqrt(se2) * 1000000.0) / 1000000.0 + 0.0) AS se_diff,
+         |  (round(CAST(2.801585 AS DOUBLE) * sqrt(se2) * 1000000.0)
+         |    / 1000000.0 + 0.0) AS mde_abs,
+         |  (round((CASE WHEN ma = 0 THEN NULL ELSE
+         |    CAST(2.801585 AS DOUBLE) * sqrt(se2) / ma END) * 1000000.0)
+         |    / 1000000.0 + 0.0) AS mde_rel,
+         |  (round((CASE WHEN ma = 0 THEN NULL ELSE
+         |    CAST(2.801585 AS DOUBLE) * CAST(2.801585 AS DOUBLE)
+         |    * (va + vb) / ((CAST(0.05 AS DOUBLE) * ma)
+         |    * (CAST(0.05 AS DOUBLE) * ma)) END) * 1000000.0)
+         |    / 1000000.0 + 0.0) AS n_needed_5pct
+         |FROM s2""".stripMargin,
 
     "behav_interevent" ->
       s"""WITH $evDuck,

@@ -241,6 +241,47 @@ object ClassifyQueries {
             .as("rate"))
     }),
 
+    // Calibration of the NB quality classifier (reliability table +
+    // ECE terms, Guo et al. ICML'17 posture): confidence = sigmoid of
+    // the micro-quantized log-odds, taken for the PREDICTED class
+    // (max(p, 1-p) ∈ [0.5, 1]), micro-quantized at birth so binning
+    // and the per-bin mean ride exact integers; 10 equal-width bins
+    // (conf lands in 5..9 by construction, the top edge folds into
+    // bin 9). Per bin: count, accuracy vs the rule label, mean
+    // confidence, |acc − conf| gap, and the n/N-weighted ECE term
+    // (their sum IS the expected calibration error). Derived from
+    // text_nb_quality so classifier and calibration can never drift.
+    // exp() ulp skew between libms is absorbed by the micro rounding,
+    // the same contract every ln()-based op in this family relies on.
+    "quality_ece" -> ((s, dir) => {
+      val scored = queries("text_nb_quality")(s, dir)
+      val binned = scored
+        .withColumn("p", expr("CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)" +
+          " + exp(-(CAST(score_micro AS DOUBLE) / 1000000.0)))"))
+        .withColumn("conf_micro", expr(
+          "CAST(round(greatest(p, CAST(1.0 AS DOUBLE) - p) * 1000000.0)" +
+            " AS BIGINT)"))
+        .withColumn("bin",
+          expr("least(CAST(9 AS BIGINT), conf_micro DIV 100000)"))
+        .withColumn("correct", col("pred_pos") === col("is_pos"))
+      val tot = binned.agg(count(lit(1)).as("n_held"))
+      binned.groupBy("bin").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("correct"), 1L).otherwise(0L)).as("n_correct"),
+          sum(col("conf_micro")).as("sc"))
+        .crossJoin(broadcast(tot))
+        .withColumn("acc_r",
+          expr("CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE)"))
+        .withColumn("conf_r",
+          expr("CAST(sc AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)"))
+        .select(col("bin"), col("n"),
+          r6(col("acc_r")).as("acc"),
+          r6(col("conf_r")).as("mean_conf"),
+          r6(expr("abs(acc_r - conf_r)")).as("gap"),
+          r6(expr("CAST(n AS DOUBLE) / CAST(n_held AS DOUBLE)" +
+            " * abs(acc_r - conf_r)")).as("ece_term"))
+    }),
+
     // Weight-of-evidence encoding of hour-of-day against the purchase
     // event, with the per-bucket information-value term: woe(h) =
     // ln(((pos_h+0.5)/(P+12)) / ((neg_h+0.5)/(N+12))) (0.5 smoothing ×
@@ -531,6 +572,62 @@ object ClassifyQueries {
          |  (coalesce(d.ssum, 0) + (SELECT prior FROM pri)) > 0 AS pred_pos,
          |  h.is_pos
          |FROM held h LEFT JOIN dsum d USING (doc_id)""".stripMargin,
+
+    "quality_ece" ->
+      s"""WITH dt AS (SELECT doc_id::BIGINT AS doc_id,
+         |    $toksDuck AS toks FROM documents),
+         |dl AS (SELECT *, $labelDuck AS is_pos FROM dt),
+         |tr AS (SELECT * FROM dl WHERE doc_id % 50 <> 0),
+         |tf AS (SELECT tok,
+         |    sum(CASE WHEN is_pos THEN 1 ELSE 0 END)::BIGINT AS cg,
+         |    sum(CASE WHEN NOT is_pos THEN 1 ELSE 0 END)::BIGINT AS cb
+         |  FROM (SELECT is_pos, unnest(toks) AS tok FROM tr) GROUP BY tok),
+         |st AS (SELECT sum(cg)::BIGINT AS ng, sum(cb)::BIGINT AS nb,
+         |    count(*)::BIGINT AS v FROM tf),
+         |pri AS (SELECT CAST(round((ln((
+         |    sum(CASE WHEN is_pos THEN 1 ELSE 0 END) + 1)::DOUBLE) - ln((
+         |    sum(CASE WHEN NOT is_pos THEN 1 ELSE 0 END) + 1)::DOUBLE))
+         |    * 1000000.0) AS BIGINT) AS prior FROM tr),
+         |llr AS (SELECT tok, CAST(round((
+         |    ln((cg + 1)::DOUBLE) - ln((ng + v)::DOUBLE) -
+         |    ln((cb + 1)::DOUBLE) + ln((nb + v)::DOUBLE))
+         |    * 1000000.0) AS BIGINT) AS llr FROM tf CROSS JOIN st),
+         |held AS (SELECT doc_id, is_pos FROM dl WHERE doc_id % 50 = 0),
+         |htf AS (SELECT doc_id, tok, count(*)::BIGINT AS tfq
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM dt
+         |        WHERE doc_id % 50 = 0)
+         |  GROUP BY doc_id, tok),
+         |dsum AS (SELECT doc_id, sum(tfq * llr)::BIGINT AS ssum
+         |  FROM htf JOIN llr USING (tok) GROUP BY doc_id),
+         |scq AS (SELECT h.doc_id,
+         |    (coalesce(d.ssum, 0) + (SELECT prior FROM pri))::BIGINT
+         |      AS score_micro,
+         |    (coalesce(d.ssum, 0) + (SELECT prior FROM pri)) > 0 AS pred_pos,
+         |    h.is_pos
+         |  FROM held h LEFT JOIN dsum d USING (doc_id)),
+         |pb AS (SELECT *, CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+         |    + exp(-(CAST(score_micro AS DOUBLE) / 1000000.0))) AS p
+         |  FROM scq),
+         |cbn AS (SELECT *, CAST(round(greatest(p, CAST(1.0 AS DOUBLE) - p)
+         |    * 1000000.0) AS BIGINT) AS conf_micro FROM pb),
+         |bb AS (SELECT least(9::BIGINT, conf_micro // 100000) AS bin,
+         |    conf_micro, (pred_pos = is_pos) AS correct FROM cbn),
+         |tt AS (SELECT count(*)::BIGINT AS n_held FROM bb),
+         |gq AS (SELECT bin, count(*)::BIGINT AS n,
+         |    sum(CASE WHEN correct THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+         |    sum(conf_micro)::BIGINT AS sc FROM bb GROUP BY 1),
+         |gr AS (SELECT *,
+         |    CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE) AS acc_r,
+         |    CAST(sc AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS conf_r
+         |  FROM gq CROSS JOIN tt)
+         |SELECT bin, n,
+         |  (round(acc_r * 1000000.0) / 1000000.0 + 0.0) AS acc,
+         |  (round(conf_r * 1000000.0) / 1000000.0 + 0.0) AS mean_conf,
+         |  (round(abs(acc_r - conf_r) * 1000000.0) / 1000000.0 + 0.0) AS gap,
+         |  (round(CAST(n AS DOUBLE) / CAST(n_held AS DOUBLE)
+         |    * abs(acc_r - conf_r) * 1000000.0) / 1000000.0 + 0.0)
+         |    AS ece_term
+         |FROM gr""".stripMargin,
 
     "text_nb_confusion" ->
       s"""WITH dt AS (SELECT doc_id::BIGINT AS doc_id,

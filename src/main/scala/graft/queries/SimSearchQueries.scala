@@ -55,6 +55,12 @@ object SimSearchQueries {
     * mates — non-empty at the gate SFs (which sit at the annBits
     * floor) and CONSTANT-sized at 100 TB by the same adaptive formula
     * that bounds the ANN buckets. */
+  /** Binary-quantization search (`sim_bq_rerank`): sign-bit code width
+    * (62, not d — DuckDB's BIGINT `<<` range-checks at 63) and the
+    * Hamming prefilter pool reranked exactly per query. */
+  private[queries] val BqBits = 62
+  private[queries] val BqCand = 32
+
   private[queries] val HnswLevelMod = 8
   private[queries] val HnswM = 3
   private[queries] val HnswL1Beam = 8
@@ -65,6 +71,76 @@ object SimSearchQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "sim_graph_search" -> ((s, dir) => graphSearch(s, dir, materialize = true)),
+
+    // Binary-quantization rerank search (the RaBitQ/FAISS-BQ serving
+    // posture): each vector compresses to a 62-dim sign-bit code in
+    // ONE BIGINT; the first stage ranks the corpus by Hamming distance
+    // (xor + popcount — ~8 bytes/vector of index I/O, the 64×-smaller
+    // scan that makes brute-force candidate generation feasible at
+    // 100 TB), the second stage re-scores only the top-[[BqCand]]
+    // Hamming pool with exact cosine. The Hamming pass reuses the
+    // block-partitioned equi-join shape of sim_topk (per-task work
+    // (n/B)², shuffle B·n CODE rows — 2 longs wide, not d doubles);
+    // the rerank touches [[BqCand]] full vectors per query via two
+    // id-keyed hash joins. Ties at equal Hamming break by n_id —
+    // deterministic, mirrored in the oracle.
+    "sim_bq_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+        .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
+        .withColumn("code", expr(
+          s"aggregate(sequence(1, least($BqBits, size(v))), " +
+            "CAST(0 AS BIGINT), (a, i) -> a ^ IF(element_at(v, i) >= 0, " +
+            "shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT)))"))
+        .localCheckpoint()
+      val codes = e.select(col("vec_id"), col("code"))
+      val q = codes.filter(col("vec_id") % TopkSplit === 0)
+        .withColumn("bi", expr(s"CAST(vec_id % $PairBlocks AS INT)"))
+        .withColumn("bj", explode(expr(s"sequence(0, ${PairBlocks - 1})")))
+      val y = codes.withColumn("bj", expr(s"CAST(vec_id % $PairBlocks AS INT)"))
+        .withColumn("bi", explode(expr(s"sequence(0, ${PairBlocks - 1})")))
+      val cand = q.as("x").hint("shuffle_hash")
+        .join(y.as("y").hint("shuffle_hash"),
+          col("x.bi") === col("y.bi") && col("x.bj") === col("y.bj") &&
+            col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("n_id"),
+          expr("CAST(bit_count(x.code ^ y.code) AS BIGINT)").as("ham"))
+        .withColumn("hrank", expr(
+          "row_number() OVER (PARTITION BY q_id ORDER BY ham, n_id)"))
+        .filter(col("hrank") <= BqCand)
+        .select(col("q_id"), col("n_id"), col("ham"))
+      cand
+        .join(e.select(col("vec_id").as("n_id"), col("v").as("nv"),
+          col("nrm").as("nn")), "n_id")
+        .join(e.select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn")), "q_id")
+        .withColumn("sim",
+          expr(s"try_divide(${dotS("qv", "nv")}, qn * nn)"))
+        .withColumn("rank", expr(
+          "CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT)"))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("n_id"), col("rank"), col("ham"),
+          Rounding.r6(col("sim")).as("sim"))
+    }),
+
+    // Recall@3 of the binary-code rerank vs the exact ground truth on
+    // the shared q_id % 10 split — read next to sim_recall (LSH) and
+    // sim_graph_search_recall: what 1 bit/dim keeps of the ranking.
+    "sim_bq_rerank_recall" -> ((s, dir) => {
+      val exact = ExtQueries.queries("sim_topk")(s, dir)
+        .filter(col("rank") <= 3).select(col("q_id"), col("n_id"))
+      val ann = queries("sim_bq_rerank")(s, dir)
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+      exact.join(ann, Seq("q_id", "n_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("q_id"), col("k"), col("n_hits"),
+          Rounding.r6(expr("CAST(n_hits AS DOUBLE) / CAST(k AS DOUBLE)"))
+            .as("recall"))
+    }),
 
     // HNSW-style hierarchical search (Malkov & Yashunin, TPAMI'18
     // posture, two layers): entry by coarse-LSH bucket into a sparse
@@ -568,7 +644,58 @@ object SimSearchQueries {
        |  FROM iasg a LEFT JOIN ibig b ON a.cell = b.cell)""".stripMargin
   }
 
+  /** Oracle chain for the binary-quantization rerank: sign-bit codes,
+    * Hamming prefilter, exact rerank — ending in
+    * `brk(q_id, n_id, ham, sim, rank)`. */
+  private val bqChainDuck: String =
+    s"""bqc AS MATERIALIZED (SELECT vec_id, v, nrm,
+       |    list_reduce(list_prepend(0::BIGINT,
+       |      list_transform(generate_series(1, least($BqBits, len(v))),
+       |        i -> CASE WHEN v[i] >= 0 THEN (1::BIGINT << (i - 1))
+       |          ELSE 0::BIGINT END)),
+       |      (a, b) -> xor(a, b)) AS code
+       |  FROM en),
+       |bq AS (SELECT * FROM bqc WHERE vec_id % $TopkSplit = 0),
+       |bh AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
+       |    bit_count(xor(x.code, y.code))::BIGINT AS ham
+       |  FROM bq x JOIN bqc y ON x.vec_id <> y.vec_id),
+       |bhr AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY ham, n_id) AS hrank FROM bh),
+       |bcand AS (SELECT q_id, n_id, ham FROM bhr WHERE hrank <= $BqCand),
+       |brr AS (SELECT c.q_id, c.n_id, c.ham,
+       |    ${dotD("q.v", "y.v")} / (q.nrm * y.nrm) AS sim
+       |  FROM bcand c JOIN bqc q ON q.vec_id = c.q_id
+       |  JOIN bqc y ON y.vec_id = c.n_id),
+       |brk AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY sim DESC, n_id)::BIGINT AS rank FROM brr)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+
+    "sim_bq_rerank" ->
+      s"""WITH $embBase,
+         |$bqChainDuck
+         |SELECT q_id, n_id, rank, ham, (round(sim, 6) + 0.0) AS sim
+         |FROM brk WHERE rank <= 5""".stripMargin,
+
+    "sim_bq_rerank_recall" ->
+      s"""WITH $embBase,
+         |$bqChainDuck,
+         |ban AS (SELECT q_id, n_id FROM brk WHERE rank <= 3),
+         |bxs AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
+         |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+         |  FROM bq x JOIN en y ON x.vec_id <> y.vec_id),
+         |bxr AS (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY sim DESC, n_id)::BIGINT AS rank
+         |  FROM bxs),
+         |bex AS (SELECT q_id, n_id FROM bxr WHERE rank <= 3)
+         |SELECT bex.q_id, count(*)::BIGINT AS k,
+         |  sum(CASE WHEN ban.n_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_hits,
+         |  (round(sum(CASE WHEN ban.n_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*)::DOUBLE, 6) + 0.0) AS recall
+         |FROM bex LEFT JOIN ban
+         |  ON ban.q_id = bex.q_id AND ban.n_id = bex.n_id
+         |GROUP BY bex.q_id""".stripMargin,
 
     "sim_ivf_incremental" ->
       s"""WITH $embBase,

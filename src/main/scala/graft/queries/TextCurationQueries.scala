@@ -125,6 +125,39 @@ object TextCurationQueries {
           expr(fingerprintSpark("wh")).as("fingerprint"),
           expr("CAST(size(sh) AS BIGINT)").as("n_shingles"))),
 
+    // Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    // SIGMOD'03 — the MOSS algorithm): over each doc's 3-gram shingle
+    // hashes, slide a w=4 window and keep the window's minimum hash
+    // (leftmost on ties — deterministic; ties only arise from repeated
+    // identical shingles), dedup the selected (pos, hash) set. The
+    // guarantee winnowing buys at 100 TB: any shared substring of
+    // ≥ w+2 tokens yields at least one shared fingerprint, at ~2/(w+1)
+    // the density of keeping every shingle. (hash, pos) packs into ONE
+    // BIGINT key (h < 2^30·4, pos < 2^32) so the frame-min is a single
+    // native min — no struct compare, no self-join; the per-doc window
+    // is pos-ordered and bounded, the same exchange shape as every
+    // other per-doc op. Docs shorter than w keep their global min
+    // (the truncated first frame), matching the reference algorithm's
+    // degenerate case.
+    "text_winnow" -> ((s, dir) => {
+      val ex = docs(s, dir)
+        .withColumn("toks", expr(toksSpark))
+        .withColumn("wh", expr(whS))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          expr("CAST(size(graft_shingles(wh)) AS BIGINT)").as("m"),
+          posexplode(expr(shS)).as(Seq("i", "h")))
+        .select(col("doc_id"), col("m"),
+          (col("i").cast("long") + 1L).as("pos"), col("h"))
+      ex.withColumn("key", expr("h * 4294967296 + pos"))
+        .withColumn("mk", min(col("key")).over(
+          Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)))
+        .filter(col("pos") <= greatest(lit(1L), col("m") - 3L))
+        .select(col("doc_id"),
+          expr("mk % 4294967296").as("fp_pos"),
+          expr("mk DIV 4294967296").as("fp_hash"))
+        .distinct()
+    }),
+
     // Document chunking: overlapping token windows (size 32, stride 24)
     // — the standard long-document split for training pipelines. Pure
     // codegen'd HOF + explode; chunk count ≈ tokens/stride per doc.
@@ -906,6 +939,20 @@ object TextCurationQueries {
          |SELECT doc_id, ${fingerprintDuck("wh")} AS fingerprint,
          |  len(sh)::BIGINT AS n_shingles
          |FROM ds""".stripMargin,
+
+    "text_winnow" ->
+      s"""WITH $docHashes,
+         |wex AS (SELECT doc_id, len(sh)::BIGINT AS m,
+         |    generate_subscripts(sh, 1)::BIGINT AS pos, unnest(sh) AS h
+         |  FROM ds),
+         |wky AS (SELECT doc_id, m, pos, h * 4294967296 + pos AS key
+         |  FROM wex),
+         |wmn AS (SELECT doc_id, m, pos, min(key) OVER (PARTITION BY doc_id
+         |    ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk
+         |  FROM wky)
+         |SELECT DISTINCT doc_id, mk % 4294967296 AS fp_pos,
+         |  mk // 4294967296 AS fp_hash
+         |FROM wmn WHERE pos <= greatest(1, m - 3)""".stripMargin,
 
     "text_chunk" ->
       s"""WITH $docToks,
