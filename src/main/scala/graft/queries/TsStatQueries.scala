@@ -583,6 +583,107 @@ object TsStatQueries {
             .getField("t").as("cp_t"))
     }),
 
+    // Permutation entropy (Bandt & Pompe, PRL'02), order 3: each
+    // consecutive close triple maps to its ordinal pattern (3 strict
+    // pairwise comparisons packed into a 3-bit id — 6 of the 8 codes
+    // are realizable), per-ticker pattern counts are exact longs, and
+    // H = −Σ (c/n)·ln(c/n) sums NANO-quantized integer terms (≤ 6 per
+    // ticker) so the shuffle order of a double sum can never bite;
+    // normalized by ln(6) = the entropy of a fully random series.
+    // Complexity/regime readout: ~1 random walk, ≪1 trending/templated.
+    // One ticker exchange for the lags, alphabet-sized aggregates after.
+    "ts_perm_entropy" -> ((s, dir) => {
+      val pat = EventBars.bars(s, dir)
+        .withColumn("c0", lag(col("close"), 2).over(w))
+        .withColumn("c1", lag(col("close"), 1).over(w))
+        .filter(col("c0").isNotNull && col("c1").isNotNull)
+        .withColumn("pat",
+          when(col("c0") < col("c1"), 1L).otherwise(0L)
+            + when(col("c1") < col("close"), 2L).otherwise(0L)
+            + when(col("c0") < col("close"), 4L).otherwise(0L))
+        .groupBy("ticker", "pat").agg(count(lit(1)).as("c"))
+      pat
+        .withColumn("n", sum(col("c")).over(Window.partitionBy("ticker")))
+        .withColumn("term_nano", expr(
+          "CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))" +
+            " * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))" +
+            " * 1000000000.0) AS BIGINT)"))
+        .groupBy("ticker")
+        .agg(max(col("n")).as("n_triples"),
+          count(lit(1)).as("n_patterns"),
+          sum(col("term_nano")).as("hn"))
+        .select(col("ticker"), col("n_triples"), col("n_patterns"),
+          r6(expr("CAST(hn AS DOUBLE) / 1000000000.0")).as("perm_entropy"),
+          r6(expr("CAST(hn AS DOUBLE) / 1000000000.0" +
+            " / ln(CAST(6.0 AS DOUBLE))")).as("perm_entropy_norm"))
+    }),
+
+    // Binary-segmentation changepoint detection, depth 2 (the
+    // top-down face of ts_cusum's single scan): the root split
+    // maximizes the exact SSE-reduction gain G(k) = S_k²/k +
+    // (T−S_k)²/(n−k) − T²/n over cents prefix sums, then each half is
+    // split again by the SAME formula re-based onto the segment's
+    // prefix-sum window — no re-partitioning, the level-2 gains read
+    // the level-1 cumsum through one per-ticker join. Every G input
+    // is an exact BIGINT (cents quantization), the double expression
+    // is textually mirrored, and ties break (gain DESC, k) —
+    // deterministic argmax on both engines. Output: up to three rows
+    // per ticker (root/left/right) with split position, time, gain,
+    // and the two segment means. One ticker exchange end-to-end.
+    "ts_binseg" -> ((s, dir) => {
+      val wt = Window.partitionBy("ticker")
+      val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+      val base = EventBars.bars(s, dir)
+        .withColumn("cents", round(col("close") * lit(100.0), 0).cast("long"))
+        .withColumn("nt", count(lit(1)).over(wt))
+        .withColumn("tot", sum(col("cents")).over(wt))
+        .withColumn("k", row_number().over(w).cast("long"))
+        .withColumn("cs", sum(col("cents")).over(cum))
+        .select("ticker", "t", "k", "cs", "nt", "tot")
+        .localCheckpoint()
+      def gain(sl: String, k: String, tot: String, n: String) =
+        s"(CAST($sl AS DOUBLE)*CAST($sl AS DOUBLE))/CAST($k AS DOUBLE)" +
+          s" + (CAST(($tot) - ($sl) AS DOUBLE)*CAST(($tot) - ($sl) AS DOUBLE))" +
+          s"/CAST(($n) - ($k) AS DOUBLE)" +
+          s" - (CAST($tot AS DOUBLE)*CAST($tot AS DOUBLE))/CAST($n AS DOUBLE)"
+      def mean(s0: String, k0: String) =
+        s"CAST($s0 AS DOUBLE) / 100.0 / CAST($k0 AS DOUBLE)"
+      val g1 = base.filter(col("k") < col("nt"))
+        .withColumn("g", expr(gain("cs", "k", "tot", "nt")))
+        .withColumn("r", expr(
+          "row_number() OVER (PARTITION BY ticker ORDER BY g DESC, k)"))
+        .filter(col("r") === 1)
+        .select(col("ticker"), col("k").as("k1"), col("cs").as("s1"),
+          col("t").as("t1"), col("g").as("gr"), col("nt").as("n1"),
+          col("tot").as("tot1"))
+        .localCheckpoint()
+      val root = g1.select(col("ticker"), lit("root").as("seg"),
+        col("k1").as("k"), col("t1").as("t"), r6(col("gr")).as("gain"),
+        r6(expr(mean("s1", "k1"))).as("mean_l"),
+        r6(expr(mean("tot1 - s1", "n1 - k1"))).as("mean_r"))
+      val joined = base.join(g1, "ticker")
+      val left = joined.filter(col("k") < col("k1"))
+        .withColumn("g", expr(gain("cs", "k", "s1", "k1")))
+        .withColumn("r", expr(
+          "row_number() OVER (PARTITION BY ticker ORDER BY g DESC, k)"))
+        .filter(col("r") === 1)
+        .select(col("ticker"), lit("left").as("seg"), col("k"), col("t"),
+          r6(col("g")).as("gain"),
+          r6(expr(mean("cs", "k"))).as("mean_l"),
+          r6(expr(mean("s1 - cs", "k1 - k"))).as("mean_r"))
+      val right = joined.filter(col("k") > col("k1") && col("k") < col("nt"))
+        .withColumn("g",
+          expr(gain("cs - s1", "k - k1", "tot - s1", "nt - k1")))
+        .withColumn("r", expr(
+          "row_number() OVER (PARTITION BY ticker ORDER BY g DESC, k)"))
+        .filter(col("r") === 1)
+        .select(col("ticker"), lit("right").as("seg"), col("k"), col("t"),
+          r6(col("g")).as("gain"),
+          r6(expr(mean("cs - s1", "k - k1"))).as("mean_l"),
+          r6(expr(mean("tot - cs", "nt - k"))).as("mean_r"))
+      root.unionByName(left).unionByName(right)
+    }),
+
     // Per-(ticker, day) time-weighted average price: each bar weighted
     // by its micros gap to the next bar in the day (the last bar of a
     // day carries no interval). Exact-integer weights; one exchange.
@@ -1181,6 +1282,87 @@ object TsStatQueries {
            |  (min(struct_pack(nca := -ca, t := t, event_id := event_id))).t
            |    AS cp_t
            |FROM ab GROUP BY ticker""".stripMargin,
+
+      "ts_perm_entropy" ->
+        s"""WITH bars AS (${EventBars.sqlBars}),
+           |pl AS (SELECT ticker, close,
+           |    lag(close, 2) OVER ($Over) AS c0,
+           |    lag(close, 1) OVER ($Over) AS c1 FROM bars),
+           |pp AS (SELECT ticker,
+           |    (CASE WHEN c0 < c1 THEN 1 ELSE 0 END
+           |     + CASE WHEN c1 < close THEN 2 ELSE 0 END
+           |     + CASE WHEN c0 < close THEN 4 ELSE 0 END)::BIGINT AS pat
+           |  FROM pl WHERE c0 IS NOT NULL AND c1 IS NOT NULL),
+           |pg AS (SELECT ticker, pat, count(*)::BIGINT AS c FROM pp
+           |  GROUP BY 1, 2),
+           |pn AS (SELECT *, (sum(c) OVER (PARTITION BY ticker))::BIGINT AS n
+           |  FROM pg),
+           |pt AS (SELECT *, CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+           |    * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+           |    * 1000000000.0) AS BIGINT) AS term_nano FROM pn)
+           |SELECT ticker, max(n)::BIGINT AS n_triples,
+           |  count(*)::BIGINT AS n_patterns,
+           |  (round(CAST(sum(term_nano) AS DOUBLE) / 1000000000.0
+           |    * 1000000.0) / 1000000.0 + 0.0) AS perm_entropy,
+           |  (round(CAST(sum(term_nano) AS DOUBLE) / 1000000000.0
+           |    / ln(CAST(6.0 AS DOUBLE))
+           |    * 1000000.0) / 1000000.0 + 0.0) AS perm_entropy_norm
+           |FROM pt GROUP BY ticker""".stripMargin,
+
+      "ts_binseg" -> {
+        def gain(sl: String, k: String, tot: String, n: String) =
+          s"(CAST($sl AS DOUBLE)*CAST($sl AS DOUBLE))/CAST($k AS DOUBLE)" +
+            s" + (CAST(($tot) - ($sl) AS DOUBLE)*CAST(($tot) - ($sl) AS DOUBLE))" +
+            s"/CAST(($n) - ($k) AS DOUBLE)" +
+            s" - (CAST($tot AS DOUBLE)*CAST($tot AS DOUBLE))/CAST($n AS DOUBLE)"
+        def mean(s0: String, k0: String) =
+          s"CAST($s0 AS DOUBLE) / 100.0 / CAST($k0 AS DOUBLE)"
+        def r6d(e: String) = s"(round(($e) * 1000000.0) / 1000000.0 + 0.0)"
+        s"""WITH bars AS (${EventBars.sqlBars}),
+           |bc AS (SELECT *, CAST(round(close * 100.0) AS BIGINT) AS cents
+           |  FROM bars),
+           |bm AS (SELECT ticker, t,
+           |    (count(*) OVER (PARTITION BY ticker))::BIGINT AS nt,
+           |    (sum(cents) OVER (PARTITION BY ticker))::BIGINT AS tot,
+           |    CAST(row_number() OVER ($Over) AS BIGINT) AS k,
+           |    (sum(cents) OVER ($Over
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+           |      AS cs
+           |  FROM bc),
+           |bg1 AS (SELECT ticker, k AS k1, cs AS s1, t AS t1, g AS gr,
+           |    nt AS n1, tot AS tot1 FROM (
+           |    SELECT *, ${gain("cs", "k", "tot", "nt")} AS g,
+           |      row_number() OVER (PARTITION BY ticker
+           |        ORDER BY ${gain("cs", "k", "tot", "nt")} DESC, k) AS r
+           |    FROM bm WHERE k < nt) WHERE r = 1),
+           |broot AS (SELECT ticker, 'root' AS seg, k1 AS k, t1 AS t,
+           |    ${r6d("gr")} AS gain,
+           |    ${r6d(mean("s1", "k1"))} AS mean_l,
+           |    ${r6d(mean("tot1 - s1", "n1 - k1"))} AS mean_r
+           |  FROM bg1),
+           |bj AS (SELECT m.*, j.k1, j.s1 FROM bm m
+           |  JOIN bg1 j ON m.ticker = j.ticker),
+           |bleft AS (SELECT ticker, 'left' AS seg, k, t,
+           |    ${r6d("g")} AS gain,
+           |    ${r6d(mean("cs", "k"))} AS mean_l,
+           |    ${r6d(mean("s1 - cs", "k1 - k"))} AS mean_r
+           |  FROM (SELECT *, ${gain("cs", "k", "s1", "k1")} AS g,
+           |      row_number() OVER (PARTITION BY ticker
+           |        ORDER BY ${gain("cs", "k", "s1", "k1")} DESC, k) AS r
+           |    FROM bj WHERE k < k1) WHERE r = 1),
+           |bright AS (SELECT ticker, 'right' AS seg, k, t,
+           |    ${r6d("g")} AS gain,
+           |    ${r6d(mean("cs - s1", "k - k1"))} AS mean_l,
+           |    ${r6d(mean("tot - cs", "nt - k"))} AS mean_r
+           |  FROM (SELECT *,
+           |      ${gain("cs - s1", "k - k1", "tot - s1", "nt - k1")} AS g,
+           |      row_number() OVER (PARTITION BY ticker
+           |        ORDER BY ${gain("cs - s1", "k - k1", "tot - s1", "nt - k1")}
+           |          DESC, k) AS r
+           |    FROM bj WHERE k > k1 AND k < nt) WHERE r = 1)
+           |SELECT * FROM broot UNION ALL SELECT * FROM bleft
+           |UNION ALL SELECT * FROM bright""".stripMargin
+      },
 
       "ts_twap" ->
         s"""WITH bars AS (${EventBars.sqlBars}),
