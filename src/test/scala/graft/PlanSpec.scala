@@ -1138,6 +1138,44 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("sim_bq_rerank: block-pair equi Hamming join, id-keyed rerank") {
+    // The Hamming stage must be the block-partitioned EQUI join on the
+    // (bi, bj) pair key (a BNLJ would mean the code scan degenerated
+    // to a nested loop) and the rerank must re-attach vectors by id —
+    // no cartesian, no non-mirror nested loop anywhere.
+    val p = plan("sim_bq_rerank")
+    val mirrors =
+      "BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(p).length
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == mirrors, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("text_winnow: one doc-partitioned frame min, no self-join") {
+    // Winnowing must stay ONE pos-ordered per-doc window over packed
+    // keys — the rightmost-min self-join formulation (doc_id×hash fan,
+    // quadratic on templated docs) is exactly what the packed-key
+    // design avoids. No join of any kind should appear.
+    val p = plan("text_winnow")
+    assert(!p.contains("Join"), p)
+    assert(shuffles(p) <= 2, p)
+  }
+
+  test("ts_binseg: ticker-keyed exchange, level-2 reads level-1 by join") {
+    // All three argmax rounds ride ticker-partitioned windows over the
+    // ONE cumsum pass; the level-1 winner attaches back by a ticker
+    // equi-join. No cartesian, no nested loop.
+    val p = plan("ts_binseg")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("ab_srm / ab_power: alphabet-sized aggregates, no joins") {
+    Seq("ab_srm", "ab_power").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), q + "\n" + p)
+    }
+  }
+
   test("tok_bpe_encode: documents attach to the merge table by word key") {
     // The corpus side must join the per-distinct-word symbol table on
     // the word equi-key (the word-frequency reduction is the whole

@@ -1047,6 +1047,65 @@ class StreamingSpec extends SparkSpec {
     // the two true heavies must headline the emitted top-k
     assert(got.take(2).map(_._1).toSet == Set(7L, 41L))
   }
+
+  test("streaming SRM: always-valid p is monotone, replay deterministic") {
+    // Two surfaces: 'bal' alternates arms (designed 50/50 — must never
+    // trigger), 'skew' runs 9:1 (a real mismatch — must trigger and,
+    // by the always-valid contract, STAY triggered). The fold must
+    // replay exactly against a driver-side reference over the same
+    // batch split, and p_min must be non-increasing batch over batch.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val bal = (0 until 400).map(i => ("bal", i % 2))
+    val skew = (0 until 400).map(i => ("skew", if (i % 10 == 0) 0 else 1))
+    val data = bal ++ skew
+    val splits = Seq(data.take(200), data.slice(200, 500), data.drop(500))
+    def run(name: String): Seq[Seq[(String, Long, Long, Double, Double)]] = {
+      val stream = MemoryStream[(String, Int)]
+      val out = graft.streaming.StreamingSrm(stream.toDS().toDF("g", "arm"))
+      val q = out.writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName(name).start()
+      try {
+        var prev = 0
+        splits.map { b =>
+          stream.addData(b)
+          q.processAllAvailable()
+          val rows = spark.table(name).collect().drop(prev)
+          prev += rows.length
+          rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getDouble(4), r.getDouble(5))).toSeq.sortBy(_._1)
+        }
+      } finally q.stop()
+    }
+    val got = run("srm1")
+    assert(run("srm2") == got, "same split must replay identically")
+    // driver-side reference: counts + mixtureP over the same splits
+    var ref = Map.empty[String, (Long, Long, Double)]
+    val want = splits.map { b =>
+      b.groupBy(_._1).foreach { case (g, rs) =>
+        val (na0, nb0, p0) = ref.getOrElse(g, (0L, 0L, 1.0))
+        val na = na0 + rs.count(_._2 == 0)
+        val nb = nb0 + rs.count(_._2 != 0)
+        val p = math.min(p0, graft.streaming.StreamingSrm.mixtureP(na, nb))
+        ref = ref.updated(g, (na, nb, p))
+      }
+      b.map(_._1).distinct.sorted.map { g =>
+        val (na, nb, p) = ref(g)
+        (g, na, nb, graft.streaming.StreamingSrm.mixtureP(na, nb), p)
+      }
+    }
+    assert(got == want, s"fold diverged from reference:\n$got\nvs\n$want")
+    // p_min monotone per group across batches
+    val byG = got.flatten.groupBy(_._1).view.mapValues(_.map(_._5))
+    byG.foreach { case (g, ps) =>
+      assert(ps == ps.scanLeft(1.0)(math.min).tail, s"$g p_min not monotone")
+    }
+    // balanced surface never triggers; skewed triggers and stays
+    assert(byG("bal").forall(_ >= 0.05), "balanced surface false-triggered")
+    assert(byG("skew").last < 0.05, "9:1 mismatch not flagged")
+    assert(byG("skew").dropWhile(_ >= 0.05).forall(_ < 0.05),
+      "always-valid decision must never un-trigger")
+  }
 }
 
 object StreamingSpec {
