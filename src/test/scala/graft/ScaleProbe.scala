@@ -631,6 +631,46 @@ object ScaleProbe {
     }
   }
 
+  /** Binary-quantization search receipt (r13): sim_bq_rerank's
+    * Hamming stage is BY DESIGN a per-query linear scan over 8-byte
+    * codes (the RaBitQ/BQ serving trade: brute-force made feasible by
+    * 64× smaller index I/O, not sub-linear) — so wall should grow
+    * ≈ r² when both corpus AND query split grow r×, while the
+    * per-(query,code) pair cost stays flat. The receipt records
+    * ns/pair at 1× and 10×; a rising pair cost would mean the
+    * block-pair join degenerated (skew, BNLJ), which is the failure
+    * mode the probe exists to catch. Sub-linear per-query retrieval
+    * at scale remains the IVF/graph family's job — BQ is the scan
+    * you put UNDER those prefilters. */
+  def bqProbe(spark: org.apache.spark.sql.SparkSession): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    for (r <- Seq(1, 10)) {
+      val src =
+        if (r == 1) "/root/testdata/sf0.1"
+        else {
+          spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+            .crossJoin(spark.range(r.toLong).select(col("id").as("rep")))
+            .select(
+              (col("vec_id").cast("long") * r + col("rep")).as("vec_id"),
+              expr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+                "x -> CAST(x + rep * 0.0001 AS FLOAT))").as("embedding"))
+            .write.mode("overwrite")
+            .parquet("/tmp/scale_bq/embeddings.parquet")
+          "/tmp/scale_bq"
+        }
+      val nv = spark.read.parquet(s"$src/embeddings.parquet").count()
+      val nq = nv / 10 // the vec_id % 10 query split
+      val t0 = System.nanoTime()
+      val rows = graft.SparkEntry.queries("sim_bq_rerank")(spark, src)
+        .queryExecution.toRdd.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val pairs = nq.toDouble * (nv - 1).toDouble
+      println(f"BQ_VECTORS=$nv BQ_QUERIES=$nq BQ_ROWS=$rows " +
+        f"BQ_SEC=$sec%.2f BQ_MS_PER_QUERY=${sec * 1000.0 / nq}%.2f " +
+        f"BQ_NS_PER_PAIR=${sec * 1e9 / pairs}%.2f")
+    }
+  }
+
   /** Tokenizer/mixing scale receipt (r13): corpus_doremi,
     * tok_bpe_encode and tok_encode all claim the word-frequency /
     * (source, token) collapse — corpus grows, the trained state does
@@ -811,6 +851,18 @@ object NnDescentSkewProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     ScaleProbe.nndescentSkewProbe(spark)
+    spark.stop()
+  }
+}
+
+/** Standalone driver for [[ScaleProbe.bqProbe]] only. */
+object BqProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    ScaleProbe.bqProbe(spark)
     spark.stop()
   }
 }
