@@ -61,6 +61,24 @@ object SimSearchQueries {
   private[queries] val BqBits = 62
   private[queries] val BqCand = 32
 
+  /** Within-cell Hamming pool of the composed `sim_ivf_bq` stack —
+    * smaller than [[BqCand]] because the coarse quantizer already cut
+    * the corpus to ~n/nlist candidates. */
+  private[queries] val BqCellCand = 16
+
+  /** The sign-bit code over a `v` ARRAY<DOUBLE> column — ONE BIGINT;
+    * shared by `sim_bq_rerank` and `sim_ivf_bq` on each engine. */
+  private[queries] val bqCodeS: String =
+    s"aggregate(sequence(1, least($BqBits, size(v))), " +
+      "CAST(0 AS BIGINT), (a, i) -> a ^ IF(element_at(v, i) >= 0, " +
+      "shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT)))"
+  private[queries] val bqCodeD: String =
+    s"""list_reduce(list_prepend(0::BIGINT,
+       |      list_transform(generate_series(1, least($BqBits, len(v))),
+       |        i -> CASE WHEN v[i] >= 0 THEN (1::BIGINT << (i - 1))
+       |          ELSE 0::BIGINT END)),
+       |      (a, b) -> xor(a, b))""".stripMargin
+
   private[queries] val HnswLevelMod = 8
   private[queries] val HnswM = 3
   private[queries] val HnswL1Beam = 8
@@ -89,10 +107,7 @@ object SimSearchQueries {
         .select(col("vec_id").cast("long").as("vec_id"),
           expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
         .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
-        .withColumn("code", expr(
-          s"aggregate(sequence(1, least($BqBits, size(v))), " +
-            "CAST(0 AS BIGINT), (a, i) -> a ^ IF(element_at(v, i) >= 0, " +
-            "shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT)))"))
+        .withColumn("code", expr(bqCodeS))
         .localCheckpoint()
       val codes = e.select(col("vec_id"), col("code"))
       val q = codes.filter(col("vec_id") % TopkSplit === 0)
@@ -122,6 +137,69 @@ object SimSearchQueries {
         .filter(col("rank") <= 5)
         .select(col("q_id"), col("n_id"), col("rank"), col("ham"),
           Rounding.r6(col("sim")).as("sim"))
+    }),
+
+    // The composed serving stack — coarse quantizer, then binary
+    // codes, then exact rerank (the FAISS "IVF + quantized scan +
+    // refine" layout every production vector store ships): queries
+    // probe their own IVF cell, the ~n/nlist cell members rank by
+    // 62-bit Hamming (8 bytes/candidate of scan I/O), and only the
+    // top-[[BqCellCand]] pool is re-scored exactly. Per-query cost =
+    // one nlist-broadcast assignment + a √n-ish cell scan of CODES +
+    // [[BqCellCand]] full-vector touches — each stage strictly
+    // cheaper than the one it feeds, which is the whole point of the
+    // composition at 100 TB. Equi-joins on cell and id throughout.
+    "sim_ivf_bq" -> ((s, dir) => {
+      val e = emb(s, dir)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+        .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
+      val asg = assignCells(e, ivfInitCents(e))
+        .withColumn("code", expr(bqCodeS))
+        .localCheckpoint()
+      val qs = asg.filter(col("vec_id") % IvfQuerySplit === 0)
+        .select(col("vec_id").as("q_id"), col("cell"),
+          col("code").as("qcode"), col("v").as("qv"), col("nrm").as("qn"))
+      val cand = qs.select(col("q_id"), col("cell"), col("qcode"))
+        .join(asg.select(col("vec_id").as("n_id"), col("cell"),
+          col("code")), "cell")
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("ham", expr("CAST(bit_count(qcode ^ code) AS BIGINT)"))
+        .withColumn("hrank", expr(
+          "row_number() OVER (PARTITION BY q_id ORDER BY ham, n_id)"))
+        .filter(col("hrank") <= BqCellCand)
+        .select(col("q_id"), col("n_id"), col("ham"))
+      cand
+        .join(asg.select(col("vec_id").as("n_id"), col("v").as("nv"),
+          col("nrm").as("nn")), "n_id")
+        .join(qs.select(col("q_id"), col("qv"), col("qn")), "q_id")
+        .withColumn("sim",
+          expr(s"try_divide(${dotS("qv", "nv")}, qn * nn)"))
+        .withColumn("rank", expr(
+          "CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT)"))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("n_id"), col("rank"), col("ham"),
+          Rounding.r6(col("sim")).as("sim"))
+    }),
+
+    // Recall@3 of the composed stack vs the exact ground truth on the
+    // shared % 50 split — read against sim_ivf_recall's probe1 row:
+    // the additional loss 1-bit codes cost INSIDE the cell, priced
+    // next to the scan bytes they save.
+    "sim_ivf_bq_recall" -> ((s, dir) => {
+      val exact = ExtQueries.queries("sim_topk")(s, dir)
+        .filter(col("rank") <= 3 && col("q_id") % IvfQuerySplit === 0)
+        .select(col("q_id"), col("n_id"))
+      val ann = queries("sim_ivf_bq")(s, dir)
+        .filter(col("q_id") % TopkSplit === 0)
+        .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+      exact.join(ann, Seq("q_id", "n_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("q_id"), col("k"), col("n_hits"),
+          Rounding.r6(expr("CAST(n_hits AS DOUBLE) / CAST(k AS DOUBLE)"))
+            .as("recall"))
     }),
 
     // Recall@3 of the binary-code rerank vs the exact ground truth on
@@ -649,11 +727,7 @@ object SimSearchQueries {
     * `brk(q_id, n_id, ham, sim, rank)`. */
   private val bqChainDuck: String =
     s"""bqc AS MATERIALIZED (SELECT vec_id, v, nrm,
-       |    list_reduce(list_prepend(0::BIGINT,
-       |      list_transform(generate_series(1, least($BqBits, len(v))),
-       |        i -> CASE WHEN v[i] >= 0 THEN (1::BIGINT << (i - 1))
-       |          ELSE 0::BIGINT END)),
-       |      (a, b) -> xor(a, b)) AS code
+       |    $bqCodeD AS code
        |  FROM en),
        |bq AS (SELECT * FROM bqc WHERE vec_id % $TopkSplit = 0),
        |bh AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
@@ -669,7 +743,64 @@ object SimSearchQueries {
        |brk AS (SELECT *, row_number() OVER (PARTITION BY q_id
        |    ORDER BY sim DESC, n_id)::BIGINT AS rank FROM brr)""".stripMargin
 
+  /** Oracle chain for the composed IVF→BQ→exact stack: untrained-init
+    * cell assignment (the gasg pattern), per-row sign-bit codes,
+    * within-cell Hamming pool, exact rerank — ending in
+    * `vrk(q_id, n_id, ham, sim, rank)`. */
+  private val ivfBqChainDuck: String =
+    s"""vcn AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM en
+       |  WHERE vec_id < $ivfNlistD),
+       |vas0 AS (SELECT e.vec_id, e.v, e.nrm, c.c_id,
+       |    ${dotD("e.v", "c.cv")} / (e.nrm * c.cnrm) AS csim
+       |  FROM en e CROSS JOIN vcn c),
+       |vasg AS MATERIALIZED (SELECT vec_id, v, nrm, c_id AS cell,
+       |    $bqCodeD AS code
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY csim DESC, c_id) AS crank FROM vas0)
+       |  WHERE crank = 1),
+       |vq AS (SELECT vec_id AS q_id, cell, code AS qcode, v AS qv,
+       |    nrm AS qn FROM vasg WHERE vec_id % $IvfQuerySplit = 0),
+       |vh AS (SELECT q.q_id, y.vec_id AS n_id,
+       |    bit_count(xor(q.qcode, y.code))::BIGINT AS ham
+       |  FROM vq q JOIN vasg y ON q.cell = y.cell AND q.q_id <> y.vec_id),
+       |vhr AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY ham, n_id) AS hrank FROM vh),
+       |vcd AS (SELECT q_id, n_id, ham FROM vhr WHERE hrank <= $BqCellCand),
+       |vrr AS (SELECT c.q_id, c.n_id, c.ham,
+       |    ${dotD("q.qv", "y.v")} / (q.qn * y.nrm) AS sim
+       |  FROM vcd c JOIN vq q ON q.q_id = c.q_id
+       |  JOIN vasg y ON y.vec_id = c.n_id),
+       |vrk AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY sim DESC, n_id)::BIGINT AS rank FROM vrr)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+
+    "sim_ivf_bq" ->
+      s"""WITH $embBase,
+         |$ivfBqChainDuck
+         |SELECT q_id, n_id, rank, ham, (round(sim, 6) + 0.0) AS sim
+         |FROM vrk WHERE rank <= 3""".stripMargin,
+
+    "sim_ivf_bq_recall" ->
+      s"""WITH $embBase,
+         |$ivfBqChainDuck,
+         |van AS (SELECT q_id, n_id FROM vrk
+         |  WHERE rank <= 3 AND q_id % $TopkSplit = 0),
+         |vxq AS (SELECT * FROM en WHERE vec_id % $HybridSplit = 0),
+         |vxs AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
+         |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+         |  FROM vxq x JOIN en y ON x.vec_id <> y.vec_id),
+         |vxr AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, n_id)::BIGINT AS rank FROM vxs),
+         |vex AS (SELECT q_id, n_id FROM vxr WHERE rank <= 3)
+         |SELECT vex.q_id, count(*)::BIGINT AS k,
+         |  sum(CASE WHEN van.n_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_hits,
+         |  (round(sum(CASE WHEN van.n_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*)::DOUBLE, 6) + 0.0) AS recall
+         |FROM vex LEFT JOIN van
+         |  ON van.q_id = vex.q_id AND van.n_id = vex.n_id
+         |GROUP BY vex.q_id""".stripMargin,
 
     "sim_bq_rerank" ->
       s"""WITH $embBase,

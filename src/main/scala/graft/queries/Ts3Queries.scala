@@ -166,6 +166,55 @@ object Ts3Queries {
     // levels ride hash(ticker) exchanges only — each level shrinks the
     // data 2×, localCheckpointed so the union of the four per-level
     // aggregates doesn't recompute the lineage prefix per branch.
+    // Dickey-Fuller unit-root test per ticker (the Engle-Granger
+    // step-2 the pairs family defers to eyeballing): regress
+    // Δy_t on y_{t−1} with intercept over cents-quantized closes,
+    // df = β̂ / se(β̂); reject the unit root (stationary) below the
+    // 5% constant-only critical value −2.86. All six moments
+    // (n, Σx, Σd, Σx², Σxd, Σd²) are exact integer sums with the
+    // x·x / x·d products widened to DECIMAL(38,0) (cents² at 100 TB
+    // frequencies wraps BIGINT); β̂, α̂, SSE = Σd² − α̂Σd − β̂Σxd
+    // (normal-equation shortcut) and the se are textually mirrored
+    // doubles of those integers. One ticker exchange for the lag,
+    // map-side moment collapse after — the shared indicator shape.
+    "ts_adf" -> ((s, dir) => {
+      EventBars.bars(s, dir)
+        .withColumn("y", expr("CAST(round(close * 100.0) AS BIGINT)"))
+        .withColumn("x", lag(col("y"), 1).over(w))
+        .filter(col("x").isNotNull)
+        .withColumn("d", col("y") - col("x"))
+        .groupBy("ticker")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          sum(col("d")).as("sd"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * d")).as("sxd"),
+          sum(expr("CAST(d AS DECIMAL(38,0)) * d")).as("sdd"))
+        .filter(col("n") > 2)
+        .withColumn("den", expr(
+          "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)" +
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"))
+        .filter(col("den") =!= 0.0)
+        .withColumn("beta", expr(
+          "(CAST(n AS DOUBLE) * CAST(sxd AS DOUBLE)" +
+            " - CAST(sx AS DOUBLE) * CAST(sd AS DOUBLE)) / den"))
+        .withColumn("alpha", expr(
+          "(CAST(sd AS DOUBLE) - beta * CAST(sx AS DOUBLE))" +
+            " / CAST(n AS DOUBLE)"))
+        .withColumn("sse", expr(
+          "CAST(sdd AS DOUBLE) - alpha * CAST(sd AS DOUBLE)" +
+            " - beta * CAST(sxd AS DOUBLE)"))
+        .withColumn("seb", expr(
+          "sqrt((sse / (CAST(n AS DOUBLE) - 2.0))" +
+            " * CAST(n AS DOUBLE) / den)"))
+        .withColumn("dfs",
+          expr("CASE WHEN seb = 0 THEN NULL ELSE beta / seb END"))
+        .select(col("ticker"), col("n").as("n_obs"),
+          r6(col("beta")).as("beta"),
+          r6(col("dfs")).as("df_stat"),
+          (col("dfs") < lit(-2.86).cast("double")).as("stationary"))
+    }),
+
     "ts_wavelet_haar" -> ((s, dir) => {
       var cur = EventBars.bars(s, dir)
         .withColumn("rn", row_number().over(w).cast("long") - 1)
@@ -225,6 +274,47 @@ object Ts3Queries {
   val oracles: Map[String, String] = Map(
 
     "ts_wavelet_haar" -> haarDuck,
+
+    "ts_adf" ->
+      s"""WITH bars AS ($bars),
+         |ay AS (SELECT ticker, t, event_id,
+         |    CAST(round(close * 100.0) AS BIGINT) AS y FROM bars),
+         |al AS (SELECT *, lag(y, 1) OVER ($Over) AS x FROM ay),
+         |ad AS (SELECT ticker, x, y - x AS d FROM al
+         |  WHERE x IS NOT NULL),
+         |am AS (SELECT ticker, count(*)::BIGINT AS n,
+         |    sum(x)::BIGINT AS sx, sum(d)::BIGINT AS sd,
+         |    sum(x::HUGEINT * x) AS sxx, sum(x::HUGEINT * d) AS sxd,
+         |    sum(d::HUGEINT * d) AS sdd
+         |  FROM ad GROUP BY 1 HAVING count(*) > 2),
+         |ab2 AS (SELECT *,
+         |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den
+         |  FROM am),
+         |ab3 AS (SELECT *,
+         |    (CAST(n AS DOUBLE) * CAST(sxd AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sd AS DOUBLE)) / den AS beta
+         |  FROM ab2 WHERE den <> 0),
+         |ab4 AS (SELECT *,
+         |    (CAST(sd AS DOUBLE) - beta * CAST(sx AS DOUBLE))
+         |      / CAST(n AS DOUBLE) AS alpha
+         |  FROM ab3),
+         |ab5 AS (SELECT *,
+         |    CAST(sdd AS DOUBLE) - alpha * CAST(sd AS DOUBLE)
+         |      - beta * CAST(sxd AS DOUBLE) AS sse
+         |  FROM ab4),
+         |ab6 AS (SELECT *,
+         |    sqrt((sse / (CAST(n AS DOUBLE) - 2.0))
+         |      * CAST(n AS DOUBLE) / den) AS seb
+         |  FROM ab5),
+         |ab7 AS (SELECT *,
+         |    CASE WHEN seb = 0 THEN NULL ELSE beta / seb END AS dfs
+         |  FROM ab6)
+         |SELECT ticker, n AS n_obs,
+         |  (round(beta * 1000000.0) / 1000000.0 + 0.0) AS beta,
+         |  (round(dfs * 1000000.0) / 1000000.0 + 0.0) AS df_stat,
+         |  dfs < CAST(-2.86 AS DOUBLE) AS stationary
+         |FROM ab7""".stripMargin,
 
     "ind_natr" ->
       s"""WITH RECURSIVE bars AS ($bars),

@@ -1150,6 +1150,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("sim_ivf_bq: cell/id equi-joins, centroids broadcast") {
+    // The composed stack's joins must be the cell equi-join (Hamming
+    // stage) and id equi-joins (rerank) — no cartesian, no nested
+    // loop. (The assignment's centroid broadcast sits behind the
+    // localCheckpoint and is pinned by assignCells' own users.)
+    val p = plan("sim_ivf_bq")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("text_winnow: one doc-partitioned frame min, no self-join") {
     // Winnowing must stay ONE pos-ordered per-doc window over packed
     // keys — the rightmost-min self-join formulation (doc_id×hash fan,
