@@ -158,6 +158,50 @@ object TextCurationQueries {
         .distinct()
     }),
 
+    // Winnowing-index dedup — the MOSS pipeline end-to-end: the
+    // selected fingerprints become an inverted index, docs sharing
+    // ≥ 2 fingerprints become candidate pairs, and candidates verify
+    // by exact 3-gram jaccard. The substring-robust dedup path next
+    // to MinHash's bag-of-shingles: winnowing GUARANTEES a shared
+    // fingerprint for any shared run of ≥ w+2 tokens, so a long
+    // verbatim quote inside otherwise-different docs is caught where
+    // whole-doc MinHash dilutes it. Posting lists are capped at
+    // [[ExtCommon.MaxBandBucket]] docs (boilerplate phrases — the
+    // same flood guard as the LSH bands, window keyed on the join
+    // key); pair counts and the verify join carry ids only. Derived
+    // from text_winnow so index and report can never drift.
+    "dedup_winnow" -> ((s, dir) => {
+      val fps = queries("text_winnow")(s, dir)
+        .select(col("doc_id"), col("fp_hash")).distinct()
+        .localCheckpoint()
+      val capped = fps
+        .withColumn("ndw",
+          count(lit(1)).over(Window.partitionBy("fp_hash")))
+        .filter(col("ndw") <= MaxBandBucket)
+        .select("doc_id", "fp_hash")
+      val pairs = capped.as("x").hint("shuffle_hash")
+        .join(capped.as("y").hint("shuffle_hash"),
+          col("x.fp_hash") === col("y.fp_hash") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+      val shq = docs(s, dir)
+        .withColumn("toks", expr(toksSpark))
+        .withColumn("wh", expr(whS))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          expr("array_distinct(graft_shingles(wh))").as("shd"))
+      pairs
+        .join(shq.select(col("doc_id").as("a"), col("shd").as("sha")),
+          Seq("a"))
+        .join(shq.select(col("doc_id").as("b"), col("shd").as("shb")),
+          Seq("b"))
+        .withColumn("jac", jaccardExpr)
+        .select(col("a"), col("b"), col("n_shared"),
+          Rounding.r6(col("jac")).as("jaccard"),
+          (col("jac") >= 0.5).as("is_dup"))
+    }),
+
     // Document chunking: overlapping token windows (size 32, stride 24)
     // — the standard long-document split for training pipelines. Pure
     // codegen'd HOF + explode; chunk count ≈ tokens/stride per doc.
@@ -953,6 +997,38 @@ object TextCurationQueries {
          |SELECT DISTINCT doc_id, mk % 4294967296 AS fp_pos,
          |  mk // 4294967296 AS fp_hash
          |FROM wmn WHERE pos <= greatest(1, m - 3)""".stripMargin,
+
+    "dedup_winnow" ->
+      s"""WITH $docHashes,
+         |wex AS (SELECT doc_id, len(sh)::BIGINT AS m,
+         |    generate_subscripts(sh, 1)::BIGINT AS pos, unnest(sh) AS h
+         |  FROM ds),
+         |wky AS (SELECT doc_id, m, pos, h * 4294967296 + pos AS key
+         |  FROM wex),
+         |wmn AS (SELECT doc_id, m, pos, min(key) OVER (PARTITION BY doc_id
+         |    ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk
+         |  FROM wky),
+         |wfp AS (SELECT DISTINCT doc_id, mk // 4294967296 AS fp_hash
+         |  FROM wmn WHERE pos <= greatest(1, m - 3)),
+         |wcap AS (SELECT doc_id, fp_hash FROM (SELECT *,
+         |    count(*) OVER (PARTITION BY fp_hash) AS ndw FROM wfp)
+         |  WHERE ndw <= $MaxBandBucket),
+         |wpr AS (SELECT x.doc_id AS a, y.doc_id AS b,
+         |    count(*)::BIGINT AS n_shared
+         |  FROM wcap x JOIN wcap y
+         |    ON x.fp_hash = y.fp_hash AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |wsh AS (SELECT doc_id, list_distinct(sh) AS shd FROM ds),
+         |wjx AS (SELECT p.a, p.b, p.n_shared,
+         |    len(list_distinct(list_intersect(xa.shd, yb.shd)))::DOUBLE
+         |      / len(list_distinct(list_concat(xa.shd, yb.shd)))::DOUBLE
+         |      AS jac
+         |  FROM wpr p JOIN wsh xa ON xa.doc_id = p.a
+         |  JOIN wsh yb ON yb.doc_id = p.b)
+         |SELECT a, b, n_shared,
+         |  (round(jac * 1000000.0) / 1000000.0 + 0.0) AS jaccard,
+         |  jac >= 0.5 AS is_dup
+         |FROM wjx""".stripMargin,
 
     "text_chunk" ->
       s"""WITH $docToks,
