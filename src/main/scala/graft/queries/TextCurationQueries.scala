@@ -158,6 +158,61 @@ object TextCurationQueries {
         .distinct()
     }),
 
+    // Pairwise Jensen-Shannon divergence between the sources' unigram
+    // distributions — the mixture-design readout next to corpus_doremi
+    // (how REDUNDANT two sources are, 0 = identical LM, ln 2 =
+    // disjoint). Decomposition dodges the per-pair full-outer join:
+    // JS = ½Σp·ln p + ½Σq·ln q − Σm·ln m with m = (p+q)/2 splits into
+    // two PER-SOURCE scalars plus an INNER token join correction
+    // (tokens present in only one side fold into the per-source
+    // Σ(p/2)ln(p/2) scalar exactly). Every term is nano-quantized at
+    // the token row, so all sums are exact longs; the pair assembly
+    // is an S²-row broadcast of per-source aggregates. Scale shape:
+    // one (source, token) collapse, one token-keyed inner join with
+    // S-bounded fan, S²/2 output rows.
+    "corpus_js_sources" -> ((s, dir) => {
+      val ct = docs(s, dir)
+        .select(col("source"), explode(expr(toksSpark)).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy("source")))
+        .localCheckpoint()
+      val perSrc = ct
+        .withColumn("p", expr("CAST(c AS DOUBLE) / CAST(n AS DOUBLE)"))
+        .withColumn("t1", expr(
+          "CAST(round(p * ln(p) * 1000000000.0) AS BIGINT)"))
+        .withColumn("t2", expr(
+          "CAST(round((p / 2.0) * ln(p / 2.0) * 1000000000.0) AS BIGINT)"))
+        .groupBy("source").agg(max(col("n")).as("n_toks"),
+          sum(col("t1")).as("sp"), sum(col("t2")).as("sp2"))
+        .localCheckpoint()
+      val both = ct.as("x").join(ct.as("y"),
+          col("x.tok") === col("y.tok") && col("x.source") < col("y.source"))
+        .withColumn("p", expr("CAST(x.c AS DOUBLE) / CAST(x.n AS DOUBLE)"))
+        .withColumn("q", expr("CAST(y.c AS DOUBLE) / CAST(y.n AS DOUBLE)"))
+        .withColumn("tb", expr(
+          "CAST(round((((p + q) / 2.0) * ln((p + q) / 2.0)" +
+            " - (p / 2.0) * ln(p / 2.0) - (q / 2.0) * ln(q / 2.0))" +
+            " * 1000000000.0) AS BIGINT)"))
+        .select(col("x.source").as("source_a"),
+          col("y.source").as("source_b"), col("tb"))
+        .groupBy("source_a", "source_b").agg(sum(col("tb")).as("sboth"))
+      perSrc.as("a")
+        .join(broadcast(perSrc.as("b")), col("a.source") < col("b.source"))
+        .select(col("a.source").as("source_a"),
+          col("b.source").as("source_b"),
+          col("a.n_toks").as("n_a"), col("b.n_toks").as("n_b"),
+          col("a.sp").as("spa"), col("a.sp2").as("sp2a"),
+          col("b.sp").as("spb"), col("b.sp2").as("sp2b"))
+        .join(broadcast(both), Seq("source_a", "source_b"), "left")
+        .withColumn("js", expr(
+          "(CAST(spa + spb AS DOUBLE) / 2.0" +
+            " - CAST(sp2a + sp2b + coalesce(sboth, 0) AS DOUBLE))" +
+            " / 1000000000.0"))
+        .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+          Rounding.r6(col("js")).as("js"),
+          Rounding.r6(expr("js / ln(CAST(2.0 AS DOUBLE))")).as("js_norm"))
+    }),
+
     // Winnowing-index dedup — the MOSS pipeline end-to-end: the
     // selected fingerprints become an inverted index, docs sharing
     // ≥ 2 fingerprints become candidate pairs, and candidates verify
@@ -997,6 +1052,46 @@ object TextCurationQueries {
          |SELECT DISTINCT doc_id, mk % 4294967296 AS fp_pos,
          |  mk // 4294967296 AS fp_hash
          |FROM wmn WHERE pos <= greatest(1, m - 3)""".stripMargin,
+
+    "corpus_js_sources" ->
+      s"""WITH jdt AS (SELECT source, unnest($toksDuck) AS tok
+         |  FROM documents),
+         |jct AS (SELECT source, tok, count(*)::BIGINT AS c FROM jdt
+         |  GROUP BY 1, 2),
+         |jcn AS (SELECT *, (sum(c) OVER (PARTITION BY source))::BIGINT AS n
+         |  FROM jct),
+         |jpp AS (SELECT source, n,
+         |    CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS p FROM jcn),
+         |jps AS (SELECT source, max(n)::BIGINT AS n_toks,
+         |    sum(CAST(round(p * ln(p) * 1000000000.0) AS BIGINT))::BIGINT
+         |      AS sp,
+         |    sum(CAST(round((p / 2.0) * ln(p / 2.0) * 1000000000.0)
+         |      AS BIGINT))::BIGINT AS sp2
+         |  FROM jpp GROUP BY 1),
+         |jbt AS (SELECT x.source AS source_a, y.source AS source_b,
+         |    CAST(x.c AS DOUBLE) / CAST(x.n AS DOUBLE) AS p,
+         |    CAST(y.c AS DOUBLE) / CAST(y.n AS DOUBLE) AS q
+         |  FROM jcn x JOIN jcn y
+         |    ON x.tok = y.tok AND x.source < y.source),
+         |jbs AS (SELECT source_a, source_b,
+         |    sum(CAST(round((((p + q) / 2.0) * ln((p + q) / 2.0)
+         |      - (p / 2.0) * ln(p / 2.0) - (q / 2.0) * ln(q / 2.0))
+         |      * 1000000000.0) AS BIGINT))::BIGINT AS sboth
+         |  FROM jbt GROUP BY 1, 2),
+         |jpr AS (SELECT a.source AS source_a, b.source AS source_b,
+         |    a.n_toks AS n_a, b.n_toks AS n_b, a.sp AS spa, a.sp2 AS sp2a,
+         |    b.sp AS spb, b.sp2 AS sp2b
+         |  FROM jps a JOIN jps b ON a.source < b.source),
+         |jfn AS (SELECT source_a, source_b, n_a, n_b,
+         |    (CAST(spa + spb AS DOUBLE) / 2.0
+         |      - CAST(sp2a + sp2b + coalesce(jbs.sboth, 0) AS DOUBLE))
+         |      / 1000000000.0 AS js
+         |  FROM jpr LEFT JOIN jbs USING (source_a, source_b))
+         |SELECT source_a, source_b, n_a, n_b,
+         |  (round(js * 1000000.0) / 1000000.0 + 0.0) AS js,
+         |  (round(js / ln(CAST(2.0 AS DOUBLE)) * 1000000.0) / 1000000.0
+         |    + 0.0) AS js_norm
+         |FROM jfn""".stripMargin,
 
     "dedup_winnow" ->
       s"""WITH $docHashes,
