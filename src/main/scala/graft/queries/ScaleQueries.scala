@@ -836,6 +836,63 @@ object ScaleQueries {
           min(col("y0")).as("min_y"), max(col("y0")).as("max_y"))
     }),
 
+    // Data-skipping MEASURED: the same selective 2-D box filter
+    // (x ∈ [32,47], y ∈ [96,127] — ~0.8% of the key space) priced
+    // against per-bucket min/max stats under three physical layouts —
+    // natural (orderkey-contiguous files: both filter columns span
+    // every bucket, nothing prunes), Z-order, and Hilbert. A bucket is
+    // scanned iff its [min,max] ranges intersect the box — exactly the
+    // file-skipping test a lakehouse runs against footer stats — and
+    // the emitted row_skip_ratio is the fraction of the table the scan
+    // never reads. This turns layout_zorder/layout_hilbert's stats
+    // tables into the claim they exist for, as one oracle-gated
+    // number per layout. All integer bit math + one groupBy per
+    // layout; the natural layout's bucket width rides a one-row max
+    // broadcast.
+    "layout_prune_compare" -> ((s, dir) => {
+      val z = (0 until 8).map(i =>
+        s"(shiftright(xk, $i) & 1) * ${1L << (2 * i)}L" +
+          s" + (shiftright(yk, $i) & 1) * ${1L << (2 * i + 1)}L")
+        .mkString(" + ")
+      val base = t(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          (col("l_partkey") % 256).as("xk"), (col("l_suppkey") % 256).as("yk"))
+        .localCheckpoint()
+      val zb = base.withColumn("zv", expr(z))
+        .select(expr("zv DIV 4096").as("bucket"), col("xk"), col("yk"))
+      var hdf = base.withColumn("x0", col("xk"))
+        .withColumn("y0", col("yk")).withColumn("d0", lit(0L))
+      for (k <- 0 until 8) {
+        val (xe, ye, de) = hilbertLevel(7 - k, s"x$k", s"y$k", s"d$k")
+        hdf = hdf.withColumn(s"x${k + 1}", expr(xe))
+          .withColumn(s"y${k + 1}", expr(ye))
+          .withColumn(s"d${k + 1}", expr(de))
+      }
+      val hb = hdf.select(expr("d8 DIV 4096").as("bucket"),
+        col("xk"), col("yk"))
+      val mx = base.agg(max(col("l_orderkey")).as("mok"))
+      val nb = base.crossJoin(broadcast(mx))
+        .select(expr("l_orderkey DIV (mok DIV 16 + 1)").as("bucket"),
+          col("xk"), col("yk"))
+      def prune(df: DataFrame, name: String): DataFrame = df
+        .groupBy("bucket").agg(count(lit(1)).as("n"),
+          min(col("xk")).as("min_x"), max(col("xk")).as("max_x"),
+          min(col("yk")).as("min_y"), max(col("yk")).as("max_y"))
+        .withColumn("hit", col("min_x") <= 47 && col("max_x") >= 32 &&
+          col("min_y") <= 127 && col("max_y") >= 96)
+        .agg(count(lit(1)).as("n_buckets"), sum(col("n")).as("n_rows"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("hit_buckets"),
+          sum(when(col("hit"), col("n")).otherwise(0L)).as("hit_rows"))
+        .filter(col("n_rows").isNotNull)
+        .select(lit(name).as("layout"), col("n_buckets"),
+          col("hit_buckets"), col("n_rows"), col("hit_rows"),
+          Rounding.r6(expr("CAST(1.0 AS DOUBLE)" +
+            " - CAST(hit_rows AS DOUBLE) / CAST(n_rows AS DOUBLE)"))
+            .as("row_skip_ratio"))
+      prune(nb, "natural").unionByName(prune(zb, "zorder"))
+        .unionByName(prune(hb, "hilbert"))
+    }),
+
     // The composed IVF-PQ ANN query — the index structure a 100 TB
     // vector store actually serves: queries probe their IVF cell
     // (equi-join on cell id — candidates shrink K×), and distances are
@@ -1606,6 +1663,42 @@ object ScaleQueries {
          |  min(xk) AS min_x, max(xk) AS max_x,
          |  min(yk) AS min_y, max(yk) AS max_y
          |FROM z GROUP BY 1""".stripMargin
+    },
+
+    "layout_prune_compare" -> {
+      val z = (0 until 8).map(i =>
+        s"((xk >> $i) & 1) * ${1L << (2 * i)}" +
+          s" + ((yk >> $i) & 1) * ${1L << (2 * i + 1)}").mkString(" + ")
+      val lvls = (0 until 8).map { k =>
+        val (xe, ye, de) = hilbertLevel(7 - k, s"x$k", s"y$k", s"d$k")
+        s"""lp${k + 1} AS (SELECT *, $xe AS x${k + 1}, $ye AS y${k + 1},
+           |  $de AS d${k + 1} FROM lp$k)""".stripMargin
+      }.mkString(",\n")
+      def pruneD(src: String, name: String): String =
+        s"""SELECT '$name' AS layout, count(*)::BIGINT AS n_buckets,
+           |  sum(CASE WHEN hit THEN 1 ELSE 0 END)::BIGINT AS hit_buckets,
+           |  sum(n)::BIGINT AS n_rows,
+           |  sum(CASE WHEN hit THEN n ELSE 0 END)::BIGINT AS hit_rows,
+           |  (round((CAST(1.0 AS DOUBLE) - CAST(sum(CASE WHEN hit THEN n
+           |    ELSE 0 END) AS DOUBLE) / CAST(sum(n) AS DOUBLE))
+           |    * 1000000.0) / 1000000.0 + 0.0) AS row_skip_ratio
+           |FROM (SELECT bucket, count(*)::BIGINT AS n,
+           |    min(xk) <= 47 AND max(xk) >= 32
+           |      AND min(yk) <= 127 AND max(yk) >= 96 AS hit
+           |  FROM $src GROUP BY bucket)
+           |HAVING count(*) > 0""".stripMargin
+      s"""WITH lpk AS (SELECT l_orderkey, l_partkey % 256 AS xk,
+         |    l_suppkey % 256 AS yk FROM lineitem),
+         |lpz AS (SELECT ($z) // 4096 AS bucket, xk, yk FROM lpk),
+         |lp0 AS (SELECT xk, yk, xk AS x0, yk AS y0, 0::BIGINT AS d0
+         |  FROM lpk),
+         |$lvls,
+         |lph AS (SELECT d8 // 4096 AS bucket, xk, yk FROM lp8),
+         |lpn AS (SELECT l_orderkey // ((SELECT max(l_orderkey)
+         |    FROM lineitem) // 16 + 1) AS bucket, xk, yk FROM lpk)
+         |${pruneD("lpn", "natural")}
+         |UNION ALL ${pruneD("lpz", "zorder")}
+         |UNION ALL ${pruneD("lph", "hilbert")}""".stripMargin
     },
 
     "sim_ivf_pq" ->
