@@ -1048,6 +1048,53 @@ class StreamingSpec extends SparkSpec {
     assert(got.take(2).map(_._1).toSet == Set(7L, 41L))
   }
 
+  test("stream-stream interval join: matches in-window, drops past-watermark") {
+    // B1 seeds two views and one in-window purchase (u1 matches); B2
+    // advances BOTH watermarks an hour (and matches u99 at zero
+    // latency); B3 delivers u2's purchase with event time far below
+    // the watermark — a batch join of the same rows WOULD match it,
+    // the stream must not: that dropped row is the state-cleanup
+    // contract (u2's buffered view is evictable once the watermark
+    // passed v_ts + 10 min).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(min: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 3, 5, 10, 0).plusMinutes(min))
+    val vs = MemoryStream[(Long, java.sql.Timestamp)]
+    val ps = MemoryStream[(Long, java.sql.Timestamp)]
+    val out = graft.streaming.StreamingMatch(
+      vs.toDS().toDF("user_id", "ts"), ps.toDS().toDF("user_id", "ts"))
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("smatch").start()
+    try {
+      vs.addData(Seq((1L, ts(0)), (2L, ts(0))))
+      ps.addData(Seq((1L, ts(2))))
+      q.processAllAvailable()
+      vs.addData(Seq((99L, ts(60))))
+      ps.addData(Seq((99L, ts(60))))
+      q.processAllAvailable()
+      ps.addData(Seq((2L, ts(1)))) // late: watermark is now ~10:55
+      q.processAllAvailable()
+      val got = spark.table("smatch").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3))).toSet
+      assert(got == Set(
+        (1L, ts(0), ts(2), 120000000L),
+        (99L, ts(60), ts(60), 0L)), got)
+      // the batch join of the SAME rows includes u2 — the stream
+      // dropping exactly that row is the watermark semantics under test
+      val bv = Seq((1L, ts(0)), (2L, ts(0)), (99L, ts(60)))
+        .toDF("user_id", "ts")
+      val bp = Seq((1L, ts(2)), (99L, ts(60)), (2L, ts(1)))
+        .toDF("user_id", "ts")
+      val batch = bv.as("v").join(bp.as("p"),
+        org.apache.spark.sql.functions.expr(
+          "v.user_id = p.user_id AND p.ts >= v.ts" +
+            " AND p.ts <= v.ts + INTERVAL 10 MINUTES")).count()
+      assert(batch == 3L, s"batch reference should match all 3, got $batch")
+    } finally q.stop()
+  }
+
   test("streaming SRM: always-valid p is monotone, replay deterministic") {
     // Two surfaces: 'bal' alternates arms (designed 50/50 — must never
     // trigger), 'skew' runs 9:1 (a real mismatch — must trigger and,
