@@ -301,6 +301,35 @@ class OpsSpec2 extends SparkSpec {
     }
   }
 
+  test("ts_binseg finds a planted mean shift; entropy zero on monotone") {
+    // Mechanism pin beyond oracle parity (engines agreeing doesn't
+    // prove the answer is right): ticker 7 is 30 points at 10.0 then
+    // 30 at 20.0 — the root split must land exactly at k=30 with the
+    // two segment means recovered; ticker 8 is strictly increasing —
+    // one ordinal pattern, permutation entropy exactly 0.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("binseg").toString
+    val base = java.sql.Timestamp.valueOf("2024-03-05 10:00:00")
+    def t(i: Int) = new java.sql.Timestamp(base.getTime + i * 60000L)
+    val shift = (0 until 60).map(i =>
+      (i.toLong, t(i), 7L, if (i < 30) 10.0 else 20.0))
+    val mono = (0 until 60).map(i =>
+      (100L + i, t(i), 8L, 10.0 + i))
+    (shift ++ mono).toDF("event_id", "ts", "user_id", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val seg = graft.queries.Ts2Queries.queries("ts_binseg")(spark, dir)
+      .filter(col("ticker") === "7" && col("seg") === "root")
+      .collect()
+    assert(seg.length == 1)
+    val r = seg(0)
+    assert(r.getAs[Long]("k") == 30L, r)
+    assert(r.getAs[Double]("mean_l") == 10.0 && r.getAs[Double]("mean_r") == 20.0, r)
+    val pe = graft.queries.Ts2Queries.queries("ts_perm_entropy")(spark, dir)
+      .filter(col("ticker") === "8").collect()(0)
+    assert(pe.getAs[Long]("n_patterns") == 1L &&
+      pe.getAs[Double]("perm_entropy") == 0.0, pe)
+  }
+
   test("ts_twap stays inside each day's [min close, max close]") {
     val tw = graft.queries.Ts2Queries.queries("ts_twap")(spark, sf)
     val bounds = graft.queries.EventBars.bars(spark, sf)
