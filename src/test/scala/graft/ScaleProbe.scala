@@ -671,6 +671,40 @@ object ScaleProbe {
     }
   }
 
+  /** Winnow-dedup flood receipt (r13): half the corpus shares a
+    * 6-token boilerplate prefix, so its winnow fingerprints' posting
+    * lists grow with n — uncapped, the fingerprint self-join would go
+    * quadratic in the flood (n/2 docs × n/2 docs per boilerplate
+    * fingerprint). The MaxBandBucket cap drops flooded postings
+    * before pairing, so wall should track the SURVIVING (capped)
+    * candidate pairs, not the flood square. Replicas salt the
+    * non-boilerplate text so cross-replica fingerprints stay
+    * distinct — the probe isolates the flood, not replica cliques. */
+  def winnowSkewProbe(spark: org.apache.spark.sql.SparkSession): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    for (r <- Seq(1, 10)) {
+      val src =
+        if (r == 1) "/tmp/scale_winnow_1"
+        else "/tmp/scale_winnow_10"
+      spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .crossJoin(spark.range(r.toLong).select(col("id").as("rep")))
+        .withColumn("doc_id", col("doc_id") * r + col("rep"))
+        .withColumn("text",
+          when(col("doc_id") % 2 === 0,
+            concat(lit("alpha beta gamma delta epsilon zeta "),
+              col("text"), lit(" salt"), col("rep")))
+            .otherwise(concat(col("text"), lit(" salt"), col("rep"))))
+        .drop("rep")
+        .write.mode("overwrite").parquet(s"$src/documents.parquet")
+      val nd = spark.read.parquet(s"$src/documents.parquet").count()
+      val t0 = System.nanoTime()
+      val rows = graft.SparkEntry.queries("dedup_winnow")(spark, src)
+        .queryExecution.toRdd.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"WINNOW_DOCS=$nd WINNOW_PAIRS=$rows WINNOW_SEC=$sec%.2f")
+    }
+  }
+
   /** Tokenizer/mixing scale receipt (r13): corpus_doremi,
     * tok_bpe_encode and tok_encode all claim the word-frequency /
     * (source, token) collapse — corpus grows, the trained state does
@@ -863,6 +897,18 @@ object BqProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     ScaleProbe.bqProbe(spark)
+    spark.stop()
+  }
+}
+
+/** Standalone driver for [[ScaleProbe.winnowSkewProbe]] only. */
+object WinnowSkewProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    ScaleProbe.winnowSkewProbe(spark)
     spark.stop()
   }
 }
