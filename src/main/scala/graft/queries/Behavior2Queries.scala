@@ -266,6 +266,50 @@ object Behavior2Queries {
             " * (CAST(0.05 AS DOUBLE) * ma)) END")).as("n_needed_5pct"))
     }),
 
+    // UCB1 bandit allocation replayed over the experiment's days
+    // (Auer et al., ML'02) — the adaptive-allocation face of the A/B
+    // family: at each day, each arm's upper confidence bound is
+    // cumulative mean + sqrt(2·ln N / n_arm) and the bandit pulls the
+    // larger (ties → arm 0, deterministic). Pure replay of exact
+    // integer cumulative sums through event_type-partitioned day
+    // windows — no randomness, so the DuckDB oracle mirrors every
+    // pull. The emitted pick sequence is the regret-bounded schedule
+    // a bandit WOULD have run; read next to ab_sequential (which
+    // guards the stopping side as this guards the allocation side).
+    "ab_ucb" -> ((s, dir) => {
+      val wC = Window.partitionBy("event_type").orderBy("day")
+      val daily = EventBars.events(s, dir)
+        .select(col("user_id").cast("long").as("user_id"),
+          col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"),
+          expr("t DIV 86400000000").as("day"))
+        .withColumn("arm", (col("user_id") % 2).cast("int"))
+        .groupBy("event_type", "day")
+        .agg(
+          sum(when(col("arm") === 0, lit(1L)).otherwise(lit(0L))).as("d_na"),
+          sum(when(col("arm") === 0, col("c")).otherwise(lit(0L))).as("d_sa"),
+          sum(when(col("arm") === 1, lit(1L)).otherwise(lit(0L))).as("d_nb"),
+          sum(when(col("arm") === 1, col("c")).otherwise(lit(0L))).as("d_sb"))
+      daily.select(col("event_type"), col("day"),
+          sum(col("d_na")).over(wC).as("n_a"),
+          sum(col("d_sa")).over(wC).as("sa"),
+          sum(col("d_nb")).over(wC).as("n_b"),
+          sum(col("d_sb")).over(wC).as("sb"))
+        .filter(col("n_a") > 0 && col("n_b") > 0)
+        .withColumn("ucb_a", expr(
+          "(CAST(sa AS DOUBLE)/100.0)/CAST(n_a AS DOUBLE)" +
+            " + sqrt(CAST(2.0 AS DOUBLE) * ln(CAST(n_a + n_b AS DOUBLE))" +
+            " / CAST(n_a AS DOUBLE))"))
+        .withColumn("ucb_b", expr(
+          "(CAST(sb AS DOUBLE)/100.0)/CAST(n_b AS DOUBLE)" +
+            " + sqrt(CAST(2.0 AS DOUBLE) * ln(CAST(n_a + n_b AS DOUBLE))" +
+            " / CAST(n_b AS DOUBLE))"))
+        .select(col("event_type"), col("day"), col("n_a"), col("n_b"),
+          r6(col("ucb_a")).as("ucb_a"), r6(col("ucb_b")).as("ucb_b"),
+          expr("CAST(CASE WHEN ucb_a >= ucb_b THEN 0 ELSE 1 END AS INT)")
+            .as("pick"))
+    }),
+
     "behav_interevent" -> ((s, dir) => {
       val g = ev(s, dir)
         .withColumn("gap",
@@ -430,6 +474,38 @@ object Behavior2Queries {
          |    * (CAST(0.05 AS DOUBLE) * ma)) END) * 1000000.0)
          |    / 1000000.0 + 0.0) AS n_needed_5pct
          |FROM s2""".stripMargin,
+
+    "ab_ucb" ->
+      s"""WITH uev AS (SELECT user_id::BIGINT AS user_id, event_type,
+         |    CAST(round(value * 100) AS BIGINT) AS c,
+         |    epoch_us(ts) // 86400000000 AS day,
+         |    (user_id::BIGINT % 2)::INT AS arm FROM events),
+         |ud AS (SELECT event_type, day,
+         |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS d_na,
+         |    sum(CASE WHEN arm = 0 THEN c ELSE 0 END)::BIGINT AS d_sa,
+         |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS d_nb,
+         |    sum(CASE WHEN arm = 1 THEN c ELSE 0 END)::BIGINT AS d_sb
+         |  FROM uev GROUP BY 1, 2),
+         |uc AS (SELECT event_type, day,
+         |    (sum(d_na) OVER w)::BIGINT AS n_a,
+         |    (sum(d_sa) OVER w)::BIGINT AS sa,
+         |    (sum(d_nb) OVER w)::BIGINT AS n_b,
+         |    (sum(d_sb) OVER w)::BIGINT AS sb
+         |  FROM ud WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         |uf AS (SELECT * FROM uc WHERE n_a > 0 AND n_b > 0),
+         |ub AS (SELECT *,
+         |    (CAST(sa AS DOUBLE)/100.0)/CAST(n_a AS DOUBLE)
+         |      + sqrt(CAST(2.0 AS DOUBLE) * ln(CAST(n_a + n_b AS DOUBLE))
+         |      / CAST(n_a AS DOUBLE)) AS ucb_a,
+         |    (CAST(sb AS DOUBLE)/100.0)/CAST(n_b AS DOUBLE)
+         |      + sqrt(CAST(2.0 AS DOUBLE) * ln(CAST(n_a + n_b AS DOUBLE))
+         |      / CAST(n_b AS DOUBLE)) AS ucb_b
+         |  FROM uf)
+         |SELECT event_type, day, n_a, n_b,
+         |  (round(ucb_a * 1000000.0) / 1000000.0 + 0.0) AS ucb_a,
+         |  (round(ucb_b * 1000000.0) / 1000000.0 + 0.0) AS ucb_b,
+         |  CAST(CASE WHEN ucb_a >= ucb_b THEN 0 ELSE 1 END AS INT) AS pick
+         |FROM ub""".stripMargin,
 
     "behav_interevent" ->
       s"""WITH $evDuck,

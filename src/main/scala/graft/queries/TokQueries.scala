@@ -439,6 +439,31 @@ object TokQueries {
           col("corpus_pieces"))
     }),
 
+    // Tokenizer FERTILITY by source — the standard multilingual-eval
+    // table (pieces per word, chars per piece) rolled up from
+    // tok_encode's per-doc counts over the trained round-2 unigram
+    // vocabulary: the readout that tells you which slice of the
+    // corpus the tokenizer segments poorly (high fertility = more
+    // sequence length spent per word there). Derived from tok_encode
+    // so the segmentation and its evaluation can never drift; the
+    // rollup is one source-keyed aggregate over the per-doc table.
+    "tok_fertility" -> ((s, dir) => {
+      val enc = queries("tok_encode")(s, dir)
+        .select(col("doc_id"), col("n_words"), col("n_pieces"),
+          col("n_chars"))
+      val src = docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"))
+      enc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("words"),
+          sum(col("n_pieces")).as("pieces"), sum(col("n_chars")).as("chars"))
+        .select(col("source"), col("n_docs"), col("words"), col("pieces"),
+          Rounding.r6(expr("CAST(pieces AS DOUBLE) / CAST(words AS DOUBLE)"))
+            .as("fertility"),
+          Rounding.r6(expr("CAST(chars AS DOUBLE) / CAST(pieces AS DOUBLE)"))
+            .as("chars_per_piece"))
+    }),
+
     // Coverage of a fixed top-1000 global vocabulary per language —
     // the post-build sanity check: what fraction of each language's
     // token OCCURRENCES the vocabulary explains, and how many fall
@@ -765,6 +790,31 @@ object TokQueries {
          |    AS chars_per_piece,
          |  (SELECT sum(n_pieces)::BIGINT FROM perdoc) AS corpus_pieces
          |FROM perdoc""".stripMargin,
+
+    "tok_fertility" ->
+      s"""WITH RECURSIVE $unigramR1D,
+         |$unigramPruneD,
+         |$unigramEm2D,
+         |wenc AS (SELECT w, count(*)::BIGINT AS pcs FROM pieces2
+         |  GROUP BY 1),
+         |dwq AS (SELECT doc_id::BIGINT AS doc_id, unnest($toksDuck) AS w
+         |  FROM documents),
+         |dwf AS (SELECT doc_id, w FROM dwq WHERE NOT contains(w, chr(1))),
+         |perdoc AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+         |    sum(e.pcs)::BIGINT AS n_pieces,
+         |    sum(length(d.w))::BIGINT AS n_chars
+         |  FROM dwf d JOIN wenc e ON d.w = e.w GROUP BY 1),
+         |fsrc AS (SELECT doc_id::BIGINT AS doc_id, source FROM documents),
+         |frl AS (SELECT source, count(*)::BIGINT AS n_docs,
+         |    sum(n_words)::BIGINT AS words, sum(n_pieces)::BIGINT AS pieces,
+         |    sum(n_chars)::BIGINT AS chars
+         |  FROM perdoc JOIN fsrc USING (doc_id) GROUP BY 1)
+         |SELECT source, n_docs, words, pieces,
+         |  (round(CAST(pieces AS DOUBLE) / CAST(words AS DOUBLE)
+         |    * 1000000.0) / 1000000.0 + 0.0) AS fertility,
+         |  (round(CAST(chars AS DOUBLE) / CAST(pieces AS DOUBLE)
+         |    * 1000000.0) / 1000000.0 + 0.0) AS chars_per_piece
+         |FROM frl""".stripMargin,
 
     "tok_bpe_pairs" ->
       s"""WITH $tokStream,
