@@ -282,6 +282,46 @@ object ClassifyQueries {
             " * abs(acc_r - conf_r)")).as("ece_term"))
     }),
 
+    // Cohen's kappa between the suite's two quality classifiers (the
+    // NB model and the hand-logit rule) on the shared held-out split —
+    // the inter-rater check a curation stack runs before trusting
+    // either filter alone: raw agreement po corrected by the
+    // chance-agreement pe the two keep-rates imply. All counts exact
+    // longs from one agreement aggregate; kappa NULL when pe = 1
+    // (degenerate margins). Derived from text_nb_quality and
+    // Corpus2Queries' logit, so the raters can never drift from the
+    // classifiers they rate.
+    "quality_kappa" -> ((s, dir) => {
+      val nb = queries("text_nb_quality")(s, dir)
+        .select(col("doc_id"), col("pred_pos"))
+      val lg = docs(s, dir)
+        .filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          expr(Corpus2Queries.ntS).as("nt"),
+          expr(Corpus2Queries.ncS).as("nc"),
+          expr(s"CAST(${langScoreSpark(toksSpark, Corpus2Queries.Stop)}" +
+            " AS BIGINT)").as("nstop"))
+        .withColumn("keep_lg",
+          expr(Corpus2Queries.logitSql("nt", "nc", "nstop")) > 0.0)
+        .select("doc_id", "keep_lg")
+      nb.join(lg, "doc_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred_pos") === col("keep_lg"), 1L).otherwise(0L))
+            .as("agree"),
+          sum(when(col("pred_pos"), 1L).otherwise(0L)).as("nb_pos"),
+          sum(when(col("keep_lg"), 1L).otherwise(0L)).as("lg_pos"))
+        .filter(col("n") > 0)
+        .withColumn("po", expr("CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)"))
+        .withColumn("pe", expr(
+          "(CAST(nb_pos AS DOUBLE) * CAST(lg_pos AS DOUBLE)" +
+            " + CAST(n - nb_pos AS DOUBLE) * CAST(n - lg_pos AS DOUBLE))" +
+            " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"))
+        .select(col("n"), col("agree"), col("nb_pos"), col("lg_pos"),
+          r6(col("po")).as("po"), r6(col("pe")).as("pe"),
+          r6(expr("CASE WHEN pe = 1.0 THEN NULL" +
+            " ELSE (po - pe) / (1.0 - pe) END")).as("kappa"))
+    }),
+
     // Weight-of-evidence encoding of hour-of-day against the purchase
     // event, with the per-bucket information-value term: woe(h) =
     // ln(((pos_h+0.5)/(P+12)) / ((neg_h+0.5)/(N+12))) (0.5 smoothing ×
@@ -628,6 +668,63 @@ object ClassifyQueries {
          |    * abs(acc_r - conf_r) * 1000000.0) / 1000000.0 + 0.0)
          |    AS ece_term
          |FROM gr""".stripMargin,
+
+    "quality_kappa" ->
+      s"""WITH dt AS (SELECT doc_id::BIGINT AS doc_id, text,
+         |    $toksDuck AS toks FROM documents),
+         |dl AS (SELECT *, $labelDuck AS is_pos FROM dt),
+         |tr AS (SELECT * FROM dl WHERE doc_id % 50 <> 0),
+         |tf AS (SELECT tok,
+         |    sum(CASE WHEN is_pos THEN 1 ELSE 0 END)::BIGINT AS cg,
+         |    sum(CASE WHEN NOT is_pos THEN 1 ELSE 0 END)::BIGINT AS cb
+         |  FROM (SELECT is_pos, unnest(toks) AS tok FROM tr) GROUP BY tok),
+         |st AS (SELECT sum(cg)::BIGINT AS ng, sum(cb)::BIGINT AS nb,
+         |    count(*)::BIGINT AS v FROM tf),
+         |pri AS (SELECT CAST(round((ln((
+         |    sum(CASE WHEN is_pos THEN 1 ELSE 0 END) + 1)::DOUBLE) - ln((
+         |    sum(CASE WHEN NOT is_pos THEN 1 ELSE 0 END) + 1)::DOUBLE))
+         |    * 1000000.0) AS BIGINT) AS prior FROM tr),
+         |llr AS (SELECT tok, CAST(round((
+         |    ln((cg + 1)::DOUBLE) - ln((ng + v)::DOUBLE) -
+         |    ln((cb + 1)::DOUBLE) + ln((nb + v)::DOUBLE))
+         |    * 1000000.0) AS BIGINT) AS llr FROM tf CROSS JOIN st),
+         |held AS (SELECT doc_id FROM dl WHERE doc_id % 50 = 0),
+         |htf AS (SELECT doc_id, tok, count(*)::BIGINT AS tfq
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM dt
+         |        WHERE doc_id % 50 = 0)
+         |  GROUP BY doc_id, tok),
+         |dsum AS (SELECT doc_id, sum(tfq * llr)::BIGINT AS ssum
+         |  FROM htf JOIN llr USING (tok) GROUP BY doc_id),
+         |knb AS (SELECT h.doc_id,
+         |    (coalesce(d.ssum, 0) + (SELECT prior FROM pri)) > 0 AS pred_pos
+         |  FROM held h LEFT JOIN dsum d USING (doc_id)),
+         |kft AS (SELECT doc_id, ${Corpus2Queries.ntD} AS nt,
+         |    ${Corpus2Queries.ncD} AS nc,
+         |    ${graft.ext.TextOps.langScoreDuck("toks", Corpus2Queries.Stop)}::BIGINT
+         |      AS nstop
+         |  FROM dt WHERE doc_id % 50 = 0),
+         |klg AS (SELECT doc_id,
+         |    ${Corpus2Queries.logitDuck("nt", "nc", "nstop")} > 0.0 AS keep_lg
+         |  FROM kft),
+         |kag AS (SELECT count(*)::BIGINT AS n,
+         |    sum(CASE WHEN pred_pos = keep_lg THEN 1 ELSE 0 END)::BIGINT
+         |      AS agree,
+         |    sum(CASE WHEN pred_pos THEN 1 ELSE 0 END)::BIGINT AS nb_pos,
+         |    sum(CASE WHEN keep_lg THEN 1 ELSE 0 END)::BIGINT AS lg_pos
+         |  FROM knb JOIN klg USING (doc_id) HAVING count(*) > 0),
+         |kpp AS (SELECT *,
+         |    CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+         |    (CAST(nb_pos AS DOUBLE) * CAST(lg_pos AS DOUBLE)
+         |      + CAST(n - nb_pos AS DOUBLE) * CAST(n - lg_pos AS DOUBLE))
+         |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+         |  FROM kag)
+         |SELECT n, agree, nb_pos, lg_pos,
+         |  (round(po * 1000000.0) / 1000000.0 + 0.0) AS po,
+         |  (round(pe * 1000000.0) / 1000000.0 + 0.0) AS pe,
+         |  (round((CASE WHEN pe = 1.0 THEN NULL
+         |    ELSE (po - pe) / (1.0 - pe) END) * 1000000.0) / 1000000.0
+         |    + 0.0) AS kappa
+         |FROM kpp""".stripMargin,
 
     "text_nb_confusion" ->
       s"""WITH dt AS (SELECT doc_id::BIGINT AS doc_id,

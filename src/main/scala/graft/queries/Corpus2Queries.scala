@@ -42,17 +42,17 @@ object Corpus2Queries {
     * tokens: the ONE definition in TextOps.LangMarkers (duplicating
     * the four literals here would silently desynchronize this gate
     * from the langid family on any edit). */
-  private val Stop: Seq[String] =
+  private[queries] val Stop: Seq[String] =
     LangMarkers.find(_._1 == "determiner").get._2
 
-  private val ntS = s"CAST(size($toksSpark) AS BIGINT)"
-  private val ntD = s"len($toksDuck)::BIGINT"
+  private[queries] val ntS = s"CAST(size($toksSpark) AS BIGINT)"
+  private[queries] val ntD = s"len($toksDuck)::BIGINT"
   // BIGINT accumulator on BOTH engines: an INT seed would make Spark's
   // fold wrap at 2^31 chars of token mass while DuckDB stays exact —
   // the outer cast cannot repair a wrapped sum.
-  private val ncS = "CAST(aggregate(" + toksSpark +
+  private[queries] val ncS = "CAST(aggregate(" + toksSpark +
     ", CAST(0 AS BIGINT), (acc, t) -> acc + length(t)) AS BIGINT)"
-  private val ncD =
+  private[queries] val ncD =
     s"list_reduce(list_prepend(0::BIGINT, list_transform($toksDuck, " +
       "t -> length(t)::BIGINT)), (a, b) -> a + b)"
 
@@ -66,12 +66,12 @@ object Corpus2Queries {
 
   /** Fixed-order quality logit over exact integer features — identical
     * expression tree on both engines, division/abs only (IEEE-exact). */
-  private def logitSql(nt: String, nc: String, nstop: String): String =
+  private[queries] def logitSql(nt: String, nc: String, nstop: String): String =
     s"CASE WHEN $nt = 0 THEN -1.0 ELSE " +
       s"2.0 * (CAST($nstop AS DOUBLE) / CAST($nt AS DOUBLE)) " +
       s"- 0.25 * abs(CAST($nc AS DOUBLE) / CAST($nt AS DOUBLE) - 5.0) " +
       s"+ (CASE WHEN $nt BETWEEN 50 AND 1000 THEN 0.5 ELSE -0.5 END) END"
-  private def logitDuck(nt: String, nc: String, nstop: String): String =
+  private[queries] def logitDuck(nt: String, nc: String, nstop: String): String =
     s"CASE WHEN $nt = 0 THEN -1.0 ELSE " +
       s"2.0 * ($nstop::DOUBLE / $nt::DOUBLE) " +
       s"- 0.25 * abs($nc::DOUBLE / $nt::DOUBLE - 5.0) " +
