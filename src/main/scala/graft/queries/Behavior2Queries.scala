@@ -266,6 +266,53 @@ object Behavior2Queries {
             " * (CAST(0.05 AS DOUBLE) * ma)) END")).as("n_needed_5pct"))
     }),
 
+    // Heterogeneous treatment effects by daypart (the segment-level
+    // readout after ab_ttest's global one): the same exact-integer
+    // Welch machinery per (event_type, 6-hour daypart) — where in the
+    // day the effect concentrates, the first cut of any heterogeneity
+    // analysis. Segments quadruple the comparisons, so the emitted
+    // t is read against a Bonferroni-style bar (noted, not baked in —
+    // the table IS the evidence, thresholds are policy). One
+    // alphabet×4-sized aggregate; no window, no join.
+    "ab_hte" -> ((s, dir) => {
+      def v(n: String, sN: String, ssN: String) =
+        s"(CAST($ssN AS DOUBLE)/10000.0 - (CAST($sN AS DOUBLE)/100.0)" +
+          s"*(CAST($sN AS DOUBLE)/100.0)/CAST($n AS DOUBLE))" +
+          s"/(CAST($n AS DOUBLE) - 1.0)"
+      EventBars.events(s, dir)
+        .select(col("user_id").cast("long").as("user_id"),
+          col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"),
+          expr("((t DIV 3600000000) % 24) DIV 6").as("daypart"))
+        .withColumn("arm", (col("user_id") % 2).cast("int"))
+        .groupBy("event_type", "daypart")
+        .agg(
+          sum(when(col("arm") === 0, lit(1L)).otherwise(lit(0L))).as("n_a"),
+          sum(when(col("arm") === 0, col("c")).otherwise(lit(0L))).as("sa"),
+          sum(when(col("arm") === 0, col("c") * col("c"))
+            .otherwise(lit(0L))).as("ssa"),
+          sum(when(col("arm") === 1, lit(1L)).otherwise(lit(0L))).as("n_b"),
+          sum(when(col("arm") === 1, col("c")).otherwise(lit(0L))).as("sb"),
+          sum(when(col("arm") === 1, col("c") * col("c"))
+            .otherwise(lit(0L))).as("ssb"))
+        .filter(col("n_a") > 1 && col("n_b") > 1)
+        .withColumn("va", expr(v("n_a", "sa", "ssa")))
+        .withColumn("vb", expr(v("n_b", "sb", "ssb")))
+        .withColumn("se2",
+          expr("va/CAST(n_a AS DOUBLE) + vb/CAST(n_b AS DOUBLE)"))
+        .select(col("event_type"), col("daypart"), col("n_a"), col("n_b"),
+          r6(expr("(CAST(sa AS DOUBLE)/100.0)/CAST(n_a AS DOUBLE)"))
+            .as("mean_a"),
+          r6(expr("(CAST(sb AS DOUBLE)/100.0)/CAST(n_b AS DOUBLE)"))
+            .as("mean_b"),
+          r6(expr("(CAST(sa AS DOUBLE)/100.0)/CAST(n_a AS DOUBLE)" +
+            " - (CAST(sb AS DOUBLE)/100.0)/CAST(n_b AS DOUBLE)"))
+            .as("diff"),
+          r6(expr("try_divide((CAST(sa AS DOUBLE)/100.0)/CAST(n_a AS DOUBLE)" +
+            " - (CAST(sb AS DOUBLE)/100.0)/CAST(n_b AS DOUBLE), sqrt(se2))"))
+            .as("t_welch"))
+    }),
+
     // UCB1 bandit allocation replayed over the experiment's days
     // (Auer et al., ML'02) — the adaptive-allocation face of the A/B
     // family: at each day, each arm's upper confidence bound is
@@ -474,6 +521,46 @@ object Behavior2Queries {
          |    * (CAST(0.05 AS DOUBLE) * ma)) END) * 1000000.0)
          |    / 1000000.0 + 0.0) AS n_needed_5pct
          |FROM s2""".stripMargin,
+
+    "ab_hte" ->
+      s"""WITH hev AS (SELECT user_id::BIGINT AS user_id, event_type,
+         |    CAST(round(value * 100) AS BIGINT) AS c,
+         |    ((epoch_us(ts) // 3600000000) % 24) // 6 AS daypart,
+         |    (user_id::BIGINT % 2)::INT AS arm FROM events),
+         |hg AS (SELECT event_type, daypart,
+         |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         |    sum(CASE WHEN arm = 0 THEN c ELSE 0 END)::BIGINT AS sa,
+         |    sum(CASE WHEN arm = 0 THEN c*c ELSE 0 END)::BIGINT AS ssa,
+         |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+         |    sum(CASE WHEN arm = 1 THEN c ELSE 0 END)::BIGINT AS sb,
+         |    sum(CASE WHEN arm = 1 THEN c*c ELSE 0 END)::BIGINT AS ssb
+         |  FROM hev GROUP BY 1, 2
+         |  HAVING n_a > 1 AND n_b > 1),
+         |hv AS (SELECT *,
+         |    (CAST(ssa AS DOUBLE)/10000.0 - (CAST(sa AS DOUBLE)/100.0)
+         |      *(CAST(sa AS DOUBLE)/100.0)/CAST(n_a AS DOUBLE))
+         |      /(CAST(n_a AS DOUBLE) - 1.0) AS va,
+         |    (CAST(ssb AS DOUBLE)/10000.0 - (CAST(sb AS DOUBLE)/100.0)
+         |      *(CAST(sb AS DOUBLE)/100.0)/CAST(n_b AS DOUBLE))
+         |      /(CAST(n_b AS DOUBLE) - 1.0) AS vb
+         |  FROM hg),
+         |hs AS (SELECT *,
+         |    va/CAST(n_a AS DOUBLE) + vb/CAST(n_b AS DOUBLE) AS se2
+         |  FROM hv)
+         |SELECT event_type, daypart, n_a, n_b,
+         |  (round(((CAST(sa AS DOUBLE)/100.0)/CAST(n_a AS DOUBLE))
+         |   * 1000000.0) / 1000000.0 + 0.0) AS mean_a,
+         |  (round(((CAST(sb AS DOUBLE)/100.0)/CAST(n_b AS DOUBLE))
+         |   * 1000000.0) / 1000000.0 + 0.0) AS mean_b,
+         |  (round(((CAST(sa AS DOUBLE)/100.0)/CAST(n_a AS DOUBLE)
+         |    - (CAST(sb AS DOUBLE)/100.0)/CAST(n_b AS DOUBLE))
+         |   * 1000000.0) / 1000000.0 + 0.0) AS diff,
+         |  (round((CASE WHEN sqrt(se2) = 0 THEN NULL
+         |     ELSE ((CAST(sa AS DOUBLE)/100.0)/CAST(n_a AS DOUBLE)
+         |       - (CAST(sb AS DOUBLE)/100.0)/CAST(n_b AS DOUBLE))
+         |       / sqrt(se2) END)
+         |   * 1000000.0) / 1000000.0 + 0.0) AS t_welch
+         |FROM hs""".stripMargin,
 
     "ab_ucb" ->
       s"""WITH uev AS (SELECT user_id::BIGINT AS user_id, event_type,
