@@ -11,12 +11,15 @@ import org.apache.spark.sql.functions._
   * surface against the DuckDB oracle and double as the benchmark's
   * headline scan/join/agg workload.
   *
-  * Scale notes (100 TB design point): dimension sides (region, nation,
-  * supplier, customer) are explicitly `broadcast()` so the big fact scan
-  * never shuffles for them; aggregates are partial (map-side combine)
-  * by construction; all double aggregates are rounded identically on
-  * both engines so segment-tree vs fold summation order can't flip the
-  * hash compare.
+  * Scale notes (100 TB design point): only genuinely BOUNDED relations
+  * (nation, region, one-row global aggregates) carry an explicit
+  * `broadcast()` hint. SF-scaling sides (orders, customer, supplier,
+  * part and their keyed rollups) are left hint-free so size-based
+  * selection + AQE broadcast them at gate SFs but degrade to shuffled
+  * joins at 100× instead of OOMing the driver (r13 verdict). Aggregates
+  * are partial (map-side combine) by construction; all double
+  * aggregates are rounded identically on both engines so segment-tree
+  * vs fold summation order can't flip the hash compare.
   */
 object RelationalQueries {
 
@@ -52,22 +55,24 @@ object RelationalQueries {
     }),
 
     // TPC-H Q3-shaped: selective dim filter → two joins → agg → top-k.
-    // customer is the small side → broadcast; top-k ordered on the
-    // rounded measure + unique key so the limit is deterministic.
+    // customer/orders are SF-scaling — no hint; AQE broadcasts them at
+    // gate SFs and shuffles at 100×. Top-k ordered on the rounded
+    // measure + unique key so the limit is deterministic.
     "q3_revenue_topk" -> ((s, dir) => {
       val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
       val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
-      li.join(broadcast(ord.join(broadcast(cust),
-          ord("o_custkey") === cust("c_custkey"))), col("l_orderkey") === col("o_orderkey"))
+      li.join(ord.join(cust,
+          ord("o_custkey") === cust("c_custkey")), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(Rounding.r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
 
-    // TPC-H Q5-shaped: five-way join, every dimension broadcast, one
-    // shuffle total (the final group-by on nation name).
+    // TPC-H Q5-shaped: five-way join. nation/region (bounded) broadcast
+    // by hint; supplier/orders/customer are SF-scaling and hint-free —
+    // broadcast at gate SFs by size, shuffled equi-joins at 100×.
     "q5_nation_revenue" -> ((s, dir) => {
       val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
       val nation = t(s, dir, "nation")
@@ -75,9 +80,9 @@ object RelationalQueries {
       val sup = t(s, dir, "supplier")
       val ord = t(s, dir, "orders")
       val li = t(s, dir, "lineitem")
-      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
-        .join(broadcast(ord), li("l_orderkey") === ord("o_orderkey"))
-        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey")
+      li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey")
           && cust("c_nationkey") === sup("s_nationkey"))
         .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
         .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
@@ -88,8 +93,8 @@ object RelationalQueries {
 
     // TPC-H Q7 shape — cross-nation trade flow: supplier nation ≠
     // customer nation, revenue per (supp_nation, cust_nation,
-    // ship-year). Same posture as q5: every dimension broadcasts, the
-    // single shuffle is the final rollup.
+    // ship-year). Same posture as q5: the two nation legs broadcast by
+    // hint; supplier/orders/customer join hint-free (AQE decides).
     "q7_nation_trade" -> ((s, dir) => {
       val n1 = t(s, dir, "nation")
         .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
@@ -99,9 +104,9 @@ object RelationalQueries {
       val cust = t(s, dir, "customer")
       val ord = t(s, dir, "orders")
       val li = t(s, dir, "lineitem")
-      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
-        .join(broadcast(ord), li("l_orderkey") === ord("o_orderkey"))
-        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
         .join(broadcast(n1), col("s_nationkey") === col("sk"))
         .join(broadcast(n2), col("c_nationkey") === col("ck"))
         .filter(col("supp_nation") =!= col("cust_nation"))
@@ -114,15 +119,16 @@ object RelationalQueries {
 
     // TPC-H Q10 shape — top returned-revenue customers: returnflag='R'
     // lineitems joined through orders to customer+nation, top 20 by
-    // revenue. Dims broadcast; the one shuffle is the customer rollup;
-    // the top-20 is a TakeOrdered with a full deterministic tiebreak.
+    // revenue. nation broadcasts by hint; orders/customer hint-free
+    // (SF-scaling); the top-20 is a TakeOrdered with a full
+    // deterministic tiebreak.
     "q10_returned_items" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
       val ord = t(s, dir, "orders")
       val nation = t(s, dir, "nation")
       val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
-      li.join(broadcast(ord), li("l_orderkey") === ord("o_orderkey"))
-        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
         .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
         .agg(Rounding.r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))

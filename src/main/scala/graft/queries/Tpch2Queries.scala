@@ -65,11 +65,11 @@ object Tpch2Queries {
       val ord = t(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
           && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
       val byNation = t(s, dir, "lineitem")
         .join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+        .join(supNat, col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("o_year"), col("supp_nation"))
         // DECIMAL(38,0) accumulator: per-line rev4 is ~5e8 in 1e-4
         // units, so a LONG per-year total sits within ~1.4× of
@@ -115,7 +115,7 @@ object Tpch2Queries {
       rev
         .crossJoin(broadcast(rev.agg(max(col("rev4")).as("max4"))))
         .filter(col("rev4") === col("max4"))
-        .join(broadcast(t(s, dir, "supplier")),
+        .join(t(s, dir, "supplier"),
           col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"),
           r4(col("rev4").cast("double") / lit(10000.0)).as("total_revenue"))
@@ -127,15 +127,15 @@ object Tpch2Queries {
     // Per-part thresholds broadcast back into the brand-filtered probe.
     "q17_small_qty_revenue" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")
-          .filter(col("p_brand") === "Brand#23")),
+        .join(t(s, dir, "part")
+          .filter(col("p_brand") === "Brand#23"),
           col("l_partkey") === col("p_partkey"))
         .withColumn("qc", round(col("l_quantity") * lit(100.0)).cast("long"))
         .withColumn("ec", round(col("l_extendedprice") * lit(100.0))
           .cast("long"))
       val thr = li.groupBy(col("l_partkey").as("t_partkey"))
         .agg(sum(col("qc")).as("sum_qc"), count(lit(1)).as("n_li"))
-      li.join(broadcast(thr), col("l_partkey") === col("t_partkey"))
+      li.join(thr, col("l_partkey") === col("t_partkey"))
         .filter(col("qc") * lit(5L) * col("n_li") < col("sum_qc"))
         .groupBy(lit(true).as("_g"))
         .agg(sum(col("ec")).as("sum_ec"), count(lit(1)).as("n_small"))
@@ -192,12 +192,12 @@ object Tpch2Queries {
           .cast("long"))
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(min(col("pc")).as("cost_c"))
-        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(supEur), col("l_suppkey") === col("s_suppkey"))
+        .join(pt, col("l_partkey") === col("p_partkey"))
+        .join(supEur, col("l_suppkey") === col("s_suppkey"))
         .localCheckpoint()
       val minPer = offers.groupBy(col("p_partkey").as("m_partkey"))
         .agg(min(col("cost_c")).as("min_c"))
-      offers.join(broadcast(minPer),
+      offers.join(minPer,
           col("p_partkey") === col("m_partkey")
             && col("cost_c") === col("min_c"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
@@ -236,8 +236,8 @@ object Tpch2Queries {
       val ord = t(s, dir, "orders")
         .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
       t(s, dir, "lineitem")
-        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+        .join(pt, col("l_partkey") === col("p_partkey"))
+        .join(supNat, col("l_suppkey") === col("s_suppkey"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .withColumn("qc2", round(col("l_quantity") * lit(100.0))
           .cast("long"))
@@ -260,7 +260,7 @@ object Tpch2Queries {
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"))
       val perPart = t(s, dir, "lineitem")
-        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .join(supN, col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("l_partkey"))
         .agg(sum(rev4.cast("decimal(38,0)")).as("v4"))
         .localCheckpoint()
@@ -304,8 +304,8 @@ object Tpch2Queries {
         .select(col("s_suppkey"))
       t(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_suppkey")).distinct()
-        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(okSup), col("l_suppkey") === col("s_suppkey"),
+        .join(pt, col("l_partkey") === col("p_partkey"))
+        .join(okSup, col("l_suppkey") === col("s_suppkey"),
           "left_semi")
         .groupBy(col("p_brand"), col("p_type"), col("p_size"))
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
@@ -323,7 +323,7 @@ object Tpch2Queries {
           (col("p_brand") === "Brand#3" && col("p_size").between(1, 30)
             && col("l_quantity").between(20.0, 30.0))
       t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")),
+        .join(t(s, dir, "part"),
           col("l_partkey") === col("p_partkey"))
         .filter(cond)
         .groupBy(lit(true).as("_g"))
@@ -342,8 +342,8 @@ object Tpch2Queries {
       val perSup = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
           && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-        .join(broadcast(t(s, dir, "part")
-          .filter(col("p_name").like("%bolt%")).select(col("p_partkey"))),
+        .join(t(s, dir, "part")
+          .filter(col("p_name").like("%bolt%")).select(col("p_partkey")),
           col("l_partkey") === col("p_partkey"))
         .withColumn("qc2", round(col("l_quantity") * lit(100.0))
           .cast("long"))
@@ -356,7 +356,7 @@ object Tpch2Queries {
           .as("avg2"))
       perSup.crossJoin(broadcast(avg2))
         .filter(col("q2s").cast("double") > col("avg2") * lit(1.5))
-        .join(broadcast(t(s, dir, "supplier")),
+        .join(t(s, dir, "supplier"),
           col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(t(s, dir, "nation")),
           col("s_nationkey") === col("n_nationkey"))
@@ -384,7 +384,7 @@ object Tpch2Queries {
         .filter(col("n_supp") >= 2L && col("n_ret") === 1L)
         .groupBy(col("ret_supp"))
         .agg(count(lit(1)).as("numwait"))
-        .join(broadcast(t(s, dir, "supplier")),
+        .join(t(s, dir, "supplier"),
           col("ret_supp") === col("s_suppkey"))
         .select(col("s_name"), col("numwait"))
     }))

@@ -11,8 +11,9 @@ import graft.ext.TextOps
   * quality gate.
   *
   * Scale notes: Q6 is a pure scan-side filter + scalar aggregate
-  * (predicate pushdown does the work); Q14 broadcasts `part`; Q18's
-  * having-filtered order aggregate is broadcast into the orders probe,
+  * (predicate pushdown does the work); Q14/Q18's SF-scaling sides (part,
+  * customer, the having-filtered order rollup) join hint-free — AQE
+  * broadcasts them at gate SFs, shuffles at 100×;
   * so the big lineitem table shuffles exactly once (its groupBy). The
   * feature encoders broadcast O(|event types|) stats back over the
   * stream; the quality gate is one scan + one per-source aggregate
@@ -54,13 +55,13 @@ object TpchFeatQueries {
         .drop("_g")),
 
     // TPC-H Q14 shape: promo revenue share in one ship month; `part`
-    // broadcast, single scalar output.
+    // joined hint-free (SF-scaling), single scalar output.
     "q14_promo_share" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp")
           && col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
       val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-      li.join(broadcast(t(s, dir, "part")),
+      li.join(t(s, dir, "part"),
           col("l_partkey") === col("p_partkey"))
         .groupBy(lit(true).as("_g"))
         .agg(
@@ -75,16 +76,16 @@ object TpchFeatQueries {
     }),
 
     // TPC-H Q18 shape: large-volume orders. The having-filtered order
-    // rollup (tiny) broadcasts into orders, customer broadcasts on top
-    // — lineitem shuffles exactly once, on its own groupBy.
+    // rollup and customer join hint-free (both SF-scaling; AQE picks
+    // broadcast at gate SFs) — lineitem shuffles on its own groupBy.
     "q18_big_orders" -> ((s, dir) => {
       val big = t(s, dir, "lineitem")
         .groupBy(col("l_orderkey"))
         .agg(sum(col("l_quantity")).as("sum_qty"))
         .filter(col("sum_qty") > lit(150.0))
       t(s, dir, "orders")
-        .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(t(s, dir, "customer")),
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"),
           col("o_custkey") === col("c_custkey"))
         .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
           col("o_orderdate"), col("o_totalprice"),

@@ -17,11 +17,15 @@ class PlanSpec extends SparkSpec {
   private def shuffles(p: String): Int =
     "Exchange hashpartitioning".r.findAllIn(p).length
 
-  test("q5: every dimension broadcast, exactly one shuffle (final groupBy)") {
+  test("q5: no cartesian, bounded exchanges; join strategy left to AQE") {
+    // r13 verdict: orders/customer/supplier are SF-scaling — their
+    // joins carry NO broadcast() hint (a forced broadcast OOMs at
+    // 100×). At gate SFs size-based selection still broadcasts them;
+    // the pin is the scale-safe invariant, not the strategy.
     val p = plan("q5_nation_revenue")
-    assert("BroadcastExchange".r.findAllIn(p).length == 5)
-    assert(shuffles(p) == 1)
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("BroadcastExchange")) // nation/region hinted
+    assert(shuffles(p) <= 9, p)
   }
 
   test("exact all-pairs joins never plan a BroadcastNestedLoopJoin") {
@@ -671,10 +675,11 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q10: dims broadcast, one shuffle, top-20 is a TakeOrdered") {
+  test("q10: no cartesian, bounded exchanges, top-20 is a TakeOrdered") {
     val p = plan("q10_returned_items")
-    assert("BroadcastExchange".r.findAllIn(p).length == 3)
-    assert(shuffles(p) == 1)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("BroadcastExchange")) // nation hinted
+    assert(shuffles(p) <= 7, p)
     assert(p.contains("TakeOrderedAndProject"))
   }
 
@@ -690,11 +695,11 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(p) <= 2)
   }
 
-  test("q7: five broadcasts, one shuffle — the q5 posture") {
+  test("q7: no cartesian, bounded exchanges — the q5 posture") {
     val p = plan("q7_nation_trade")
-    assert("BroadcastExchange".r.findAllIn(p).length == 5)
-    assert(shuffles(p) == 1)
-    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("BroadcastExchange")) // the two nation legs hinted
+    assert(shuffles(p) <= 9, p)
   }
 
   test("ts_ewm_vol rides the one ticker exchange") {
@@ -850,12 +855,13 @@ class PlanSpec extends SparkSpec {
         "l_discount:double,l_shipdate:timestamp_ntz>"), p)
   }
 
-  test("q14/q18: dims broadcast; lineitem shuffles at most once") {
-    assert(shuffles(plan("q14_promo_share")) <= 1)
+  test("q14/q18: no cartesian; bounded exchanges (hint-free dims)") {
+    val p14 = plan("q14_promo_share")
+    assert(!p14.contains("CartesianProduct") && !p14.contains("BroadcastNestedLoop"), p14)
+    assert(shuffles(p14) <= 3, p14)
     val p18 = plan("q18_big_orders")
-    assert(shuffles(p18) == 1, p18)
-    assert("BroadcastExchange".r.findAllIn(p18).length == 2)
-    assert(!p18.contains("SortMergeJoin"))
+    assert(!p18.contains("CartesianProduct") && !p18.contains("BroadcastNestedLoop"), p18)
+    assert(shuffles(p18) <= 5, p18)
   }
 
   test("feature encoders: one type exchange, stats broadcast back") {
@@ -871,11 +877,11 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(p) == 1, p)
   }
 
-  test("q8: dims broadcast, no sort-merge or nested-loop join") {
+  test("q8: bounded exchanges, no nested-loop join") {
     val p = plan("q8_market_share")
-    assert(shuffles(p) <= 3, p)
-    assert("BroadcastExchange".r.findAllIn(p).length >= 4, p)
-    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoop"))
+    assert(shuffles(p) <= 9, p)
+    assert(p.contains("BroadcastExchange"), p) // nation/region hinted
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
 
   test("q13: two key shuffles (custkey rollup + count histogram)") {
@@ -884,20 +890,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("q15: rollup materialized once; max + supplier both broadcast") {
+  test("q15: rollup materialized once; scalar max broadcast") {
     // the lineitem scan + supplier rollup run once in the
-    // localCheckpoint job; the scalar max and the supplier dimension
-    // broadcast over the |suppliers|-row ExistingRDD
+    // localCheckpoint job; the scalar max broadcasts over the
+    // |suppliers|-row ExistingRDD; the supplier dim joins hint-free
     val p = plan("q15_top_supplier")
-    assert(shuffles(p) == 0, p)
+    assert(shuffles(p) <= 4, p)
     assert(p.contains("BroadcastExchange"))
     assert(p.contains("Scan ExistingRDD"))
+    assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q17: brand filter + thresholds all broadcast, two exchanges") {
+  test("q17: hint-free thresholds; bounded exchanges, no cartesian") {
     val p = plan("q17_small_qty_revenue")
-    assert(shuffles(p) == 2, p)
-    assert("BroadcastExchange".r.findAllIn(p).length == 3, p)
+    assert(shuffles(p) <= 6, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
   test("q22: scalar average broadcast; anti-join shuffles on custkey") {
@@ -928,20 +935,62 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
-  test("new TPC-H family: no sort-merge join, bounded fact exchanges") {
-    // dimensions (part, supplier, nation, region) and tiny rollups all
-    // broadcast; the only hash exchanges are fact-side aggregations
-    // (q16/q21 pay distinct + count-distinct phases)
-    Seq("q2_min_cost_supplier" -> 1, "q4_priority_returns" -> 1,
-      "q9_product_profit" -> 1, "q11_important_parts" -> 1,
-      "q12_late_shipments" -> 1, "q16_supplier_cnt" -> 3,
-      "q19_disjunctive_revenue" -> 1, "q20_heavy_shippers" -> 1,
-      "q21_waiting_supplier" -> 3).foreach { case (q, n) =>
+  test("new TPC-H family: no cartesian, bounded exchanges") {
+    // SF-scaling sides (part, supplier and their keyed rollups) join
+    // hint-free — the initial plan may legitimately pick SMJ where
+    // size estimates are unknown (checkpointed/derived sides); AQE
+    // converts to broadcast at gate SFs. The pinned invariant is
+    // bounded exchange count + no cartesian, not the join strategy.
+    Seq("q2_min_cost_supplier" -> 5, "q4_priority_returns" -> 3,
+      "q9_product_profit" -> 5, "q11_important_parts" -> 3,
+      "q12_late_shipments" -> 3, "q16_supplier_cnt" -> 7,
+      "q19_disjunctive_revenue" -> 3, "q20_heavy_shippers" -> 5,
+      "q21_waiting_supplier" -> 5).foreach { case (q, n) =>
       val p = plan(q)
-      assert(!p.contains("SortMergeJoin"), q)
+      assert(!p.contains("CartesianProduct"), q)
       assert(shuffles(p) <= n, s"$q: ${shuffles(p)} exchanges")
-      assert(p.contains("BroadcastExchange"), q)
     }
+  }
+
+  test("TPC-H family: broadcast() hints only on provably bounded relations") {
+    // r13 verdict: a forced broadcast of an SF-scaling relation
+    // (orders, customer, part, supplier, or a rollup keyed by their
+    // keys) is correct at gate SFs but OOMs the driver at the 100 TB
+    // design point. Sweep every q*-family query's ANALYZED plan
+    // (hints are still visible there as ResolvedHint): each
+    // BROADCAST-hinted subtree must be provably bounded — it scans
+    // only nation/region (25/5 rows at every SF), or it contains a
+    // global aggregate (empty or all-foldable grouping ⇒ ≤1 row).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, ResolvedHint}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def boundedLeaves(p: LogicalPlan): Boolean = {
+      val names = p.collectLeaves().map {
+        case lr: LogicalRelation => lr.relation match {
+          case h: HadoopFsRelation =>
+            h.location.rootPaths.map(_.getName).mkString(",")
+          case _ => "?"
+        }
+        case _ => "?"
+      }
+      names.nonEmpty && names.forall(n =>
+        n.contains("nation.parquet") || n.contains("region.parquet"))
+    }
+    def globallyAggregated(p: LogicalPlan): Boolean =
+      p.collectFirst {
+        case a: Aggregate if a.groupingExpressions.forall(_.foldable) => a
+      }.isDefined
+    val tpch = SparkEntry.queries.keys.filter(_.matches("q\\d+_.*")).toSeq.sorted
+    assert(tpch.size >= 20, s"family sweep lost its targets: $tpch")
+    val offenders = tpch.flatMap { name =>
+      SparkEntry.queries(name)(spark, sf).queryExecution.analyzed.collect {
+        case h: ResolvedHint
+          if h.hints.toString.toLowerCase.contains("broadcast") &&
+            !boundedLeaves(h.child) && !globallyAggregated(h.child) =>
+          s"$name: broadcast(${h.child.nodeName})"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"forced broadcast of an SF-scaling relation: $offenders")
   }
 
   test("NO query in the suite plans an unpartitioned Window") {
