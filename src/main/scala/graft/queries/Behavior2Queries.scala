@@ -232,18 +232,23 @@ object Behavior2Queries {
       EventBars.events(s, dir)
         .select(col("user_id").cast("long").as("user_id"),
           col("event_type"),
-          expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+          // winsorized at ±1e9 cents (the TsRiskQueries convention):
+          // caps c*c at 1e18 (< Long.Max) so the per-row product can
+          // never wrap before the exact decimal accumulation below
+          expr("greatest(CAST(-1000000000 AS BIGINT), " +
+            "least(CAST(1000000000 AS BIGINT), " +
+            "CAST(round(value * 100) AS BIGINT)))").as("c"))
         .withColumn("arm", (col("user_id") % 2).cast("int"))
         .groupBy("event_type")
         .agg(
           sum(when(col("arm") === 0, lit(1L)).otherwise(lit(0L))).as("n_a"),
           sum(when(col("arm") === 0, col("c")).otherwise(lit(0L))).as("sa"),
           sum(when(col("arm") === 0, col("c") * col("c"))
-            .otherwise(lit(0L))).as("ssa"),
+            .otherwise(lit(0L)).cast("decimal(38,0)")).as("ssa"),
           sum(when(col("arm") === 1, lit(1L)).otherwise(lit(0L))).as("n_b"),
           sum(when(col("arm") === 1, col("c")).otherwise(lit(0L))).as("sb"),
           sum(when(col("arm") === 1, col("c") * col("c"))
-            .otherwise(lit(0L))).as("ssb"))
+            .otherwise(lit(0L)).cast("decimal(38,0)")).as("ssb"))
         .filter(col("n_a") > 1 && col("n_b") > 1)
         .withColumn("va", expr(v("n_a", "sa", "ssa")))
         .withColumn("vb", expr(v("n_b", "sb", "ssb")))
@@ -282,7 +287,10 @@ object Behavior2Queries {
       EventBars.events(s, dir)
         .select(col("user_id").cast("long").as("user_id"),
           col("event_type"),
-          expr("CAST(round(value * 100) AS BIGINT)").as("c"),
+          // same winsorize-then-exact-decimal posture as ab_power
+          expr("greatest(CAST(-1000000000 AS BIGINT), " +
+            "least(CAST(1000000000 AS BIGINT), " +
+            "CAST(round(value * 100) AS BIGINT)))").as("c"),
           expr("((t DIV 3600000000) % 24) DIV 6").as("daypart"))
         .withColumn("arm", (col("user_id") % 2).cast("int"))
         .groupBy("event_type", "daypart")
@@ -290,11 +298,11 @@ object Behavior2Queries {
           sum(when(col("arm") === 0, lit(1L)).otherwise(lit(0L))).as("n_a"),
           sum(when(col("arm") === 0, col("c")).otherwise(lit(0L))).as("sa"),
           sum(when(col("arm") === 0, col("c") * col("c"))
-            .otherwise(lit(0L))).as("ssa"),
+            .otherwise(lit(0L)).cast("decimal(38,0)")).as("ssa"),
           sum(when(col("arm") === 1, lit(1L)).otherwise(lit(0L))).as("n_b"),
           sum(when(col("arm") === 1, col("c")).otherwise(lit(0L))).as("sb"),
           sum(when(col("arm") === 1, col("c") * col("c"))
-            .otherwise(lit(0L))).as("ssb"))
+            .otherwise(lit(0L)).cast("decimal(38,0)")).as("ssb"))
         .filter(col("n_a") > 1 && col("n_b") > 1)
         .withColumn("va", expr(v("n_a", "sa", "ssa")))
         .withColumn("vb", expr(v("n_b", "sb", "ssb")))
@@ -484,15 +492,17 @@ object Behavior2Queries {
 
     "ab_power" ->
       s"""WITH eva AS (SELECT user_id::BIGINT AS user_id, event_type,
-         |    CAST(round(value * 100) AS BIGINT) AS c,
+         |    greatest(CAST(-1000000000 AS BIGINT),
+         |      least(CAST(1000000000 AS BIGINT),
+         |      CAST(round(value * 100) AS BIGINT))) AS c,
          |    (user_id::BIGINT % 2)::INT AS arm FROM events),
          |g AS (SELECT event_type,
          |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
          |    sum(CASE WHEN arm = 0 THEN c ELSE 0 END)::BIGINT AS sa,
-         |    sum(CASE WHEN arm = 0 THEN c*c ELSE 0 END)::BIGINT AS ssa,
+         |    sum(CASE WHEN arm = 0 THEN c*c ELSE 0 END) AS ssa,
          |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
          |    sum(CASE WHEN arm = 1 THEN c ELSE 0 END)::BIGINT AS sb,
-         |    sum(CASE WHEN arm = 1 THEN c*c ELSE 0 END)::BIGINT AS ssb
+         |    sum(CASE WHEN arm = 1 THEN c*c ELSE 0 END) AS ssb
          |  FROM eva GROUP BY 1
          |  HAVING n_a > 1 AND n_b > 1),
          |v AS (SELECT *,
@@ -524,16 +534,18 @@ object Behavior2Queries {
 
     "ab_hte" ->
       s"""WITH hev AS (SELECT user_id::BIGINT AS user_id, event_type,
-         |    CAST(round(value * 100) AS BIGINT) AS c,
+         |    greatest(CAST(-1000000000 AS BIGINT),
+         |      least(CAST(1000000000 AS BIGINT),
+         |      CAST(round(value * 100) AS BIGINT))) AS c,
          |    ((epoch_us(ts) // 3600000000) % 24) // 6 AS daypart,
          |    (user_id::BIGINT % 2)::INT AS arm FROM events),
          |hg AS (SELECT event_type, daypart,
          |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
          |    sum(CASE WHEN arm = 0 THEN c ELSE 0 END)::BIGINT AS sa,
-         |    sum(CASE WHEN arm = 0 THEN c*c ELSE 0 END)::BIGINT AS ssa,
+         |    sum(CASE WHEN arm = 0 THEN c*c ELSE 0 END) AS ssa,
          |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
          |    sum(CASE WHEN arm = 1 THEN c ELSE 0 END)::BIGINT AS sb,
-         |    sum(CASE WHEN arm = 1 THEN c*c ELSE 0 END)::BIGINT AS ssb
+         |    sum(CASE WHEN arm = 1 THEN c*c ELSE 0 END) AS ssb
          |  FROM hev GROUP BY 1, 2
          |  HAVING n_a > 1 AND n_b > 1),
          |hv AS (SELECT *,

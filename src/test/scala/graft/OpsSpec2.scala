@@ -341,4 +341,43 @@ class OpsSpec2 extends SparkSpec {
       .count()
     assert(bad == 0)
   }
+
+  test("ab_power/ab_hte: extreme values winsorize, squared sums never wrap") {
+    // r13 verdict hardening: a |value| of 1e12 quantizes to c = 1e14
+    // cents raw; 24 such rows push sum(c*c) to 2.4e29 — far past
+    // Long.MaxValue, where a LongType accumulator wraps silently
+    // (DuckDB promotes to HUGEINT, so the gate would diverge only at
+    // extreme data). The winsorize (|c| capped at 1e9) plus the
+    // decimal(38,0) accumulator keep both engines exact: with 12
+    // rows/arm of c = ±1e9, ssa = 1.2e19 > Long.MaxValue — a wrapped
+    // sum turns the variance negative and se_diff NaN.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("abx").toString
+    val rows = (0 until 24).map { i =>
+      val v = if ((i / 4) % 2 == 0) 1e12 else -1e12 // winsorize binds: c -> ±1e9; signs balance per user
+      (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 03:00:00"),
+        (i % 4).toLong, "buy", v, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+
+    val pw = graft.queries.Behavior2Queries.queries("ab_power")(spark, dir)
+      .collect()
+    assert(pw.length == 1)
+    assert(pw(0).getAs[Double]("mean_a") == 0.0) // +1e9/-1e9 cancel
+    val se = pw(0).getAs[Double]("se_diff")
+    // exact closed form through the same arithmetic: ssa = 12 * (1e9)^2
+    // accumulated exactly; va = (ssa/1e4 - 0)/(n-1); se2 = va/6
+    val va = 12.0 * 1e18 / 1e4 / 11.0
+    val want = math.round(math.sqrt(va / 6.0) * 1e6) / 1e6
+    assert(!se.isNaN && math.abs(se - want) < 1e-6,
+      s"squared sum wrapped or diverged: se_diff=$se want=$want")
+
+    val ht = graft.queries.Behavior2Queries.queries("ab_hte")(spark, dir)
+      .collect()
+    assert(ht.length == 1) // all events in daypart 0
+    assert(ht(0).getAs[Double]("diff") == 0.0)
+    assert(ht(0).getAs[Double]("t_welch") == 0.0, // NaN/null if wrapped
+      s"t_welch=${ht(0).getAs[Double]("t_welch")}")
+  }
 }
