@@ -35,6 +35,38 @@ private[graft] object ExtCommon {
   private[graft] val IvfQuerySplit = 25
   private[graft] val HybridSplit = 50
 
+  /** Session-scoped cache of the EXACT similarity ground truths
+    * (r13 verdict task 3). Every recall twin joins its ANN result
+    * against the exact top-k pool, and before this cache each twin
+    * re-ran the block-partitioned all-pairs join from scratch — the
+    * dominant cost of a bench pass over the twins (~1.3 s/query
+    * marginal vs 0.79 suite-wide at r13). One verify/bench session
+    * now pays each exact baseline ONCE per (session, dir):
+    * the first caller materializes it behind a localCheckpoint
+    * (truncated lineage, |queries|·k rows — tiny), later callers
+    * reuse the checkpointed blocks. Queries stay independently
+    * runnable (any caller computes on miss), results are
+    * byte-identical (the cached frame IS the query's own output),
+    * and keys carry the session identity so a restarted session
+    * can't resurrect blocks owned by a stopped SparkContext. */
+  private val gtCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def cachedExact(name: String, s: SparkSession, dir: String)
+      (build: => DataFrame): DataFrame =
+    gtCache.computeIfAbsent(
+      s"${System.identityHashCode(s.sparkContext)}|$name|$dir",
+      _ => build.localCheckpoint())
+
+  /** Exact cosine top-k pool (sim_topk) — shared by the LSH, IVF, BQ,
+    * HNSW, graph-walk and NN-descent recall twins. */
+  private[graft] def exactTopk(s: SparkSession, dir: String): DataFrame =
+    cachedExact("sim_topk", s, dir)(SimQueries.queries("sim_topk")(s, dir))
+
+  /** Exact MIPS top-k pool (sim_mips) — shared by sim_mips_recall. */
+  private[graft] def exactMips(s: SparkSession, dir: String): DataFrame =
+    cachedExact("sim_mips", s, dir)(SimQueries.queries("sim_mips")(s, dir))
+
   private[graft] def docs(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     s.read.parquet(s"$dir/documents.parquet")

@@ -87,7 +87,7 @@ object SimQueries {
         .select(col("vec_id").cast("long").as("vec_id"),
           expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
         .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
-      val mc = queries("sim_topk")(s, dir)
+      val mc = ExtCommon.exactTopk(s, dir)
         .select(col("q_id"), col("n_id"), col("sim"))
         .localCheckpoint() // feeds the pool, the pair table, and 3 rounds
       val mp = mc.as("a").join(mc.as("b"),
@@ -362,7 +362,7 @@ object SimQueries {
     // of the family (sim_recall / sim_ivf_recall), on the shared
     // %10 query split. Pure composition of oracle-gated queries.
     "sim_mips_recall" -> ((s, dir) => {
-      val exact = ExtQueries.queries("sim_mips")(s, dir)
+      val exact = ExtCommon.exactMips(s, dir)
         .select(col("q_id"), col("n_id"))
       val ann = ExtQueries.queries("sim_mips_ann")(s, dir)
         .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
@@ -555,7 +555,7 @@ object SimQueries {
     // q_id % 10 split — read next to sim_recall (the LSH init's own
     // recall) for the measured NN-descent uplift.
     "sim_nndescent_recall" -> ((s, dir) => {
-      val exact = ExtQueries.queries("sim_topk")(s, dir)
+      val exact = ExtCommon.exactTopk(s, dir)
         .filter(col("rank") <= 3).select(col("q_id"), col("n_id"))
       val ann = queries("sim_nndescent")(s, dir)
         .filter(col("q_id") % TopkSplit === 0)
@@ -695,7 +695,7 @@ object SimQueries {
     // block-partitioned all-pairs verbatim; the threshold is one
     // |split|-row aggregate broadcast back.
     "emb_ood_knn" -> ((s, dir) => {
-      val k5 = queries("sim_topk")(s, dir)
+      val k5 = ExtCommon.exactTopk(s, dir)
         .filter(col("rank") === 5)
         .select(col("q_id"),
           expr("CAST(round(sim * 1000000.0) AS BIGINT)").as("kth_micro"))
@@ -788,7 +788,7 @@ object SimQueries {
     // queries; hits resolve by an exchange-aligned left join on
     // (q_id, n_id), counts exact.
     "sim_recall" -> ((s, dir) => {
-      val exact = ExtQueries.queries("sim_topk")(s, dir)
+      val exact = ExtCommon.exactTopk(s, dir)
         .filter(col("rank") <= 3).select(col("q_id"), col("n_id"))
       val ann = ExtQueries.queries("sim_ann_lsh")(s, dir)
         .filter(col("q_id") % TopkSplit === 0)
@@ -820,7 +820,7 @@ object SimQueries {
         if (r.isNullAt(0)) 0 else r.getInt(0)
       }
       val dims = Seq(math.max(1, d / 4), math.max(1, d / 2)).distinct
-      val exact = ExtQueries.queries("sim_topk")(s, dir)
+      val exact = ExtCommon.exactTopk(s, dir)
         .filter(col("rank") <= 3)
         .select(col("q_id"), col("n_id"))
         .crossJoin(dims.map(_.toLong).toDF("dim_k"))
@@ -863,7 +863,7 @@ object SimQueries {
     // by an exchange-aligned left join, counts exact.
     "sim_ivf_recall" -> ((s, dir) => {
       import s.implicits._
-      val exact = ExtQueries.queries("sim_topk")(s, dir)
+      val exact = ExtCommon.exactTopk(s, dir)
         .filter(col("rank") <= 3 && col("q_id") % IvfQuerySplit === 0)
         .select(col("q_id"), col("n_id"))
         .crossJoin(Seq("probe1", "probe2").toDF("method"))
@@ -920,7 +920,7 @@ object SimQueries {
     // queries; hits resolve by an exchange-aligned left join.
     "sim_ivf_kmeans_recall" -> ((s, dir) => {
       import s.implicits._
-      val exact = ExtQueries.queries("sim_topk")(s, dir)
+      val exact = ExtCommon.exactTopk(s, dir)
         .filter(col("rank") <= 3 && col("q_id") % IvfQuerySplit === 0)
         .select(col("q_id"), col("n_id"))
         .crossJoin(Seq("init", "trained").toDF("method"))
