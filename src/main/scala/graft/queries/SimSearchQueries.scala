@@ -86,6 +86,10 @@ object SimSearchQueries {
   private[queries] val HnswL0Hops = 4
   private[queries] val HnswSeedShift = 5
 
+  /** Post-filter pool width of `sim_filtered_search`: the unfiltered
+    * top-K kept before the metadata predicate applies. */
+  private[queries] val FilteredPostK = 8
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "sim_graph_search" -> ((s, dir) => graphSearch(s, dir, materialize = true)),
@@ -187,7 +191,7 @@ object SimSearchQueries {
     // the additional loss 1-bit codes cost INSIDE the cell, priced
     // next to the scan bytes they save.
     "sim_ivf_bq_recall" -> ((s, dir) => {
-      val exact = ExtQueries.queries("sim_topk")(s, dir)
+      val exact = ExtCommon.exactTopk(s, dir)
         .filter(col("rank") <= 3 && col("q_id") % IvfQuerySplit === 0)
         .select(col("q_id"), col("n_id"))
       val ann = queries("sim_ivf_bq")(s, dir)
@@ -206,7 +210,7 @@ object SimSearchQueries {
     // the shared q_id % 10 split — read next to sim_recall (LSH) and
     // sim_graph_search_recall: what 1 bit/dim keeps of the ranking.
     "sim_bq_rerank_recall" -> ((s, dir) => {
-      val exact = ExtQueries.queries("sim_topk")(s, dir)
+      val exact = ExtCommon.exactTopk(s, dir)
         .filter(col("rank") <= 3).select(col("q_id"), col("n_id"))
       val ann = queries("sim_bq_rerank")(s, dir)
         .filter(col("rank") <= 3)
@@ -236,7 +240,7 @@ object SimSearchQueries {
     // split — read next to sim_graph_search_recall: the price of
     // dropping the IVF coarse stage, measured.
     "sim_hnsw_recall" -> ((s, dir) => {
-      val exact = ExtQueries.queries("sim_topk")(s, dir)
+      val exact = ExtCommon.exactTopk(s, dir)
         .filter(col("rank") <= 3).select(col("q_id"), col("n_id"))
       val ann = queries("sim_hnsw")(s, dir)
         .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
@@ -308,7 +312,7 @@ object SimSearchQueries {
     // rows that turns "append without retrain costs nothing" into a
     // measured number at every gate SF.
     "sim_ivf_incremental_recall" -> ((s, dir) => {
-      val exact = ExtQueries.queries("sim_topk")(s, dir)
+      val exact = ExtCommon.exactTopk(s, dir)
         .filter(col("rank") <= 3 && col("q_id") % IvfQuerySplit === 0)
         .select(col("q_id"), col("n_id"))
       val ann = queries("sim_ivf_incremental")(s, dir)
@@ -328,7 +332,7 @@ object SimSearchQueries {
     // sim_ivf_recall (probe1/probe2), and sim_nndescent_recall (the
     // graph's own edge recall) for the full index-quality ladder.
     "sim_graph_search_recall" -> ((s, dir) => {
-      val exact = ExtQueries.queries("sim_topk")(s, dir)
+      val exact = ExtCommon.exactTopk(s, dir)
         .filter(col("rank") <= 3).select(col("q_id"), col("n_id"))
       val ann = queries("sim_graph_search")(s, dir)
         .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
@@ -339,6 +343,150 @@ object SimSearchQueries {
         .select(col("q_id"), col("k"), col("n_hits"),
           Rounding.r6(expr("CAST(n_hits AS DOUBLE) / CAST(k AS DOUBLE)"))
             .as("recall"))
+    }),
+
+    // Filtered ANN search (r13 verdict task 4): the "vector +
+    // metadata predicate" query every production vector store serves.
+    // Predicate = label equality (embeddings.label; per-query
+    // selectivity ≈ 1/|labels|, varied across labels). Two strategies
+    // over the SAME trained-IVF probe-1 candidate set, tagged `mode`:
+    //  - 'pre'  — the predicate cuts the cell candidates BEFORE the
+    //    rank window (filter pushed inside the index scan; the top-3
+    //    ranks over every matching cell member — never starves);
+    //  - 'post' — rank the unfiltered cell, keep
+    //    top-[[FilteredPostK]], THEN apply the predicate (the naive
+    //    compose-with-WHERE plan: at selectivity s it keeps ~s·K
+    //    matches — the starvation the recall twin prices).
+    // Scale shape: identical to sim_ivf_kmeans — one broadcast
+    // assignment pass, cell equi-join, per-query cost ~|cell|. 'pre'
+    // is strictly cheaper (the predicate prunes before ranking).
+    "sim_filtered_search" -> ((s, dir) => {
+      val lbl = emb(s, dir).select(col("vec_id").cast("long").as("vec_id"),
+        col("label").cast("long").as("label"))
+      val a = ivfKmeansAssigned(s, dir).join(lbl, "vec_id").localCheckpoint()
+      val qs = a.filter(col("vec_id") % IvfQuerySplit === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("cell"), col("label").as("qlbl"))
+      val base = qs.join(
+          a.select(col("vec_id").as("n_id"), col("v").as("nv"),
+            col("nrm").as("nn"), col("cell"), col("label").as("nlbl")),
+          Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("sim", expr(s"try_divide(${dotS("qv", "nv")}, qn * nn)"))
+      val pre = base.filter(col("qlbl") === col("nlbl"))
+        .withColumn("rank", expr(
+          "CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT)"))
+        .filter(col("rank") <= 3)
+        .select(lit("pre").as("mode"), col("q_id"), col("n_id"),
+          col("rank"), Rounding.r6(col("sim")).as("sim"))
+      val post = base
+        .withColumn("r0", expr(
+          "row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)"))
+        .filter(col("r0") <= FilteredPostK && col("qlbl") === col("nlbl"))
+        .withColumn("rank", expr(
+          "CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT)"))
+        .filter(col("rank") <= 3)
+        .select(lit("post").as("mode"), col("q_id"), col("n_id"),
+          col("rank"), Rounding.r6(col("sim")).as("sim"))
+      pre.unionByName(post)
+    }),
+
+    // Recall-vs-selectivity of filtered search. The exact filtered
+    // ground truth is the top-3 SAME-LABEL neighbors per query —
+    // label equality makes the exact all-pairs an equi-join ON THE
+    // LABEL (per-task pairs ~n²/|labels|, the measurement analogue of
+    // sim_topk's block join, keyed by a real column). One row per
+    // (mode, label): micro-averaged recall@3 beside the label's
+    // corpus selectivity — the receipt that 'pre' holds recall while
+    // 'post' starves as selectivity drops.
+    "sim_filtered_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"),
+          col("label").cast("long").as("label"))
+        .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
+      val qx = e.filter(col("vec_id") % IvfQuerySplit === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("label"))
+      val truth = qx.join(
+          e.select(col("vec_id").as("n_id"), col("v").as("nv"),
+            col("nrm").as("nn"), col("label")),
+          Seq("label"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("sim", expr(s"try_divide(${dotS("qv", "nv")}, qn * nn)"))
+        .withColumn("rank", expr(
+          "row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)"))
+        .filter(col("rank") <= 3)
+        .select(col("label"), col("q_id"), col("n_id"))
+        .localCheckpoint()
+      val ann = queries("sim_filtered_search")(s, dir)
+        .select(col("mode"), col("q_id"), col("n_id"), lit(1L).as("hit"))
+        .localCheckpoint()
+      val perQ = Seq("pre", "post").map { m =>
+        truth.join(ann.filter(col("mode") === m).drop("mode"),
+            Seq("q_id", "n_id"), "left")
+          .groupBy(col("label"), col("q_id"))
+          .agg(count(lit(1)).as("k"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+          .select(lit(m).as("mode"), col("label"), col("k"), col("n_hits"))
+      }.reduce(_ unionByName _)
+      val cnt = e.groupBy("label").agg(count(lit(1)).as("n_lbl"))
+      val tot = e.groupBy(lit(true).as("_g"))
+        .agg(count(lit(1)).as("n_all")).select(col("n_all"))
+      perQ.groupBy("mode", "label")
+        .agg(count(lit(1)).as("n_q"),
+          sum(col("n_hits")).as("hits"), sum(col("k")).as("ks"))
+        .join(cnt, Seq("label"))
+        .crossJoin(broadcast(tot))
+        .select(col("mode"), col("label"), col("n_q"),
+          Rounding.r6(expr("CAST(n_lbl AS DOUBLE) / CAST(n_all AS DOUBLE)"))
+            .as("selectivity"),
+          Rounding.r6(expr("CAST(hits AS DOUBLE) / CAST(ks AS DOUBLE)"))
+            .as("recall"))
+    }),
+
+    // Index persistence + serving (r13 verdict task 5): the trained
+    // IVF index leaves the session — assignments land AT REST as a
+    // cell-partitioned parquet layout (Hive `cell=N/` directories; a
+    // serving read of one probed cell lists ONE directory — the same
+    // lakehouse pruning `layout_prune_compare` prices) plus the
+    // ≤nlist centroid table; the search then runs ENTIRELY from the
+    // at-rest copy (ids only — vector payloads re-attach from the
+    // corpus by an id-keyed equi-join, the "index stores ids" serving
+    // layout). Answers are pinned byte-identical to the in-memory
+    // sim_ivf_kmeans (OpsSpec2 round-trip) — build once, serve any
+    // number of sessions without re-training.
+    "sim_ivf_served" -> ((s, dir) => {
+      val (cents, assigned) = ivfKmeansIndex(emb(s, dir)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v")))
+      val idx = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_ivf_index_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).getPath
+      val toWrite = assigned.select(col("vec_id"), col("cell"))
+      toWrite.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$idx/assign")
+      cents.write.mode("overwrite").parquet(s"$idx/centroids")
+      // explicit schema: an empty corpus writes no cell=* directory,
+      // and schema-less parquet reads of it cannot infer one
+      val atRest = s.read.schema(toWrite.schema).parquet(s"$idx/assign")
+      val e = emb(s, dir)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+        .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
+      val served = atRest.join(e, "vec_id")
+      val qs = served.filter(col("vec_id") % IvfQuerySplit === 0)
+        .select(col("vec_id").as("q_id"), col("cell"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      qs.join(served.select(col("vec_id").as("n_id"), col("cell"),
+          col("v").as("nv"), col("nrm").as("nn")), Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("sim", expr(s"try_divide(${dotS("qv", "nv")}, qn * nn)"))
+        .withColumn("rank", expr(
+          "CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT)"))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("n_id"), col("rank"),
+          Rounding.r6(col("sim")).as("sim"))
     }))
 
   /** The walk itself. `materialize = true` localCheckpoints the
@@ -773,7 +921,111 @@ object SimSearchQueries {
        |vrk AS (SELECT *, row_number() OVER (PARTITION BY q_id
        |    ORDER BY sim DESC, n_id)::BIGINT AS rank FROM vrr)""".stripMargin
 
+  /** Oracle chain for filtered ANN search: trained-IVF assignment
+    * joined to the label column, probe-1 candidates, then the 'pre'
+    * (predicate before the rank window) and 'post' (unfiltered
+    * top-[[FilteredPostK]], then predicate) strategies — ending in
+    * `fpre` / `fpost`, both `(mode, q_id, n_id, rank, sim)`. Splice
+    * after [[embBase]] + [[ivfKmeansCentsDuck]]. */
+  private val filteredSearchDuck: String =
+    s"""fel AS (SELECT vec_id::BIGINT AS vec_id, label::BIGINT AS label
+       |  FROM embeddings),
+       |fasg0 AS (SELECT e.vec_id, e.v, e.nrm, c.c_id,
+       |    ${dotD("e.v", "c.cv")} / (e.nrm * c.cnrm) AS csim
+       |  FROM en e CROSS JOIN cn c),
+       |fassigned AS MATERIALIZED (SELECT a.vec_id, a.v, a.nrm, a.cell,
+       |    l.label
+       |  FROM (SELECT vec_id, v, nrm, c_id AS cell FROM (
+       |      SELECT *, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY csim DESC, c_id) AS crank FROM fasg0)
+       |    WHERE crank = 1) a JOIN fel l ON l.vec_id = a.vec_id),
+       |fqs AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell,
+       |    label AS qlbl FROM fassigned WHERE vec_id % $IvfQuerySplit = 0),
+       |fbase AS (SELECT q.q_id, y.vec_id AS n_id, q.qlbl, y.label AS nlbl,
+       |    ${dotD("q.qv", "y.v")} / (q.qn * y.nrm) AS sim
+       |  FROM fqs q JOIN fassigned y
+       |  ON q.cell = y.cell AND q.q_id <> y.vec_id),
+       |fpre AS (SELECT 'pre' AS mode, q_id, n_id, rank, sim FROM (
+       |    SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, n_id)::BIGINT AS rank
+       |    FROM fbase WHERE qlbl = nlbl) WHERE rank <= 3),
+       |fpk AS (SELECT q_id, n_id, sim, qlbl, nlbl FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, n_id) AS r0 FROM fbase)
+       |  WHERE r0 <= $FilteredPostK),
+       |fpost AS (SELECT 'post' AS mode, q_id, n_id, rank, sim FROM (
+       |    SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, n_id)::BIGINT AS rank
+       |    FROM fpk WHERE qlbl = nlbl) WHERE rank <= 3)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+
+    "sim_filtered_search" ->
+      s"""WITH $embBase,
+         |$ivfKmeansCentsDuck,
+         |$filteredSearchDuck
+         |SELECT mode, q_id, n_id, rank, (round(sim, 6) + 0.0) AS sim
+         |FROM (SELECT * FROM fpre UNION ALL SELECT * FROM fpost)""".stripMargin,
+
+    "sim_filtered_recall" ->
+      s"""WITH $embBase,
+         |$ivfKmeansCentsDuck,
+         |$filteredSearchDuck,
+         |fre AS (SELECT en.vec_id, en.v, en.nrm, l.label
+         |  FROM en JOIN fel l ON l.vec_id = en.vec_id),
+         |frq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, label
+         |  FROM fre WHERE vec_id % $IvfQuerySplit = 0),
+         |frs AS (SELECT q.label, q.q_id, y.vec_id AS n_id,
+         |    ${dotD("q.qv", "y.v")} / (q.qn * y.nrm) AS sim
+         |  FROM frq q JOIN fre y
+         |  ON q.label = y.label AND q.q_id <> y.vec_id),
+         |frt AS (SELECT label, q_id, n_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY sim DESC, n_id) AS rank FROM frs) WHERE rank <= 3),
+         |fann AS (SELECT mode, q_id, n_id
+         |  FROM (SELECT * FROM fpre UNION ALL SELECT * FROM fpost)),
+         |fpq AS (SELECT m.mode, t.label, t.q_id,
+         |    count(*)::BIGINT AS k,
+         |    sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |      AS n_hits
+         |  FROM (VALUES ('pre'), ('post')) m(mode)
+         |  CROSS JOIN frt t
+         |  LEFT JOIN fann a ON a.mode = m.mode AND a.q_id = t.q_id
+         |    AND a.n_id = t.n_id
+         |  GROUP BY 1, 2, 3),
+         |fcnt AS (SELECT label, count(*)::BIGINT AS n_lbl FROM fre
+         |  GROUP BY 1),
+         |ftot AS (SELECT count(*)::BIGINT AS n_all FROM fre)
+         |SELECT mode, label, count(*)::BIGINT AS n_q,
+         |  (round(CAST(n_lbl AS DOUBLE) / CAST(n_all AS DOUBLE), 6) + 0.0)
+         |    AS selectivity,
+         |  (round(CAST(sum(n_hits) AS DOUBLE) / CAST(sum(k) AS DOUBLE), 6)
+         |    + 0.0) AS recall
+         |FROM fpq JOIN fcnt USING (label) CROSS JOIN ftot
+         |GROUP BY mode, label, n_lbl, n_all""".stripMargin,
+
+    // Round-trips through the at-rest cell-partitioned layout must be
+    // lossless, so the served answers ARE sim_ivf_kmeans' answers —
+    // one oracle text, two engines, three query names kept equal.
+    "sim_ivf_served" ->
+      s"""WITH $embBase,
+         |$ivfKmeansCentsDuck,
+         |sasg0 AS (SELECT e.vec_id, e.v, e.nrm, c.c_id,
+         |    ${dotD("e.v", "c.cv")} / (e.nrm * c.cnrm) AS csim
+         |  FROM en e CROSS JOIN cn c),
+         |sassigned AS MATERIALIZED (SELECT vec_id, v, nrm, c_id AS cell
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY csim DESC, c_id) AS crank FROM sasg0)
+         |  WHERE crank = 1),
+         |sqs AS (SELECT * FROM sassigned WHERE vec_id % $IvfQuerySplit = 0),
+         |ssims AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
+         |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+         |  FROM sqs x JOIN sassigned y
+         |  ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+         |srk AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, n_id)::BIGINT AS rank FROM ssims)
+         |SELECT q_id, n_id, rank, (round(sim, 6) + 0.0) AS sim
+         |FROM srk WHERE rank <= 3""".stripMargin,
 
     "sim_ivf_bq" ->
       s"""WITH $embBase,

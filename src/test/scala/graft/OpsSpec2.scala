@@ -380,4 +380,28 @@ class OpsSpec2 extends SparkSpec {
     assert(ht(0).getAs[Double]("t_welch") == 0.0, // NaN/null if wrapped
       s"t_welch=${ht(0).getAs[Double]("t_welch")}")
   }
+
+  test("sim_ivf_served: at-rest index round-trips to in-memory answers") {
+    // The serving read must be lossless: the cell-partitioned parquet
+    // index (ids only, payloads re-attached by id) answers EXACTLY
+    // what the in-memory sim_ivf_kmeans chain answers, and the
+    // on-disk layout is the Hive cell=N/ directory tree a one-cell
+    // probe can prune to a single directory listing.
+    val sf = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"),
+        r.getAs[Long]("rank"), r.getAs[Double]("sim"))
+    val served = graft.queries.SimSearchQueries.queries("sim_ivf_served")(
+      spark, sf).collect().map(key).toSet
+    val mem = graft.queries.SimQueries.queries("sim_ivf_kmeans")(
+      spark, sf).collect().map(key).toSet
+    assert(served == mem, s"served=${served.size} mem=${mem.size}")
+    val idx = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft_ivf_index_" + sf.replaceAll("[^A-Za-z0-9._-]", "_"))
+    val cells = new java.io.File(idx, "assign").listFiles()
+      .filter(_.getName.startsWith("cell="))
+    assert(cells.length > 1, s"expected Hive cell=N dirs, got ${cells.length}")
+    assert(new java.io.File(idx, "centroids").exists())
+  }
 }
