@@ -380,6 +380,41 @@ object Behavior2Queries {
           r6(col("q50") / lit(1e6)).as("p50_s"),
           r6(col("q90") / lit(1e6)).as("p90_s"),
           r6(col("q99") / lit(1e6)).as("p99_s"))
+    }),
+
+    // k-anonymity audit (training-data governance face): treat
+    // (event_type, day-of-week, 6-hour daypart) as the released
+    // quasi-identifier tuple and ask how many users hide behind each
+    // combination. A QI cell with fewer than k=5 distinct users
+    // re-identifies its members by intersection — the classic
+    // k-anonymity failure. Output per event_type: cell count, small
+    // (<k) cell count, QI memberships exposed through small cells,
+    // and the exposure rate — the exact suppression budget an
+    // anonymized release of this table would pay. Shape: one
+    // DISTINCT on the 4-tuple, one cell rollup, one event_type
+    // rollup — all map-side-combinable exact integers; no window,
+    // no join, scales as a two-exchange aggregate at any corpus
+    // size.
+    "privacy_kanon" -> ((s, dir) => {
+      val qi = EventBars.events(s, dir)
+        .select(col("user_id").cast("long").as("user_id"),
+          col("event_type"),
+          expr(s"(t DIV $DayUs) % 7").as("dow"),
+          expr("((t DIV 3600000000) % 24) DIV 6").as("daypart"))
+        .distinct()
+      qi.groupBy("event_type", "dow", "daypart")
+        .agg(count(lit(1)).as("n_users"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_cells"),
+          sum(when(col("n_users") < 5L, 1L).otherwise(0L))
+            .as("n_small_cells"),
+          sum(when(col("n_users") < 5L, col("n_users")).otherwise(0L))
+            .as("n_exposed"),
+          sum(col("n_users")).as("n_memberships"))
+        .select(col("event_type"), col("n_cells"), col("n_small_cells"),
+          col("n_exposed"),
+          r6(expr("CAST(n_exposed AS DOUBLE)" +
+            " / CAST(n_memberships AS DOUBLE)")).as("exposure_rate"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -618,5 +653,23 @@ object Behavior2Queries {
          |  (round(quantile_cont(gapd, 0.5) / 1e6, 6) + 0.0) AS p50_s,
          |  (round(quantile_cont(gapd, 0.9) / 1e6, 6) + 0.0) AS p90_s,
          |  (round(quantile_cont(gapd, 0.99) / 1e6, 6) + 0.0) AS p99_s
-         |FROM f GROUP BY event_type""".stripMargin)
+         |FROM f GROUP BY event_type""".stripMargin,
+
+    "privacy_kanon" ->
+      s"""WITH $evDuck,
+         |kqi AS (SELECT DISTINCT user_id, event_type,
+         |    (t // $DayUs) % 7 AS dow,
+         |    ((t // 3600000000) % 24) // 6 AS daypart FROM ev),
+         |kcell AS (SELECT event_type, dow, daypart,
+         |    count(*)::BIGINT AS n_users
+         |  FROM kqi GROUP BY 1, 2, 3)
+         |SELECT event_type, count(*)::BIGINT AS n_cells,
+         |  sum(CASE WHEN n_users < 5 THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_small_cells,
+         |  sum(CASE WHEN n_users < 5 THEN n_users ELSE 0 END)::BIGINT
+         |    AS n_exposed,
+         |  (round(CAST(sum(CASE WHEN n_users < 5 THEN n_users ELSE 0 END)
+         |      AS DOUBLE) / CAST(sum(n_users) AS DOUBLE), 6) + 0.0)
+         |    AS exposure_rate
+         |FROM kcell GROUP BY event_type""".stripMargin)
 }

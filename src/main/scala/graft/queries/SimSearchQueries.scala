@@ -487,6 +487,106 @@ object SimSearchQueries {
         .filter(col("rank") <= 3)
         .select(col("q_id"), col("n_id"), col("rank"),
           Rounding.r6(col("sim")).as("sim"))
+    }),
+
+    // One evaluation table for the ANN serving ladder — NDCG@3 and
+    // MRR (the ranking-quality metrics recall@k cannot see: WHERE in
+    // the top-3 the true neighbors land) for the three cheap serving
+    // faces — trained-IVF probe-1, BQ Hamming-rerank, and the
+    // composed IVF→BQ stack — against the exact ground truth on the
+    // shared q_id % HybridSplit split. Binary-relevance gain weights
+    // 1/log2(rank+1) enter as PRE-QUANTIZED micro constants
+    // (1000000/630930/500000) so no transcendental ever crosses an
+    // engine; per-query NDCG/MRR quantize to micro-longs before the
+    // cross-query mean (the suite's exact-summation rule).
+    "sim_search_ndcg" -> ((s, dir) => {
+      val exact = ExtCommon.exactTopk(s, dir)
+        .filter(col("rank") <= 3 && col("q_id") % HybridSplit === 0)
+        .select(col("q_id"), col("n_id"))
+        .localCheckpoint()
+      val idcg = exact.groupBy("q_id").agg(count(lit(1)).as("nrel"))
+        .withColumn("idcg_micro", expr("CASE nrel WHEN 1 THEN 1000000L " +
+          "WHEN 2 THEN 1630930L ELSE 2130930L END"))
+      def evalFam(name: String, ann: DataFrame): DataFrame = {
+        val hits = ann
+          .filter(col("q_id") % HybridSplit === 0 && col("rank") <= 3)
+          .select(col("q_id"), col("n_id"), col("rank"))
+          .join(exact, Seq("q_id", "n_id"))
+          .groupBy("q_id")
+          .agg(sum(expr("CASE rank WHEN 1 THEN 1000000L WHEN 2 THEN " +
+            "630930L ELSE 500000L END")).as("dcg_micro"),
+            min(col("rank")).as("first_hit"))
+        idcg.join(hits, Seq("q_id"), "left")
+          .select(lit(name).as("family"),
+            expr("CAST(round(CAST(coalesce(dcg_micro, 0L) AS DOUBLE)" +
+              " / CAST(idcg_micro AS DOUBLE) * 1000000.0) AS BIGINT)")
+              .as("ndcg_micro"),
+            expr("CASE coalesce(first_hit, 0L) WHEN 1 THEN 1000000L " +
+              "WHEN 2 THEN 500000L WHEN 3 THEN 333333L ELSE 0L END")
+              .as("mrr_micro"))
+      }
+      Seq(
+        "ivf" -> SimQueries.queries("sim_ivf_kmeans")(s, dir),
+        "bq" -> queries("sim_bq_rerank")(s, dir),
+        "ivf_bq" -> queries("sim_ivf_bq")(s, dir))
+        .map { case (n, df) => evalFam(n, df) }
+        .reduce(_ unionByName _)
+        .groupBy("family")
+        .agg(count(lit(1)).as("n_q"),
+          Rounding.r6(expr("CAST(sum(ndcg_micro) AS DOUBLE)" +
+            " / CAST(count(1) AS DOUBLE) / 1000000.0")).as("ndcg3"),
+          Rounding.r6(expr("CAST(sum(mrr_micro) AS DOUBLE)" +
+            " / CAST(count(1) AS DOUBLE) / 1000000.0")).as("mrr"))
+    }),
+
+    // Matryoshka-style truncation recall: how much of the exact
+    // top-3 ranking survives keeping only the first half / quarter
+    // of every embedding's dimensions — the MRL serving question
+    // (truncated vectors mean proportionally smaller index scans and
+    // memory residency at 100 TB; this prices the ranking loss that
+    // buys). The exact truncated top-3 per query rides sim_topk's
+    // block-partitioned pair join verbatim (per-task pairs (n/B)²,
+    // shuffled-hash, never a nested loop); truncation is a zero-copy
+    // slice() on the array column inside the scan task.
+    "sim_mrl_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+      val exact = ExtCommon.exactTopk(s, dir)
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("n_id"))
+        .localCheckpoint()
+      def lvl(name: String, kExpr: String): DataFrame = {
+        val t = e.select(col("vec_id"),
+          expr(s"slice(v, 1, $kExpr)").as("tv"))
+          .withColumn("tn", expr(s"sqrt(${dotS("tv", "tv")})"))
+        val q = t.filter(col("vec_id") % TopkSplit === 0)
+          .withColumn("bi", expr(s"CAST(vec_id % $PairBlocks AS INT)"))
+          .withColumn("bj", explode(expr(s"sequence(0, ${PairBlocks - 1})")))
+        val y = t.withColumn("bj", expr(s"CAST(vec_id % $PairBlocks AS INT)"))
+          .withColumn("bi", explode(expr(s"sequence(0, ${PairBlocks - 1})")))
+        val ann = q.as("x").hint("shuffle_hash")
+          .join(y.as("y").hint("shuffle_hash"),
+            col("x.bi") === col("y.bi") && col("x.bj") === col("y.bj") &&
+              col("x.vec_id") =!= col("y.vec_id"))
+          .withColumn("sim",
+            expr(s"try_divide(${dotS("x.tv", "y.tv")}, x.tn * y.tn)"))
+          .withColumn("rank", expr(
+            "row_number() OVER (PARTITION BY x.vec_id ORDER BY sim DESC, y.vec_id)"))
+          .filter(col("rank") <= 3)
+          .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("n_id"),
+            lit(1L).as("hit"))
+        exact.join(ann, Seq("q_id", "n_id"), "left")
+          .select(lit(name).as("level"),
+            coalesce(col("hit"), lit(0L)).as("hit"))
+      }
+      lvl("half", "(size(v) + 1) DIV 2")
+        .unionByName(lvl("quarter", "(size(v) + 3) DIV 4"))
+        .groupBy("level")
+        .agg(count(lit(1)).as("n_truth"), sum(col("hit")).as("n_hits"))
+        .select(col("level"), col("n_truth"), col("n_hits"),
+          Rounding.r6(expr("CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE)"))
+            .as("recall"))
     }))
 
   /** The walk itself. `materialize = true` localCheckpoints the
@@ -1026,6 +1126,111 @@ object SimSearchQueries {
          |    ORDER BY sim DESC, n_id)::BIGINT AS rank FROM ssims)
          |SELECT q_id, n_id, rank, (round(sim, 6) + 0.0) AS sim
          |FROM srk WHERE rank <= 3""".stripMargin,
+
+    "sim_search_ndcg" ->
+      s"""WITH $embBase,
+         |$ivfKmeansCentsDuck,
+         |$bqChainDuck,
+         |$ivfBqChainDuck,
+         |nasg0 AS (SELECT e.vec_id, e.v, e.nrm, c.c_id,
+         |    ${dotD("e.v", "c.cv")} / (e.nrm * c.cnrm) AS csim
+         |  FROM en e CROSS JOIN cn c),
+         |nassigned AS MATERIALIZED (SELECT vec_id, v, nrm, c_id AS cell
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY csim DESC, c_id) AS crank FROM nasg0)
+         |  WHERE crank = 1),
+         |nqs AS (SELECT * FROM nassigned WHERE vec_id % $IvfQuerySplit = 0),
+         |nsims AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
+         |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+         |  FROM nqs x JOIN nassigned y
+         |  ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+         |nrk AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, n_id)::BIGINT AS rank FROM nsims),
+         |xq AS (SELECT * FROM en WHERE vec_id % $HybridSplit = 0),
+         |xs AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
+         |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+         |  FROM xq x JOIN en y ON x.vec_id <> y.vec_id),
+         |xt AS (SELECT q_id, n_id FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY sim DESC, n_id) AS r FROM xs)
+         |  WHERE r <= 3),
+         |nidcg AS (SELECT q_id,
+         |    CASE count(*) WHEN 1 THEN 1000000 WHEN 2 THEN 1630930
+         |      ELSE 2130930 END AS idcg_micro
+         |  FROM xt GROUP BY q_id),
+         |fall AS (
+         |  SELECT 'ivf' AS family, q_id, n_id, rank FROM nrk
+         |    WHERE rank <= 3 AND q_id % $HybridSplit = 0
+         |  UNION ALL
+         |  SELECT 'bq', q_id, n_id, rank FROM brk
+         |    WHERE rank <= 3 AND q_id % $HybridSplit = 0
+         |  UNION ALL
+         |  SELECT 'ivf_bq', q_id, n_id, rank FROM vrk
+         |    WHERE rank <= 3 AND q_id % $HybridSplit = 0),
+         |fh AS (SELECT f.family, f.q_id,
+         |    sum(CASE f.rank WHEN 1 THEN 1000000 WHEN 2 THEN 630930
+         |      ELSE 500000 END)::BIGINT AS dcg_micro,
+         |    min(f.rank)::BIGINT AS first_hit
+         |  FROM fall f JOIN xt t ON t.q_id = f.q_id AND t.n_id = f.n_id
+         |  GROUP BY 1, 2),
+         |fper AS (SELECT fam.family, i.q_id,
+         |    CAST(round(CAST(coalesce(h.dcg_micro, 0) AS DOUBLE)
+         |      / CAST(i.idcg_micro AS DOUBLE) * 1000000.0) AS BIGINT)
+         |      AS ndcg_micro,
+         |    CASE coalesce(h.first_hit, 0) WHEN 1 THEN 1000000
+         |      WHEN 2 THEN 500000 WHEN 3 THEN 333333 ELSE 0 END
+         |      AS mrr_micro
+         |  FROM (VALUES ('ivf'), ('bq'), ('ivf_bq')) fam(family)
+         |  CROSS JOIN nidcg i
+         |  LEFT JOIN fh h ON h.family = fam.family AND h.q_id = i.q_id)
+         |SELECT family, count(*)::BIGINT AS n_q,
+         |  (round(CAST(sum(ndcg_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    / 1000000.0, 6) + 0.0) AS ndcg3,
+         |  (round(CAST(sum(mrr_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    / 1000000.0, 6) + 0.0) AS mrr
+         |FROM fper GROUP BY family""".stripMargin,
+
+    "sim_mrl_recall" ->
+      s"""WITH $embBase,
+         |mxq AS (SELECT * FROM en WHERE vec_id % $TopkSplit = 0),
+         |mxs AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
+         |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+         |  FROM mxq x JOIN en y ON x.vec_id <> y.vec_id),
+         |mxt AS (SELECT q_id, n_id FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY sim DESC, n_id) AS r FROM mxs)
+         |  WHERE r <= 3),
+         |mh AS (SELECT vec_id, v[1:(len(v)+1)//2] AS tv FROM eb),
+         |mhn AS (SELECT *, sqrt(${dotD("tv", "tv")}) AS tn FROM mh),
+         |mhq AS (SELECT * FROM mhn WHERE vec_id % $TopkSplit = 0),
+         |mhs AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
+         |    ${dotD("x.tv", "y.tv")} / (x.tn * y.tn) AS sim
+         |  FROM mhq x JOIN mhn y ON x.vec_id <> y.vec_id),
+         |mha AS (SELECT q_id, n_id FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY sim DESC, n_id) AS r FROM mhs)
+         |  WHERE r <= 3),
+         |mq AS (SELECT vec_id, v[1:(len(v)+3)//4] AS tv FROM eb),
+         |mqn AS (SELECT *, sqrt(${dotD("tv", "tv")}) AS tn FROM mq),
+         |mqq AS (SELECT * FROM mqn WHERE vec_id % $TopkSplit = 0),
+         |mqs AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
+         |    ${dotD("x.tv", "y.tv")} / (x.tn * y.tn) AS sim
+         |  FROM mqq x JOIN mqn y ON x.vec_id <> y.vec_id),
+         |mqa AS (SELECT q_id, n_id FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY sim DESC, n_id) AS r FROM mqs)
+         |  WHERE r <= 3),
+         |mu AS (
+         |  SELECT 'half' AS level,
+         |    CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM mxt t LEFT JOIN mha a
+         |    ON a.q_id = t.q_id AND a.n_id = t.n_id
+         |  UNION ALL
+         |  SELECT 'quarter',
+         |    CASE WHEN b.n_id IS NOT NULL THEN 1 ELSE 0 END
+         |  FROM mxt t LEFT JOIN mqa b
+         |    ON b.q_id = t.q_id AND b.n_id = t.n_id)
+         |SELECT level, count(*)::BIGINT AS n_truth,
+         |  sum(hit)::BIGINT AS n_hits,
+         |  (round(CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         |    + 0.0) AS recall
+         |FROM mu GROUP BY level""".stripMargin,
 
     "sim_ivf_bq" ->
       s"""WITH $embBase,
