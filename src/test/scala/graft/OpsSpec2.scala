@@ -404,4 +404,57 @@ class OpsSpec2 extends SparkSpec {
     assert(cells.length > 1, s"expected Hive cell=N dirs, got ${cells.length}")
     assert(new java.io.File(idx, "centroids").exists())
   }
+
+  test("filtered search: post-filter starves at planted 5% selectivity") {
+    // Mechanism pin for the pre-vs-post receipt: 1800 near-parallel
+    // cluster-A vectors (all land in centroid-0's cell — ids 1..199
+    // are anti-parallel decoy centroids, so every cluster-A vector's
+    // argmax-cosine cell is 0), 5% carrying the rare label. A rare
+    // query's 'pre' search ranks ONLY its ~90 same-label cell mates —
+    // always 3 answers; 'post' keeps the unfiltered top-8 first, which
+    // is ~95% majority-label, and starves after the predicate.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fsel").toString
+    val rows = (0 until 2000).map { i =>
+      val emb: Array[Float] =
+        if (i >= 1 && i < 200)
+          Array(-1.0f, (0.3 * math.sin(i * 2.3)).toFloat, 0.2f, -0.1f,
+            (0.3 * math.cos(i * 1.1)).toFloat, 0f, 0f, 0f)
+        else
+          Array(1.0f) ++ (1 to 7).map(k =>
+            (0.05 * math.sin(i * 1.7 * k + k)).toFloat).toArray
+      (i.toLong, emb, if (i % 20 == 0) 1 else 0)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = graft.queries.SimSearchQueries.queries("sim_filtered_search")(
+      spark, dir).collect()
+    val rareQs = (200 to 1900 by 100).map(_.toLong).toSet // rare ∩ cluster A
+    val pre = out.count(r => r.getAs[String]("mode") == "pre" &&
+      rareQs(r.getAs[Long]("q_id")))
+    val post = out.count(r => r.getAs[String]("mode") == "post" &&
+      rareQs(r.getAs[Long]("q_id")))
+    assert(pre == 3 * rareQs.size, s"pre=$pre (expected full top-3s)")
+    assert(post * 2 < pre, s"post=$post did not starve vs pre=$pre")
+  }
+
+  test("served IVF index: a one-cell probe partition-prunes the at-rest read") {
+    // The point of the cell=N/ Hive layout: a probe of one cell must
+    // push a PartitionFilter into the scan (listing one directory at
+    // 100 TB), not read the index and filter rows.
+    graft.queries.SimSearchQueries.queries("sim_ivf_served")(spark, sf)
+      .count() // (re)writes the at-rest index for this sf
+    val idx = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft_ivf_index_" + sf.replaceAll("[^A-Za-z0-9._-]", "_")).getPath
+    val at = spark.read.schema("vec_id BIGINT, cell BIGINT")
+      .parquet(s"$idx/assign")
+    val firstCell = at.agg(min("cell")).collect()(0).getLong(0)
+    val sel = at.filter(col("cell") === firstCell)
+    val p = sel.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(cell"), p)
+    // attribute prints with an expression id: (cell#123L = 0)
+    assert(s"\\(cell#\\d+L? = $firstCell\\)".r.findFirstIn(p).isDefined, p)
+    assert(sel.count() > 0 && sel.count() < at.count())
+  }
 }

@@ -952,6 +952,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("filtered search / ndcg / kanon: equi-joins only, bounded exchanges") {
+    // sim_filtered_search: the cell equi-join + label predicate must
+    // never degrade to a nested loop; privacy_kanon is a pure
+    // aggregate chain (distinct → cell rollup → event_type rollup) —
+    // no join at all.
+    val pf = plan("sim_filtered_search")
+    assert(!pf.contains("CartesianProduct") && !pf.contains("BroadcastNestedLoop"), pf)
+    val pn = plan("sim_search_ndcg")
+    assert(!pn.contains("CartesianProduct"), pn)
+    val pk = plan("privacy_kanon")
+    assert(!pk.contains("Join"), pk)
+    assert(shuffles(pk) <= 3, pk)
+  }
+
   test("TPC-H family: broadcast() hints only on provably bounded relations") {
     // r13 verdict: a forced broadcast of an SF-scaling relation
     // (orders, customer, part, supplier, or a rollup keyed by their
