@@ -489,6 +489,67 @@ object SimSearchQueries {
           Rounding.r6(col("sim")).as("sim"))
     }),
 
+    // Tombstoned serving — the DELETE path beside r13's incremental
+    // ADD (`sim_ivf_incremental`): 10% of the corpus (vec_id % 10 = 3)
+    // is deleted AFTER the trained-IVF index was built. Centroids and
+    // assignments stay FROZEN (no retrain, no base re-scan); the
+    // tombstone mask applies at serve time on both the query and the
+    // candidate side — exactly how production vector stores take
+    // deletes (a filter against the at-rest index until the next
+    // compaction). The recall twin below reads against
+    // sim_ivf_kmeans_recall: deletion must cost nothing beyond the
+    // corpus shrinkage itself.
+    "sim_ivf_deleted" -> ((s, dir) => {
+      val live = ivfKmeansAssigned(s, dir)
+        .filter(col("vec_id") % 10 =!= 3)
+        .localCheckpoint()
+      val qs = live.filter(col("vec_id") % IvfQuerySplit === 0)
+      qs.as("x").join(live.as("y"),
+          col("x.cell") === col("y.cell") && col("x.vec_id") =!= col("y.vec_id"))
+        .withColumn("sim", expr(s"try_divide(${dotS("x.v", "y.v")}, x.nrm * y.nrm)"))
+        .withColumn("rank", expr(
+          "CAST(row_number() OVER (PARTITION BY x.vec_id ORDER BY sim DESC, y.vec_id) AS BIGINT)"))
+        .filter(col("rank") <= 3)
+        .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("n_id"),
+          col("rank"), Rounding.r6(col("sim")).as("sim"))
+    }),
+
+    // Recall@3 of tombstoned serving vs the exact ground truth over
+    // the LIVE corpus (the truth itself must exclude tombstones — a
+    // deleted vector is not a valid answer). Exact truth rides
+    // sim_topk's block-partitioned pair join over the masked corpus.
+    "sim_ivf_deleted_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+        .withColumn("nrm", expr(s"sqrt(${dotS("v", "v")})"))
+        .filter(col("vec_id") % 10 =!= 3)
+      val q = e.filter(col("vec_id") % IvfQuerySplit === 0)
+        .withColumn("bi", expr(s"CAST(vec_id % $PairBlocks AS INT)"))
+        .withColumn("bj", explode(expr(s"sequence(0, ${PairBlocks - 1})")))
+      val y = e.withColumn("bj", expr(s"CAST(vec_id % $PairBlocks AS INT)"))
+        .withColumn("bi", explode(expr(s"sequence(0, ${PairBlocks - 1})")))
+      val truth = q.as("x").hint("shuffle_hash")
+        .join(y.as("y").hint("shuffle_hash"),
+          col("x.bi") === col("y.bi") && col("x.bj") === col("y.bj") &&
+            col("x.vec_id") =!= col("y.vec_id"))
+        .withColumn("sim",
+          expr(s"try_divide(${dotS("x.v", "y.v")}, x.nrm * y.nrm)"))
+        .withColumn("rank", expr(
+          "row_number() OVER (PARTITION BY x.vec_id ORDER BY sim DESC, y.vec_id)"))
+        .filter(col("rank") <= 3)
+        .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("n_id"))
+      val ann = queries("sim_ivf_deleted")(s, dir)
+        .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+      truth.join(ann, Seq("q_id", "n_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("q_id"), col("k"), col("n_hits"),
+          Rounding.r6(expr("CAST(n_hits AS DOUBLE) / CAST(k AS DOUBLE)"))
+            .as("recall"))
+    }),
+
     // One evaluation table for the ANN serving ladder — NDCG@3 and
     // MRR (the ranking-quality metrics recall@k cannot see: WHERE in
     // the top-3 the true neighbors land) for the three cheap serving
@@ -1058,7 +1119,57 @@ object SimSearchQueries {
        |      ORDER BY sim DESC, n_id)::BIGINT AS rank
        |    FROM fpk WHERE qlbl = nlbl) WHERE rank <= 3)""".stripMargin
 
+  /** Oracle chain for tombstoned serving: the trained-IVF assignment
+    * with the vec_id % 10 = 3 tombstone mask applied at serve time —
+    * ending in `drk(q_id, n_id, sim, rank)`. Splice after
+    * [[embBase]] + [[ivfKmeansCentsDuck]]. */
+  private val ivfDeletedChainDuck: String =
+    s"""dasg0 AS (SELECT e.vec_id, e.v, e.nrm, c.c_id,
+       |    ${dotD("e.v", "c.cv")} / (e.nrm * c.cnrm) AS csim
+       |  FROM en e CROSS JOIN cn c),
+       |dassigned AS MATERIALIZED (SELECT vec_id, v, nrm, c_id AS cell
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY csim DESC, c_id) AS crank FROM dasg0)
+       |  WHERE crank = 1),
+       |dlive AS (SELECT * FROM dassigned WHERE vec_id % 10 <> 3),
+       |dqs AS (SELECT * FROM dlive WHERE vec_id % $IvfQuerySplit = 0),
+       |dsims AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
+       |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+       |  FROM dqs x JOIN dlive y
+       |  ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+       |drk AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY sim DESC, n_id)::BIGINT AS rank FROM dsims)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+
+    "sim_ivf_deleted" ->
+      s"""WITH $embBase,
+         |$ivfKmeansCentsDuck,
+         |$ivfDeletedChainDuck
+         |SELECT q_id, n_id, rank, (round(sim, 6) + 0.0) AS sim
+         |FROM drk WHERE rank <= 3""".stripMargin,
+
+    "sim_ivf_deleted_recall" ->
+      s"""WITH $embBase,
+         |$ivfKmeansCentsDuck,
+         |$ivfDeletedChainDuck,
+         |dexl AS (SELECT * FROM en WHERE vec_id % 10 <> 3),
+         |dexq AS (SELECT * FROM dexl WHERE vec_id % $IvfQuerySplit = 0),
+         |dexs AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id,
+         |    ${dotD("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+         |  FROM dexq x JOIN dexl y ON x.vec_id <> y.vec_id),
+         |dext AS (SELECT q_id, n_id FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY sim DESC, n_id) AS r FROM dexs)
+         |  WHERE r <= 3),
+         |dann AS (SELECT q_id, n_id FROM drk WHERE rank <= 3)
+         |SELECT t.q_id, count(*)::BIGINT AS k,
+         |  sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_hits,
+         |  (round(CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) + 0.0) AS recall
+         |FROM dext t LEFT JOIN dann a
+         |  ON a.q_id = t.q_id AND a.n_id = t.n_id
+         |GROUP BY t.q_id""".stripMargin,
 
     "sim_filtered_search" ->
       s"""WITH $embBase,

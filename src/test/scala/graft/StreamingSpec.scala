@@ -1153,6 +1153,55 @@ class StreamingSpec extends SparkSpec {
     assert(byG("skew").dropWhile(_ >= 0.05).forall(_ < 0.05),
       "always-valid decision must never un-trigger")
   }
+
+  test("streaming k-anonymity monitor: bounded state, split-invariant, monotone safe") {
+    // Cells: 'safe' sees 8 distinct users (crosses k=5 mid-stream and
+    // must STAY safe), 'small' sees 3 distinct users re-delivered many
+    // times (must never flip and must not grow state past 3 ids).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val data = (0 until 8).map(i => ("safe", i.toLong)) ++
+      (0 until 30).map(i => ("small", (i % 3).toLong))
+    def run(name: String, splits: Seq[Seq[(String, Long)]])
+        : Seq[Seq[(String, Long, Boolean)]] = {
+      val stream = MemoryStream[(String, Long)]
+      val out = graft.streaming.StreamingKanon(
+        stream.toDS().toDF("cell", "user_id"))
+      val q = out.writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName(name).start()
+      try {
+        var prev = 0
+        splits.map { b =>
+          stream.addData(b)
+          q.processAllAvailable()
+          val rows = spark.table(name).collect().drop(prev)
+          prev += rows.length
+          rows.map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+            .toSeq.sortBy(_._1)
+        }
+      } finally q.stop()
+    }
+    val splitA = Seq(data.take(5), data.slice(5, 20), data.drop(20))
+    val splitB = Seq(data.take(11), data.drop(11))
+    val gotA = run("kan1", splitA)
+    // replay determinism on the same split
+    assert(run("kan2", splitA) == gotA)
+    // n_seen never exceeds k (the state bound), safe is monotone
+    val byCell = gotA.flatten.groupBy(_._1)
+    byCell.values.foreach { rows =>
+      assert(rows.forall(_._2 <= graft.streaming.StreamingKanon.K))
+      val flags = rows.map(_._3)
+      assert(flags == flags.scanLeft(false)(_ || _).tail,
+        s"safe un-flipped: $flags")
+    }
+    // the FINAL standing is split-invariant and matches the batch rule
+    val finalA = gotA.flatten.groupBy(_._1).view.mapValues(_.last).toMap
+    val finalB = run("kan3", splitB).flatten.groupBy(_._1)
+      .view.mapValues(_.last).toMap
+    assert(finalA == finalB, s"$finalA vs $finalB")
+    assert(finalA("safe") == (("safe", 5L, true)))
+    assert(finalA("small") == (("small", 3L, false)))
+  }
 }
 
 object StreamingSpec {
