@@ -67,6 +67,15 @@ private[graft] object ExtCommon {
   private[graft] def exactMips(s: SparkSession, dir: String): DataFrame =
     cachedExact("sim_mips", s, dir)(SimQueries.queries("sim_mips")(s, dir))
 
+  /** Session-scoped cache for ANN results consumed by recall twins
+    * and eval overlays (same mechanism as the exact pools). The
+    * STANDALONE query still rebuilds from scratch on every run — its
+    * own bench line prices the build honestly; only the measurement
+    * overlays reuse, so a twin prices the COMPARISON instead of a
+    * second copy of the build it is grading. */
+  private[graft] def cachedAnn(name: String, s: SparkSession, dir: String)
+      (build: => DataFrame): DataFrame = cachedExact(name, s, dir)(build)
+
   private[graft] def docs(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     s.read.parquet(s"$dir/documents.parquet")

@@ -245,9 +245,9 @@ object SimQueries {
     // top-5 recovers. The join keys are (q_id, doc_id) id pairs —
     // recall math on bounded 5-row-per-query lists, never vectors.
     "sim_hybrid_rrf_ann_recall" -> ((s, dir) => {
-      val exact = ExtQueries.queries("sim_hybrid_rrf")(s, dir)
+      val exact = ExtCommon.cachedAnn("sim_hybrid_rrf", s, dir)(ExtQueries.queries("sim_hybrid_rrf")(s, dir))
         .select(col("q_id"), col("doc_id"))
-      val ann = ExtQueries.queries("sim_hybrid_rrf_ann")(s, dir)
+      val ann = ExtCommon.cachedAnn("sim_hybrid_rrf_ann", s, dir)(ExtQueries.queries("sim_hybrid_rrf_ann")(s, dir))
         .select(col("q_id"), col("doc_id"), lit(1L).as("hit"))
       exact.join(ann, Seq("q_id", "doc_id"), "left")
         .groupBy("q_id")
@@ -364,7 +364,7 @@ object SimQueries {
     "sim_mips_recall" -> ((s, dir) => {
       val exact = ExtCommon.exactMips(s, dir)
         .select(col("q_id"), col("n_id"))
-      val ann = ExtQueries.queries("sim_mips_ann")(s, dir)
+      val ann = ExtCommon.cachedAnn("sim_mips_ann", s, dir)(ExtQueries.queries("sim_mips_ann")(s, dir))
         .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
       exact.join(ann, Seq("q_id", "n_id"), "left")
         .groupBy("q_id")
@@ -557,7 +557,7 @@ object SimQueries {
     "sim_nndescent_recall" -> ((s, dir) => {
       val exact = ExtCommon.exactTopk(s, dir)
         .filter(col("rank") <= 3).select(col("q_id"), col("n_id"))
-      val ann = queries("sim_nndescent")(s, dir)
+      val ann = ExtCommon.cachedAnn("sim_nndescent", s, dir)(queries("sim_nndescent")(s, dir))
         .filter(col("q_id") % TopkSplit === 0)
         .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
       exact.join(ann, Seq("q_id", "n_id"), "left")
@@ -790,7 +790,7 @@ object SimQueries {
     "sim_recall" -> ((s, dir) => {
       val exact = ExtCommon.exactTopk(s, dir)
         .filter(col("rank") <= 3).select(col("q_id"), col("n_id"))
-      val ann = ExtQueries.queries("sim_ann_lsh")(s, dir)
+      val ann = ExtCommon.cachedAnn("sim_ann_lsh", s, dir)(ExtQueries.queries("sim_ann_lsh")(s, dir))
         .filter(col("q_id") % TopkSplit === 0)
         .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
       exact.join(ann, Seq("q_id", "n_id"), "left")

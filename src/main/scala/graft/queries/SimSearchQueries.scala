@@ -194,7 +194,7 @@ object SimSearchQueries {
       val exact = ExtCommon.exactTopk(s, dir)
         .filter(col("rank") <= 3 && col("q_id") % IvfQuerySplit === 0)
         .select(col("q_id"), col("n_id"))
-      val ann = queries("sim_ivf_bq")(s, dir)
+      val ann = ExtCommon.cachedAnn("sim_ivf_bq", s, dir)(queries("sim_ivf_bq")(s, dir))
         .filter(col("q_id") % TopkSplit === 0)
         .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
       exact.join(ann, Seq("q_id", "n_id"), "left")
@@ -212,7 +212,7 @@ object SimSearchQueries {
     "sim_bq_rerank_recall" -> ((s, dir) => {
       val exact = ExtCommon.exactTopk(s, dir)
         .filter(col("rank") <= 3).select(col("q_id"), col("n_id"))
-      val ann = queries("sim_bq_rerank")(s, dir)
+      val ann = ExtCommon.cachedAnn("sim_bq_rerank", s, dir)(queries("sim_bq_rerank")(s, dir))
         .filter(col("rank") <= 3)
         .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
       exact.join(ann, Seq("q_id", "n_id"), "left")
@@ -242,7 +242,7 @@ object SimSearchQueries {
     "sim_hnsw_recall" -> ((s, dir) => {
       val exact = ExtCommon.exactTopk(s, dir)
         .filter(col("rank") <= 3).select(col("q_id"), col("n_id"))
-      val ann = queries("sim_hnsw")(s, dir)
+      val ann = ExtCommon.cachedAnn("sim_hnsw", s, dir)(queries("sim_hnsw")(s, dir))
         .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
       exact.join(ann, Seq("q_id", "n_id"), "left")
         .groupBy("q_id")
@@ -315,7 +315,7 @@ object SimSearchQueries {
       val exact = ExtCommon.exactTopk(s, dir)
         .filter(col("rank") <= 3 && col("q_id") % IvfQuerySplit === 0)
         .select(col("q_id"), col("n_id"))
-      val ann = queries("sim_ivf_incremental")(s, dir)
+      val ann = ExtCommon.cachedAnn("sim_ivf_incremental", s, dir)(queries("sim_ivf_incremental")(s, dir))
         .filter(col("q_id") % TopkSplit === 0)
         .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
       exact.join(ann, Seq("q_id", "n_id"), "left")
@@ -334,7 +334,7 @@ object SimSearchQueries {
     "sim_graph_search_recall" -> ((s, dir) => {
       val exact = ExtCommon.exactTopk(s, dir)
         .filter(col("rank") <= 3).select(col("q_id"), col("n_id"))
-      val ann = queries("sim_graph_search")(s, dir)
+      val ann = ExtCommon.cachedAnn("sim_graph_search", s, dir)(queries("sim_graph_search")(s, dir))
         .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
       exact.join(ann, Seq("q_id", "n_id"), "left")
         .groupBy("q_id")
@@ -419,9 +419,8 @@ object SimSearchQueries {
         .filter(col("rank") <= 3)
         .select(col("label"), col("q_id"), col("n_id"))
         .localCheckpoint()
-      val ann = queries("sim_filtered_search")(s, dir)
+      val ann = ExtCommon.cachedAnn("sim_filtered_search", s, dir)(queries("sim_filtered_search")(s, dir))
         .select(col("mode"), col("q_id"), col("n_id"), lit(1L).as("hit"))
-        .localCheckpoint()
       val perQ = Seq("pre", "post").map { m =>
         truth.join(ann.filter(col("mode") === m).drop("mode"),
             Seq("q_id", "n_id"), "left")
@@ -539,7 +538,7 @@ object SimSearchQueries {
           "row_number() OVER (PARTITION BY x.vec_id ORDER BY sim DESC, y.vec_id)"))
         .filter(col("rank") <= 3)
         .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("n_id"))
-      val ann = queries("sim_ivf_deleted")(s, dir)
+      val ann = ExtCommon.cachedAnn("sim_ivf_deleted", s, dir)(queries("sim_ivf_deleted")(s, dir))
         .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
       truth.join(ann, Seq("q_id", "n_id"), "left")
         .groupBy("q_id")
@@ -587,9 +586,12 @@ object SimSearchQueries {
               .as("mrr_micro"))
       }
       Seq(
-        "ivf" -> SimQueries.queries("sim_ivf_kmeans")(s, dir),
-        "bq" -> queries("sim_bq_rerank")(s, dir),
-        "ivf_bq" -> queries("sim_ivf_bq")(s, dir))
+        "ivf" -> ExtCommon.cachedAnn("sim_ivf_kmeans", s, dir)(
+          SimQueries.queries("sim_ivf_kmeans")(s, dir)),
+        "bq" -> ExtCommon.cachedAnn("sim_bq_rerank", s, dir)(
+          queries("sim_bq_rerank")(s, dir)),
+        "ivf_bq" -> ExtCommon.cachedAnn("sim_ivf_bq", s, dir)(
+          queries("sim_ivf_bq")(s, dir)))
         .map { case (n, df) => evalFam(n, df) }
         .reduce(_ unionByName _)
         .groupBy("family")
