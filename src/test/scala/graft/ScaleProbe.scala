@@ -839,6 +839,56 @@ object ScaleProbe {
     println(f"SCC_PARITY_MISMATCH=$sccMism ROUNDS=$sccRounds " +
       f"DIST_SEC=$sSccD%.2f DRIVER_SEC=$sSccV%.2f")
   }
+  /** Filtered-search + at-rest-serving scale receipt (r14): 1× vs
+    * 10× the sf0.1 vectors (ε-perturbed dense-id replicas, label
+    * preserved so per-label selectivity is invariant). Claims under
+    * test: `sim_filtered_search` keeps the sim_ivf_kmeans cost shape
+    * (one broadcast assignment pass + a cell equi-join — per-query
+    * work ~|cell|, so ms/query must not blow up as corpus AND query
+    * count scale together), and `sim_ivf_served`'s at-rest index
+    * stays flat in bytes/vector (ids + cell key only — the payloads
+    * live in the corpus). */
+  def filteredServeProbe(spark: org.apache.spark.sql.SparkSession): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    for (r <- Seq(1, 10)) {
+      val src =
+        if (r == 1) "/root/testdata/sf0.1"
+        else {
+          spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+            .crossJoin(spark.range(r.toLong).select(col("id").as("rep")))
+            .select(
+              (col("vec_id").cast("long") * r + col("rep")).as("vec_id"),
+              expr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+                "x -> CAST(x + rep * 0.0001 AS FLOAT))").as("embedding"),
+              col("label"))
+            .write.mode("overwrite")
+            .parquet("/tmp/scale_filtered/embeddings.parquet")
+          "/tmp/scale_filtered"
+        }
+      val nv = spark.read.parquet(s"$src/embeddings.parquet").count()
+      val nq = math.max(1L, nv / 25) // the % IvfQuerySplit split
+      var t0 = System.nanoTime()
+      val fr = graft.SparkEntry.queries("sim_filtered_search")(spark, src)
+        .queryExecution.toRdd.count()
+      val fSec = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      val sr = graft.SparkEntry.queries("sim_ivf_served")(spark, src)
+        .queryExecution.toRdd.count()
+      val sSec = (System.nanoTime() - t0) / 1e9
+      def du(f: java.io.File): Long =
+        if (f.isFile) f.length
+        else Option(f.listFiles).map(_.map(du).sum).getOrElse(0L)
+      val bytes = du(new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_ivf_index_" + src.replaceAll("[^A-Za-z0-9._-]", "_")))
+      println(f"FILTERED_VECTORS=$nv FILTERED_QUERIES=$nq " +
+        f"FILTERED_ROWS=$fr FILTERED_SEC=$fSec%.2f " +
+        f"FILTERED_MS_PER_QUERY=${fSec * 1000.0 / nq}%.2f " +
+        f"SERVED_ROWS=$sr SERVED_SEC=$sSec%.2f " +
+        f"IDX_BYTES_PER_VECTOR=${bytes.toDouble / nv}%.1f")
+    }
+  }
+
 }
 
 /** Standalone driver for [[ScaleProbe.hnswProbe]] only. */
@@ -933,6 +983,18 @@ object PipelineRangeProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     ScaleProbe.pipelineRangeProbe(spark)
+    spark.stop()
+  }
+}
+
+/** Standalone driver for [[ScaleProbe.filteredServeProbe]] only. */
+object FilteredServeProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    ScaleProbe.filteredServeProbe(spark)
     spark.stop()
   }
 }
