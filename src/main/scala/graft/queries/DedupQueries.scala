@@ -386,6 +386,32 @@ object DedupQueries {
           Rounding.r4(when(col("hk").isNotNull,
             lit((k - 1).toDouble) * lit(P.toDouble) / col("hk").cast("double"))
             .otherwise(col("n_exact").cast("double"))).as("est_distinct"))
+    }),
+
+    // Cross-source near-dup matrix — the syndication/contamination
+    // readout of the verified LSH pairs: how many near-dup edges stay
+    // WITHIN a source (boilerplate, re-posts) vs CROSS source
+    // boundaries (mirrored content — the pairs that silently leak one
+    // source's held-out split into another's train split). Pure
+    // composition over the oracle-gated pair machinery: two id-keyed
+    // joins attach sources (no hint — the source map is corpus-sized,
+    // AQE decides), the (lo, hi) canonicalization makes each
+    // unordered source pair one row. Output rows are bounded by
+    // |sources|², whatever the corpus size.
+    "dedup_cross_source" -> ((s, dir) => {
+      val src = docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"))
+      minhashPairs(s, dir).filter(jaccardExpr >= 0.8)
+        .select(col("a"), col("b"))
+        .join(src.select(col("doc_id").as("a"),
+          col("source").as("src_a")), "a")
+        .join(src.select(col("doc_id").as("b"),
+          col("source").as("src_b")), "b")
+        .select(least(col("src_a"), col("src_b")).as("source_lo"),
+          greatest(col("src_a"), col("src_b")).as("source_hi"))
+        .groupBy("source_lo", "source_hi")
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("cross_source", col("source_lo") =!= col("source_hi"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -692,5 +718,16 @@ object DedupQueries {
          |  (round(CASE WHEN k.hk IS NOT NULL
          |    THEN 63.0 * ${P}.0 / k.hk::DOUBLE
          |    ELSE e.n_exact::DOUBLE END, 4) + 0.0) AS est_distinct
-         |FROM exact e LEFT JOIN kth k ON e.event_type = k.event_type""".stripMargin)
+         |FROM exact e LEFT JOIN kth k ON e.event_type = k.event_type""".stripMargin,
+
+    "dedup_cross_source" ->
+      s"""WITH $lshPairsDuck,
+         |csd AS (SELECT doc_id::BIGINT AS doc_id, source FROM documents),
+         |cse AS (SELECT least(xa.source, xb.source) AS source_lo,
+         |    greatest(xa.source, xb.source) AS source_hi
+         |  FROM pr JOIN csd xa ON xa.doc_id = pr.a
+         |  JOIN csd xb ON xb.doc_id = pr.b)
+         |SELECT source_lo, source_hi, count(*)::BIGINT AS n_pairs,
+         |  source_lo <> source_hi AS cross_source
+         |FROM cse GROUP BY 1, 2""".stripMargin)
 }
